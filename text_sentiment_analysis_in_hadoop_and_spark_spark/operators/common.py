@@ -1,0 +1,72 @@
+"""Shared conventions between Spark queries and their DuckDB oracles.
+
+The reference's input schema carries a sentiment label
+(Sentiment140 col 1 — /root/reference/Hadoop/NB.java:63-64).  The
+driver's synthetic ``documents`` table has no label column, so the
+engine derives a deterministic one (``doc_id % 2``) and a
+deterministic 75/25 train/test split (``doc_id % 4``) — mirroring the
+reference's fixed 75/25 protocol (/root/reference/README.md:21,
+seeded randomSplit at Spark/NB/src/main/scala/NB.scala:83) in a form
+both engines can recompute exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import clean_text, clean_text_sql, explode_tokens, nonempty
+from ..sources.tables import load_table
+
+# --- Spark side -----------------------------------------------------------
+
+
+def labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, label, text-cleaned).  Cleaning is the
+    P2→P7 chain (NB.java:67-73); label/split derivation above."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+        clean_text(F.col("text")).alias("text"),
+    )
+
+
+def doc_tokens(docs: DataFrame) -> DataFrame:
+    """Non-empty docs exploded to one row per token occurrence
+    (P8 + P10 + P11, NB.java:90-95)."""
+    return docs.filter(nonempty(F.col("text"))).select(
+        "doc_id", "label", explode_tokens(F.col("text")).alias("word")
+    )
+
+
+def train_filter(col=None):
+    c = col if col is not None else F.col("doc_id")
+    return c % 4 != 0
+
+
+def test_filter(col=None):
+    c = col if col is not None else F.col("doc_id")
+    return c % 4 == 0
+
+
+# --- Oracle (DuckDB SQL) side ---------------------------------------------
+
+DOCS_CTE = (
+    "docs AS (SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS label, "
+    f"{clean_text_sql('text')} AS text FROM documents)"
+)
+
+TOKENS_CTE = (
+    "tokens AS (SELECT doc_id, label, unnest(string_split(text, ' ')) AS word "
+    "FROM docs WHERE trim(text) <> '')"
+)
+
+TRAIN_TOKENS_CTE = (
+    "train_tokens AS (SELECT * FROM tokens WHERE doc_id % 4 <> 0)"
+)
+
+TEST_TOKENS_CTE = "test_tokens AS (SELECT * FROM tokens WHERE doc_id % 4 = 0)"
+
+
+def with_ctes(*ctes: str) -> str:
+    return "WITH " + ",\n".join(ctes) + "\n"

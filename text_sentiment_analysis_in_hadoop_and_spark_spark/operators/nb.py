@@ -1,0 +1,347 @@
+"""Relational Naive Bayes — the reference's core computation as one
+Catalyst DAG.
+
+Reference semantics re-expressed (SURVEY §2.3/§2.4/§2.6):
+
+- A1/A2  corpus counters            /root/reference/Hadoop/NB.java:50,79-85
+- A3     per-word conditional counts (the trained model)   NB.java:103-124
+- J1     vocab probe → broadcast hash join                 NB.java:161-194,230-243
+- M8     multinomial NB scoring, Laplace smoothing         NB.java:148-267
+- M9     argmax, ties → NEGATIVE                           NB.java:250,259
+- A7/A8  confusion matrix + accuracy                       NB.java:330-341
+
+Deliberate divergence: the reference multiplies raw probabilities and
+underflows to 0.0 on long docs (NB.java:224-247).  We score in
+log-space (sum of logs) — same argmax on docs that don't underflow,
+correct behavior on docs that would.
+
+Scale notes (100 TB posture):
+- The model (vocab) is tiny relative to the corpus → ``F.broadcast``
+  join; the probe side stays a narrow map stage, no shuffle.
+- Corpus scalars (6 numbers) are collected to the driver and inlined
+  as literals — the reference's Hadoop-Counter→Configuration relay
+  (NB.java:305-316) with one tiny Spark job instead.
+- Everything else is partial-aggregating hash aggregation; no Python
+  touches a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import nonempty
+from .common import (
+    DOCS_CTE,
+    TEST_TOKENS_CTE,
+    TOKENS_CTE,
+    TRAIN_TOKENS_CTE,
+    doc_tokens,
+    labeled_docs,
+    test_filter,
+    train_filter,
+    with_ctes,
+)
+
+WS_SPLIT = r"\s+"  # word-count tokenization, NB.java:80 split("\\s+")
+
+
+# --------------------------------------------------------------------------
+# building blocks (Spark side)
+# --------------------------------------------------------------------------
+
+
+def vocab_counts(train_tokens: DataFrame) -> DataFrame:
+    """A3 — per-word conditional counts (NB.java:103-124).  Catalyst
+    runs this as partial+final hash aggregate (the reference needed an
+    explicit combiner for the same effect)."""
+    return train_tokens.groupBy("word").agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("pos_count"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("neg_count"),
+    )
+
+
+def corpus_stats_df(train_docs: DataFrame, train_tokens: DataFrame) -> DataFrame:
+    """A1/A2 + FEATURES_SIZE counters (NB.java:50,79-85,107).
+
+    Quirk preserved: per-class word totals are counted *before* the
+    empty-text check, and ``"".split("\\s+")`` has length 1, so a doc
+    that cleans to empty still contributes 1 (SURVEY §2.3 A2)."""
+    wc = F.size(F.split(F.col("text"), WS_SPLIT))
+    stats = train_docs.agg(
+        F.count("*").cast("long").alias("tweets"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("pos_tweets"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("neg_tweets"),
+        F.sum(F.when(F.col("label") == 1, wc).otherwise(0))
+        .cast("long")
+        .alias("pos_words"),
+        F.sum(F.when(F.col("label") == 0, wc).otherwise(0))
+        .cast("long")
+        .alias("neg_words"),
+    )
+    vsize = train_tokens.agg(
+        F.countDistinct("word").cast("long").alias("vocab_size")
+    )
+    return stats.crossJoin(vsize)
+
+
+def nb_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
+    """Train: returns (model_df(word, lpw_pos, lpw_neg), stats dict).
+
+    ``lpw_c = ln((count_c(w)+1) / (words_c + V))`` — Laplace-smoothed
+    multinomial likelihood (NB.java:190-194) in log-space."""
+    docs = labeled_docs(spark, sf_dir)
+    train_docs = docs.filter(train_filter())
+    train_tokens = doc_tokens(train_docs)
+    stats = corpus_stats_df(train_docs, train_tokens).collect()[0].asDict()
+    v = stats["vocab_size"]
+    model = vocab_counts(train_tokens).select(
+        "word",
+        F.log((F.col("pos_count") + 1) / F.lit(stats["pos_words"] + v)).alias(
+            "lpw_pos"
+        ),
+        F.log((F.col("neg_count") + 1) / F.lit(stats["neg_words"] + v)).alias(
+            "lpw_neg"
+        ),
+    )
+    return model, stats
+
+
+def nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score test docs: broadcast-join tokens against the model (J1 —
+    the reference's O(doc·V) HashMap probe, NB.java:230-243, becomes a
+    broadcast hash join), sum logs per doc, add the class prior.
+    Unknown words are skipped (inner-join ≡ the reference's semi-join
+    semantics); docs with no known words fall back to the prior."""
+    model, stats = nb_model(spark, sf_dir)
+    docs = labeled_docs(spark, sf_dir)
+    test_docs = docs.filter(test_filter()).filter(nonempty(F.col("text")))
+    ttok = doc_tokens(test_docs).select("doc_id", "word")
+    scored = (
+        ttok.join(F.broadcast(model), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("lpw_pos").alias("s_pos"), F.sum("lpw_neg").alias("s_neg"))
+    )
+    prior_pos = F.log(F.lit(stats["pos_tweets"] / stats["tweets"]))
+    prior_neg = F.log(F.lit(stats["neg_tweets"] / stats["tweets"]))
+    return (
+        test_docs.select("doc_id", "label")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "label",
+            (prior_pos + F.coalesce(F.col("s_pos"), F.lit(0.0))).alias("pos_score"),
+            (prior_neg + F.coalesce(F.col("s_neg"), F.lit(0.0))).alias("neg_score"),
+        )
+    )
+
+
+def nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 argmax: pos > neg → 1 else 0 (ties → negative, NB.java:250,259)."""
+    s = nb_scores(spark, sf_dir)
+    return s.select(
+        "doc_id",
+        "label",
+        F.when(F.col("pos_score") > F.col("neg_score"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("prediction"),
+    )
+
+
+# --------------------------------------------------------------------------
+# queries() entries
+# --------------------------------------------------------------------------
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return labeled_docs(spark, sf_dir).select(
+        "doc_id", "label", F.col("text").alias("cleaned")
+    )
+
+
+def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_tokens(labeled_docs(spark, sf_dir))
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = labeled_docs(spark, sf_dir)
+    train_docs = docs.filter(train_filter())
+    return corpus_stats_df(train_docs, doc_tokens(train_docs))
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = labeled_docs(spark, sf_dir)
+    return vocab_counts(doc_tokens(docs.filter(train_filter())))
+
+
+def q_nb_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model, _ = nb_model(spark, sf_dir)
+    return model.select(
+        "word",
+        F.round("lpw_pos", 6).alias("lpw_pos"),
+        F.round("lpw_neg", 6).alias("lpw_neg"),
+    )
+
+
+def q_nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = nb_scores(spark, sf_dir)
+    return s.select(
+        "doc_id",
+        "label",
+        F.round("pos_score", 6).alias("pos_score"),
+        F.round("neg_score", 6).alias("neg_score"),
+    )
+
+
+def q_nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nb_predictions(spark, sf_dir)
+
+
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — confusion matrix as a tall table (NB.java:250-267,330-341)."""
+    return (
+        nb_predictions(spark, sf_dir)
+        .groupBy("label", "prediction")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_nb_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — accuracy = (tp+tn)/total (NB.java:341)."""
+    p = nb_predictions(spark, sf_dir)
+    return p.agg(
+        F.round(
+            F.sum(F.when(F.col("label") == F.col("prediction"), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
+        F.count("*").cast("long").alias("n_test"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_VOCAB_CTE = (
+    "vocab AS (SELECT word, "
+    "CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos_count, "
+    "CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_count "
+    "FROM train_tokens GROUP BY word)"
+)
+
+_STATS_CTE = (
+    "stats AS (SELECT CAST(count(*) AS BIGINT) AS tweets, "
+    "CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos_tweets, "
+    "CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_tweets, "
+    "CAST(sum(CASE WHEN label = 1 THEN len(regexp_split_to_array(text, '\\s+')) "
+    "ELSE 0 END) AS BIGINT) AS pos_words, "
+    "CAST(sum(CASE WHEN label = 0 THEN len(regexp_split_to_array(text, '\\s+')) "
+    "ELSE 0 END) AS BIGINT) AS neg_words "
+    "FROM docs WHERE doc_id % 4 <> 0)"
+)
+
+_VSIZE_CTE = (
+    "vsize AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS vocab_size "
+    "FROM train_tokens)"
+)
+
+_MODEL_CTE = (
+    "model AS (SELECT word, "
+    "ln((pos_count + 1) / (stats.pos_words + vsize.vocab_size)) AS lpw_pos, "
+    "ln((neg_count + 1) / (stats.neg_words + vsize.vocab_size)) AS lpw_neg "
+    "FROM vocab, stats, vsize)"
+)
+
+_SCORED_CTE = (
+    "scored AS (SELECT t.doc_id, sum(m.lpw_pos) AS s_pos, sum(m.lpw_neg) AS s_neg "
+    "FROM test_tokens t JOIN model m USING (word) GROUP BY t.doc_id)"
+)
+
+_TESTD_CTE = (
+    "testd AS (SELECT doc_id, label FROM docs "
+    "WHERE doc_id % 4 = 0 AND trim(text) <> '')"
+)
+
+_SCORES_SELECT = (
+    "SELECT d.doc_id, d.label, "
+    "ln(stats.pos_tweets / stats.tweets) + coalesce(s.s_pos, 0) AS pos_score, "
+    "ln(stats.neg_tweets / stats.tweets) + coalesce(s.s_neg, 0) AS neg_score "
+    "FROM testd d LEFT JOIN scored s USING (doc_id), stats"
+)
+
+_NB_PRELUDE = (
+    DOCS_CTE,
+    TOKENS_CTE,
+    TRAIN_TOKENS_CTE,
+    TEST_TOKENS_CTE,
+    _VOCAB_CTE,
+    _STATS_CTE,
+    _VSIZE_CTE,
+    _MODEL_CTE,
+    _SCORED_CTE,
+    _TESTD_CTE,
+)
+
+_PREDS_SQL = (
+    with_ctes(*_NB_PRELUDE, "scores AS (" + _SCORES_SELECT + ")")
+    + "SELECT doc_id, label, CAST(CASE WHEN pos_score > neg_score THEN 1 ELSE 0 "
+    "END AS INTEGER) AS prediction FROM scores"
+)
+
+ORACLES: dict[str, str] = {
+    "nb_clean_text": with_ctes(DOCS_CTE)
+    + "SELECT doc_id, label, text AS cleaned FROM docs",
+    "nb_tokens": with_ctes(DOCS_CTE, TOKENS_CTE)
+    + "SELECT doc_id, label, word FROM tokens",
+    "nb_corpus_stats": with_ctes(
+        DOCS_CTE, TOKENS_CTE, TRAIN_TOKENS_CTE, _STATS_CTE, _VSIZE_CTE
+    )
+    + "SELECT stats.*, vsize.vocab_size FROM stats, vsize",
+    "nb_vocab": with_ctes(DOCS_CTE, TOKENS_CTE, TRAIN_TOKENS_CTE, _VOCAB_CTE)
+    + "SELECT * FROM vocab",
+    "nb_model": with_ctes(
+        DOCS_CTE, TOKENS_CTE, TRAIN_TOKENS_CTE, _VOCAB_CTE, _STATS_CTE,
+        _VSIZE_CTE, _MODEL_CTE,
+    )
+    + "SELECT word, round(lpw_pos, 6) AS lpw_pos, round(lpw_neg, 6) AS lpw_neg "
+    "FROM model",
+    "nb_scores": (
+        with_ctes(*_NB_PRELUDE, "scores AS (" + _SCORES_SELECT + ")")
+        + "SELECT doc_id, label, round(pos_score, 6) AS pos_score, "
+        "round(neg_score, 6) AS neg_score FROM scores"
+    ),
+    "nb_predictions": _PREDS_SQL,
+    "nb_confusion": (
+        "WITH preds AS (" + _PREDS_SQL + ") "
+        "SELECT label, prediction, CAST(count(*) AS BIGINT) AS n "
+        "FROM preds GROUP BY label, prediction"
+    ),
+    "nb_accuracy": (
+        "WITH preds AS (" + _PREDS_SQL + ") "
+        "SELECT round(sum(CASE WHEN label = prediction THEN 1 ELSE 0 END) "
+        "/ count(*), 6) AS accuracy, CAST(count(*) AS BIGINT) AS n_test "
+        "FROM preds"
+    ),
+}
+
+QUERIES = {
+    "nb_clean_text": q_clean_text,
+    "nb_tokens": q_tokens,
+    "nb_corpus_stats": q_corpus_stats,
+    "nb_vocab": q_vocab,
+    "nb_model": q_nb_model,
+    "nb_scores": q_nb_scores,
+    "nb_predictions": q_nb_predictions,
+    "nb_confusion": q_nb_confusion,
+    "nb_accuracy": q_nb_accuracy,
+}

@@ -1,0 +1,130 @@
+"""Local Spark↔DuckDB oracle parity checker (mimics the driver's t2).
+
+Usage:  python tools/parity.py [sf_dir] [query_name ...]
+
+For each declared query, runs the Spark DataFrame and the DuckDB
+oracle SQL over the same parquet tables and compares row count, column
+names, and (order-insensitively) values.  Floats compare with a 1e-9
+absolute tolerance — queries are expected to round exposed doubles so
+the driver's value-hash matches exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def canon(rows, cols):
+    """Order-insensitive canonical form: sort columns by name, then rows."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in idx], out
+
+
+def compare(name, spark_df, oracle_rows, oracle_cols) -> list[str]:
+    errs = []
+    s_cols = [c.lower() for c in spark_df.columns]
+    rows = [tuple(r) for r in spark_df.collect()]
+    o_cols = [c.lower() for c in oracle_cols]
+    sc, srows = canon(rows, s_cols)
+    oc, orows = canon([tuple(r) for r in oracle_rows], o_cols)
+    if sc != oc:
+        errs.append(f"schema mismatch: spark={sc} oracle={oc}")
+        return errs
+    if len(srows) != len(orows):
+        errs.append(f"row count: spark={len(srows)} oracle={len(orows)}")
+        return errs
+    bad = 0
+    for a, b in zip(srows, orows):
+        for x, y in zip(a, b):
+            ok = (
+                x == y
+                or (
+                    isinstance(x, float)
+                    and isinstance(y, float)
+                    and (x == y or abs(x - y) <= 1e-9)
+                )
+            )
+            if not ok:
+                bad += 1
+                if bad <= 3:
+                    errs.append(f"value mismatch: spark={a} oracle={b}")
+                break
+    if bad:
+        errs.append(f"{bad}/{len(srows)} mismatched rows")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    import __spark_entry__ as entrymod
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.session import get_spark
+
+    spark = get_spark("parity_check")
+    con = duck_connection(sf_dir)
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        try:
+            df = fn(spark, sf_dir)
+            if sql is None:
+                n = df.count()
+                print(f"  {name}: rows-only ({n} rows) — no oracle")
+                continue
+            res = con.execute(sql)
+            o_cols = [d[0] for d in res.description]
+            o_rows = res.fetchall()
+            errs = compare(name, df, o_rows, o_cols)
+        except Exception as e:  # noqa: BLE001
+            errs = [f"exception: {type(e).__name__}: {e}"]
+        if errs:
+            failed.append(name)
+            print(f"✗ {name}")
+            for e in errs[:5]:
+                print(f"    {e}")
+        else:
+            print(f"✓ {name}")
+    print(f"\n{len(queries) - len(failed)}/{len(queries)} queries match")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
