@@ -4,7 +4,7 @@ The reference's input schema carries a sentiment label
 (Sentiment140 col 1 — /root/reference/Hadoop/NB.java:63-64).  The
 driver's synthetic ``documents`` table has no label column, so the
 engine derives a deterministic one (``doc_id % 2``) and a
-deterministic 75/25 train/test split (``doc_id % 4``) — mirroring the
+deterministic 75/25 train/test split (``doc_id % 8``) — mirroring the
 reference's fixed 75/25 protocol (/root/reference/README.md:21,
 seeded randomSplit at Spark/NB/src/main/scala/NB.scala:83) in a form
 both engines can recompute exactly.
@@ -40,13 +40,17 @@ def doc_tokens(docs: DataFrame) -> DataFrame:
 
 
 def train_filter(col=None):
+    """75% train — residues 2..7 of doc_id % 8.  The test residues
+    {0, 1} cover both parities so the derived label (doc_id % 2) is
+    balanced in BOTH splits (a doc_id%4 split would put only
+    even/label-0 docs in test)."""
     c = col if col is not None else F.col("doc_id")
-    return c % 4 != 0
+    return c % 8 >= 2
 
 
 def test_filter(col=None):
     c = col if col is not None else F.col("doc_id")
-    return c % 4 == 0
+    return c % 8 < 2
 
 
 # --- Oracle (DuckDB SQL) side ---------------------------------------------
@@ -62,10 +66,10 @@ TOKENS_CTE = (
 )
 
 TRAIN_TOKENS_CTE = (
-    "train_tokens AS (SELECT * FROM tokens WHERE doc_id % 4 <> 0)"
+    "train_tokens AS (SELECT * FROM tokens WHERE doc_id % 8 >= 2)"
 )
 
-TEST_TOKENS_CTE = "test_tokens AS (SELECT * FROM tokens WHERE doc_id % 4 = 0)"
+TEST_TOKENS_CTE = "test_tokens AS (SELECT * FROM tokens WHERE doc_id % 8 < 2)"
 
 
 def with_ctes(*ctes: str) -> str:

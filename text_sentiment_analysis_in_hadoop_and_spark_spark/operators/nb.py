@@ -247,7 +247,7 @@ _STATS_CTE = (
     "ELSE 0 END) AS BIGINT) AS pos_words, "
     "CAST(sum(CASE WHEN label = 0 THEN len(regexp_split_to_array(text, '\\s+')) "
     "ELSE 0 END) AS BIGINT) AS neg_words "
-    "FROM docs WHERE doc_id % 4 <> 0)"
+    "FROM docs WHERE doc_id % 8 >= 2)"
 )
 
 _VSIZE_CTE = (
@@ -269,7 +269,7 @@ _SCORED_CTE = (
 
 _TESTD_CTE = (
     "testd AS (SELECT doc_id, label FROM docs "
-    "WHERE doc_id % 4 = 0 AND trim(text) <> '')"
+    "WHERE doc_id % 8 < 2 AND trim(text) <> '')"
 )
 
 _SCORES_SELECT = (
