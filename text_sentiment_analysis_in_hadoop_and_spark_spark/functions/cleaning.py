@@ -15,9 +15,10 @@ checks can recompute it independently.
 RE2 caveat: the reference's URL regex uses a negative lookahead
 ``(?!www)`` (Java regex), which RE2 (DuckDB) does not support.  Spark
 executes Java regex, so the Spark side uses the reference's pattern
-verbatim; the SQL builder substitutes an RE2-safe ``(www\\.)?``
-variant that differs only for hostnames that start with "www" not
-followed by a dot (no such URL appears in any fixture or dataset).
+verbatim; the SQL builder uses an equivalent RE2 pattern that
+enumerates host labels not starting with "www" explicitly (verified
+equivalent on adversarial fixtures incl. ``https://wwwfoo.com`` in
+tests/test_cleaning.py).
 """
 
 from __future__ import annotations
@@ -34,11 +35,23 @@ URL_RE_JAVA = (
 )
 
 # RE2-safe equivalent for engines without lookahead (DuckDB oracle).
+# Java's ``(?:www\.|(?!www))`` is re-expressed by enumerating host labels
+# that do not *start* with "www" (classes exclude w; case-insensitive flag
+# is applied by the caller, so [a-vx-z0-9] also excludes W):
+#   A: 1st char != w           B: starts w, 2nd char != w
+#   C: starts ww, 3rd char != w (general and exactly-3-char label forms)
+_L3_NOWWW = (
+    r"(?:[a-vx-z0-9][a-z0-9-]+[a-z0-9]"
+    r"|w[a-vx-z0-9-][a-z0-9-]*[a-z0-9]"
+    r"|ww[a-vx-z0-9-][a-z0-9-]*[a-z0-9]"
+    r"|ww[a-vx-z0-9])"
+)
+_L1_NOWWW = r"(?:[a-vx-z0-9][a-z0-9]*|ww?(?:[a-vx-z0-9][a-z0-9]*)?)"
 URL_RE_RE2 = (
-    r"(https?://(www\.)?[a-zA-Z0-9][a-zA-Z0-9-]+[a-zA-Z0-9]\.[^\s]{2,}|"
-    r"www\.[a-zA-Z0-9][a-zA-Z0-9-]+[a-zA-Z0-9]\.[^\s]{2,}|"
-    r"https?://(www\.)?[a-zA-Z0-9]+\.[^\s]{2,}|"
-    r"www\.[a-zA-Z0-9]+\.[^\s]{2,})"
+    rf"(https?://(?:www\.[a-z0-9][a-z0-9-]+[a-z0-9]|{_L3_NOWWW})\.[^\s]{{2,}}|"
+    r"www\.[a-z0-9][a-z0-9-]+[a-z0-9]\.[^\s]{2,}|"
+    rf"https?://(?:www\.[a-z0-9]+|{_L1_NOWWW})\.[^\s]{{2,}}|"
+    r"www\.[a-z0-9]+\.[^\s]{2,})"
 )
 
 # /root/reference/Hadoop/NB.java:68 — also eats HTML entities (&lt;)

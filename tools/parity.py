@@ -36,7 +36,11 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canon(rows, cols):
-    """Order-insensitive canonical form: sort columns by name, then rows."""
+    """Order-insensitive canonical form: sort columns by name, then rows.
+
+    Floats are rounded to 6 decimals *before* the row sort so sub-round
+    noise can't reorder rows differently per engine and misalign the
+    pairwise zip (ADVICE r1) — queries expose doubles rounded to 6."""
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -47,7 +51,7 @@ def canon(rows, cols):
                 if math.isnan(v):
                     v = "NaN"
                 else:
-                    v = round(v, 9)
+                    v = round(v, 6)
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple(str(x) for x in t))
@@ -99,9 +103,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
+    ran = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        ran += 1
         sql = oracles.get(name)
         try:
             df = fn(spark, sf_dir)
@@ -122,7 +128,7 @@ def main() -> int:
                 print(f"    {e}")
         else:
             print(f"✓ {name}")
-    print(f"\n{len(queries) - len(failed)}/{len(queries)} queries match")
+    print(f"\n{ran - len(failed)}/{ran} queries match")
     return 1 if failed else 0
 
 
