@@ -1,0 +1,73 @@
+"""Benchmark driver — times the engine's headline queries.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line on
+stdout (the last line), shaped::
+
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the ``noop`` write format —
+full computation, no driver-side collect of the result set (row
+counts would hide sink cost; collect would bottleneck on the
+driver).  Progress goes to stderr so the stdout JSON stays clean.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _force(df) -> None:
+    """Run the full plan without materializing rows on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entrymod
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.session import get_spark
+
+    spark = get_spark("tsa_bench")
+    queries = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            _force(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            print(f"  {name}: {dt:.2f}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"  {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    line = json.dumps(
+        {
+            "metric": "total_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
+    )
+    sys.stderr.flush()
+    print(line, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
