@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import nb
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import nb, tfidf
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -30,10 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(nb.QUERIES)
+    out.update(tfidf.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(nb.ORACLES)
+    out.update(tfidf.ORACLES)
     return out
