@@ -230,6 +230,15 @@ def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_f1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/M7 — accuracy + weighted precision/recall/F1, the Spark
+    reference's MulticlassMetrics surface (NB.scala:96-99) as one
+    hash aggregate."""
+    from .metrics import weighted_metrics
+
+    return weighted_metrics(nb_predictions(spark, sf_dir))
+
+
 def q_nb_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 — accuracy = (tp+tn)/total (NB.java:341)."""
     p = nb_predictions(spark, sf_dir)
@@ -348,6 +357,15 @@ ORACLES: dict[str, str] = {
     ),
 }
 
+
+def _add_f1_oracle() -> None:
+    from .metrics import weighted_metrics_sql
+
+    ORACLES["nb_f1_metrics"] = weighted_metrics_sql(_PREDS_SQL)
+
+
+_add_f1_oracle()
+
 QUERIES = {
     "nb_clean_text": q_clean_text,
     "nb_tokens": q_tokens,
@@ -358,4 +376,5 @@ QUERIES = {
     "nb_predictions": q_nb_predictions,
     "nb_confusion": q_nb_confusion,
     "nb_accuracy": q_nb_accuracy,
+    "nb_f1_metrics": q_nb_f1_metrics,
 }

@@ -332,6 +332,12 @@ def q_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_f1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .metrics import weighted_metrics
+
+    return weighted_metrics(featsel_predictions(spark, sf_dir))
+
+
 def q_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = featsel_predictions(spark, sf_dir)
     return p.agg(
@@ -487,6 +493,15 @@ ORACLES: dict[str, str] = {
     ),
 }
 
+
+def _add_f1_oracle() -> None:
+    from .metrics import weighted_metrics_sql
+
+    ORACLES["tfidf_nb_f1_metrics"] = weighted_metrics_sql(_FPREDS_SQL)
+
+
+_add_f1_oracle()
+
 QUERIES = {
     "tfidf_wordcount": q_wordcount,
     "tfidf_tf": q_tf,
@@ -500,4 +515,5 @@ QUERIES = {
     "tfidf_nb_predictions": q_predictions,
     "tfidf_nb_confusion": q_confusion,
     "tfidf_nb_accuracy": q_accuracy,
+    "tfidf_nb_f1_metrics": q_f1_metrics,
 }
