@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import nb, tfidf
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import dedup, nb, tfidf
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(nb.QUERIES)
     out.update(tfidf.QUERIES)
+    out.update(dedup.QUERIES)
     return out
 
 
@@ -38,4 +39,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(nb.ORACLES)
     out.update(tfidf.ORACLES)
+    out.update(dedup.ORACLES)
     return out

@@ -1,0 +1,354 @@
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline extension surface (beyond the reference; the
+reference has no dedup at all, so these are engine extensions built
+on the same portable-hash primitives as the rest of the repo).
+
+Four dedup families:
+
+- **exact**: md5 content fingerprint → groupBy fingerprint.  One
+  shuffle on a 32-char key; at 100 TB this is the cheapest possible
+  full-corpus dedup (hash-partitioned, partial-agg combines).
+- **MinHash + LSH**: word-3-gram shingles → 16 universal-hash
+  minima → 4 bands of 4 → band-bucket join.  Candidate pairs come
+  ONLY from same-bucket docs — never an all-pairs product.  At
+  scale the band join is a shuffle on the band hash; pathological
+  buckets (boilerplate shingle sets) should be capped with a
+  frequency filter before the self-join — see ``candidate_pairs``.
+- **SimHash**: 32-bit sign-of-weighted-bit-sums fingerprint; docs
+  within small Hamming distance are near-dups.  One groupBy.
+- **true Jaccard verify**: exact n-gram Jaccard computed only for
+  LSH candidate pairs (the verify stage of the standard
+  candidate→verify near-dup pipeline).
+
+Everything is pure Column expressions / joins — no Python UDFs — and
+every query has a DuckDB oracle twin (the portable md5-derived hash
+in functions/hashing.py exists precisely so both engines agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MERSENNE31,
+    hex32,
+    hex32_sql,
+    md5_fingerprint,
+    minhash,
+    minhash_sql,
+)
+from ..sources.tables import load_table
+
+N_PERM = 16        # minhash permutations
+BANDS = 4          # LSH bands
+ROWS_PER_BAND = 4  # N_PERM / BANDS
+SHINGLE_N = 3      # word n-gram shingle width
+SIMHASH_BITS = 32
+
+
+# --------------------------------------------------------------------------
+# building blocks (Spark side)
+# --------------------------------------------------------------------------
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc.  Docs shorter than the
+    shingle width contribute their whole text as one shingle (so no
+    doc silently vanishes from the dedup universe)."""
+    toks = F.split(F.col("text"), " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - SHINGLE_N),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N)),
+    )
+    sh = F.when(
+        F.size(toks) < SHINGLE_N, F.array(F.concat_ws(" ", toks))
+    ).otherwise(ngrams)
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """16 permutation minima per doc — ONE hash aggregate (partial+
+    final), shuffle keyed on doc_id only."""
+    h = hex32(F.col("shingle"))
+    aggs = [F.min(minhash(h, k)).alias(f"s{k}") for k in range(N_PERM)]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def banded_signatures(sigs: DataFrame) -> DataFrame:
+    """Band hash = md5 of the band's 4 signature components."""
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"s{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(BANDS)
+    ]
+    return sigs.select("doc_id", *[f"s{k}" for k in range(N_PERM)], *bands)
+
+
+def candidate_pairs(banded: DataFrame) -> DataFrame:
+    """Same-bucket pairs (doc_a < doc_b), deduped across bands.
+
+    Scale note: each band join shuffles on the band hash; bucket
+    sizes are the skew risk (near-universal boilerplate shingles).
+    AQE skew-join splitting handles moderate skew; for adversarial
+    corpora, pre-filter band keys whose bucket count exceeds a cap
+    (count per band key, anti-join the giants) before self-joining.
+    """
+    parts = []
+    for b in range(BANDS):
+        left = banded.select(
+            F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk")
+        )
+        right = banded.select(
+            F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk")
+        )
+        parts.append(
+            left.join(right, "bk")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.distinct()
+
+
+# --------------------------------------------------------------------------
+# queries() entries
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup clusters: content fingerprint → (n_docs, canonical
+    = min doc_id).  Keeping `canonical_doc_id` makes the kept-set
+    deterministic on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", md5_fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_signatures(doc_shingles(docs))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with estimated Jaccard = fraction of the 16
+    signature components that agree."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = banded_signatures(minhash_signatures(doc_shingles(docs))).cache()
+    pairs = candidate_pairs(sigs)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{k}").alias(f"a{k}") for k in range(N_PERM)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{k}").alias(f"b{k}") for k in range(N_PERM)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(N_PERM)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(N_PERM)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verify stage: exact shingle-set Jaccard, computed only for the
+    LSH candidate pairs (never all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = doc_shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    sigs = banded_signatures(minhash_signatures(sh))
+    pairs = candidate_pairs(sigs)
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over unigram token counts: bit i is the sign of
+    Σ_tokens (±count) where the sign is bit i of the token's hash."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    counted = tok.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    h = hex32(F.col("word"))
+    bit_sums = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = counted.groupBy("doc_id").agg(*bit_sums)
+    sim = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_DSH_CTES = (
+    "dtoks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)",
+    "dsh_all AS (SELECT doc_id, unnest(CASE WHEN len(arr) < 3 "
+    "THEN [array_to_string(arr, ' ')] "
+    "ELSE list_transform(range(1, len(arr) - 1), "
+    "i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]) END) AS shingle "
+    "FROM dtoks)",
+    "dsh AS (SELECT DISTINCT doc_id, shingle FROM dsh_all)",
+)
+
+_DH_CTE = f"dhash AS (SELECT doc_id, {hex32_sql('shingle')} AS h FROM dsh)"
+
+_SIG_CTE = (
+    "dsig AS (SELECT doc_id, "
+    + ", ".join(
+        f"min({minhash_sql('h', k)}) AS s{k}" for k in range(N_PERM)
+    )
+    + " FROM dhash GROUP BY doc_id)"
+)
+
+_BAND_CTE = (
+    "dband AS (SELECT *, "
+    + ", ".join(
+        "md5("
+        + " || '_' || ".join(
+            f"CAST(s{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + f") AS band{b}"
+        for b in range(BANDS)
+    )
+    + " FROM dsig)"
+)
+
+_PAIRS_CTE = (
+    "dpairs AS (SELECT DISTINCT doc_a, doc_b FROM ("
+    + " UNION ALL ".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM dband a "
+        f"JOIN dband b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(BANDS)
+    )
+    + "))"
+)
+
+_MINHASH_PRELUDE = _DSH_CTES + (_DH_CTE, _SIG_CTE, _BAND_CTE, _PAIRS_CTE)
+
+
+def _with(*ctes: str) -> str:
+    return "WITH " + ",\n".join(ctes) + "\n"
+
+
+_EST_MATCHES = " + ".join(
+    f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END" for k in range(N_PERM)
+)
+
+_SIMHASH_BITSUM_CTES = (
+    "stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+    "FROM documents)",
+    "scnt AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM stok GROUP BY doc_id, word)",
+    f"shash AS (SELECT doc_id, cnt, {hex32_sql('word')} AS h FROM scnt)",
+    "sbits AS (SELECT doc_id, "
+    + ", ".join(
+        f"sum(CASE WHEN (h & {1 << i}) <> 0 THEN cnt ELSE -cnt END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    + " FROM shash GROUP BY doc_id)",
+)
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": (
+        "SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs, "
+        "min(doc_id) AS canonical_doc_id FROM documents GROUP BY md5(text)"
+    ),
+    "dedup_minhash_sig": _with(*_DSH_CTES, _DH_CTE, _SIG_CTE)
+    + "SELECT * FROM dsig",
+    "dedup_minhash_pairs": _with(*_MINHASH_PRELUDE)
+    + "SELECT p.doc_a, p.doc_b, "
+    f"round(({_EST_MATCHES}) / {float(N_PERM)}, 6) AS est_jaccard "
+    "FROM dpairs p JOIN dsig a ON p.doc_a = a.doc_id "
+    "JOIN dsig b ON p.doc_b = b.doc_id",
+    "dedup_jaccard_pairs": _with(
+        *_MINHASH_PRELUDE,
+        "dsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+        "FROM dsh GROUP BY doc_id)",
+        "dinter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter "
+        "FROM dpairs p JOIN dsh a ON a.doc_id = p.doc_a "
+        "JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle "
+        "GROUP BY p.doc_a, p.doc_b)",
+    )
+    + "SELECT p.doc_a, p.doc_b, "
+    "round(coalesce(i.n_inter, 0) / "
+    "(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard "
+    "FROM dpairs p LEFT JOIN dinter i USING (doc_a, doc_b) "
+    "JOIN dsizes sa ON sa.doc_id = p.doc_a "
+    "JOIN dsizes sb ON sb.doc_id = p.doc_b",
+    "dedup_simhash": _with(*_SIMHASH_BITSUM_CTES)
+    + "SELECT doc_id, CAST("
+    + " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    + " AS BIGINT) AS simhash FROM sbits",
+}
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_sig": q_minhash_sig,
+    "dedup_minhash_pairs": q_minhash_pairs,
+    "dedup_jaccard_pairs": q_jaccard_pairs,
+    "dedup_simhash": q_simhash,
+}
