@@ -15,7 +15,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import dedup, nb, tfidf
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+    dedup,
+    nb,
+    similarity,
+    tfidf,
+)
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -32,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(nb.QUERIES)
     out.update(tfidf.QUERIES)
     out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
     return out
 
 
@@ -40,4 +46,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(nb.ORACLES)
     out.update(tfidf.ORACLES)
     out.update(dedup.ORACLES)
+    out.update(similarity.ORACLES)
     return out

@@ -1,0 +1,231 @@
+"""Similarity search over the ``embeddings`` table (vec_id,
+embedding: array<float>[64], label) — training-data-pipeline extension
+surface (the reference has no vector operations; engine extension).
+
+Two search paths:
+
+- **brute-force top-k cosine** — the exactness baseline.  The query
+  set is broadcast (small side), so the candidate scan is one narrow
+  map stage; the only shuffle is the per-query top-k.  At 100 TB of
+  vectors this is the O(N·Q) floor every ANN variant is judged
+  against.
+- **LSH-bucketed top-k** — sign-of-random-hyperplane bucketing
+  (4 planes → 16 buckets).  Queries only score candidates in their
+  own bucket: the scan prunes to ~1/16 of the corpus per query and
+  the join is an equi-join on the bucket id, which Catalyst hash-
+  partitions — the standard recall-for-throughput ANN trade.
+
+Hyperplane weights are derived from md5 in *Python* at import time
+and inlined as literals on BOTH engines, so Spark and the DuckDB
+oracle score bit-identical planes.  All vector math is built-in
+higher-order functions (`zip_with`/`aggregate`) casting float→double
+element-wise — JVM-side, no Python UDF, no NumPy on the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+DIM = 64
+N_QUERIES = 8
+TOP_K = 10
+LSH_PLANES = 4
+
+
+def _plane_weight(r: int, j: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1] with an exact
+    decimal representation (x/1000) that round-trips identically
+    through a Spark float literal and a DuckDB SQL literal."""
+    h = int(hashlib.md5(f"plane{r}_{j}".encode()).hexdigest()[:8], 16)
+    return ((h % 2001) - 1000) / 1000.0
+
+
+PLANES = [[_plane_weight(r, j) for j in range(DIM)] for r in range(LSH_PLANES)]
+
+
+# --------------------------------------------------------------------------
+# vector math as built-in higher-order functions (Spark side)
+# --------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double, sequential fold — matches the oracle's
+    list_sum(list_transform(...)) evaluation order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def plane_lit(r: int) -> Column:
+    return F.array(*[F.lit(w) for w in PLANES[r]])
+
+
+def bucket_of(vec: Column) -> Column:
+    """LSH bucket id: bit r = sign of ⟨vec, plane_r⟩."""
+    acc = F.lit(0)
+    for r in range(LSH_PLANES):
+        acc = acc + F.when(dot(vec, plane_lit(r)) > 0, F.lit(1 << r)).otherwise(
+            F.lit(0)
+        )
+    return acc.cast("int")
+
+
+# --------------------------------------------------------------------------
+# queries() entries
+# --------------------------------------------------------------------------
+
+
+def _queries_df(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for the first 8 vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(emb)
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", bucket_of(F.col("embedding")).alias("bucket")
+    )
+
+
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10: score only same-bucket candidates.  The
+    bucket equi-join replaces the brute-force cross product."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        "bucket",
+    )
+    scored = (
+        emb.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
+def _plane_sql(r: int) -> str:
+    return "[" + ", ".join(repr(w) for w in PLANES[r]) + "]"
+
+
+def _dot_plane_sql(vec: str, r: int) -> str:
+    lits = _plane_sql(r)
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * CAST(({lits})[i] AS DOUBLE)))"
+    )
+
+
+_BUCKET_SQL = "(" + " + ".join(
+    f"CASE WHEN {_dot_plane_sql('embedding', r)} > 0 THEN {1 << r} ELSE 0 END"
+    for r in range(LSH_PLANES)
+) + ")"
+
+_BRUTE_SQL = (
+    "WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings "
+    f"WHERE vec_id < {N_QUERIES}), "
+    "scored AS (SELECT q.q_id, c.vec_id, "
+    + _cos_sql("c.embedding", "q.q_vec")
+    + " AS cos FROM embeddings c, q WHERE c.vec_id <> q.q_id), "
+    "ranked AS (SELECT *, row_number() OVER "
+    "(PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
+    "SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, "
+    f"round(cos, 6) AS cosine FROM ranked WHERE rank <= {TOP_K}"
+)
+
+_LSH_SQL = (
+    "WITH b AS (SELECT vec_id, embedding, "
+    f"CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM embeddings), "
+    f"q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b "
+    f"WHERE vec_id < {N_QUERIES}), "
+    "scored AS (SELECT q.q_id, c.vec_id, "
+    + _cos_sql("c.embedding", "q.q_vec")
+    + " AS cos FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q.q_id), "
+    "ranked AS (SELECT *, row_number() OVER "
+    "(PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
+    "SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, "
+    f"round(cos, 6) AS cosine FROM ranked WHERE rank <= {TOP_K}"
+)
+
+ORACLES: dict[str, str] = {
+    "sim_topk_brute": _BRUTE_SQL,
+    "sim_lsh_buckets": (
+        f"SELECT vec_id, CAST({_BUCKET_SQL} AS INTEGER) AS bucket "
+        "FROM embeddings"
+    ),
+    "sim_topk_lsh": _LSH_SQL,
+}
+
+QUERIES = {
+    "sim_topk_brute": q_sim_topk_brute,
+    "sim_lsh_buckets": q_sim_lsh_buckets,
+    "sim_topk_lsh": q_sim_topk_lsh,
+}
