@@ -19,6 +19,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     dedup,
     nb,
     similarity,
+    textstats,
     tfidf,
 )
 
@@ -38,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(tfidf.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
+    out.update(textstats.QUERIES)
     return out
 
 
@@ -47,4 +49,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(tfidf.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
+    out.update(textstats.ORACLES)
     return out

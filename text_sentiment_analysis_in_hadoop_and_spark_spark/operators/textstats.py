@@ -1,0 +1,213 @@
+"""Text-analysis operators over ``documents`` — training-data-pipeline
+extension surface (language-ID, quality scoring, token counting,
+fingerprinting).  The reference has no text analytics beyond cleaning;
+these are engine extensions.
+
+Every operator here is a **narrow map stage**: pure Column expressions
+(higher-order list functions, regexes, md5) with no shuffle, no join,
+no Python — the shape you want for a first-pass filter over 100 TB,
+where these stats gate which documents ever reach the expensive
+operators downstream.  Each query has a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex32, hex32_sql, md5_fingerprint
+from ..sources.tables import load_table
+
+# Tiny public stopword lexicons (top function words per language) for
+# the n-gram-free language-ID heuristic.  Order of _LANGS is the
+# deterministic tie-break (first wins).
+_LEXICON: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "ist"),
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "you", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "ser", "se", "no"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "une", "du", "est"),
+    "zh": ("的", "一", "是", "不", "了", "人", "我", "在", "有", "他"),
+}
+_LANGS = tuple(_LEXICON)
+
+# GPT-2-ish pre-tokenizer shape: letter runs | single digits | single
+# non-alphanumeric marks.  Java regex and RE2 agree on this pattern.
+BPE_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+_EN_STOP = _LEXICON["en"]
+
+
+def _toks(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def _hits(col: Column, words: tuple[str, ...]) -> Column:
+    """Occurrences (with multiplicity) of lexicon words in the text."""
+    return F.size(F.filter(_toks(col), lambda t: t.isin(*words)))
+
+
+def _hits_sql(expr: str, words: tuple[str, ...]) -> str:
+    inlist = ", ".join("'" + w + "'" for w in words)
+    return (
+        f"len(list_filter(string_split({expr}, ' '), t -> t IN ({inlist})))"
+    )
+
+
+# --------------------------------------------------------------------------
+# queries() entries
+# --------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token statistics: counts, distinct counts, mean token
+    length, type-token ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    n = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.round(tok_chars / n, 6).alias("avg_token_len"),
+        F.round(F.size(F.array_distinct(toks)) / n, 6).alias("ttr"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality score in [0, 1]: type-token ratio,
+    English-stopword ratio, and a length term, weighted 0.5/0.3/0.2
+    (the standard shape of heuristic quality filters for training
+    corpora — the exact weights are a documented engine choice)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop_ratio = _hits(F.col("text"), _EN_STOP) / n
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    return docs.select(
+        "doc_id",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(len_term, 6).alias("len_term"),
+        F.round(0.5 * ttr + 0.3 * stop_ratio + 0.2 * len_term, 6).alias(
+            "quality"
+        ),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID: per-language hit counts, argmax
+    with deterministic tie-break (lexicon order), 'und' when no
+    lexicon matches.  The true ``lang`` column rides along so
+    accuracy is measurable downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    hit_cols = {
+        lang: _hits(F.col("text"), words) for lang, words in _LEXICON.items()
+    }
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("und")
+    for lang in reversed(_LANGS):
+        pred = F.when(
+            (hit_cols[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[hit_cols[lang].cast("long").alias(f"hits_{lang}") for lang in _LANGS],
+        pred.alias("pred_lang"),
+    )
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex —
+    letter runs count 1, each digit 1, each mark 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_RE)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.size(_toks(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: full md5 plus the engine's portable
+    32-bit hash (the hex32 ≡ hex32_sql equivalence is exactly what
+    this query's oracle check proves)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        md5_fingerprint(F.col("text")).alias("fingerprint"),
+        hex32(F.col("text")).alias("h32"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_TOKS = "string_split(text, ' ')"
+_NTOK = f"len({_TOKS})"
+_NDIS = f"len(list_distinct({_TOKS}))"
+_TOKCHARS = f"list_sum(list_transform({_TOKS}, t -> CAST(len(t) AS BIGINT)))"
+
+_LANG_HITS = {lang: _hits_sql("text", words) for lang, words in _LEXICON.items()}
+_BEST = "greatest(" + ", ".join(_LANG_HITS.values()) + ")"
+_PRED = "CASE "
+for _lang in _LANGS:
+    _PRED += f"WHEN {_LANG_HITS[_lang]} = {_BEST} AND {_BEST} > 0 THEN '{_lang}' "
+_PRED += "ELSE 'und' END"
+
+ORACLES: dict[str, str] = {
+    "text_token_stats": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        f"CAST({_NTOK} AS BIGINT) AS n_tokens, "
+        f"CAST({_NDIS} AS BIGINT) AS n_distinct, "
+        f"round(CAST({_TOKCHARS} AS DOUBLE) / {_NTOK}, 6) AS avg_token_len, "
+        f"round(CAST({_NDIS} AS DOUBLE) / {_NTOK}, 6) AS ttr "
+        "FROM documents"
+    ),
+    "text_quality": (
+        f"SELECT doc_id, round(CAST({_NDIS} AS DOUBLE) / {_NTOK}, 6) AS ttr, "
+        f"round(CAST({_hits_sql('text', _EN_STOP)} AS DOUBLE) / {_NTOK}, 6) "
+        "AS stopword_ratio, "
+        f"round(least({_NTOK} / 100.0, 1.0), 6) AS len_term, "
+        f"round(0.5 * (CAST({_NDIS} AS DOUBLE) / {_NTOK}) "
+        f"+ 0.3 * (CAST({_hits_sql('text', _EN_STOP)} AS DOUBLE) / {_NTOK}) "
+        f"+ 0.2 * least({_NTOK} / 100.0, 1.0), 6) AS quality "
+        "FROM documents"
+    ),
+    "text_lang_id": (
+        "SELECT doc_id, lang AS actual_lang, "
+        + ", ".join(
+            f"CAST({_LANG_HITS[lang]} AS BIGINT) AS hits_{lang}"
+            for lang in _LANGS
+        )
+        + f", {_PRED} AS pred_lang FROM documents"
+    ),
+    "text_bpe_token_count": (
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) "
+        "AS n_bpe_tokens, "
+        f"CAST({_NTOK} AS BIGINT) AS n_ws_tokens FROM documents"
+    ),
+    "text_fingerprint": (
+        "SELECT doc_id, md5(text) AS fingerprint, "
+        f"{hex32_sql('text')} AS h32 FROM documents"
+    ),
+}
+
+QUERIES = {
+    "text_token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_lang_id,
+    "text_bpe_token_count": q_bpe_token_count,
+    "text_fingerprint": q_doc_fingerprint,
+}
