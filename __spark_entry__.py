@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     dedup,
+    ml,
     nb,
     similarity,
     textstats,
@@ -40,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(textstats.QUERIES)
+    out.update(ml.QUERIES)
     return out
 
 
@@ -50,4 +52,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(textstats.ORACLES)
+    out.update(ml.ORACLES)
     return out
