@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import csv as csv_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     dedup,
     ml,
@@ -42,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(textstats.QUERIES)
     out.update(ml.QUERIES)
+    out.update(csv_source.QUERIES)
     return out
 
 
@@ -53,4 +55,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLES)
     out.update(textstats.ORACLES)
     out.update(ml.ORACLES)
+    out.update(csv_source.ORACLES)
     return out

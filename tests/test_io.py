@@ -1,0 +1,92 @@
+"""CSV fidelity ingestion (S3) and sinks (S6/S7)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from pyspark.sql import Row
+from tools.parity import compare
+
+from conftest import SF_DIR
+
+
+def test_csv_fidelity_restitch(spark):
+    """Commas inside the text column are destroyed by the re-stitch —
+    the reference's exact (lossy) behavior, NB.scala:19-32."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.csv import (
+        fidelity_parse,
+    )
+    from pyspark.sql import functions as F
+
+    lines = spark.createDataFrame(
+        [
+            ("1,0,src,hello world",),
+            ("2,1,src,good, morning, friends",),
+            ("3,0,src,plain",),
+        ],
+        ["value"],
+    )
+    rows = {r["item_id"]: r for r in lines.select(*fidelity_parse(F.col("value"))).collect()}
+    assert rows["1"]["text"] == "hello world"
+    # commas are LOST, fields concatenated without separator
+    assert rows["2"]["text"] == "good morning friends"
+    assert rows["3"]["text"] == "plain"
+
+
+def test_csv_fidelity_oracle_parity(spark, duck):
+    df = entrymod.queries()["csv_fidelity_parse"](spark, SF_DIR)
+    res = duck.execute(entrymod.oracle_sql()["csv_fidelity_parse"])
+    errs = compare(
+        "csv_fidelity_parse", df, res.fetchall(), [d[0] for d in res.description]
+    )
+    assert not errs, errs
+
+
+def test_csv_correct_mode_preserves_commas(spark, tmp_path):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.csv import (
+        read_csv_correct,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text('7,1,src,"good, morning"\n8,0,src,plain\n')
+    rows = {r["item_id"]: r for r in read_csv_correct(spark, str(p)).collect()}
+    assert rows["7"]["text"] == "good, morning"
+    assert rows["8"]["text"] == "plain"
+
+
+def test_text_sink_roundtrip_and_overwrite(spark, tmp_path):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.sinks import (
+        read_text_sink,
+        write_text,
+    )
+
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [Row(doc_id=1, verdict="POSITIVE"), Row(doc_id=2, verdict="NEGATIVE")]
+    )
+    write_text(df, out)
+    # S7: overwrite must replace, not append or fail
+    write_text(df, out)
+    back = read_text_sink(spark, out, "doc_id INT, verdict STRING")
+    assert sorted((r["doc_id"], r["verdict"]) for r in back.collect()) == [
+        (1, "POSITIVE"),
+        (2, "NEGATIVE"),
+    ]
+
+
+def test_parquet_sink_partitioning(spark, tmp_path):
+    import os
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.sinks import (
+        write_parquet,
+    )
+
+    out = str(tmp_path / "pq")
+    df = spark.createDataFrame(
+        [Row(k="a", v=1), Row(k="b", v=2), Row(k="a", v=3)]
+    )
+    write_parquet(df, out, partition_by=["k"])
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("k=")
+    ) == ["k=a", "k=b"]
+    back = spark.read.parquet(out)
+    assert back.count() == 3
