@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import csv as csv_source
+from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import windowed as streaming_windowed
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     dedup,
     ml,
@@ -44,6 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(textstats.QUERIES)
     out.update(ml.QUERIES)
     out.update(csv_source.QUERIES)
+    out.update(streaming_windowed.QUERIES)
     return out
 
 
@@ -56,4 +58,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(textstats.ORACLES)
     out.update(ml.ORACLES)
     out.update(csv_source.ORACLES)
+    out.update(streaming_windowed.ORACLES)
     return out

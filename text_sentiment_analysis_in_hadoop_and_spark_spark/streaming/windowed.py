@@ -1,0 +1,122 @@
+"""Structured Streaming surface — a clearly-marked EXTENSION.
+
+The reference has no streaming at all: ``spark-streaming`` is a
+commented-out dependency in every build file
+(/root/reference/Spark/NB/build.sbt:13) and no streaming code exists
+(SURVEY §2.7).  This module is the engine's beyond-reference stream
+path: tumbling-window aggregation over the ``events`` table with
+event-time watermarking for late data.
+
+The SAME logical aggregation is exposed twice:
+
+- :func:`windowed_batch` — batch DataFrame, declared as the
+  ``events_windowed`` query with a DuckDB oracle.
+- :func:`windowed_stream` — identical agg over ``readStream`` through
+  the real ``window()`` operator with ``withWatermark`` bounding
+  state; tests/test_streaming.py proves stream ≡ batch on the same
+  files.
+
+Timestamp handling: the driver's parquet stores TIMESTAMP(NANOS),
+which Spark's vectorized reader rejects; the engine reads it via the
+``spark.sql.legacy.parquet.nanosAsLong`` conf (set dynamically, so
+any session can run this) and does EXACT integer arithmetic —
+``ts_nanos DIV 1e9 DIV 3600 * 3600`` — for window starts.  The DuckDB
+oracle uses ``epoch_ns`` integer division, so both engines bucket
+identically with no float rounding at window edges.
+
+Watermarking is what makes this run forever at scale: state for an
+hour window is dropped once the watermark (max event time − 1 hour)
+passes its end, so executor state is O(active windows), not O(stream).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WINDOW = "1 hour"
+WATERMARK = "1 hour"
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with exact epoch-second column derived from the nanos
+    timestamp (integer division — no double rounding)."""
+    spark.conf.set(_NANOS_CONF, "true")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.withColumn(
+        "epoch_sec", F.expr("ts DIV 1000000000").cast("long")
+    )
+
+
+def windowed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            (F.expr("epoch_sec DIV 3600") * 3600)
+            .cast("long")
+            .alias("window_start_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def windowed_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Same aggregation through the streaming ``window()`` operator.
+
+    ``events_dir`` is a DIRECTORY into which event parquet files
+    arrive — the file stream source's contract (and the shape of a
+    real landing zone; new files are discovered per micro-batch).
+    ``unix_timestamp(window.start)`` equals the batch's integer
+    bucket because hour windows align to the epoch."""
+    spark.conf.set(_NANOS_CONF, "true")
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withColumn(
+            "event_ts",
+            F.timestamp_seconds(F.expr("ts DIV 1000000000").cast("long")),
+        )
+        .withWatermark("event_ts", WATERMARK)
+    )
+    return (
+        stream.groupBy(
+            F.window(F.col("event_ts"), WINDOW).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start"))
+            .cast("long")
+            .alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_batch(spark, sf_dir)
+
+
+ORACLES: dict[str, str] = {
+    "events_windowed": (
+        "SELECT CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT) "
+        "AS window_start_epoch, event_type, "
+        "CAST(count(*) AS BIGINT) AS n_events, "
+        "round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+}
+
+QUERIES = {"events_windowed": q_events_windowed}
