@@ -20,6 +20,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import windowed
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     dedup,
     ml,
+    multimodal,
     nb,
     similarity,
     textstats,
@@ -46,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ml.QUERIES)
     out.update(csv_source.QUERIES)
     out.update(streaming_windowed.QUERIES)
+    out.update(multimodal.QUERIES)
     return out
 
 
@@ -59,4 +61,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(ml.ORACLES)
     out.update(csv_source.ORACLES)
     out.update(streaming_windowed.ORACLES)
+    out.update(multimodal.ORACLES)
     return out
