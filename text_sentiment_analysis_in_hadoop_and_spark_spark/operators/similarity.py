@@ -153,6 +153,38 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The synthetic embeddings have no planted near-dups (max all-pairs
+# cosine ~0.51), so the threshold is set where the operator actually
+# fires on this corpus; production near-dup filtering would use ~0.9+.
+COS_DUP_THRESHOLD = 0.45
+
+
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine ≥ threshold, candidates
+    restricted to same-LSH-bucket (the vector-space member of the
+    dedup family — never an all-pairs product)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", bucket_of(F.col("embedding")).alias("bucket")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        "bucket",
+    )
+    return (
+        emb.join(right, "bucket")
+        .filter(F.col("vec_id") < F.col("vec_b"))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            "vec_b",
+            F.round(cosine(F.col("embedding"), F.col("emb_b")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= COS_DUP_THRESHOLD)
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -215,8 +247,19 @@ _LSH_SQL = (
     f"round(cos, 6) AS cosine FROM ranked WHERE rank <= {TOP_K}"
 )
 
+_EMB_DUP_SQL = (
+    "WITH b AS (SELECT vec_id, embedding, "
+    f"CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM embeddings), "
+    "paired AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, "
+    + _cos_sql("a.embedding", "c.embedding")
+    + " AS cos FROM b a JOIN b c USING (bucket) WHERE a.vec_id < c.vec_id) "
+    "SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM paired "
+    f"WHERE round(cos, 6) >= {COS_DUP_THRESHOLD}"
+)
+
 ORACLES: dict[str, str] = {
     "sim_topk_brute": _BRUTE_SQL,
+    "dedup_embedding_pairs": _EMB_DUP_SQL,
     "sim_lsh_buckets": (
         f"SELECT vec_id, CAST({_BUCKET_SQL} AS INTEGER) AS bucket "
         "FROM embeddings"
@@ -228,4 +271,5 @@ QUERIES = {
     "sim_topk_brute": q_sim_topk_brute,
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_topk_lsh": q_sim_topk_lsh,
+    "dedup_embedding_pairs": q_dedup_embedding_pairs,
 }
