@@ -1,0 +1,90 @@
+"""Physical-plan assertions — the 100 TB posture, checked in CI.
+
+These lock in the plan properties the engine is designed around:
+broadcast joins where a side is small, column pruning down to the
+parquet scan, shuffle-free narrow maps for the per-doc operators, and
+whole-stage codegen on the hot paths.  A regression that silently
+turns the model join into a sort-merge shuffle or starts scanning all
+columns fails here, not in a profile three rounds later.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+from conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_nb_score_joins_are_broadcast(spark):
+    """The model probe (J1) must be a broadcast hash join — never a
+    shuffle join: the model is tiny, the token stream is the corpus.
+    (The final doc_id left-join of test docs to per-doc scores is
+    corpus⋈corpus and is allowed to sort-merge — that one SHOULD
+    shuffle at scale.)"""
+    plan = _plan(entrymod.queries()["nb_scores"](spark, SF_DIR))
+    # the probe is the BroadcastHashJoin; the only word-keyed Exchange
+    # allowed is the model-training aggregate (A3), which the
+    # BroadcastExchange then consumes — i.e. every SortMergeJoin in the
+    # plan must be doc_id-keyed, never word-keyed.
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "word" not in line, line
+
+
+def test_docs_scan_prunes_columns(spark):
+    """Cleaning reads (doc_id, text) — the parquet scan must not read
+    lang/source/n_chars."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import (
+        load_table,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.functions.cleaning import (
+        clean_text,
+    )
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", clean_text(F.col("text")).alias("text")
+    )
+    plan = _plan(df)
+    assert "ReadSchema" in plan
+    read_schema = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in read_schema, read_schema
+
+
+def test_textstats_are_shuffle_free(spark):
+    """Narrow-map operators must have no Exchange in the plan."""
+    for name in ("text_token_stats", "text_quality", "text_lang_id",
+                 "text_bpe_token_count", "text_fingerprint"):
+        plan = _plan(entrymod.queries()[name](spark, SF_DIR))
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_sim_topk_broadcasts_queries(spark):
+    """The query-vector side must broadcast (no shuffle of the
+    candidate corpus)."""
+    plan = _plan(entrymod.queries()["sim_topk_brute"](spark, SF_DIR))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hot_paths_have_codegen(spark):
+    """Whole-stage codegen must cover the clean/tokenize pipeline."""
+    plan = _plan(entrymod.queries()["nb_tokens"](spark, SF_DIR))
+    # codegen'd operators carry the `*(n)` stage marker in toString()
+    assert "*(" in plan
+
+
+def test_no_python_udf_on_relational_paths(spark):
+    """Python only appears in the explicitly-Pandas multimodal path."""
+    for name in ("nb_confusion", "tfidf_nb_confusion", "dedup_minhash_pairs",
+                 "sim_topk_brute", "text_quality", "events_windowed"):
+        plan = _plan(entrymod.queries()[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
