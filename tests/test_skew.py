@@ -1,0 +1,51 @@
+"""Skew helpers: salted exact countDistinct and the HLL approximate
+document-frequency variant."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+from conftest import SF_DIR
+
+
+def test_salted_count_distinct_exact(spark):
+    """The salted two-stage plan must equal plain countDistinct."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.functions.skew import (
+        salted_count_distinct,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.common import (
+        doc_tokens,
+        labeled_docs,
+    )
+
+    tokens = doc_tokens(labeled_docs(spark, SF_DIR))
+    direct = {
+        r["word"]: r["n"]
+        for r in tokens.groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    salted = {
+        r["word"]: r["n_distinct"]
+        for r in salted_count_distinct(
+            tokens, ["word"], "doc_id", buckets=8
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_approx_df_bounded_error(spark):
+    """HLL df within 5% relative error of exact df for every word."""
+    exact = {
+        r["word"]: r["df"]
+        for r in entrymod.queries()["tfidf_df"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r["word"]: r["df_approx"]
+        for r in entrymod.queries()["tfidf_df_approx"](spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for w, n in exact.items():
+        assert abs(approx[w] - n) <= max(1, 0.05 * n), (w, n, approx[w])

@@ -1,0 +1,46 @@
+"""Skew-mitigation helpers — the 100 TB posture for hot keys.
+
+Plain ``groupBy().count()/sum()`` is already skew-safe in Spark
+(partial aggregation combines map-side before the shuffle), and AQE
+splits skewed JOIN partitions at runtime (enabled in session.py).
+The remaining gap is **count(DISTINCT x) on skewed group keys**: the
+distinct set of a hot key must normally be co-located in one task.
+
+:func:`salted_count_distinct` shards each group's distinct set by
+``hash(value) % buckets``: every distinct value lands in exactly one
+(key, salt) bucket, so per-bucket distinct counts SUM exactly — a
+two-shuffle plan whose biggest task is ~1/buckets of the hot key's
+set.  Exact, deterministic, no sampling.
+
+Use ``approx_count_distinct`` instead when ±2% error is acceptable —
+it is one pass and mergeable (HLL sketches combine map-side), which
+is cheaper than either exact plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    buckets: int = 16,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact countDistinct(value) per key, skew-sharded.
+
+    Stage 1 dedups (key, salt, value) — the shuffle is spread over
+    ``buckets`` partitions per key; stage 2 counts per (key, salt)
+    and sums the disjoint bucket counts per key."""
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(buckets)).alias("_salt")
+    per_bucket = (
+        df.select(*key_cols, F.col(value_col), salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.countDistinct(value_col).alias("_bucket_distinct"))
+    )
+    return per_bucket.groupBy(*key_cols).agg(
+        F.sum("_bucket_distinct").cast("long").alias(out_col)
+    )

@@ -268,6 +268,18 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_df_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 approximate variant — HLL sketch instead of exact count.
+    One mergeable pass (combines map-side); the cheap choice at scale
+    when ±2% suffices.  Rows-only (sketches aren't oracle-portable);
+    tests/test_skew.py bounds its error against the exact A6."""
+    docs = labeled_docs(spark, sf_dir)
+    tokens = doc_tokens(docs.filter(train_filter()))
+    return tokens.groupBy("word").agg(
+        F.approx_count_distinct("doc_id", rsd=0.02).alias("df_approx")
+    )
+
+
 def q_featsel(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept, _ = featsel(spark, sf_dir)
     return kept.select(
@@ -506,6 +518,7 @@ QUERIES = {
     "tfidf_wordcount": q_wordcount,
     "tfidf_tf": q_tf,
     "tfidf_df": q_df,
+    "tfidf_df_approx": q_df_approx,
     "tfidf_scores": q_tfidf,
     "tfidf_featsel": q_featsel,
     "tfidf_featsel_docs": q_featsel_docs,
