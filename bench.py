@@ -40,6 +40,9 @@ def main() -> int:
     from text_sentiment_analysis_in_hadoop_and_spark_spark.session import get_spark
 
     spark = get_spark("tsa_bench")
+    # one trivial job up front so JVM/codegen warmup isn't billed to
+    # whichever query happens to run first
+    spark.range(1000).count()
     queries = entrymod.queries()
 
     timings: dict[str, float] = {}
