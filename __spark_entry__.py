@@ -22,6 +22,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     ml,
     multimodal,
     nb,
+    relational,
     similarity,
     textstats,
     tfidf,
@@ -48,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(csv_source.QUERIES)
     out.update(streaming_windowed.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(relational.QUERIES)
     return out
 
 
@@ -62,4 +64,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(csv_source.ORACLES)
     out.update(streaming_windowed.ORACLES)
     out.update(multimodal.ORACLES)
+    out.update(relational.ORACLES)
     return out

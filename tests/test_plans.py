@@ -81,6 +81,30 @@ def test_hot_paths_have_codegen(spark):
     assert "*(" in plan
 
 
+def test_pricing_summary_pushes_date_filter(spark):
+    """The ship-date predicate must reach the parquet scan."""
+    plan = _plan(entrymod.queries()["rel_pricing_summary"](spark, SF_DIR))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any("l_shipdate" in l for l in pushed), plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """Q5-shape: every dimension join is broadcast; only the
+    fact⋈fact join may shuffle."""
+    plan = _plan(entrymod.queries()["rel_revenue_by_nation"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "orderkey" in line, line  # fact⋈fact only
+
+
+def test_semi_anti_joins(spark):
+    plan = _plan(entrymod.queries()["rel_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    plan = _plan(entrymod.queries()["rel_customers_no_orders"](spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+
+
 def test_no_python_udf_on_relational_paths(spark):
     """Python only appears in the explicitly-Pandas multimodal path."""
     for name in ("nb_confusion", "tfidf_nb_confusion", "dedup_minhash_pairs",

@@ -1,0 +1,246 @@
+"""General relational queries over the TPC-H-style star schema —
+engine-generality surface (the reference is a classifier pipeline; a
+user migrating to this engine also gets a real analytics engine, and
+these queries prove the relational core on the driver's 600k-row
+``lineitem`` rather than the 500-row text tables).
+
+Operator coverage added here beyond the reference's inventory:
+multi-way star joins with broadcast dimensions, LEFT SEMI and LEFT
+ANTI joins, date-range predicate pushdown to the parquet scan, and
+top-k over a large aggregate.
+
+Money arithmetic is done in **integer cents-space** (prices have
+exactly 2 decimals, discounts/taxes are integer percents): BIGINT
+sums are order-independent and therefore bit-identical between Spark
+(partition-parallel partial sums) and the DuckDB oracle (sequential
+sums) — double sums over 600k rows would diverge in the last bits.
+Averages divide the exact integer sums, so they match too.
+
+Scale notes: fact⋈fact (lineitem⋈orders) shuffles on the join key —
+correct at any scale; all dimension joins (customer, nation, region)
+are explicit broadcasts; the ship-date filters reach the parquet scan
+(PushedFilters — asserted in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+Q1_CUTOFF = "1998-09-02"
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1996-01-01", "1998-01-01"
+TOPN_CUSTOMERS = 20
+PRIORITY_MIN_QTY = 45.0
+
+
+def _cents(col: Column) -> Column:
+    return F.round(col * 100, 0).cast("long")
+
+
+def _cents_sql(expr: str) -> str:
+    return f"CAST(round({expr} * 100, 0) AS BIGINT)"
+
+
+def _revenue_cents(df: DataFrame) -> Column:
+    """price_cents * (100 - discount_pct): exact BIGINT per row."""
+    return _cents(F.col("l_extendedprice")) * (
+        100 - _cents(F.col("l_discount"))
+    )
+
+
+_REV_SQL = (
+    f"{_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})"
+)
+
+
+# --------------------------------------------------------------------------
+# queries() entries
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) pricing summary
+    with the ship-date filter pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(Q1_CUTOFF)
+    )
+    qty = F.col("l_quantity").cast("long")
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_p = _cents(F.col("l_discount"))
+    tax_p = _cents(F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("long").alias("sum_qty"),
+            F.sum(price_c).cast("long").alias("sum_base_price_cents"),
+            F.sum(price_c * (100 - disc_p)).cast("long").alias("sum_disc_price_u"),
+            F.sum(price_c * (100 - disc_p) * (100 + tax_p))
+            .cast("long")
+            .alias("sum_charge_u"),
+            F.count("*").cast("long").alias("count_order"),
+            F.round(F.sum(qty) / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(price_c) / F.count("*"), 6).alias("avg_price_cents"),
+            F.round(F.sum(disc_p) / F.count("*"), 6).alias("avg_disc_pct"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation for one region and a 2-year
+    order window.  Dimensions broadcast; only lineitem⋈orders
+    shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_FROM))
+        & (F.col("o_orderdate") < F.lit(Q5_TO))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q5_REGION
+    )
+    dims = F.broadcast(
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(F.sum(_revenue_cents(li)).cast("long").alias("revenue_cents_pct"))
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+    Integer revenue makes the ranking deterministic on both engines
+    (ties broken by custkey)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue_cents(li)).cast("long").alias("revenue_cents_pct"))
+    )
+    w = Window.orderBy(F.desc("revenue_cents_pct"), F.asc("o_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPN_CUSTOMERS)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "c_name",
+            "revenue_cents_pct",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders having ≥1 big-quantity lineitem,
+    counted by priority — a LEFT SEMI join."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= PRIORITY_MIN_QTY
+    )
+    return (
+        orders.join(
+            big, orders.o_orderkey == big.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders, by market segment — a LEFT ANTI
+    join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "rel_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        f"CAST(sum({_cents_sql('l_extendedprice')}) AS BIGINT) AS sum_base_price_cents, "
+        f"CAST(sum({_REV_SQL}) AS BIGINT) AS sum_disc_price_u, "
+        f"CAST(sum({_REV_SQL} * (100 + {_cents_sql('l_tax')})) AS BIGINT) "
+        "AS sum_charge_u, "
+        "CAST(count(*) AS BIGINT) AS count_order, "
+        "round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) "
+        "AS avg_qty, "
+        f"round(CAST(sum({_cents_sql('l_extendedprice')}) AS DOUBLE) / count(*), 6) "
+        "AS avg_price_cents, "
+        f"round(CAST(sum({_cents_sql('l_discount')}) AS DOUBLE) / count(*), 6) "
+        "AS avg_disc_pct "
+        f"FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "rel_revenue_by_nation": (
+        "SELECT n_name, "
+        f"CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_cents_pct "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        f"WHERE r_name = '{Q5_REGION}' "
+        f"AND o_orderdate >= TIMESTAMP '{Q5_FROM}' "
+        f"AND o_orderdate < TIMESTAMP '{Q5_TO}' "
+        "GROUP BY n_name"
+    ),
+    "rel_top_customers": (
+        "WITH rev AS (SELECT o_custkey, "
+        f"CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_cents_pct "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_returnflag = 'R' GROUP BY o_custkey), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "(ORDER BY revenue_cents_pct DESC, o_custkey ASC) AS rank FROM rev) "
+        "SELECT o_custkey AS custkey, c_name, revenue_cents_pct, "
+        "CAST(rank AS INTEGER) AS rank "
+        "FROM ranked JOIN customer ON o_custkey = c_custkey "
+        f"WHERE rank <= {TOPN_CUSTOMERS}"
+    ),
+    "rel_order_priority": (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+        "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem "
+        f"WHERE l_orderkey = o_orderkey AND l_quantity >= {PRIORITY_MIN_QTY}) "
+        "GROUP BY o_orderpriority"
+    ),
+    "rel_customers_no_orders": (
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers "
+        "FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "GROUP BY c_mktsegment"
+    ),
+}
+
+QUERIES = {
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_revenue_by_nation": q_revenue_by_nation,
+    "rel_top_customers": q_top_customers,
+    "rel_order_priority": q_order_priority,
+    "rel_customers_no_orders": q_customers_no_orders,
+}
