@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import csv as csv_source
+from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import sessions as streaming_sessions
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import windowed as streaming_windowed
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     dedup,
@@ -48,6 +49,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ml.QUERIES)
     out.update(csv_source.QUERIES)
     out.update(streaming_windowed.QUERIES)
+    out.update(streaming_sessions.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(relational.QUERIES)
     return out
@@ -63,6 +65,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(ml.ORACLES)
     out.update(csv_source.ORACLES)
     out.update(streaming_windowed.ORACLES)
+    out.update(streaming_sessions.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(relational.ORACLES)
     return out

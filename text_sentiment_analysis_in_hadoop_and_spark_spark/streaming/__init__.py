@@ -1,3 +1,3 @@
-from . import windowed
+from . import sessions, windowed
 
-__all__ = ["windowed"]
+__all__ = ["sessions", "windowed"]
