@@ -169,6 +169,89 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 16
+_CENT_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _centroid_rows(spark: SparkSession, sf_dir: str) -> list:
+    """IVF coarse quantizer: the first 16 vectors serve as seeded
+    centroids (a real deployment would k-means them; the *structure*
+    — tiny centroid set, inlined at the executors, narrow-map
+    assignment — is identical).  16×64 floats via the sanctioned
+    driver relay, cached per session."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    rows = _CENT_CACHE.get(key)
+    if rows is None:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < N_CENTROIDS)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        _CENT_CACHE[key] = rows
+    return rows
+
+
+def ivf_assign_col(spark: SparkSession, sf_dir: str, vec: Column) -> Column:
+    """Nearest-centroid id as a pure Column expression: greatest of
+    (cosine, -centroid_id) structs — shuffle-free, join-free; ties
+    break to the smallest centroid id."""
+    structs = []
+    for r in _centroid_rows(spark, sf_dir):
+        cvec = F.array(*[F.lit(float(x)) for x in r["embedding"]])
+        structs.append(
+            F.struct(
+                cosine(vec, cvec).alias("sim"),
+                F.lit(-int(r["vec_id"])).alias("neg_id"),
+            )
+        )
+    best = F.greatest(*structs)
+    return (-best["neg_id"]).cast("int")
+
+
+def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        ivf_assign_col(spark, sf_dir, F.col("embedding")).alias("centroid_id"),
+    )
+
+
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 with nprobe=1: queries only score vectors on their
+    own centroid's inverted list."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        ivf_assign_col(spark, sf_dir, F.col("embedding")).alias("centroid_id"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+        "centroid_id",
+    )
+    scored = (
+        emb.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                dot(F.col("embedding"), F.col("q_vec"))
+                / (F.col("nrm") * F.col("q_nrm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
 # The synthetic embeddings have no planted near-dups (max all-pairs
 # cosine ~0.51), so the threshold is set where the operator actually
 # fires on this corpus; production near-dup filtering would use ~0.9+.
@@ -279,9 +362,40 @@ _EMB_DUP_SQL = (
     f"WHERE round(cos, 6) >= {COS_DUP_THRESHOLD}"
 )
 
+_ASSIGN_CTES = (
+    f"cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings "
+    f"WHERE vec_id < {N_CENTROIDS}), "
+    "cscored AS (SELECT e.vec_id, c.cid, "
+    + _cos_sql("e.embedding", "c.cvec")
+    + " AS sim FROM embeddings e, cents c), "
+    "cranked AS (SELECT *, row_number() OVER "
+    "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM cscored), "
+    "asg AS (SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id "
+    "FROM cranked WHERE rn = 1)"
+)
+
+_IVF_ASSIGN_SQL = f"WITH {_ASSIGN_CTES} SELECT vec_id, centroid_id FROM asg"
+
+_IVF_TOPK_SQL = (
+    f"WITH {_ASSIGN_CTES}, "
+    "b AS (SELECT e.vec_id, e.embedding, a.centroid_id FROM embeddings e "
+    "JOIN asg a USING (vec_id)), "
+    f"q AS (SELECT vec_id AS q_id, embedding AS q_vec, centroid_id FROM b "
+    f"WHERE vec_id < {N_QUERIES}), "
+    "scored AS (SELECT q.q_id, c.vec_id, "
+    + _cos_sql("c.embedding", "q.q_vec")
+    + " AS cos FROM b c JOIN q USING (centroid_id) WHERE c.vec_id <> q.q_id), "
+    "ranked AS (SELECT *, row_number() OVER "
+    "(PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
+    "SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, "
+    f"round(cos, 6) AS cosine FROM ranked WHERE rank <= {TOP_K}"
+)
+
 ORACLES: dict[str, str] = {
     "sim_topk_brute": _BRUTE_SQL,
     "dedup_embedding_pairs": _EMB_DUP_SQL,
+    "sim_ivf_assign": _IVF_ASSIGN_SQL,
+    "sim_topk_ivf": _IVF_TOPK_SQL,
     "sim_lsh_buckets": (
         f"SELECT vec_id, CAST({_BUCKET_SQL} AS INTEGER) AS bucket "
         "FROM embeddings"
@@ -294,4 +408,6 @@ QUERIES = {
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_topk_lsh": q_sim_topk_lsh,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
+    "sim_ivf_assign": q_sim_ivf_assign,
+    "sim_topk_ivf": q_sim_topk_ivf,
 }
