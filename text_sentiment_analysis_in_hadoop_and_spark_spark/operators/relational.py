@@ -177,6 +177,52 @@ def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage (INTERSECT — absent from the reference,
+    free in the engine): customers who ordered in both 1996 and 1997,
+    counted by market segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def year_keys(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+        ).select("o_custkey").distinct()
+
+    both = year_keys(1996).intersect(year_keys(1997))
+    return (
+        both.join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (grouping-set coverage, also absent from the
+    reference): revenue by (region, nation) plus per-region and grand
+    totals — NULL group keys mark the subtotal rows, identically in
+    Spark and the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = F.broadcast(
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
+        .rollup("r_name", "n_name")
+        .agg(F.sum(_revenue_cents(li)).cast("long").alias("revenue_cents_pct"))
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -235,6 +281,28 @@ ORACLES: dict[str, str] = {
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
         "GROUP BY c_mktsegment"
     ),
+    "rel_repeat_customers": (
+        "WITH both_years AS ("
+        "SELECT DISTINCT o_custkey FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "INTERSECT "
+        "SELECT DISTINCT o_custkey FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01') "
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers "
+        "FROM both_years JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
+    "rel_revenue_rollup": (
+        "SELECT r_name, n_name, "
+        f"CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_cents_pct "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY ROLLUP (r_name, n_name)"
+    ),
 }
 
 QUERIES = {
@@ -243,4 +311,6 @@ QUERIES = {
     "rel_top_customers": q_top_customers,
     "rel_order_priority": q_order_priority,
     "rel_customers_no_orders": q_customers_no_orders,
+    "rel_repeat_customers": q_repeat_customers,
+    "rel_revenue_rollup": q_revenue_rollup,
 }
