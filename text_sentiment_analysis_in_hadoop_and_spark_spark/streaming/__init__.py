@@ -1,3 +1,3 @@
-from . import sessions, windowed
+from . import scoring, sessions, windowed
 
-__all__ = ["sessions", "windowed"]
+__all__ = ["scoring", "sessions", "windowed"]
