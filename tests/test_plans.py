@@ -105,6 +105,27 @@ def test_semi_anti_joins(spark):
     assert "LeftAnti" in plan, plan
 
 
+def test_top_customers_is_distributed_topk(spark):
+    """rel_top_customers (VERDICT r2 item 1): the top-20 must compile
+    to TakeOrderedAndProject (per-partition heaps), with NO window —
+    an unpartitioned global window funnels all rows into one task."""
+    plan = _plan(entrymod.queries()["rel_top_customers"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_tfidf_df_is_broadcast_not_window(spark):
+    """tfidf document-frequency (VERDICT r2 item 5): df attaches via a
+    broadcast hash join of the vocabulary-sized groupBy — never a
+    count(*) OVER (PARTITION BY word) that sorts the whole corpus by
+    word.  The only Window allowed is doc_id-partitioned."""
+    plan = _plan(entrymod.queries()["tfidf_tf"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "doc_id" in line, line
+
+
 def test_no_python_udf_on_relational_paths(spark):
     """Python only appears in the explicitly-Pandas multimodal path."""
     for name in ("nb_confusion", "tfidf_nb_confusion", "dedup_minhash_pairs",

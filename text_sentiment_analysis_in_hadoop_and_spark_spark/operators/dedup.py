@@ -45,6 +45,14 @@ BANDS = 4          # LSH bands
 ROWS_PER_BAND = 4  # N_PERM / BANDS
 SHINGLE_N = 3      # word n-gram shingle width
 SIMHASH_BITS = 32
+# Band buckets larger than this are dropped before the self-join: a
+# boilerplate bucket of m docs emits m(m-1)/2 pairs, so one pathological
+# key (license headers, empty-ish templates) turns LSH quadratic.  Docs
+# in a dropped bucket are all mutual near-dup *candidates* anyway — any
+# real pipeline routes such giant clusters to a dedicated exact-dup
+# pass (q_dedup_exact here) rather than pairwise verify.  1000 docs →
+# ≤499,500 pairs per surviving bucket, bounded at any corpus size.
+HOT_BUCKET_CAP = 1000
 
 # banded signatures memoized per (session, sf_dir): the sig/pairs/
 # verify queries all consume the same signature table.
@@ -106,20 +114,32 @@ def banded_signatures(sigs: DataFrame) -> DataFrame:
     return sigs.select("doc_id", *[f"s{k}" for k in range(N_PERM)], *bands)
 
 
-def candidate_pairs(banded: DataFrame) -> DataFrame:
+def candidate_pairs(
+    banded: DataFrame, cap: int = HOT_BUCKET_CAP
+) -> DataFrame:
     """Same-bucket pairs (doc_a < doc_b), deduped across bands.
 
     Scale note: each band join shuffles on the band hash; bucket
     sizes are the skew risk (near-universal boilerplate shingles).
-    AQE skew-join splitting handles moderate skew; for adversarial
-    corpora, pre-filter band keys whose bucket count exceeds a cap
-    (count per band key, anti-join the giants) before self-joining.
+    Band keys whose bucket count exceeds ``cap`` are dropped before
+    the self-join: the per-band aggregate is tiny (one row per band
+    key, partial-agg combined), the hot-key list is tinier still
+    (only keys above the cap), so it broadcast-anti-joins against the
+    probe side for free.  Excluding the key on ONE side suffices —
+    the equi-join can't match a dropped key anyway.  AQE skew-join
+    splitting handles the sub-cap skew that remains.
     """
     parts = []
     for b in range(BANDS):
+        hot = (
+            banded.groupBy(F.col(f"band{b}").alias("bk"))
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > cap)
+            .select("bk")
+        )
         left = banded.select(
             F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk")
-        )
+        ).join(F.broadcast(hot), "bk", "left_anti")
         right = banded.select(
             F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk")
         )
@@ -308,11 +328,15 @@ _BAND_CTE = (
     + " FROM dsig)"
 )
 
+# mirrors candidate_pairs' hot-bucket cap: band keys with more than
+# HOT_BUCKET_CAP members are excluded before the self-join
 _PAIRS_CTE = (
     "dpairs AS (SELECT DISTINCT doc_a, doc_b FROM ("
     + " UNION ALL ".join(
         f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM dband a "
-        f"JOIN dband b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        f"JOIN dband b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id "
+        f"WHERE a.band{b} NOT IN (SELECT band{b} FROM dband "
+        f"GROUP BY band{b} HAVING count(*) > {HOT_BUCKET_CAP})"
         for b in range(BANDS)
     )
     + "))"

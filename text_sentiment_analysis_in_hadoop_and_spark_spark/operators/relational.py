@@ -24,7 +24,7 @@ are explicit broadcasts; the ship-date filters reach the parquet scan
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -124,7 +124,16 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by returned-item revenue.
     Integer revenue makes the ranking deterministic on both engines
-    (ties broken by custkey)."""
+    (ties broken by custkey).
+
+    Scale note: the top-k is ``orderBy(...).limit(k)``, which Spark
+    compiles to a distributed ``TakeOrderedAndProject`` (per-partition
+    heap of k rows, then a k-row merge on the driver) — NOT an
+    unpartitioned global window, which would funnel every per-customer
+    row through a single task.  Rank is then attached to the k
+    surviving rows with a broadcast self-join (rank = how many top-k
+    rows sort at-or-before me) — a k×k nested loop over k=20 rows,
+    window-free, so nothing ever moves to a single partition."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     )
@@ -135,11 +144,23 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum(_revenue_cents(li)).cast("long").alias("revenue_cents_pct"))
     )
-    w = Window.orderBy(F.desc("revenue_cents_pct"), F.asc("o_custkey"))
+    top = rev.orderBy(
+        F.desc("revenue_cents_pct"), F.asc("o_custkey")
+    ).limit(TOPN_CUSTOMERS)
+    other = top.select(
+        F.col("revenue_cents_pct").alias("r2"), F.col("o_custkey").alias("k2")
+    )
+    at_or_before = (F.col("r2") > F.col("revenue_cents_pct")) | (
+        (F.col("r2") == F.col("revenue_cents_pct"))
+        & (F.col("k2") <= F.col("o_custkey"))
+    )
+    ranked = (
+        top.join(F.broadcast(other), at_or_before)
+        .groupBy("o_custkey", "revenue_cents_pct")
+        .agg(F.count("*").cast("int").alias("rank"))
+    )
     return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPN_CUSTOMERS)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        ranked.join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .select(
             F.col("o_custkey").alias("custkey"),
             "c_name",

@@ -2,29 +2,41 @@
 embedding: array<float>[64], label) — training-data-pipeline extension
 surface (the reference has no vector operations; engine extension).
 
-Two search paths:
+Three search paths:
 
 - **brute-force top-k cosine** — the exactness baseline.  The query
   set is broadcast (small side), so the candidate scan is one narrow
   map stage; the only shuffle is the per-query top-k.  At 100 TB of
   vectors this is the O(N·Q) floor every ANN variant is judged
   against.
-- **LSH-bucketed top-k** — sign-of-random-hyperplane bucketing
-  (4 planes → 16 buckets).  Queries only score candidates in their
-  own bucket: the scan prunes to ~1/16 of the corpus per query and
-  the join is an equi-join on the bucket id, which Catalyst hash-
-  partitions — the standard recall-for-throughput ANN trade.
+- **banded multi-table LSH top-k** — sign-of-random-hyperplane
+  bucketing, ``N_TABLES`` independent tables of ``PLANES_PER_TABLE``
+  planes each (4 × 8 → 256 buckets per table).  A pair is a candidate
+  if it collides in ANY table; candidates are unioned across tables,
+  deduped, then exact-cosine verified — the same candidate→verify
+  shape as the MinHash band structure in dedup.py.  Narrow codes
+  (8 bits) keep per-bucket populations ~N/256; multiple tables buy
+  back the recall that narrow codes alone would lose (at cosine 0.99
+  a pair collides in ≥1 of 4 tables w.p. ~0.99; at cosine 0.3 w.p.
+  ~0.01 — the selectivity IS the index).
+- **IVF top-k** — k-means coarse quantizer (seeded
+  ``pyspark.ml.clustering.KMeans``, k ≈ √N) with ``N_PROBE``-nearest
+  -centroid probing: each query scores only the inverted lists of its
+  ``N_PROBE`` closest centroids, ~N·nprobe/k candidates per query.
 
 Hyperplane weights are derived from md5 in *Python* at import time
 and inlined as literals on BOTH engines, so Spark and the DuckDB
 oracle score bit-identical planes.  All vector math is built-in
 higher-order functions (`zip_with`/`aggregate`) casting float→double
 element-wise — JVM-side, no Python UDF, no NumPy on the hot path.
+The IVF queries are rows-only (k-means is not oracle-expressible);
+their recall is pinned against brute force in tests/test_similarity.py.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -34,7 +46,8 @@ from ..sources.tables import load_table
 DIM = 64
 N_QUERIES = 8
 TOP_K = 10
-LSH_PLANES = 4
+N_TABLES = 4         # independent LSH tables (OR-amplification → recall)
+PLANES_PER_TABLE = 8  # planes per table → 256 buckets (AND → selectivity)
 
 
 def _plane_weight(r: int, j: int) -> float:
@@ -45,7 +58,15 @@ def _plane_weight(r: int, j: int) -> float:
     return ((h % 2001) - 1000) / 1000.0
 
 
-PLANES = [[_plane_weight(r, j) for j in range(DIM)] for r in range(LSH_PLANES)]
+# PLANES[t][r] = 64 weights for plane r of table t (32 planes total,
+# all distinct by construction of the md5 seed string).
+PLANES = [
+    [
+        [_plane_weight(t * PLANES_PER_TABLE + r, j) for j in range(DIM)]
+        for r in range(PLANES_PER_TABLE)
+    ]
+    for t in range(N_TABLES)
+]
 
 
 # --------------------------------------------------------------------------
@@ -71,17 +92,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def plane_lit(r: int) -> Column:
-    return F.array(*[F.lit(w) for w in PLANES[r]])
+def plane_lit(t: int, r: int) -> Column:
+    return F.array(*[F.lit(w) for w in PLANES[t][r]])
 
 
-def bucket_of(vec: Column) -> Column:
-    """LSH bucket id: bit r = sign of ⟨vec, plane_r⟩."""
+def bucket_of(vec: Column, t: int) -> Column:
+    """LSH bucket id in table t: bit r = sign of ⟨vec, plane_{t,r}⟩."""
     acc = F.lit(0)
-    for r in range(LSH_PLANES):
-        acc = acc + F.when(dot(vec, plane_lit(r)) > 0, F.lit(1 << r)).otherwise(
-            F.lit(0)
-        )
+    for r in range(PLANES_PER_TABLE):
+        acc = acc + F.when(
+            dot(vec, plane_lit(t, r)) > 0, F.lit(1 << r)
+        ).otherwise(F.lit(0))
     return acc.cast("int")
 
 
@@ -127,31 +148,60 @@ def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_rows(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, tbl, bucket) — one row per vector per table, from ONE pass
+    over the embeddings (posexplode of the 4 bucket ids, not 4 scans)."""
+    buckets = F.array(
+        *[bucket_of(F.col("embedding"), t) for t in range(N_TABLES)]
+    )
+    return emb.select(
+        F.col("vec_id").alias(id_col),
+        F.posexplode(buckets).alias("tbl", "bucket"),
+    )
+
+
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector bucket id in each of the 4 LSH tables."""
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
-        "vec_id", bucket_of(F.col("embedding")).alias("bucket")
+        "vec_id",
+        *[
+            bucket_of(F.col("embedding"), t).alias(f"bucket{t}")
+            for t in range(N_TABLES)
+        ],
     )
 
 
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10: score only same-bucket candidates.  The
-    bucket equi-join replaces the brute-force cross product."""
+    """Approximate top-10: candidates collide with the query in ≥1 of
+    the 4 LSH tables; exact cosine only on candidates.
+
+    Plan shape: (tbl, bucket) equi-join against the broadcast query
+    buckets → distinct candidate pairs → re-join the (tiny) pair list
+    to the embeddings for the verify scores.  No shuffle touches the
+    corpus except the candidate distinct, whose size is governed by
+    the 256-bucket tables, not by N²."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        norm(F.col("embedding")).alias("nrm"),
-        bucket_of(F.col("embedding")).alias("bucket"),
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    bx = _bucket_rows(emb)
+    qb = bx.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "tbl", "bucket"
+    )
+    cand = (
+        bx.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
         F.col("nrm").alias("q_nrm"),
-        "bucket",
     )
     scored = (
-        emb.join(F.broadcast(q), "bucket")
-        .filter(F.col("vec_id") != F.col("q_id"))
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q), "q_id")
         .select(
             "q_id",
             "vec_id",
@@ -169,72 +219,102 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_CENTROIDS = 16
-_CENT_CACHE: dict[tuple[str, str], list] = {}
+# --------------------------------------------------------------------------
+# IVF — k-means coarse quantizer + nprobe probing (rows-only: k-means
+# is iterative/non-oracle-expressible; recall pinned vs brute force in
+# tests/test_similarity.py)
+# --------------------------------------------------------------------------
+
+N_PROBE = 4
+KMEANS_SEED = 1234
+_CENT_CACHE: dict[tuple[str, str], list[list[float]]] = {}
 
 
-def _centroid_rows(spark: SparkSession, sf_dir: str) -> list:
-    """IVF coarse quantizer: the first 16 vectors serve as seeded
-    centroids (a real deployment would k-means them; the *structure*
-    — tiny centroid set, inlined at the executors, narrow-map
-    assignment — is identical).  16×64 floats via the sanctioned
-    driver relay, cached per session."""
+def _centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """k-means centroids with k ≈ √N (the standard IVF sizing: k lists
+    of ~N/k vectors balance the k-dot assignment against the N/k-dot
+    probe).  Seeded, so reruns in one driver session are stable.  The
+    k×64 floats ride the sanctioned driver relay (same shape as the
+    reference's counters→conf), cached per (session, sf_dir)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    rows = _CENT_CACHE.get(key)
-    if rows is None:
-        rows = (
-            load_table(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") < N_CENTROIDS)
-            .select("vec_id", "embedding")
-            .collect()
+    cents = _CENT_CACHE.get(key)
+    if cents is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("embedding").cast("array<double>").alias("arr")
         )
-        _CENT_CACHE[key] = rows
-    return rows
+        k = max(4, math.isqrt(emb.count()))
+        feats = emb.select(array_to_vector("arr").alias("features"))
+        model = KMeans(k=k, seed=KMEANS_SEED, maxIter=20).fit(feats)
+        cents = [[float(x) for x in c] for c in model.clusterCenters()]
+        _CENT_CACHE[key] = cents
+    return cents
 
 
-def ivf_assign_col(spark: SparkSession, sf_dir: str, vec: Column) -> Column:
-    """Nearest-centroid id as a pure Column expression: greatest of
-    (cosine, -centroid_id) structs — shuffle-free, join-free; ties
-    break to the smallest centroid id."""
-    structs = []
-    for r in _centroid_rows(spark, sf_dir):
-        cvec = F.array(*[F.lit(float(x)) for x in r["embedding"]])
-        structs.append(
-            F.struct(
-                cosine(vec, cvec).alias("sim"),
-                F.lit(-int(r["vec_id"])).alias("neg_id"),
-            )
+def _centroids_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [(i, c) for i, c in enumerate(_centroids(spark, sf_dir))]
+    return spark.createDataFrame(rows, "cid INT, cvec ARRAY<DOUBLE>")
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, centroid_id): nearest centroid by cosine, ties to the
+    smallest id.  One broadcast of the k×64 centroid table, one
+    partial-aggregating max_by per vector — no N×k shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = _centroids_df(spark, sf_dir)
+    sim = cosine(F.col("embedding"), F.col("cvec"))
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cid"),
+                F.struct(sim.alias("sim"), (-F.col("cid")).alias("tie")),
+            ).alias("centroid_id")
         )
-    best = F.greatest(*structs)
-    return (-best["neg_id"]).cast("int")
+    )
 
 
 def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        ivf_assign_col(spark, sf_dir, F.col("embedding")).alias("centroid_id"),
-    )
+    return ivf_assignments(spark, sf_dir)
 
 
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-10 with nprobe=1: queries only score vectors on their
-    own centroid's inverted list."""
+    """IVF top-10 with nprobe=4: each query scores only the vectors on
+    its 4 nearest centroids' inverted lists."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        norm(F.col("embedding")).alias("nrm"),
-        ivf_assign_col(spark, sf_dir, F.col("embedding")).alias("centroid_id"),
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
+    asg = ivf_assignments(spark, sf_dir)
+    cents = _centroids_df(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
         F.col("nrm").alias("q_nrm"),
-        "centroid_id",
+    )
+    qsim = q.crossJoin(F.broadcast(cents)).select(
+        "q_id",
+        "cid",
+        cosine(F.col("q_vec"), F.col("cvec")).alias("sim"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probe = (
+        qsim.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("q_id", F.col("cid").alias("centroid_id"))
+    )
+    cand = (
+        asg.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
     )
     scored = (
-        emb.join(F.broadcast(q), "centroid_id")
-        .filter(F.col("vec_id") != F.col("q_id"))
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q), "q_id")
         .select(
             "q_id",
             "vec_id",
@@ -259,30 +339,44 @@ COS_DUP_THRESHOLD = 0.45
 
 
 def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: pairs with cosine ≥ threshold, candidates
-    restricted to same-LSH-bucket (the vector-space member of the
-    dedup family — never an all-pairs product)."""
+    """Embedding-cosine near-dup: pairs colliding in ≥1 LSH table with
+    exact cosine ≥ threshold (the vector-space member of the dedup
+    family — candidate→verify, never an all-pairs product).  True
+    near-dups (cosine ~0.99) collide in some table w.p. ~0.99; random
+    pairs w.p. ~0.01, so the candidate set stays ~N·(collisions) and
+    a hot cluster is bounded by its own size, not by N."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        norm(F.col("embedding")).alias("nrm"),
-        bucket_of(F.col("embedding")).alias("bucket"),
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    right = emb.select(
+    bx = _bucket_rows(emb)
+    right = bx.select(
+        F.col("vec_id").alias("vec_b"), "tbl", "bucket"
+    )
+    pairs = (
+        bx.join(right, ["tbl", "bucket"])
+        .filter(F.col("vec_id") < F.col("vec_b"))
+        .select(F.col("vec_id").alias("vec_a"), "vec_b")
+        .distinct()
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
-        "bucket",
     )
     return (
-        emb.join(right, "bucket")
-        .filter(F.col("vec_id") < F.col("vec_b"))
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
         .select(
-            F.col("vec_id").alias("vec_a"),
+            "vec_a",
             "vec_b",
             F.round(
-                dot(F.col("embedding"), F.col("emb_b"))
-                / (F.col("nrm") * F.col("nrm_b")),
+                dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b")),
                 6,
             ).alias("cosine"),
         )
@@ -309,22 +403,25 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-def _plane_sql(r: int) -> str:
-    return "[" + ", ".join(repr(w) for w in PLANES[r]) + "]"
+def _plane_sql(t: int, r: int) -> str:
+    return "[" + ", ".join(repr(w) for w in PLANES[t][r]) + "]"
 
 
-def _dot_plane_sql(vec: str, r: int) -> str:
-    lits = _plane_sql(r)
+def _dot_plane_sql(vec: str, t: int, r: int) -> str:
+    lits = _plane_sql(t, r)
     return (
         f"list_sum(list_transform(range(1, {DIM + 1}), "
         f"i -> CAST({vec}[i] AS DOUBLE) * CAST(({lits})[i] AS DOUBLE)))"
     )
 
 
-_BUCKET_SQL = "(" + " + ".join(
-    f"CASE WHEN {_dot_plane_sql('embedding', r)} > 0 THEN {1 << r} ELSE 0 END"
-    for r in range(LSH_PLANES)
-) + ")"
+def _bucket_sql(t: int) -> str:
+    return "(" + " + ".join(
+        f"CASE WHEN {_dot_plane_sql('embedding', t, r)} > 0 "
+        f"THEN {1 << r} ELSE 0 END"
+        for r in range(PLANES_PER_TABLE)
+    ) + ")"
+
 
 _BRUTE_SQL = (
     "WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings "
@@ -338,67 +435,72 @@ _BRUTE_SQL = (
     f"round(cos, 6) AS cosine FROM ranked WHERE rank <= {TOP_K}"
 )
 
+_B_CTE = (
+    "b AS (SELECT vec_id, "
+    + ", ".join(
+        f"CAST({_bucket_sql(t)} AS INTEGER) AS bucket{t}"
+        for t in range(N_TABLES)
+    )
+    + " FROM embeddings)"
+)
+
+_LSH_CAND_CTE = (
+    "cand AS (SELECT DISTINCT q_id, vec_id FROM ("
+    + " UNION ALL ".join(
+        f"SELECT q.vec_id AS q_id, c.vec_id FROM b c JOIN b q "
+        f"ON c.bucket{t} = q.bucket{t} "
+        f"WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id"
+        for t in range(N_TABLES)
+    )
+    + "))"
+)
+
 _LSH_SQL = (
-    "WITH b AS (SELECT vec_id, embedding, "
-    f"CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM embeddings), "
-    f"q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b "
-    f"WHERE vec_id < {N_QUERIES}), "
-    "scored AS (SELECT q.q_id, c.vec_id, "
-    + _cos_sql("c.embedding", "q.q_vec")
-    + " AS cos FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q.q_id), "
+    f"WITH {_B_CTE}, {_LSH_CAND_CTE}, "
+    "scored AS (SELECT cand.q_id, cand.vec_id, "
+    + _cos_sql("c.embedding", "q.embedding")
+    + " AS cos FROM cand JOIN embeddings c ON c.vec_id = cand.vec_id "
+    "JOIN embeddings q ON q.vec_id = cand.q_id), "
     "ranked AS (SELECT *, row_number() OVER "
     "(PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
     "SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, "
     f"round(cos, 6) AS cosine FROM ranked WHERE rank <= {TOP_K}"
+)
+
+_PAIR_CAND_CTE = (
+    "pairs AS (SELECT DISTINCT vec_a, vec_b FROM ("
+    + " UNION ALL ".join(
+        f"SELECT a.vec_id AS vec_a, c.vec_id AS vec_b FROM b a JOIN b c "
+        f"ON a.bucket{t} = c.bucket{t} AND a.vec_id < c.vec_id"
+        for t in range(N_TABLES)
+    )
+    + "))"
 )
 
 _EMB_DUP_SQL = (
-    "WITH b AS (SELECT vec_id, embedding, "
-    f"CAST({_BUCKET_SQL} AS INTEGER) AS bucket FROM embeddings), "
-    "paired AS (SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, "
+    f"WITH {_B_CTE}, {_PAIR_CAND_CTE}, "
+    "verified AS (SELECT p.vec_a, p.vec_b, "
     + _cos_sql("a.embedding", "c.embedding")
-    + " AS cos FROM b a JOIN b c USING (bucket) WHERE a.vec_id < c.vec_id) "
-    "SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM paired "
+    + " AS cos FROM pairs p JOIN embeddings a ON a.vec_id = p.vec_a "
+    "JOIN embeddings c ON c.vec_id = p.vec_b) "
+    "SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM verified "
     f"WHERE round(cos, 6) >= {COS_DUP_THRESHOLD}"
 )
 
-_ASSIGN_CTES = (
-    f"cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings "
-    f"WHERE vec_id < {N_CENTROIDS}), "
-    "cscored AS (SELECT e.vec_id, c.cid, "
-    + _cos_sql("e.embedding", "c.cvec")
-    + " AS sim FROM embeddings e, cents c), "
-    "cranked AS (SELECT *, row_number() OVER "
-    "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM cscored), "
-    "asg AS (SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id "
-    "FROM cranked WHERE rn = 1)"
-)
-
-_IVF_ASSIGN_SQL = f"WITH {_ASSIGN_CTES} SELECT vec_id, centroid_id FROM asg"
-
-_IVF_TOPK_SQL = (
-    f"WITH {_ASSIGN_CTES}, "
-    "b AS (SELECT e.vec_id, e.embedding, a.centroid_id FROM embeddings e "
-    "JOIN asg a USING (vec_id)), "
-    f"q AS (SELECT vec_id AS q_id, embedding AS q_vec, centroid_id FROM b "
-    f"WHERE vec_id < {N_QUERIES}), "
-    "scored AS (SELECT q.q_id, c.vec_id, "
-    + _cos_sql("c.embedding", "q.q_vec")
-    + " AS cos FROM b c JOIN q USING (centroid_id) WHERE c.vec_id <> q.q_id), "
-    "ranked AS (SELECT *, row_number() OVER "
-    "(PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank FROM scored) "
-    "SELECT q_id, vec_id, CAST(rank AS INTEGER) AS rank, "
-    f"round(cos, 6) AS cosine FROM ranked WHERE rank <= {TOP_K}"
-)
-
+# sim_ivf_assign / sim_topk_ivf are rows-only: the k-means quantizer
+# is iterative and not expressible as one SQL statement.  Their
+# behavior is pinned by tests/test_similarity.py (assignment totals +
+# recall vs the brute-force oracle-checked baseline).
 ORACLES: dict[str, str] = {
     "sim_topk_brute": _BRUTE_SQL,
     "dedup_embedding_pairs": _EMB_DUP_SQL,
-    "sim_ivf_assign": _IVF_ASSIGN_SQL,
-    "sim_topk_ivf": _IVF_TOPK_SQL,
     "sim_lsh_buckets": (
-        f"SELECT vec_id, CAST({_BUCKET_SQL} AS INTEGER) AS bucket "
-        "FROM embeddings"
+        "SELECT vec_id, "
+        + ", ".join(
+            f"CAST({_bucket_sql(t)} AS INTEGER) AS bucket{t}"
+            for t in range(N_TABLES)
+        )
+        + " FROM embeddings"
     ),
     "sim_topk_lsh": _LSH_SQL,
 }

@@ -81,15 +81,23 @@ def train_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tfidf_scored(spark: SparkSession, sf_dir: str, n_tweets: int) -> DataFrame:
-    """A5 + A6 + M10 — TF by doc window, DF by word window, TF-IDF with
-    the reference's integer-division IDF (Modified_NB.java:230:
-    ``Math.log(num_of_tweets / df)`` on ints → ``ln(floor(N/df))``)."""
+    """A5 + A6 + M10 — TF by doc window, TF-IDF with the reference's
+    integer-division IDF (Modified_NB.java:230:
+    ``Math.log(num_of_tweets / df)`` on ints → ``ln(floor(N/df))``).
+
+    Scale note: document frequency is a ``groupBy("word").count()``
+    (map-side partial agg, vocabulary-sized output) broadcast-joined
+    back onto the (doc, word) rows — NOT a ``count(*) OVER (PARTITION
+    BY word)`` window, which would shuffle and sort the entire corpus
+    by word just to attach one number per word.  The df table is
+    |vocab| rows regardless of corpus size, so the broadcast stays
+    small at any scale."""
     wc = train_wordcount(spark, sf_dir)
     w_doc = Window.partitionBy("doc_id")
-    w_word = Window.partitionBy("word")
+    df_tbl = wc.groupBy("word").agg(F.count("*").cast("long").alias("df"))
     return (
         wc.withColumn("doc_len", F.sum("cnt").over(w_doc).cast("long"))
-        .withColumn("df", F.count("*").over(w_word).cast("long"))
+        .join(F.broadcast(df_tbl), "word")
         .withColumn(
             "tfidf",
             (F.col("cnt") / F.col("doc_len"))

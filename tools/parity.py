@@ -35,26 +35,26 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def canon(rows, cols):
-    """Order-insensitive canonical form: sort columns by name, then rows.
+def _sort_key(t):
+    """Row sort key with floats rounded to 6 decimals: sub-round noise
+    can't reorder rows differently per engine and misalign the pairwise
+    zip (ADVICE r1) — queries expose doubles rounded to 6."""
+    ks = []
+    for v in t:
+        if isinstance(v, float):
+            v = "NaN" if math.isnan(v) else round(v, 6)
+        ks.append(str(v))
+    return tuple(ks)
 
-    Floats are rounded to 6 decimals *before* the row sort so sub-round
-    noise can't reorder rows differently per engine and misalign the
-    pairwise zip (ADVICE r1) — queries expose doubles rounded to 6."""
+
+def canon(rows, cols):
+    """Order-insensitive canonical form: sort columns by name, then
+    rows (by the 6-decimal-rounded key — but the ORIGINAL values are
+    kept for the 1e-9 comparison, so sub-round divergence still fails;
+    ADVICE r2)."""
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in idx:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
+    out = [tuple(r[i] for i in idx) for r in rows]
+    out.sort(key=_sort_key)
     return [cols[i] for i in idx], out
 
 
@@ -79,7 +79,11 @@ def compare(name, spark_df, oracle_rows, oracle_cols) -> list[str]:
                 or (
                     isinstance(x, float)
                     and isinstance(y, float)
-                    and (x == y or abs(x - y) <= 1e-9)
+                    and (
+                        x == y
+                        or abs(x - y) <= 1e-9
+                        or (math.isnan(x) and math.isnan(y))
+                    )
                 )
             )
             if not ok:
