@@ -58,12 +58,17 @@ def main() -> int:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    failed = sum(1 for t in timings.values() if t < 0)
+    # failures are surfaced in the JSON ("failed" count + the -1.0
+    # sentinel per query) rather than a nonzero exit, so the harness
+    # still parses the line; CI should assert failed == 0 (ADVICE r2)
     line = json.dumps(
         {
             "metric": "total_wall_sec",
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "failed": failed,
             "sf": sf,
         }
     )

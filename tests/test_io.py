@@ -73,6 +73,27 @@ def test_text_sink_roundtrip_and_overwrite(spark, tmp_path):
     ]
 
 
+def test_nb_output_rows_roundtrip(spark, tmp_path):
+    """The reference's final output rows (NB.java:257,266,302):
+    ``id@cleaned_text`` TAB ``POSITIVE|NEGATIVE`` — write through the
+    text sink and read back byte-identically."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.sinks import (
+        read_text_sink,
+        write_text,
+    )
+
+    df = entrymod.queries()["nb_output"](spark, SF_DIR)
+    rows = {r["key"]: r["sentiment"] for r in df.collect()}
+    assert rows, "nb_output produced no rows"
+    assert set(rows.values()) <= {"POSITIVE", "NEGATIVE"}
+    assert all("@" in k for k in rows)
+
+    out = str(tmp_path / "nb_out")
+    write_text(df, out)
+    back = read_text_sink(spark, out, "key STRING, sentiment STRING")
+    assert {r["key"]: r["sentiment"] for r in back.collect()} == rows
+
+
 def test_parquet_sink_partitioning(spark, tmp_path):
     import os
 

@@ -1,5 +1,6 @@
 """Streaming NB scoring: stream predictions must equal the batch
-predictions for every doc the stream emits."""
+predictions for every doc the stream emits, under the bounded-state
+contract (foreachBatch, append-only, no cross-batch state)."""
 
 from __future__ import annotations
 
@@ -11,7 +12,7 @@ from conftest import SF_DIR
 def test_stream_scoring_matches_batch(spark, tmp_path):
     import __spark_entry__ as entrymod
     from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.scoring import (
-        score_stream,
+        start_score_stream,
     )
 
     land = tmp_path / "docs_land"
@@ -22,23 +23,27 @@ def test_stream_scoring_matches_batch(spark, tmp_path):
         r["doc_id"]: r["prediction"]
         for r in entrymod.queries()["nb_predictions"](spark, SF_DIR).collect()
     }
-    q = (
-        score_stream(spark, str(land), SF_DIR)
-        .writeStream.format("memory")
-        .queryName("score_test")
-        .outputMode("complete")
-        .start()
-    )
+
+    streamed: dict[int, int] = {}
+    batches: list[int] = []
+
+    def sink(df, batch_id):
+        batches.append(batch_id)
+        for r in df.collect():
+            assert r["doc_id"] not in streamed, "doc scored twice (append!)"
+            streamed[r["doc_id"]] = r["prediction"]
+
+    q = start_score_stream(spark, str(land), SF_DIR, sink)
     try:
         q.processAllAvailable()
-        streamed = {
-            r["doc_id"]: r["prediction"]
-            for r in spark.sql("SELECT * FROM score_test").collect()
-        }
+        # bounded-state contract: the query holds NO stateful operators
+        progress = q.lastProgress
+        assert not progress or not progress.get("stateOperators"), progress
     finally:
         q.stop()
 
     assert streamed, "stream produced no predictions"
+    assert batches, "foreachBatch never fired"
     # the stream scores ALL docs (train+test residues) with >=1 known
     # token; batch predictions cover the test split — every overlap
     # must agree exactly

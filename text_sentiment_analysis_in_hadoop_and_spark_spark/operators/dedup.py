@@ -39,6 +39,7 @@ from ..functions.hashing import (
     minhash_sql,
 )
 from ..sources.tables import load_table
+from .common import register_cache
 
 N_PERM = 16        # minhash permutations
 BANDS = 4          # LSH bands
@@ -56,8 +57,8 @@ HOT_BUCKET_CAP = 1000
 
 # banded signatures memoized per (session, sf_dir): the sig/pairs/
 # verify queries all consume the same signature table.
-_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 # --------------------------------------------------------------------------

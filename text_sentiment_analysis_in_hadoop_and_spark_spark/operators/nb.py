@@ -27,7 +27,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .common import (
@@ -37,6 +37,7 @@ from .common import (
     TRAIN_TOKENS_CTE,
     doc_tokens,
     labeled_docs,
+    register_cache,
     test_filter,
     train_filter,
     with_ctes,
@@ -95,7 +96,7 @@ def corpus_stats_df(train_docs: DataFrame, train_tokens: DataFrame) -> DataFrame
 # Model + stats memoized per (session, sf_dir): score/predict/confusion/
 # accuracy all retrain otherwise (judge finding r1 — the clean+tokenize+
 # train DAG ran ~3× per query and once per query entry).
-_MODEL_CACHE: dict[tuple[str, str], tuple[DataFrame, dict]] = {}
+_MODEL_CACHE: dict[tuple[str, str], tuple[DataFrame, dict]] = register_cache({})
 
 
 def nb_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
@@ -173,6 +174,120 @@ def nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Fidelity mode — the reference's raw-probability scoring, underflow and
+# all (NB.java:224-267).  The default engine path scores in log-space
+# (correct on long docs); this mode reproduces the reference bit-for-bit
+# for users A/B-ing against its outputs: per-token probabilities are
+# multiplied as raw doubles IN DOCUMENT ORDER (float multiplication is
+# order-sensitive), the class prior multiplies LAST, and a long doc
+# underflows both products to 0.0 → Double.compare tie → NEGATIVE.
+# --------------------------------------------------------------------------
+
+_FID_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+def nb_model_fidelity(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
+    """Raw smoothed probabilities ``(cnt+1)/(words_c + V)`` as doubles
+    (NB.java:190-193) — NOT exp(log-model), which would differ in the
+    last bits from the reference's direct division."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    _, stats = nb_model(spark, sf_dir)
+    model = _FID_CACHE.get(key)
+    if model is None:
+        v = stats["vocab_size"]
+        docs = labeled_docs(spark, sf_dir)
+        train_tokens = doc_tokens(docs.filter(train_filter()))
+        model = vocab_counts(train_tokens).select(
+            "word",
+            (
+                (F.col("pos_count") + 1)
+                / F.lit(float(stats["pos_words"] + v))
+            ).alias("pw_pos"),
+            (
+                (F.col("neg_count") + 1)
+                / F.lit(float(stats["neg_words"] + v))
+            ).alias("pw_neg"),
+        ).cache()
+        _FID_CACHE[key] = model
+    return model, stats
+
+
+def _ordered_product(pos_col: str, val_col: str) -> Column:
+    """Left-fold product of ``val_col`` in ascending ``pos_col`` order —
+    the exact multiplication sequence of the reference's per-token loop
+    (NB.java:230-243).  collect_list order is nondeterministic, so sort
+    (position, value) structs first; positions are unique per doc."""
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(pos_col).alias("p"), F.col(val_col).alias("v"))
+            )
+        ),
+        lambda s: s["v"],
+    )
+    return F.aggregate(ordered, F.lit(1.0), lambda acc, x: acc * x)
+
+
+def nb_scores_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label, pos_prob, neg_prob) with the reference's raw
+    products: in-vocab tokens multiply in doc order, unknown words are
+    skipped, empty docs never enter the loop (product stays 1.0), and
+    the prior multiplies last (NB.java:224-247)."""
+    from ..functions.cleaning import nonempty
+
+    model, stats = nb_model_fidelity(spark, sf_dir)
+    docs = labeled_docs(spark, sf_dir)
+    test_docs = docs.filter(test_filter())
+    toks = test_docs.filter(nonempty(F.col("text"))).select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    )
+    prods = (
+        toks.join(F.broadcast(model), "word")
+        .groupBy("doc_id")
+        .agg(
+            _ordered_product("pos", "pw_pos").alias("prod_pos"),
+            _ordered_product("pos", "pw_neg").alias("prod_neg"),
+        )
+    )
+    prior_pos = F.lit(stats["pos_tweets"] / stats["tweets"])
+    prior_neg = F.lit(stats["neg_tweets"] / stats["tweets"])
+    return (
+        test_docs.select("doc_id", "label")
+        .join(prods, "doc_id", "left")
+        .select(
+            "doc_id",
+            "label",
+            (F.coalesce(F.col("prod_pos"), F.lit(1.0)) * prior_pos).alias(
+                "pos_prob"
+            ),
+            (F.coalesce(F.col("prod_neg"), F.lit(1.0)) * prior_neg).alias(
+                "neg_prob"
+            ),
+        )
+    )
+
+
+def nb_predictions_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax on the RAW products (NB.java:250: ``Double.compare(pos,
+    neg) > 0``) — an underflowed doc compares 0.0 vs 0.0 → NEGATIVE.
+    ``underflow`` flags those docs (engine observability; the reference
+    silently misclassifies them)."""
+    s = nb_scores_fidelity(spark, sf_dir)
+    return s.select(
+        "doc_id",
+        "label",
+        F.when(F.col("pos_prob") > F.col("neg_prob"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("prediction"),
+        ((F.col("pos_prob") == 0.0) & (F.col("neg_prob") == 0.0)).alias(
+            "underflow"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # queries() entries
 # --------------------------------------------------------------------------
 
@@ -237,6 +352,30 @@ def q_nb_f1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .metrics import weighted_metrics
 
     return weighted_metrics(nb_predictions(spark, sf_dir))
+
+
+def q_nb_predictions_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nb_predictions_fidelity(spark, sf_dir)
+
+
+def q_nb_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's user-visible output rows (NB.java:257,266,302):
+    ``tweet_id@cleaned_text`` TAB ``POSITIVE|NEGATIVE``.  Feed this to
+    sources.sinks.write_text for the byte-identical text-dir layout;
+    tests/test_io.py round-trips it."""
+    preds = nb_predictions(spark, sf_dir)
+    docs = labeled_docs(spark, sf_dir)
+    return (
+        preds.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("@"), F.col("text")
+            ).alias("key"),
+            F.when(F.col("prediction") == 1, "POSITIVE")
+            .otherwise("NEGATIVE")
+            .alias("sentiment"),
+        )
+    )
 
 
 def q_nb_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,6 +460,52 @@ _PREDS_SQL = (
     "END AS INTEGER) AS prediction FROM scores"
 )
 
+# --- fidelity-mode oracle: raw double products in document order ----------
+
+_FID_MODEL_CTE = (
+    "fid_model AS (SELECT word, "
+    "(pos_count + 1) / CAST(stats.pos_words + vsize.vocab_size AS DOUBLE) "
+    "AS pw_pos, "
+    "(neg_count + 1) / CAST(stats.neg_words + vsize.vocab_size AS DOUBLE) "
+    "AS pw_neg FROM vocab, stats, vsize)"
+)
+
+# zip-unnest gives (position, word) pairs; position order reproduces the
+# reference's per-token multiplication sequence
+_FID_TOK_CTE = (
+    "fid_tok AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos, "
+    "unnest(arr) AS word FROM (SELECT doc_id, string_split(text, ' ') AS arr "
+    "FROM docs WHERE doc_id % 8 < 2 AND trim(text) <> ''))"
+)
+
+_FID_PROD_CTE = (
+    "fid_prod AS (SELECT t.doc_id, "
+    "list_reduce([CAST(1.0 AS DOUBLE)] || list(m.pw_pos ORDER BY t.pos), "
+    "(a, b) -> a * b) AS prod_pos, "
+    "list_reduce([CAST(1.0 AS DOUBLE)] || list(m.pw_neg ORDER BY t.pos), "
+    "(a, b) -> a * b) AS prod_neg "
+    "FROM fid_tok t JOIN fid_model m USING (word) GROUP BY t.doc_id)"
+)
+
+_FID_POS = (
+    "coalesce(p.prod_pos, 1.0) * (CAST(stats.pos_tweets AS DOUBLE) / stats.tweets)"
+)
+_FID_NEG = (
+    "coalesce(p.prod_neg, 1.0) * (CAST(stats.neg_tweets AS DOUBLE) / stats.tweets)"
+)
+
+_FID_PRED_SQL = (
+    with_ctes(
+        DOCS_CTE, TOKENS_CTE, TRAIN_TOKENS_CTE, _VOCAB_CTE, _STATS_CTE,
+        _VSIZE_CTE, _FID_MODEL_CTE, _FID_TOK_CTE, _FID_PROD_CTE, _TESTD_CTE,
+    )
+    + "SELECT d.doc_id, d.label, "
+    f"CAST(CASE WHEN {_FID_POS} > {_FID_NEG} THEN 1 ELSE 0 END AS INTEGER) "
+    "AS prediction, "
+    f"({_FID_POS} = 0 AND {_FID_NEG} = 0) AS underflow "
+    "FROM testd d LEFT JOIN fid_prod p USING (doc_id), stats"
+)
+
 ORACLES: dict[str, str] = {
     "nb_clean_text": with_ctes(DOCS_CTE)
     + "SELECT doc_id, label, text AS cleaned FROM docs",
@@ -344,6 +529,13 @@ ORACLES: dict[str, str] = {
         "round(neg_score, 6) AS neg_score FROM scores"
     ),
     "nb_predictions": _PREDS_SQL,
+    "nb_predictions_fidelity": _FID_PRED_SQL,
+    "nb_output": (
+        "WITH preds AS (" + _PREDS_SQL + "), " + DOCS_CTE + " "
+        "SELECT CAST(p.doc_id AS VARCHAR) || '@' || d.text AS key, "
+        "CASE WHEN p.prediction = 1 THEN 'POSITIVE' ELSE 'NEGATIVE' END "
+        "AS sentiment FROM preds p JOIN docs d USING (doc_id)"
+    ),
     "nb_confusion": (
         "WITH preds AS (" + _PREDS_SQL + ") "
         "SELECT label, prediction, CAST(count(*) AS BIGINT) AS n "
@@ -374,6 +566,8 @@ QUERIES = {
     "nb_model": q_nb_model,
     "nb_scores": q_nb_scores,
     "nb_predictions": q_nb_predictions,
+    "nb_predictions_fidelity": q_nb_predictions_fidelity,
+    "nb_output": q_nb_output,
     "nb_confusion": q_nb_confusion,
     "nb_accuracy": q_nb_accuracy,
     "nb_f1_metrics": q_nb_f1_metrics,

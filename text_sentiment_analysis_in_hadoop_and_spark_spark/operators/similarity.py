@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .common import register_cache
 
 DIM = 64
 N_QUERIES = 8
@@ -227,7 +228,7 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PROBE = 4
 KMEANS_SEED = 1234
-_CENT_CACHE: dict[tuple[str, str], list[list[float]]] = {}
+_CENT_CACHE: dict[tuple[str, str], list[list[float]]] = register_cache({})
 
 
 def _centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:

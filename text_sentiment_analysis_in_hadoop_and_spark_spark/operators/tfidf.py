@@ -53,13 +53,14 @@ from .common import (
     TRAIN_TOKENS_CTE,
     doc_tokens,
     labeled_docs,
+    register_cache,
     test_filter,
     train_filter,
     with_ctes,
 )
 
-_FEAT_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
-_FMODEL_CACHE: dict[tuple[str, str], tuple[DataFrame, dict]] = {}
+_FEAT_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = register_cache({})
+_FMODEL_CACHE: dict[tuple[str, str], tuple[DataFrame, dict]] = register_cache({})
 
 
 # --------------------------------------------------------------------------

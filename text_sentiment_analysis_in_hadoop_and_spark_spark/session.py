@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # session-wide requirement (ADVICE r2): the driver's events
+        # parquet stores TIMESTAMP(NANOS), which the vectorized reader
+        # rejects; reading it as long is part of the engine's contract,
+        # declared ONCE here instead of mutated mid-session by readers
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

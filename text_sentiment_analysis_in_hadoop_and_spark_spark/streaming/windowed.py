@@ -18,8 +18,13 @@ The SAME logical aggregation is exposed twice:
 
 Timestamp handling: the driver's parquet stores TIMESTAMP(NANOS),
 which Spark's vectorized reader rejects; the engine reads it via the
-``spark.sql.legacy.parquet.nanosAsLong`` conf (set dynamically, so
-any session can run this) and does EXACT integer arithmetic —
+``spark.sql.legacy.parquet.nanosAsLong`` conf.  That conf is a
+SESSION-WIDE requirement: sessions built by ``session.get_spark`` set
+it at creation; for externally-created sessions the loaders below set
+it once before reading (documented side effect — it changes how
+nanos-timestamp parquet columns read for the whole session, which is
+exactly the engine's contract for this dataset; ADVICE r2).  The
+arithmetic on the long column is EXACT integer math —
 ``ts_nanos DIV 1e9 DIV 3600 * 3600`` — for window starts.  The DuckDB
 oracle uses ``epoch_ns`` integer division, so both engines bucket
 identically with no float rounding at window edges.
