@@ -112,22 +112,41 @@ def bucket_of(vec: Column, t: int) -> Column:
 # --------------------------------------------------------------------------
 
 
-def _queries_df(emb: DataFrame) -> DataFrame:
-    return emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+# emb+norm, the wide bucket table, and the IVF assignments are each
+# consumed by several queries — memoized per (session, sf_dir) like
+# dedup's signature table, so the bench/driver pays the 32-plane dots
+# and the k-dot assignment once, not per query.
+_EMB_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+_BUCKETS_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+_ASG_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, nrm) — norms are per-vector, not per-pair:
+    materialize once before any join (3× fewer dot products than
+    cosine() per candidate pair)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _EMB_CACHE.get(key)
+    if df is None:
+        df = (
+            load_table(spark, sf_dir, "embeddings")
+            .select(
+                "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+            )
+            .cache()
+        )
+        _EMB_CACHE[key] = df
+    return df
 
 
 def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors for the first 8 vectors."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    # norms are per-vector, not per-pair: materialize once before the
-    # join (3x fewer dot products than cosine() per candidate pair)
-    cand = emb.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    q = _queries_df(emb).select(
-        "q_id", "q_vec", norm(F.col("q_vec")).alias("q_nrm")
+    emb = _emb_with_norm(spark, sf_dir)
+    cand = emb
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
         cand.crossJoin(F.broadcast(q))
@@ -149,13 +168,32 @@ def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_rows(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """(id, tbl, bucket) — one row per vector per table, from ONE pass
-    over the embeddings (posexplode of the 4 bucket ids, not 4 scans)."""
-    buckets = F.array(
-        *[bucket_of(F.col("embedding"), t) for t in range(N_TABLES)]
-    )
-    return emb.select(
+def _buckets_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket0..bucket3) — the 32 hyperplane dots, computed
+    once per (session, sf_dir) and cached."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _BUCKETS_CACHE.get(key)
+    if df is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        df = emb.select(
+            "vec_id",
+            *[
+                bucket_of(F.col("embedding"), t).alias(f"bucket{t}")
+                for t in range(N_TABLES)
+            ],
+        ).cache()
+        _BUCKETS_CACHE[key] = df
+    return df
+
+
+def _bucket_rows(
+    spark: SparkSession, sf_dir: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, tbl, bucket) — one row per vector per table, derived from
+    the cached wide bucket table (posexplode, not 4 more plane scans)."""
+    wide = _buckets_wide(spark, sf_dir)
+    buckets = F.array(*[F.col(f"bucket{t}") for t in range(N_TABLES)])
+    return wide.select(
         F.col("vec_id").alias(id_col),
         F.posexplode(buckets).alias("tbl", "bucket"),
     )
@@ -163,14 +201,7 @@ def _bucket_rows(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
 
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector bucket id in each of the 4 LSH tables."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        *[
-            bucket_of(F.col("embedding"), t).alias(f"bucket{t}")
-            for t in range(N_TABLES)
-        ],
-    )
+    return _buckets_wide(spark, sf_dir)
 
 
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,10 +213,8 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the embeddings for the verify scores.  No shuffle touches the
     corpus except the candidate distinct, whose size is governed by
     the 256-bucket tables, not by N²."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    bx = _bucket_rows(emb)
+    emb = _emb_with_norm(spark, sf_dir)
+    bx = _bucket_rows(spark, sf_dir)
     qb = bx.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "tbl", "bucket"
     )
@@ -248,7 +277,9 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         )
         k = max(4, math.isqrt(emb.count()))
         feats = emb.select(array_to_vector("arr").alias("features"))
-        model = KMeans(k=k, seed=KMEANS_SEED, maxIter=20).fit(feats)
+        # 8 iterations: a coarse quantizer needs balanced lists, not a
+        # converged clustering — recall is pinned by test_similarity.py
+        model = KMeans(k=k, seed=KMEANS_SEED, maxIter=8).fit(feats)
         cents = [[float(x) for x in c] for c in model.clusterCenters()]
         _CENT_CACHE[key] = cents
     return cents
@@ -262,22 +293,29 @@ def _centroids_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, centroid_id): nearest centroid by cosine, ties to the
     smallest id.  One broadcast of the k×64 centroid table, one
-    partial-aggregating max_by per vector — no N×k shuffle."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
-    cents = _centroids_df(spark, sf_dir)
-    sim = cosine(F.col("embedding"), F.col("cvec"))
-    return (
-        emb.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.col("cid"),
-                F.struct(sim.alias("sim"), (-F.col("cid")).alias("tie")),
-            ).alias("centroid_id")
+    partial-aggregating max_by per vector — no N×k shuffle.  Cached:
+    assign + topk both consume it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    asg = _ASG_CACHE.get(key)
+    if asg is None:
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
         )
-    )
+        cents = _centroids_df(spark, sf_dir)
+        sim = cosine(F.col("embedding"), F.col("cvec"))
+        asg = (
+            emb.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.col("cid"),
+                    F.struct(sim.alias("sim"), (-F.col("cid")).alias("tie")),
+                ).alias("centroid_id")
+            )
+            .cache()
+        )
+        _ASG_CACHE[key] = asg
+    return asg
 
 
 def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,9 +325,7 @@ def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 with nprobe=4: each query scores only the vectors on
     its 4 nearest centroids' inverted lists."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
+    emb = _emb_with_norm(spark, sf_dir)
     asg = ivf_assignments(spark, sf_dir)
     cents = _centroids_df(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -346,10 +382,8 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups (cosine ~0.99) collide in some table w.p. ~0.99; random
     pairs w.p. ~0.01, so the candidate set stays ~N·(collisions) and
     a hot cluster is bounded by its own size, not by N."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    bx = _bucket_rows(emb)
+    emb = _emb_with_norm(spark, sf_dir)
+    bx = _bucket_rows(spark, sf_dir)
     right = bx.select(
         F.col("vec_id").alias("vec_b"), "tbl", "bucket"
     )
