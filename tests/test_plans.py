@@ -126,6 +126,26 @@ def test_tfidf_df_is_broadcast_not_window(spark):
             assert "doc_id" in line, line
 
 
+def test_promo_revenue_broadcasts_part(spark):
+    """Q14 shape: the part dimension must broadcast and the ship-date
+    filter must reach the scan."""
+    plan = _plan(entrymod.queries()["rel_promo_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed), plan
+
+
+def test_monthly_ma_window_is_partitioned(spark):
+    """The moving-average window must be customer-partitioned — every
+    Window operator line carries the partition key."""
+    plan = _plan(entrymod.queries()["rel_customer_monthly_ma"](spark, SF_DIR))
+    win_lines = [l for l in plan.splitlines() if "Window" in l]
+    assert win_lines, plan
+    for line in win_lines:
+        assert "o_custkey" in line, line
+
+
 def test_no_python_udf_on_relational_paths(spark):
     """Python only appears in the explicitly-Pandas multimodal path."""
     for name in ("nb_confusion", "tfidf_nb_confusion", "dedup_minhash_pairs",

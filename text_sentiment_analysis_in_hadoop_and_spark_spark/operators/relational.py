@@ -24,7 +24,7 @@ are explicit broadcasts; the ship-date filters reach the parquet scan
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -34,6 +34,7 @@ Q5_REGION = "ASIA"
 Q5_FROM, Q5_TO = "1996-01-01", "1998-01-01"
 TOPN_CUSTOMERS = 20
 PRIORITY_MIN_QTY = 45.0
+Q14_FROM, Q14_TO = "1996-01-01", "1996-07-01"
 
 
 def _cents(col: Column) -> Column:
@@ -244,6 +245,84 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from PROMO parts in one
+    half-year of shipments.  ``part`` broadcasts; the exact integer
+    numerator/denominator are exposed alongside the rounded ratio so
+    the hash check pins the arithmetic, not just 6 decimals."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_FROM))
+        & (F.col("l_shipdate") < F.lit(Q14_TO))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _revenue_cents(li)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+            .cast("long")
+            .alias("promo_cents_pct"),
+            F.sum(rev).cast("long").alias("total_cents_pct"),
+        )
+        .select(
+            "promo_cents_pct",
+            "total_cents_pct",
+            F.round(
+                F.lit(100.0)
+                * F.col("promo_cents_pct").cast("double")
+                / F.col("total_cents_pct"),
+                6,
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
+def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by SUPPLIER nation (the supply-side twin of Q5):
+    lineitem ⋈ broadcast(supplier ⋈ broadcast(nation))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    dims = F.broadcast(
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_revenue_cents(li)).cast("long").alias("revenue_cents_pct"),
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        )
+    )
+
+
+def q_customer_monthly_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer monthly spend with a 3-month moving average — the
+    window done RIGHT: partitioned by customer (bounded partitions,
+    parallel across customers) rather than one global ordering.  The
+    month key is a string so both engines sort identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            "o_custkey",
+            F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month"),
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("spend_cents"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("month")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return monthly.select(
+        F.col("o_custkey").alias("custkey"),
+        "month",
+        "spend_cents",
+        F.round(F.avg("spend_cents").over(w), 6).alias("ma3_cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -315,6 +394,36 @@ ORACLES: dict[str, str] = {
         "FROM both_years JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_mktsegment"
     ),
+    "rel_promo_revenue": (
+        "WITH agg AS (SELECT "
+        f"CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END) "
+        "AS BIGINT) AS promo_cents_pct, "
+        f"CAST(sum({_REV_SQL}) AS BIGINT) AS total_cents_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE l_shipdate >= TIMESTAMP '{Q14_FROM}' "
+        f"AND l_shipdate < TIMESTAMP '{Q14_TO}') "
+        "SELECT promo_cents_pct, total_cents_pct, "
+        "round(100.0 * CAST(promo_cents_pct AS DOUBLE) / total_cents_pct, 6) "
+        "AS promo_share_pct FROM agg"
+    ),
+    "rel_supplier_nation_revenue": (
+        "SELECT n_name, "
+        f"CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_cents_pct, "
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    ),
+    "rel_customer_monthly_ma": (
+        "WITH monthly AS (SELECT o_custkey, "
+        "strftime(o_orderdate, '%Y-%m') AS month, "
+        f"CAST(sum({_cents_sql('o_totalprice')}) AS BIGINT) AS spend_cents "
+        "FROM orders GROUP BY o_custkey, strftime(o_orderdate, '%Y-%m')) "
+        "SELECT o_custkey AS custkey, month, spend_cents, "
+        "round(avg(spend_cents) OVER (PARTITION BY o_custkey ORDER BY month "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3_cents "
+        "FROM monthly"
+    ),
     "rel_revenue_rollup": (
         "SELECT r_name, n_name, "
         f"CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_cents_pct "
@@ -334,4 +443,7 @@ QUERIES = {
     "rel_customers_no_orders": q_customers_no_orders,
     "rel_repeat_customers": q_repeat_customers,
     "rel_revenue_rollup": q_revenue_rollup,
+    "rel_promo_revenue": q_promo_revenue,
+    "rel_supplier_nation_revenue": q_supplier_nation_revenue,
+    "rel_customer_monthly_ma": q_customer_monthly_ma,
 }
