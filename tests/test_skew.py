@@ -49,3 +49,38 @@ def test_approx_df_bounded_error(spark):
     assert set(approx) == set(exact)
     for w, n in exact.items():
         assert abs(approx[w] - n) <= max(1, 0.05 * n), (w, n, approx[w])
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.functions.skew import (
+        salted_join,
+    )
+
+    # skewed left: one hot key with 5000 rows, 50 cold keys
+    left = spark.range(5000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("lv")
+    ).union(
+        spark.range(50).select(
+            F.concat(F.lit("cold"), F.col("id")).alias("k"),
+            F.col("id").alias("lv"),
+        )
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("hot", 2), ("cold7", 3), ("absent", 4)],
+        "k STRING, rv INT",
+    )
+    plain = {
+        (r["k"], r["lv"], r["rv"]) for r in left.join(right, ["k"]).collect()
+    }
+    salted = {
+        (r["k"], r["lv"], r["rv"])
+        for r in salted_join(left, right, ["k"], n_salts=4).collect()
+    }
+    assert salted == plain
+    assert len(plain) == 10001  # 5000*2 hot + 1 cold
+
+    plain_l = left.join(right, ["k"], "left").count()
+    salted_l = salted_join(left, right, ["k"], n_salts=4, how="left").count()
+    assert salted_l == plain_l

@@ -44,3 +44,41 @@ def salted_count_distinct(
     return per_bucket.groupBy(*key_cols).agg(
         F.sum("_bucket_distinct").cast("long").alias(out_col)
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-sharded equi-join: use when one join key in ``left`` is hot
+    enough that its single shuffle partition dominates the stage and
+    the ``right`` side is too big to broadcast.
+
+    Each left row gets a deterministic salt in [0, n_salts) hashed
+    from the whole row (any per-row spread works — identical rows
+    sharing a salt is harmless); the right side is replicated
+    ``n_salts`` times via an exploded sequence.  Joining on
+    (keys..., salt) spreads the hot key over ``n_salts`` tasks at the
+    cost of an n_salts× right-side shuffle — the classic trade, so
+    keep ``right`` the smaller input.  Valid for ``inner`` and
+    ``left`` joins (each left row carries exactly one salt, so it
+    meets every right row of its key exactly once); NOT for right or
+    full outer (right rows are replicated).
+
+    AQE skew-join splitting (on in session.py) handles moderate skew
+    without this; salting is for the pathological key AQE can't split
+    because a single key-group can't be divided.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join does not support how={how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+    )
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l_salted.join(r_salted, [*on, "_salt"], how).drop("_salt")

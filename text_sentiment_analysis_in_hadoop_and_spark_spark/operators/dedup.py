@@ -175,6 +175,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself (not just the cluster stats):
+    the smallest doc_id of each exact-content cluster survives, with
+    its text.  doc_id is unique, so the min-per-fingerprint set
+    identifies surviving rows directly — one partial-agg groupBy and
+    one doc_id-keyed semi join, both hash-partitioned at any scale.
+    streaming/dedup.py is the stream twin of this query."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    keep = (
+        docs.select(md5_fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _SHINGLE_CACHE.get(key)
@@ -373,6 +390,11 @@ ORACLES: dict[str, str] = {
         "SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs, "
         "min(doc_id) AS canonical_doc_id FROM documents GROUP BY md5(text)"
     ),
+    "dedup_keep_first": (
+        "WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents "
+        "GROUP BY md5(text)) "
+        "SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)"
+    ),
     "dedup_minhash_sig": _with(*_DSH_CTES, _DH_CTE, _SIG_CTE)
     + "SELECT * FROM dsig",
     "dedup_minhash_pairs": _with(*_MINHASH_PRELUDE)
@@ -406,6 +428,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_keep_first": q_dedup_keep_first,
     "dedup_minhash_sig": q_minhash_sig,
     "dedup_minhash_pairs": q_minhash_pairs,
     "dedup_jaccard_pairs": q_jaccard_pairs,

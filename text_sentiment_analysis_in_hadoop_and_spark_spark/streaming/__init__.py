@@ -1,3 +1,3 @@
-from . import scoring, sessions, windowed
+from . import dedup, scoring, sessions, windowed
 
-__all__ = ["scoring", "sessions", "windowed"]
+__all__ = ["dedup", "scoring", "sessions", "windowed"]
