@@ -61,7 +61,8 @@ def test_docs_scan_prunes_columns(spark):
 def test_textstats_are_shuffle_free(spark):
     """Narrow-map operators must have no Exchange in the plan."""
     for name in ("text_token_stats", "text_quality", "text_lang_id",
-                 "text_bpe_token_count", "text_fingerprint"):
+                 "text_bpe_token_count", "text_fingerprint",
+                 "text_winnow_fingerprints"):
         plan = _plan(entrymod.queries()[name](spark, SF_DIR))
         assert "Exchange" not in plan, (name, plan)
 

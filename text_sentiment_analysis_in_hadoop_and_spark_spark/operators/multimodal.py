@@ -86,6 +86,82 @@ def q_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MM_RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_width int, out_height int, "
+    "out_bytes long"
+)
+TARGET_WIDTH = 224  # the ubiquitous vision-model input size
+
+
+def resize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the resize stage: aspect-preserving
+    scale to TARGET_WIDTH.  The pixel work is where a codec library
+    would run; the REAL and tested parts are the geometry arithmetic,
+    the Arrow batch flow, and the output-size accounting (3 bytes/px
+    RGB) that a capacity planner needs."""
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        width = (1 + n % 640).astype("int64")
+        height = (1 + (n // 640) % 480).astype("int64")
+        out_w = pd.Series(TARGET_WIDTH, index=pdf.index, dtype="int64")
+        # ceil-division keeps at least 1 px and rounds like a resampler
+        out_h = ((height * TARGET_WIDTH + width - 1) // width).clip(lower=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": width.astype("int32"),
+                "height": height.astype("int32"),
+                "out_width": out_w.astype("int32"),
+                "out_height": out_h.astype("int32"),
+                "out_bytes": (3 * out_w * out_h).astype("int64"),
+            }
+        )
+
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(
+        resize_batches, schema=MM_RESIZE_SCHEMA
+    )
+
+
+MM_FRAMES_SCHEMA = "doc_id long, n_frames int, frame_idx int"
+FRAME_STRIDE = 3  # keep every 3rd frame, always including frame 0
+
+
+def frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for video frame sampling: one output row per
+    KEPT frame (stride 3) — the row-exploding batch shape a real
+    frame extractor has, with deterministic fake frame counts."""
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        n_frames = (1 + n % 10).astype("int64")
+        out = {"doc_id": [], "n_frames": [], "frame_idx": []}
+        for doc_id, nf in zip(pdf["doc_id"], n_frames):
+            for idx in range(0, int(nf), FRAME_STRIDE):
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(nf)
+                out["frame_idx"].append(idx)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+            }
+        )
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_payload(docs).mapInPandas(
+        frame_sample_batches, schema=MM_FRAMES_SCHEMA
+    )
+
+
 ORACLES: dict[str, str] = {
     # the fake decode is a pure function of payload size, so the oracle
     # recomputes it from octet_length of the utf-8 text
@@ -95,7 +171,32 @@ ORACLES: dict[str, str] = {
         "CAST(1 + (octet_length(encode(text)) // 640) % 480 AS INTEGER) AS height, "
         "CAST(1 + octet_length(encode(text)) % 10 AS INTEGER) AS n_frames "
         "FROM documents"
-    )
+    ),
+    "mm_resize": (
+        "WITH dims AS (SELECT doc_id, "
+        "CAST(1 + octet_length(encode(text)) % 640 AS BIGINT) AS width, "
+        "CAST(1 + (octet_length(encode(text)) // 640) % 480 AS BIGINT) AS height "
+        "FROM documents) "
+        "SELECT doc_id, CAST(width AS INTEGER) AS width, "
+        "CAST(height AS INTEGER) AS height, "
+        f"CAST({TARGET_WIDTH} AS INTEGER) AS out_width, "
+        f"CAST(greatest((height * {TARGET_WIDTH} + width - 1) // width, 1) "
+        "AS INTEGER) AS out_height, "
+        f"CAST(3 * {TARGET_WIDTH} * "
+        f"greatest((height * {TARGET_WIDTH} + width - 1) // width, 1) "
+        "AS BIGINT) AS out_bytes FROM dims"
+    ),
+    "mm_frame_sample": (
+        "WITH meta AS (SELECT doc_id, "
+        "CAST(1 + octet_length(encode(text)) % 10 AS INTEGER) AS n_frames "
+        "FROM documents) "
+        "SELECT doc_id, n_frames, CAST(idx AS INTEGER) AS frame_idx "
+        f"FROM meta, unnest(range(0, n_frames, {FRAME_STRIDE})) AS t(idx)"
+    ),
 }
 
-QUERIES = {"mm_decode_meta": q_mm_decode_meta}
+QUERIES = {
+    "mm_decode_meta": q_mm_decode_meta,
+    "mm_resize": q_mm_resize,
+    "mm_frame_sample": q_mm_frame_sample,
+}

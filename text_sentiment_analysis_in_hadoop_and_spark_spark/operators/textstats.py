@@ -149,6 +149,42 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 3  # token k-gram width
+WINNOW_W = 4  # winnowing window: min-hash of each run of W k-grams
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme: rolling
+    k-gram hashes, keep the minimum of every sliding window of W) —
+    the local-fingerprinting member of the dedup/fingerprint family:
+    two docs sharing a long-enough substring are guaranteed to share
+    a selected fingerprint.  Pure higher-order Column functions over
+    the token array — shuffle-free narrow map, no UDF; the portable
+    hex32 hash keeps both engines bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) < WINNOW_K, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - WINNOW_K),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, WINNOW_K)),
+        )
+    )
+    hashes = F.transform(grams, hex32)
+    wins = F.when(
+        F.size(hashes) <= WINNOW_W, F.array(F.array_min(hashes))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(hashes) - WINNOW_W),
+            lambda j: F.array_min(F.slice(hashes, j + 1, WINNOW_W)),
+        )
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -202,6 +238,23 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id, md5(text) AS fingerprint, "
         f"{hex32_sql('text')} AS h32 FROM documents"
     ),
+    "text_winnow_fingerprints": (
+        "WITH wn1 AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        f"wn2 AS (SELECT doc_id, CASE WHEN len(toks) < {WINNOW_K} "
+        "THEN [array_to_string(toks, ' ')] "
+        "ELSE list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS grams "
+        "FROM wn1), "
+        f"wn3 AS (SELECT doc_id, list_transform(grams, g -> {hex32_sql('g')}) "
+        "AS h FROM wn2), "
+        f"wn4 AS (SELECT doc_id, CASE WHEN len(h) <= {WINNOW_W} "
+        "THEN [list_min(h)] "
+        f"ELSE list_transform(range(1, len(h) - {WINNOW_W - 2}), "
+        f"j -> list_min(h[j:j+{WINNOW_W - 1}])) END AS wins FROM wn3) "
+        "SELECT doc_id, CAST(unnest(list_distinct(wins)) AS BIGINT) AS fp "
+        "FROM wn4"
+    ),
 }
 
 QUERIES = {
@@ -210,4 +263,5 @@ QUERIES = {
     "text_lang_id": q_lang_id,
     "text_bpe_token_count": q_bpe_token_count,
     "text_fingerprint": q_doc_fingerprint,
+    "text_winnow_fingerprints": q_winnow_fingerprints,
 }
