@@ -69,8 +69,18 @@ _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 def doc_shingles(docs: DataFrame) -> DataFrame:
     """Distinct word-3-gram shingles per doc.  Docs shorter than the
     shingle width contribute their whole text as one shingle (so no
-    doc silently vanishes from the dedup universe)."""
-    toks = F.split(F.col("text"), " ")
+    doc silently vanishes from the dedup universe).
+
+    The token array goes through an ``explode(array(...))`` Generate
+    barrier first: ProjectCollapsing would otherwise inline the
+    ``split`` at every lambda reference and re-split the text per
+    shingle (measured 3.7× slower — same Catalyst pitfall as
+    textstats.q_winnow_fingerprints)."""
+    tok_df = docs.select(
+        "doc_id",
+        F.explode(F.array(F.split(F.col("text"), " "))).alias("toks"),
+    )
+    toks = F.col("toks")
     ngrams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - SHINGLE_N),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N)),
@@ -78,7 +88,7 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     sh = F.when(
         F.size(toks) < SHINGLE_N, F.array(F.concat_ws(" ", toks))
     ).otherwise(ngrams)
-    return docs.select(
+    return tok_df.select(
         "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
