@@ -114,6 +114,48 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_batch(spark, sf_dir)
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of event value per type — ``percentile`` is
+    the sort-within-group exact aggregate, and its linear interpolation
+    matches DuckDB's ``quantile_cont`` bit-for-bit (verified by the
+    oracle hash).  At 100 TB the groupwise sort is the honest cost of
+    EXACT percentiles; switch to ``approx_percentile`` (mergeable
+    t-digest-style sketch, map-side combinable) when ±0.1% suffices —
+    same trade the HLL df_approx query documents for distinct counts."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT coverage: hourly event counts, one column per type.  The
+    type list is passed explicitly — with an inferred list Spark runs
+    an extra distinct pass over the corpus AND the output schema
+    becomes data-dependent, which breaks at 100 TB (schema must be
+    known before the job runs).  One partial-agg groupBy either way."""
+    ev = load_events(spark, sf_dir)
+    hour = (F.expr("epoch_sec DIV 3600") * 3600).cast("long")
+    return (
+        ev.groupBy(hour.alias("window_start_epoch"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "window_start_epoch",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in EVENT_TYPES
+            ],
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     "events_windowed": (
         "SELECT CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT) "
@@ -121,7 +163,28 @@ ORACLES: dict[str, str] = {
         "CAST(count(*) AS BIGINT) AS n_events, "
         "round(sum(value), 6) AS sum_value "
         "FROM events GROUP BY 1, 2"
-    )
+    ),
+    "events_percentiles": (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "round(quantile_cont(value, 0.5), 6) AS p50, "
+        "round(quantile_cont(value, 0.95), 6) AS p95, "
+        "round(quantile_cont(value, 0.99), 6) AS p99 "
+        "FROM events GROUP BY event_type"
+    ),
+    "events_hourly_pivot": (
+        "SELECT CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT) "
+        "AS window_start_epoch, "
+        + ", ".join(
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n_{t}"
+            for t in EVENT_TYPES
+        )
+        + " FROM events GROUP BY 1"
+    ),
 }
 
-QUERIES = {"events_windowed": q_events_windowed}
+QUERIES = {
+    "events_windowed": q_events_windowed,
+    "events_percentiles": q_events_percentiles,
+    "events_hourly_pivot": q_events_hourly_pivot,
+}
