@@ -277,9 +277,12 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         )
         k = max(4, math.isqrt(emb.count()))
         feats = emb.select(array_to_vector("arr").alias("features"))
-        # 8 iterations: a coarse quantizer needs balanced lists, not a
+        # 8 iterations + random init (k-means|| costs 3× in extra
+        # passes): a coarse quantizer needs balanced lists, not a
         # converged clustering — recall is pinned by test_similarity.py
-        model = KMeans(k=k, seed=KMEANS_SEED, maxIter=8).fit(feats)
+        model = KMeans(
+            k=k, seed=KMEANS_SEED, maxIter=8, initMode="random"
+        ).fit(feats)
         cents = [[float(x) for x in c] for c in model.clusterCenters()]
         _CENT_CACHE[key] = cents
     return cents
