@@ -19,6 +19,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import csv as csv
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import sessions as streaming_sessions
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import windowed as streaming_windowed
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+    asof,
     dedup,
     ml,
     multimodal,
@@ -52,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(streaming_sessions.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(relational.QUERIES)
+    out.update(asof.QUERIES)
     return out
 
 
@@ -68,4 +70,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(streaming_sessions.ORACLES)
     out.update(multimodal.ORACLES)
     out.update(relational.ORACLES)
+    out.update(asof.ORACLES)
     return out

@@ -1,0 +1,96 @@
+"""As-of (point-in-time) join — the canonical "operator Spark lacks"
+implemented as a composition of built-ins (SURVEY §7 extension
+surface; the reference has nothing comparable).
+
+Semantics: match each left event to the LATEST right event with
+``right.ts <= left.ts`` per key — here, each ``purchase`` to the
+user's most recent prior (or simultaneous) ``view``.  Unmatched
+purchases are dropped (inner as-of), exactly DuckDB's native
+``ASOF JOIN`` contract — which is what the oracle runs, so the
+composition is verified against a real as-of implementation rather
+than a hand-rolled SQL twin.
+
+Plan shape (the scale story): tag both sides, UNION them, and carry
+the last view timestamp forward with a running ``max(ts) over
+(partition by user_id order by ts, side rows unbounded preceding)``.
+ONE shuffle, keyed on user_id; per-user partitions are bounded; no
+range join, no per-row probe.  Sorting views before purchases at
+equal ts makes the match inclusive (ts_view = ts_purchase matches),
+mirroring ASOF JOIN's ``>=``.  At 100 TB this is the standard
+distributed as-of: shuffle once by key, merge-scan within key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..streaming.windowed import load_events
+
+LEFT_TYPE = "purchase"
+RIGHT_TYPE = "view"
+
+
+def asof_join_events(
+    ev: DataFrame, left_type: str = LEFT_TYPE, right_type: str = RIGHT_TYPE
+) -> DataFrame:
+    """(event_id, user_id, left_ts_ns, right_ts_ns) for each left-type
+    event, as-of matched to the latest right-type event at-or-before
+    it for the same user."""
+    # microsecond granularity: DuckDB's TIMESTAMP (the oracle's native
+    # ASOF JOIN input) is µs-precision, so the composition matches at
+    # µs too — both engines then draw the at-or-before boundary at the
+    # same tick
+    ts_us = F.expr("ts DIV 1000").cast("long")
+    right = ev.filter(F.col("event_type") == right_type).select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        ts_us.alias("ts"),
+        F.lit(0).alias("side"),
+    )
+    left = ev.filter(F.col("event_type") == left_type).select(
+        F.col("event_id").cast("long"),
+        "user_id",
+        ts_us.alias("ts"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = right.unionByName(left).withColumn(
+        "matched_ts",
+        F.max(F.when(F.col("side") == 0, F.col("ts"))).over(w),
+    )
+    return (
+        carried.filter(
+            (F.col("side") == 1) & F.col("matched_ts").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("left_ts_us"),
+            F.col("matched_ts").alias("right_ts_us"),
+        )
+    )
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_join_events(load_events(spark, sf_dir))
+
+
+ORACLES: dict[str, str] = {
+    # verified against DuckDB's NATIVE ASOF JOIN, not a rebuilt twin
+    "events_asof": (
+        "SELECT p.event_id, p.user_id, "
+        "CAST(epoch_us(p.ts) AS BIGINT) AS left_ts_us, "
+        "CAST(epoch_us(v.ts) AS BIGINT) AS right_ts_us "
+        f"FROM (SELECT * FROM events WHERE event_type = '{LEFT_TYPE}') p "
+        "ASOF JOIN "
+        f"(SELECT * FROM events WHERE event_type = '{RIGHT_TYPE}') v "
+        "ON p.user_id = v.user_id AND p.ts >= v.ts"
+    )
+}
+
+QUERIES = {"events_asof": q_events_asof}
