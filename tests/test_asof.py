@@ -35,3 +35,43 @@ def test_asof_matches_latest_prior_view(spark):
         5: (300, 300),
         8: (90, 80),
     }
+
+
+def test_range_join_finds_all_in_window(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.asof import (
+        RANGE_US,
+        range_join_events,
+    )
+
+    H = RANGE_US * 1000  # window width in ns
+    rows = [
+        (1, 0, 7, "view"),
+        (2, H // 2, 7, "view"),          # in window of 4
+        (3, H, 7, "view"),               # boundary: exactly l_ts - 1h
+        (4, 2 * H, 7, "purchase"),       # window [H, 2H] → views 3 only? 2 is at H/2 < H → out
+        (5, 2 * H, 9, "purchase"),       # other user: no views
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING"
+    )
+    pairs = {
+        (r["left_id"], r["right_id"], r["delta_us"])
+        for r in range_join_events(ev).collect()
+    }
+    assert pairs == {(4, 3, RANGE_US)}  # inclusive lower boundary
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketed rewrite must plan as a hash/sort-merge EQUI-join —
+    never a nested-loop or cartesian product."""
+    import __spark_entry__ as entrymod
+    from conftest import SF_DIR
+
+    plan = (
+        entrymod.queries()["events_range_join"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

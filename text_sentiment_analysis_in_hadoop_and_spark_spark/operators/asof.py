@@ -80,6 +80,63 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join_events(load_events(spark, sf_dir))
 
 
+RANGE_US = 3600 * 1000 * 1000  # 1-hour lookback window, µs
+
+
+def range_join_events(
+    ev: DataFrame, left_type: str = LEFT_TYPE, right_type: str = RIGHT_TYPE
+) -> DataFrame:
+    """Range (interval) join: ALL right-type events within RANGE_US
+    at-or-before each left-type event, per user — the one-to-many
+    sibling of the as-of join.
+
+    Plan shape: a naive ``ts BETWEEN`` predicate would force a
+    non-equi BroadcastNestedLoopJoin — quadratic per user.  Instead
+    both sides bucket their timestamp by the range width; a match can
+    only sit in the probe's own bucket or the previous one, so the
+    probe side explodes to those two buckets and the join is a plain
+    (user_id, bucket) EQUI-join (hash-partitioned, AQE-sized) with the
+    exact range applied as a residual filter.  Cost: 2× probe-side
+    rows, no nested loop — the standard bucketed range join at any
+    scale."""
+    ts_us = F.expr("ts DIV 1000").cast("long")
+    right = ev.filter(F.col("event_type") == right_type).select(
+        F.col("event_id").cast("long").alias("right_id"),
+        "user_id",
+        ts_us.alias("r_ts"),
+        (ts_us / F.lit(RANGE_US)).cast("long").alias("bucket"),
+    )
+    left = (
+        ev.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").cast("long").alias("left_id"),
+            "user_id",
+            ts_us.alias("l_ts"),
+            (ts_us / F.lit(RANGE_US)).cast("long").alias("b"),
+        )
+        .withColumn(
+            "bucket", F.explode(F.array(F.col("b"), F.col("b") - 1))
+        )
+    )
+    return (
+        left.join(right, ["user_id", "bucket"])
+        .filter(
+            (F.col("r_ts") >= F.col("l_ts") - RANGE_US)
+            & (F.col("r_ts") <= F.col("l_ts"))
+        )
+        .select(
+            "left_id",
+            "right_id",
+            "user_id",
+            (F.col("l_ts") - F.col("r_ts")).alias("delta_us"),
+        )
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return range_join_events(load_events(spark, sf_dir))
+
+
 ORACLES: dict[str, str] = {
     # verified against DuckDB's NATIVE ASOF JOIN, not a rebuilt twin
     "events_asof": (
@@ -90,7 +147,22 @@ ORACLES: dict[str, str] = {
         "ASOF JOIN "
         f"(SELECT * FROM events WHERE event_type = '{RIGHT_TYPE}') v "
         "ON p.user_id = v.user_id AND p.ts >= v.ts"
-    )
+    ),
+    # the oracle states the range predicate directly (DuckDB plans an
+    # IEJoin); the Spark side proves the bucketed equi-join rewrite
+    # produces the identical pair set
+    "events_range_join": (
+        "SELECT p.event_id AS left_id, v.event_id AS right_id, p.user_id, "
+        "epoch_us(p.ts) - epoch_us(v.ts) AS delta_us "
+        f"FROM (SELECT * FROM events WHERE event_type = '{LEFT_TYPE}') p "
+        f"JOIN (SELECT * FROM events WHERE event_type = '{RIGHT_TYPE}') v "
+        "ON p.user_id = v.user_id "
+        f"AND epoch_us(v.ts) >= epoch_us(p.ts) - {RANGE_US} "
+        "AND epoch_us(v.ts) <= epoch_us(p.ts)"
+    ),
 }
 
-QUERIES = {"events_asof": q_events_asof}
+QUERIES = {
+    "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
+}
