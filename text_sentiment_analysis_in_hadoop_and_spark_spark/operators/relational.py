@@ -245,6 +245,18 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all four grouping sets in
+    ONE pass over the fact table (vs four separate scans), with
+    ``grouping_id`` disambiguating real NULL keys from subtotal rows
+    (the thing ROLLUP output alone can't express)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_revenue_cents(li)).cast("long").alias("revenue_cents_pct"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: share of revenue from PROMO parts in one
     half-year of shipments.  ``part`` broadcasts; the exact integer
@@ -394,6 +406,12 @@ ORACLES: dict[str, str] = {
         "FROM both_years JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_mktsegment"
     ),
+    "rel_revenue_cube": (
+        "SELECT l_returnflag, l_linestatus, "
+        f"CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_cents_pct, "
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ),
     "rel_promo_revenue": (
         "WITH agg AS (SELECT "
         f"CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END) "
@@ -443,6 +461,7 @@ QUERIES = {
     "rel_customers_no_orders": q_customers_no_orders,
     "rel_repeat_customers": q_repeat_customers,
     "rel_revenue_rollup": q_revenue_rollup,
+    "rel_revenue_cube": q_revenue_cube,
     "rel_promo_revenue": q_promo_revenue,
     "rel_supplier_nation_revenue": q_supplier_nation_revenue,
     "rel_customer_monthly_ma": q_customer_monthly_ma,
