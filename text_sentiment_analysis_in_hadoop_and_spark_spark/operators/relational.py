@@ -220,6 +220,26 @@ def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT coverage (the set-op complement of rel_repeat_customers):
+    customers who ordered in 1996 but not in 1997, by segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def year_keys(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+        ).select("o_custkey").distinct()
+
+    lapsed = year_keys(1996).exceptAll(year_keys(1997))
+    return (
+        lapsed.join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP subtotals (grouping-set coverage, also absent from the
     reference): revenue by (region, nation) plus per-region and grand
@@ -406,6 +426,19 @@ ORACLES: dict[str, str] = {
         "FROM both_years JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_mktsegment"
     ),
+    "rel_lapsed_customers": (
+        "WITH lapsed AS ("
+        "SELECT DISTINCT o_custkey FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "EXCEPT "
+        "SELECT DISTINCT o_custkey FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01') "
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers "
+        "FROM lapsed JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment"
+    ),
     "rel_revenue_cube": (
         "SELECT l_returnflag, l_linestatus, "
         f"CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_cents_pct, "
@@ -460,6 +493,7 @@ QUERIES = {
     "rel_order_priority": q_order_priority,
     "rel_customers_no_orders": q_customers_no_orders,
     "rel_repeat_customers": q_repeat_customers,
+    "rel_lapsed_customers": q_lapsed_customers,
     "rel_revenue_rollup": q_revenue_rollup,
     "rel_revenue_cube": q_revenue_cube,
     "rel_promo_revenue": q_promo_revenue,
