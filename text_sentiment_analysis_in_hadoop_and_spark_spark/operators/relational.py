@@ -335,6 +335,10 @@ def q_customer_monthly_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel across customers) rather than one global ordering.  The
     month key is a string so both engines sort identically."""
     orders = load_table(spark, sf_dir, "orders")
+    # date_format renders in the session timezone; the engine session
+    # pins UTC (session.py) and the oracle's strftime is tz-naive, so
+    # both agree.  A non-UTC session would shift midnight boundaries —
+    # pin spark.sql.session.timeZone=UTC if embedding elsewhere.
     monthly = (
         orders.groupBy(
             "o_custkey",
