@@ -61,6 +61,23 @@ def test_range_join_finds_all_in_window(spark):
     assert pairs == {(4, 3, RANGE_US)}  # inclusive lower boundary
 
 
+def test_asof_is_single_shuffle(spark):
+    """The as-of composition must cost exactly ONE exchange (the
+    user_id hash partition feeding the running window) — the whole
+    point of the union+window rewrite over a per-row probe."""
+    import __spark_entry__ as entrymod
+    from conftest import SF_DIR
+
+    plan = (
+        entrymod.queries()["events_asof"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "user_id" in [l for l in plan.splitlines() if "Exchange" in l][0]
+
+
 def test_range_join_is_equi_not_nested_loop(spark):
     """The bucketed rewrite must plan as a hash/sort-merge EQUI-join —
     never a nested-loop or cartesian product."""

@@ -139,7 +139,11 @@ def q_events_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     type list is passed explicitly — with an inferred list Spark runs
     an extra distinct pass over the corpus AND the output schema
     becomes data-dependent, which breaks at 100 TB (schema must be
-    known before the job runs).  One partial-agg groupBy either way."""
+    known before the job runs).  Spark plans pivot as two aggregates:
+    the first (by hour × type) does the map-side-combined heavy
+    lifting; the second exchange moves only the already-aggregated
+    rows (one per hour × type — tiny at any corpus size), so the
+    extra shuffle is a rounding error, not a scale risk."""
     ev = load_events(spark, sf_dir)
     hour = (F.expr("epoch_sec DIV 3600") * 3600).cast("long")
     return (
