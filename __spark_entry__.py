@@ -24,6 +24,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     ml,
     multimodal,
     nb,
+    pipeline,
     relational,
     similarity,
     textstats,
@@ -54,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(multimodal.QUERIES)
     out.update(relational.QUERIES)
     out.update(asof.QUERIES)
+    out.update(pipeline.QUERIES)
     return out
 
 
@@ -71,4 +73,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(multimodal.ORACLES)
     out.update(relational.ORACLES)
     out.update(asof.ORACLES)
+    out.update(pipeline.ORACLES)
     return out
