@@ -2,16 +2,34 @@
 
 Runs every ``queries()`` entry from ``__spark_entry__`` against
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line on
-stdout (the last line), shaped::
+``local[$SPARK_GRAFT_CPUS]``.
 
-    {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+Output contract (r3 verdict item 3: BENCH_r03 was ``parsed: null``
+because the 74-query JSON line outgrew the driver's tail capture):
+
+- stdout, second-to-last line: the FULL record
+  ``{"metric": "total_wall_sec", "value": N, "unit": "sec",
+  "queries": {...}, "failed": 0, "sf": 0.1}``
+- stdout, LAST line: a compact summary WITHOUT the per-query map —
+  small enough that any tail capture parses it —
+  ``{"metric": "total_wall_sec", "value": N, "unit": "sec",
+  "failed": 0, "sf": 0.1, "queries_file": "bench_queries.json"}``
+- ``bench_queries.json`` next to this script: the per-query map.
 
 Each query is forced end-to-end with the ``noop`` write format —
 full computation, no driver-side collect of the result set (row
 counts would hide sink cost; collect would bottleneck on the
 driver).  Progress goes to stderr so the stdout JSON stays clean.
+
+Between module families the memoized ``.cache()`` DataFrames are
+evicted via ``common.clear_caches()`` (r3 verdict item 2/6): a
+74-query run otherwise accumulates every family's cached artifacts
+(cleaned docs, shingles, banded signatures, embeddings+norms, IVF
+assignments, fitted-model predictions) in executor storage, which
+squeezed LinearSVC's treeAggregate rounds and regressed
+``ml_modified_svm_metrics`` 3.8× in r3.  The family's shared prefix
+(e.g. cleaned docs) is recomputed once per family — that cost is
+billed to the family's first query, same as r1 behavior.
 """
 
 from __future__ import annotations
@@ -37,43 +55,58 @@ def main() -> int:
     sf = float(m.group(1)) if m else None
 
     import __spark_entry__ as entrymod
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import common
     from text_sentiment_analysis_in_hadoop_and_spark_spark.session import get_spark
 
     spark = get_spark("tsa_bench")
     # one trivial job up front so JVM/codegen warmup isn't billed to
     # whichever query happens to run first
     spark.range(1000).count()
-    queries = entrymod.queries()
 
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
-        t0 = time.perf_counter()
-        try:
-            _force(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            timings[name] = round(dt, 3)
-            print(f"  {name}: {dt:.2f}s", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"  {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
-            timings[name] = -1.0
+    for mod in entrymod._MODULE_ORDER:
+        family = mod.__name__.rsplit(".", 1)[-1]
+        print(f"-- family {family}", file=sys.stderr)
+        for name, fn in mod.QUERIES.items():
+            t0 = time.perf_counter()
+            try:
+                _force(fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                timings[name] = round(dt, 3)
+                print(f"  {name}: {dt:.2f}s", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"  {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+                timings[name] = -1.0
+        # retire this family's cached artifacts before the next family
+        common.clear_caches()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     failed = sum(1 for t in timings.values() if t < 0)
     # failures are surfaced in the JSON ("failed" count + the -1.0
     # sentinel per query) rather than a nonzero exit, so the harness
     # still parses the line; CI should assert failed == 0 (ADVICE r2)
-    line = json.dumps(
-        {
-            "metric": "total_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "failed": failed,
-            "sf": sf,
-        }
-    )
+    record = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "failed": failed,
+        "sf": sf,
+    }
+    queries_file = os.path.join(REPO, "bench_queries.json")
+    with open(queries_file, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+    summary = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "failed": failed,
+        "sf": sf,
+        "queries_file": "bench_queries.json",
+    }
     sys.stderr.flush()
-    print(line, flush=True)
+    print(json.dumps(record), flush=True)
+    print(json.dumps(summary), flush=True)
     return 0
 
 

@@ -99,16 +99,14 @@ def corpus_stats_df(train_docs: DataFrame, train_tokens: DataFrame) -> DataFrame
 _MODEL_CACHE: dict[tuple[str, str], tuple[DataFrame, dict]] = register_cache({})
 
 
-def nb_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
-    """Train: returns (model_df(word, lpw_pos, lpw_neg), stats dict).
+def model_for_docs(docs: DataFrame) -> tuple[DataFrame, dict]:
+    """Train over an arbitrary cleaned-docs frame (doc_id, label, text):
+    returns (model_df(word, lpw_pos, lpw_neg), stats dict).
 
     ``lpw_c = ln((count_c(w)+1) / (words_c + V))`` — Laplace-smoothed
-    multinomial likelihood (NB.java:190-194) in log-space."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _MODEL_CACHE.get(key)
-    if hit is not None:
-        return hit
-    docs = labeled_docs(spark, sf_dir)
+    multinomial likelihood (NB.java:190-194) in log-space.  The six
+    corpus scalars are collected to the driver (the reference's
+    Hadoop-Counter→Configuration relay, NB.java:305-316)."""
     train_docs = docs.filter(train_filter())
     train_tokens = doc_tokens(train_docs)
     stats = corpus_stats_df(train_docs, train_tokens).collect()[0].asDict()
@@ -121,12 +119,23 @@ def nb_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
         F.log((F.col("neg_count") + 1) / F.lit(stats["neg_words"] + v)).alias(
             "lpw_neg"
         ),
-    ).cache()
+    )
+    return model, stats
+
+
+def nb_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
+    """Memoized :func:`model_for_docs` over the parquet documents table."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MODEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    model, stats = model_for_docs(labeled_docs(spark, sf_dir))
+    model = model.cache()
     _MODEL_CACHE[key] = (model, stats)
     return model, stats
 
 
-def nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scores_for_docs(docs: DataFrame, model: DataFrame, stats: dict) -> DataFrame:
     """Score test docs: broadcast-join tokens against the model (J1 —
     the reference's O(doc·V) HashMap probe, NB.java:230-243, becomes a
     broadcast hash join), sum logs per doc, add the class prior.
@@ -137,8 +146,6 @@ def nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     every test tweet (Hadoop/NB.java:482-521 — an empty tweet keeps the
     1.0 product, scores prior-only, tie → NEGATIVE) and counts it in
     the confusion counters, so no nonempty filter here (ADVICE r1)."""
-    model, stats = nb_model(spark, sf_dir)
-    docs = labeled_docs(spark, sf_dir)
     test_docs = docs.filter(test_filter())
     ttok = doc_tokens(test_docs).select("doc_id", "word")
     scored = (
@@ -158,6 +165,11 @@ def nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (prior_neg + F.coalesce(F.col("s_neg"), F.lit(0.0))).alias("neg_score"),
         )
     )
+
+
+def nb_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model, stats = nb_model(spark, sf_dir)
+    return scores_for_docs(labeled_docs(spark, sf_dir), model, stats)
 
 
 def nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,24 +370,44 @@ def q_nb_predictions_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_predictions_fidelity(spark, sf_dir)
 
 
+def _output_rows(preds: DataFrame, docs: DataFrame) -> DataFrame:
+    """S6 row shape (NB.java:257,266,302): ``tweet_id@cleaned_text``
+    TAB ``POSITIVE|NEGATIVE``."""
+    return preds.join(docs.select("doc_id", "text"), "doc_id").select(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("@"), F.col("text")
+        ).alias("key"),
+        F.when(F.col("prediction") == 1, "POSITIVE")
+        .otherwise("NEGATIVE")
+        .alias("sentiment"),
+    )
+
+
+def output_for_docs(docs: DataFrame) -> DataFrame:
+    """The reference's whole front door over an arbitrary cleaned-docs
+    frame: train (75% split) → score the 25% test split → argmax →
+    ``id@text \\t sentiment`` rows — one Catalyst DAG, used by the
+    end-to-end CSV pipeline (sources/csv.py: csv_nb_frontdoor)."""
+    model, stats = model_for_docs(docs)
+    scores = scores_for_docs(docs, model, stats)
+    preds = scores.select(
+        "doc_id",
+        "label",
+        F.when(F.col("pos_score") > F.col("neg_score"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("prediction"),
+    )
+    return _output_rows(preds, docs)
+
+
 def q_nb_output(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's user-visible output rows (NB.java:257,266,302):
-    ``tweet_id@cleaned_text`` TAB ``POSITIVE|NEGATIVE``.  Feed this to
-    sources.sinks.write_text for the byte-identical text-dir layout;
-    tests/test_io.py round-trips it."""
+    """The reference's user-visible output rows (NB.java:257,266,302).
+    Feed this to sources.sinks.write_text for the byte-identical
+    text-dir layout; tests/test_io.py round-trips it."""
     preds = nb_predictions(spark, sf_dir)
     docs = labeled_docs(spark, sf_dir)
-    return (
-        preds.join(docs.select("doc_id", "text"), "doc_id")
-        .select(
-            F.concat(
-                F.col("doc_id").cast("string"), F.lit("@"), F.col("text")
-            ).alias("key"),
-            F.when(F.col("prediction") == 1, "POSITIVE")
-            .otherwise("NEGATIVE")
-            .alias("sentiment"),
-        )
-    )
+    return _output_rows(preds, docs)
 
 
 def q_nb_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,24 +473,47 @@ _SCORES_SELECT = (
     "FROM testd d LEFT JOIN scored s USING (doc_id), stats"
 )
 
-_NB_PRELUDE = (
-    DOCS_CTE,
-    TOKENS_CTE,
-    TRAIN_TOKENS_CTE,
-    TEST_TOKENS_CTE,
-    _VOCAB_CTE,
-    _STATS_CTE,
-    _VSIZE_CTE,
-    _MODEL_CTE,
-    _SCORED_CTE,
-    _TESTD_CTE,
-)
+def _nb_prelude(docs_cte: str) -> tuple[str, ...]:
+    """The full train→score CTE chain over a caller-supplied ``docs``
+    CTE — every downstream CTE references only ``docs(doc_id, label,
+    text)``, so the same SQL trains on parquet docs or on CSV-parsed
+    docs (the front-door pipeline in sources/csv.py)."""
+    return (
+        docs_cte,
+        TOKENS_CTE,
+        TRAIN_TOKENS_CTE,
+        TEST_TOKENS_CTE,
+        _VOCAB_CTE,
+        _STATS_CTE,
+        _VSIZE_CTE,
+        _MODEL_CTE,
+        _SCORED_CTE,
+        _TESTD_CTE,
+    )
 
-_PREDS_SQL = (
-    with_ctes(*_NB_PRELUDE, "scores AS (" + _SCORES_SELECT + ")")
-    + "SELECT doc_id, label, CAST(CASE WHEN pos_score > neg_score THEN 1 ELSE 0 "
-    "END AS INTEGER) AS prediction FROM scores"
-)
+
+def preds_sql_for(docs_cte: str) -> str:
+    return (
+        with_ctes(*_nb_prelude(docs_cte), "scores AS (" + _SCORES_SELECT + ")")
+        + "SELECT doc_id, label, CAST(CASE WHEN pos_score > neg_score THEN 1 "
+        "ELSE 0 END AS INTEGER) AS prediction FROM scores"
+    )
+
+
+def output_oracle_sql(docs_cte: str) -> str:
+    """``nb_output``-shaped oracle (id@text, sentiment) over a custom
+    docs CTE — shared by nb_output and the CSV front door."""
+    return (
+        "WITH preds AS (" + preds_sql_for(docs_cte) + "), " + docs_cte + " "
+        "SELECT CAST(p.doc_id AS VARCHAR) || '@' || d.text AS key, "
+        "CASE WHEN p.prediction = 1 THEN 'POSITIVE' ELSE 'NEGATIVE' END "
+        "AS sentiment FROM preds p JOIN docs d USING (doc_id)"
+    )
+
+
+_NB_PRELUDE = _nb_prelude(DOCS_CTE)
+
+_PREDS_SQL = preds_sql_for(DOCS_CTE)
 
 # --- fidelity-mode oracle: raw double products in document order ----------
 
@@ -530,12 +585,7 @@ ORACLES: dict[str, str] = {
     ),
     "nb_predictions": _PREDS_SQL,
     "nb_predictions_fidelity": _FID_PRED_SQL,
-    "nb_output": (
-        "WITH preds AS (" + _PREDS_SQL + "), " + DOCS_CTE + " "
-        "SELECT CAST(p.doc_id AS VARCHAR) || '@' || d.text AS key, "
-        "CASE WHEN p.prediction = 1 THEN 'POSITIVE' ELSE 'NEGATIVE' END "
-        "AS sentiment FROM preds p JOIN docs d USING (doc_id)"
-    ),
+    "nb_output": output_oracle_sql(DOCS_CTE),
     "nb_confusion": (
         "WITH preds AS (" + _PREDS_SQL + ") "
         "SELECT label, prediction, CAST(count(*) AS BIGINT) AS n "

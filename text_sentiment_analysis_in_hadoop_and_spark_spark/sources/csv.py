@@ -91,17 +91,83 @@ def q_csv_fidelity_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lines.select(*fidelity_parse(F.col("line")))
 
 
-_CSV_ORACLE = (
-    "WITH lines AS (SELECT doc_id::VARCHAR || ',' || (doc_id % 2)::VARCHAR "
+def frontdoor_docs(parsed: DataFrame) -> DataFrame:
+    """Parsed Sentiment140 columns → the engine's cleaned-docs shape
+    (doc_id, label, text).  Label comes from the CSV's sentiment column
+    — the reference's P9 label decode (Hadoop/NB.java:63-64), not the
+    synthetic doc_id%2 derivation the parquet path is forced into."""
+    from ..functions.cleaning import clean_text
+
+    return parsed.select(
+        F.col("item_id").cast("bigint").alias("doc_id"),
+        F.col("sentiment").cast("int").alias("label"),
+        clean_text(F.col("text")).alias("text"),
+    )
+
+
+def nb_frontdoor_from_path(spark: SparkSession, csv_path: str) -> DataFrame:
+    """The reference's ACTUAL front door (Hadoop/NB.java:273-341) as one
+    composition: raw tweets.csv → naive parse → clean → train 75% →
+    predict 25% → ``id@text \\t POSITIVE|NEGATIVE`` rows.  Write with
+    ``sources.sinks.write_text`` for the on-disk layout (S6/S7);
+    tests/test_io.py round-trips exactly that."""
+    from ..operators.nb import output_for_docs
+
+    parsed = read_csv_fidelity(spark, csv_path)
+    return output_for_docs(frontdoor_docs(parsed))
+
+
+def q_csv_nb_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable twin of :func:`nb_frontdoor_from_path`: the CSV
+    lines are synthesized from `documents` (embedded comma exercises the
+    re-stitch), then the identical parse→clean→train→predict→format
+    chain runs.  End-to-end this covers S1+S3+P2..P11+A1..A3+J1+M8+M9+S6
+    in a single DAG — the whole reference program."""
+    from .tables import load_table
+    from ..operators.nb import output_for_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(_synth_line(docs).alias("line"))
+    parsed = lines.select(*fidelity_parse(F.col("line")))
+    return output_for_docs(frontdoor_docs(parsed))
+
+
+_SYNTH_LINES_CTE = (
+    "lines AS (SELECT doc_id::VARCHAR || ',' || (doc_id % 2)::VARCHAR "
     "|| ',Sentiment140,' || regexp_replace(text, '^(\\w+) ', '\\1,') AS line "
-    "FROM documents), "
-    "arrs AS (SELECT string_split(line, ',') AS arr FROM lines) "
+    "FROM documents)"
+)
+
+_PARSE_SELECT = (
     "SELECT arr[1] AS item_id, arr[2] AS sentiment, arr[3] AS source, "
     "CASE WHEN len(arr) > 4 "
     "THEN array_to_string(list_slice(arr, 4, len(arr)), '') "
-    "ELSE arr[4] END AS text FROM arrs"
+    "ELSE arr[4] END AS text "
+    "FROM (SELECT string_split(line, ',') AS arr FROM lines)"
 )
 
-ORACLES: dict[str, str] = {"csv_fidelity_parse": _CSV_ORACLE}
+_CSV_ORACLE = f"WITH {_SYNTH_LINES_CTE} {_PARSE_SELECT}"
 
-QUERIES = {"csv_fidelity_parse": q_csv_fidelity_parse}
+
+def _frontdoor_oracle() -> str:
+    from ..functions.cleaning import clean_text_sql
+    from ..operators.nb import output_oracle_sql
+
+    docs_cte = (
+        f"docs AS (WITH {_SYNTH_LINES_CTE}, parsed AS ({_PARSE_SELECT}) "
+        "SELECT CAST(item_id AS BIGINT) AS doc_id, "
+        "CAST(sentiment AS INTEGER) AS label, "
+        f"{clean_text_sql('text')} AS text FROM parsed)"
+    )
+    return output_oracle_sql(docs_cte)
+
+
+ORACLES: dict[str, str] = {
+    "csv_fidelity_parse": _CSV_ORACLE,
+    "csv_nb_frontdoor": _frontdoor_oracle(),
+}
+
+QUERIES = {
+    "csv_fidelity_parse": q_csv_fidelity_parse,
+    "csv_nb_frontdoor": q_csv_nb_frontdoor,
+}

@@ -35,42 +35,32 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _sort_key(t):
-    """Row sort key with floats rounded to 6 decimals: sub-round noise
-    can't reorder rows differently per engine and misalign the pairwise
-    zip (ADVICE r1) — queries expose doubles rounded to 6."""
+def _sort_key(t, ndigits=6):
+    """Row sort key with floats rounded to ``ndigits`` decimals:
+    sub-round noise can't reorder rows differently per engine and
+    misalign the pairwise zip (ADVICE r1) — queries expose doubles
+    rounded to 6."""
     ks = []
     for v in t:
         if isinstance(v, float):
-            v = "NaN" if math.isnan(v) else round(v, 6)
+            v = "NaN" if math.isnan(v) else round(v, ndigits)
         ks.append(str(v))
     return tuple(ks)
 
 
-def canon(rows, cols):
+def canon(rows, cols, ndigits=6):
     """Order-insensitive canonical form: sort columns by name, then
-    rows (by the 6-decimal-rounded key — but the ORIGINAL values are
-    kept for the 1e-9 comparison, so sub-round divergence still fails;
+    rows (by the rounded key — but the ORIGINAL values are kept for
+    the 1e-9 comparison, so sub-round divergence still fails;
     ADVICE r2)."""
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(r[i] for i in idx) for r in rows]
-    out.sort(key=_sort_key)
+    out.sort(key=lambda t: _sort_key(t, ndigits))
     return [cols[i] for i in idx], out
 
 
-def compare(name, spark_df, oracle_rows, oracle_cols) -> list[str]:
+def _zip_errors(srows, orows) -> list[str]:
     errs = []
-    s_cols = [c.lower() for c in spark_df.columns]
-    rows = [tuple(r) for r in spark_df.collect()]
-    o_cols = [c.lower() for c in oracle_cols]
-    sc, srows = canon(rows, s_cols)
-    oc, orows = canon([tuple(r) for r in oracle_rows], o_cols)
-    if sc != oc:
-        errs.append(f"schema mismatch: spark={sc} oracle={oc}")
-        return errs
-    if len(srows) != len(orows):
-        errs.append(f"row count: spark={len(srows)} oracle={len(orows)}")
-        return errs
     bad = 0
     for a, b in zip(srows, orows):
         for x, y in zip(a, b):
@@ -93,6 +83,29 @@ def compare(name, spark_df, oracle_rows, oracle_cols) -> list[str]:
                 break
     if bad:
         errs.append(f"{bad}/{len(srows)} mismatched rows")
+    return errs
+
+
+def compare(name, spark_df, oracle_rows, oracle_cols) -> list[str]:
+    s_cols = [c.lower() for c in spark_df.columns]
+    rows = [tuple(r) for r in spark_df.collect()]
+    o_cols = [c.lower() for c in oracle_cols]
+    sc, srows = canon(rows, s_cols)
+    oc, orows = canon([tuple(r) for r in oracle_rows], o_cols)
+    if sc != oc:
+        return [f"schema mismatch: spark={sc} oracle={oc}"]
+    if len(srows) != len(orows):
+        return [f"row count: spark={len(srows)} oracle={len(orows)}"]
+    errs = _zip_errors(srows, orows)
+    if errs:
+        # ADVICE r3: two values within the 1e-9 tolerance can straddle a
+        # 6-decimal rounding boundary, sort into different positions,
+        # and misalign the zip.  Before declaring failure, re-sort both
+        # sides on a coarser 5-decimal key and re-compare.
+        _, srows5 = canon(rows, s_cols, ndigits=5)
+        _, orows5 = canon([tuple(r) for r in oracle_rows], o_cols, ndigits=5)
+        if not _zip_errors(srows5, orows5):
+            return []
     return errs
 
 
@@ -133,6 +146,11 @@ def main() -> int:
         else:
             print(f"✓ {name}")
     print(f"\n{ran - len(failed)}/{ran} queries match")
+    # release memoized .cache()'d DataFrames before exit (r3 verdict
+    # item 6) so a wrapper looping over several sf_dirs stays flat
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import common
+
+    common.clear_caches()
     return 1 if failed else 0
 
 
