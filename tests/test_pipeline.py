@@ -8,6 +8,7 @@ from conftest import SF_DIR
 
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
     PACK_BUDGET,
+    q_pack_nextfit,
     q_pack_sequences,
     q_sample_decile,
 )
@@ -32,6 +33,40 @@ def test_pack_is_exhaustive_and_unique(spark):
     rows = q_pack_sequences(spark, SF_DIR).collect()
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == len(set(ids)) == 500  # every doc packed once
+
+
+def test_nextfit_bins_never_overflow(spark):
+    """The ADVICE-r3 contract: under true next-fit, a bin's total is
+    ≤ PACK_BUDGET unless the bin is a single oversized doc — no
+    straddling doc ever overflows a shared bin."""
+    rows = q_pack_nextfit(spark, SF_DIR).collect()
+    bins: dict[tuple[int, int], list[int]] = {}
+    for r in rows:
+        bins.setdefault((r["bucket"], r["bin"]), []).append(r["n_tokens"])
+    assert len(bins) > 1
+    for (bucket, b), toks in bins.items():
+        assert sum(toks) <= PACK_BUDGET or len(toks) == 1, (bucket, b, toks)
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 500  # exhaustive, no dup packs
+
+
+def test_nextfit_matches_serial_reference(spark):
+    """Cross-check the distributed packer against a driver-side serial
+    next-fit over each bucket's doc_id-ordered stream."""
+    rows = q_pack_nextfit(spark, SF_DIR).collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, rs in by_bucket.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cur_bin, cur = 0, 0
+        for r in rs:
+            t = r["n_tokens"]
+            if cur > 0 and cur + t > PACK_BUDGET:
+                cur_bin += 1
+                cur = 0
+            assert r["bin"] == cur_bin, (bucket, r)
+            cur += t
 
 
 def test_sample_is_deterministic(spark):

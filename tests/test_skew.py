@@ -84,3 +84,51 @@ def test_salted_join_equals_plain_join(spark):
     plain_l = left.join(right, ["k"], "left").count()
     salted_l = salted_join(left, right, ["k"], n_salts=4, how="left").count()
     assert salted_l == plain_l
+
+
+def test_salted_join_spreads_duplicate_rows(spark):
+    """ADVICE r3: a hot key of EXACT-DUPLICATE rows all hash to one
+    salt under the default (content hash), defeating the spread.
+    ``spread_duplicates=True`` must (a) keep results identical and
+    (b) land the copies on more than one salt."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.functions.skew import (
+        salted_join,
+    )
+
+    # 4000 BYTE-IDENTICAL left rows — the pathological shape
+    left = spark.range(4000).select(
+        F.lit("hot").alias("k"), F.lit(1).alias("lv")
+    )
+    right = spark.createDataFrame([("hot", 7), ("hot", 8)], "k STRING, rv INT")
+
+    plain = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in left.join(right, ["k"]).collect()
+    )
+    spread = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in salted_join(
+            left, right, ["k"], n_salts=4, spread_duplicates=True
+        ).collect()
+    )
+    assert spread == plain
+    assert len(plain) == 8000
+
+    # default salt: every duplicate shares one bucket; spread salt: >1
+    n_buckets_default = (
+        left.withColumn(
+            "_s", F.pmod(F.xxhash64("k", "lv"), F.lit(4))
+        ).select("_s").distinct().count()
+    )
+    assert n_buckets_default == 1
+    n_buckets_spread = (
+        left.withColumn(
+            "_s",
+            F.pmod(
+                F.xxhash64("k", "lv") + F.monotonically_increasing_id(),
+                F.lit(4),
+            ),
+        ).select("_s").distinct().count()
+    )
+    assert n_buckets_spread > 1

@@ -52,15 +52,14 @@ def salted_join(
     on: list[str],
     n_salts: int = 8,
     how: str = "inner",
+    spread_duplicates: bool = False,
 ) -> DataFrame:
     """Skew-sharded equi-join: use when one join key in ``left`` is hot
     enough that its single shuffle partition dominates the stage and
     the ``right`` side is too big to broadcast.
 
-    Each left row gets a deterministic salt in [0, n_salts) hashed
-    from the whole row (any per-row spread works — identical rows
-    sharing a salt is harmless); the right side is replicated
-    ``n_salts`` times via an exploded sequence.  Joining on
+    Each left row gets a salt in [0, n_salts); the right side is
+    replicated ``n_salts`` times via an exploded sequence.  Joining on
     (keys..., salt) spreads the hot key over ``n_salts`` tasks at the
     cost of an n_salts× right-side shuffle — the classic trade, so
     keep ``right`` the smaller input.  Valid for ``inner`` and
@@ -68,16 +67,28 @@ def salted_join(
     meets every right row of its key exactly once); NOT for right or
     full outer (right rows are replicated).
 
+    Salt derivation (ADVICE r3): the default hashes the whole left row
+    — deterministic under retries (safe to feed a shuffle), but
+    EXACT-DUPLICATE left rows share a salt, so a hot key made of
+    identical rows stays in one task.  For that duplicate-heavy shape
+    pass ``spread_duplicates=True``: the salt mixes in
+    ``monotonically_increasing_id()``, which spreads copies evenly at
+    the cost of nondeterministic row→salt placement — join RESULTS are
+    unchanged (every left row still meets its key's right rows exactly
+    once under any salt), but a partial map-stage retry may redistribute
+    rows across salt partitions, re-running more reduce tasks than a
+    deterministic salt would.
+
     AQE skew-join splitting (on in session.py) handles moderate skew
     without this; salting is for the pathological key AQE can't split
     because a single key-group can't be divided.
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join does not support how={how!r}")
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
-    )
-    l_salted = left.withColumn("_salt", salt)
+    salt = F.xxhash64(*[F.col(c) for c in left.columns])
+    if spread_duplicates:
+        salt = salt + F.monotonically_increasing_id()
+    l_salted = left.withColumn("_salt", F.pmod(salt, F.lit(n_salts)))
     r_salted = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -53,7 +53,6 @@ NUM_FEATURES = 1 << 18  # HashingTF default in Spark 3.0.1 (NB.scala:74)
 # Registered so common.clear_caches() evicts the cached prediction
 # DataFrames too (r3 verdict nit 1: plain dicts escaped eviction).
 # Keys are (applicationId, sf_dir, ...) — clear_caches matches key[1].
-_SPLIT_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = register_cache({})
 _PRED_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 

@@ -9,18 +9,30 @@ Both are the reproducibility-first variants a 100 TB corpus needs:
   same side of the cut (no train/eval leakage between copies), and
   rates compose (a 1/100 sample is a subset of the 1/10 sample when
   rates are nested powers).
-- **Sequence packing** bins documents into fixed token-budget groups
+- **Sequence packing** groups documents toward a fixed token budget
   (the "pack short docs into one context window" step of LLM
   training).  A single global greedy pack is inherently sequential,
   so the scalable form shards docs into hash buckets and packs each
-  bucket independently with a per-bucket running token count — the
-  windows are bucket-partitioned (bounded, parallel), never global.
-  Packing quality is unaffected: any partition of docs into
-  independent streams packs as well as one stream under next-fit.
+  bucket independently — the windows are bucket-partitioned (bounded,
+  parallel), never global.  Two variants, split by semantics
+  (ADVICE r3):
+
+  - ``pipe_pack_sequences`` — concatenate-then-chunk: a doc's bin is
+    the budget quotient of the tokens packed before it, so a doc
+    straddling a budget boundary stays whole and its bin OVERFLOWS by
+    up to one doc (callers that hard-slice at the budget must split
+    docs downstream).  Pure window cumsum — oracle-checkable SQL.
+  - ``pipe_pack_nextfit`` — true next-fit: a doc that does not fit
+    opens a new bin, so every bin total is ≤ PACK_BUDGET unless the
+    bin is a single oversized doc.  The running remaining-capacity
+    recurrence is not prefix-sum expressible, so each bucket packs in
+    an Arrow-batched ``applyInPandas`` (sequential within a bucket,
+    parallel across buckets; state = two ints per bucket).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -41,18 +53,22 @@ def q_sample_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Next-fit packing: per hash bucket, docs (in doc_id order)
-    accumulate whitespace-token counts; a doc's bin is the budget
-    quotient of the tokens packed BEFORE it — docs stream into a bin
-    until the budget spills into the next.  Output is the packing
-    manifest (doc → bucket, bin) a sequence-builder job would join
-    back to the text."""
-    docs = load_table(spark, sf_dir, "documents").select(
+def _sized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         (F.col("doc_id") % PACK_BUCKETS).cast("long").alias("bucket"),
     )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-chunk packing (see module header for the
+    overflow contract vs ``pipe_pack_nextfit``): per hash bucket, docs
+    (in doc_id order) accumulate whitespace-token counts; a doc's bin
+    is the budget quotient of the tokens packed BEFORE it.  Output is
+    the packing manifest (doc → bucket, bin) a sequence-builder job
+    would join back to the text."""
+    docs = _sized_docs(spark, sf_dir)
     w = (
         Window.partitionBy("bucket")
         .orderBy("doc_id")
@@ -66,6 +82,39 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((cum - F.col("n_tokens")) / PACK_BUDGET)
         .cast("long")
         .alias("bin"),
+    )
+
+
+def _pack_bucket_nextfit(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Next-fit over one bucket, docs in doc_id order: close the open
+    bin when the next doc would overflow it.  An oversized doc
+    (n_tokens > budget) gets a bin of its own."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    bins = []
+    cur_bin, cur_tokens = 0, 0
+    for t in pdf["n_tokens"]:
+        if cur_tokens > 0 and cur_tokens + t > PACK_BUDGET:
+            cur_bin += 1
+            cur_tokens = 0
+        bins.append(cur_bin)
+        cur_tokens += t
+    pdf["bin"] = pd.Series(bins, dtype="int64")
+    return pdf
+
+
+def q_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True next-fit packing (no bin exceeds PACK_BUDGET unless it is
+    one oversized doc).  The per-bucket recurrence runs in an
+    Arrow-batched ``applyInPandas`` — one shuffle on bucket, then each
+    bucket packs sequentially with O(1) state; buckets pack in
+    parallel, so the wall-clock is N/PACK_BUCKETS doc steps exactly
+    like the window variant.  Rows-only for the driver (the recurrence
+    is not SQL-expressible); the no-overflow invariant is pinned by
+    tests/test_pipeline.py."""
+    docs = _sized_docs(spark, sf_dir)
+    return docs.groupBy("bucket").applyInPandas(
+        _pack_bucket_nextfit,
+        schema="doc_id long, n_tokens long, bucket long, bin long",
     )
 
 
@@ -87,4 +136,5 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "pipe_sample_decile": q_sample_decile,
     "pipe_pack_sequences": q_pack_sequences,
+    "pipe_pack_nextfit": q_pack_nextfit,
 }

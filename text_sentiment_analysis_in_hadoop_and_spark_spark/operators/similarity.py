@@ -257,6 +257,9 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PROBE = 4
 KMEANS_SEED = 1234
+# quantizer training-sample budget: ~TRAIN_PER_CENTROID vectors per
+# centroid is the standard IVF recipe (FAISS trains on 39-256·k points)
+TRAIN_PER_CENTROID = 64
 _CENT_CACHE: dict[tuple[str, str], list[list[float]]] = register_cache({})
 
 
@@ -265,7 +268,22 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     of ~N/k vectors balance the k-dot assignment against the N/k-dot
     probe).  Seeded, so reruns in one driver session are stable.  The
     k×64 floats ride the sanctioned driver relay (same shape as the
-    reference's counters→conf), cached per (session, sf_dir)."""
+    reference's counters→conf), cached per (session, sf_dir).
+
+    100 TB posture: the quantizer trains on a DETERMINISTIC HASH-SAMPLE
+    of ~TRAIN_PER_CENTROID·k vectors (the pipe_sample_decile filter
+    shape — membership is a pure function of vec_id, so retries and
+    re-runs train on the identical sample), never the full table: full
+    -table training is O(N·k·iters) dot products, which at k = √N is
+    O(N^1.5) and dominates the whole index build; sampled training is
+    O(64·k²·iters) — independent of N beyond the one narrow sampling
+    scan.  Remaining growth bound (documented contract): the centroid
+    table itself is k×DIM doubles ≈ 512·√N bytes — ~500 MB broadcast +
+    k dot-products per assigned vector at N = 10¹² — so beyond ~10¹⁰
+    vectors the next step is a two-level quantizer (assign to √k
+    coarse cells, then k within the cell) or an HNSW graph over the
+    centroids; at every sf this repo targets, one-level broadcast wins
+    because it needs no second shuffle."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cents = _CENT_CACHE.get(key)
     if cents is None:
@@ -273,9 +291,16 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         from pyspark.ml.functions import array_to_vector
 
         emb = load_table(spark, sf_dir, "embeddings").select(
-            F.col("embedding").cast("array<double>").alias("arr")
+            "vec_id", F.col("embedding").cast("array<double>").alias("arr")
         )
-        k = max(4, math.isqrt(emb.count()))
+        n = emb.count()
+        k = max(4, math.isqrt(n))
+        target = TRAIN_PER_CENTROID * k
+        if n > target:
+            # keep vec_id-hash residues below the sampling modulus —
+            # deterministic, partition-independent, pushes to the scan
+            mod = max(2, n // target)
+            emb = emb.filter(F.pmod(F.xxhash64("vec_id"), mod) == 0)
         feats = emb.select(array_to_vector("arr").alias("features"))
         # 8 iterations + random init (k-means|| costs 3× in extra
         # passes): a coarse quantizer needs balanced lists, not a

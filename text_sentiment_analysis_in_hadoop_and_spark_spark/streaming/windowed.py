@@ -131,6 +131,30 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path the exact query's docstring promises: per-type
+    p50/p95/p99 via ``approx_percentile`` (Greenwald-Khanna sketch,
+    accuracy 10⁴ → rank error ≤ 1/10⁴).  The sketch merges map-side,
+    so the shuffle carries one bounded sketch per (partition, type)
+    instead of every value — the groupwise sort disappears.  Sketch
+    internals aren't SQL-expressible → rows-only for the driver; the
+    error bound vs the exact aggregate is pinned by
+    tests/test_streaming.py."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(
+            F.expr("approx_percentile(value, 0.5, 10000)"), 6
+        ).alias("p50"),
+        F.round(
+            F.expr("approx_percentile(value, 0.95, 10000)"), 6
+        ).alias("p95"),
+        F.round(
+            F.expr("approx_percentile(value, 0.99, 10000)"), 6
+        ).alias("p99"),
+    )
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -190,5 +214,6 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "events_windowed": q_events_windowed,
     "events_percentiles": q_events_percentiles,
+    "events_percentiles_approx": q_events_percentiles_approx,
     "events_hourly_pivot": q_events_hourly_pivot,
 }
