@@ -74,3 +74,50 @@ def test_sample_is_deterministic(spark):
     b = {r["doc_id"] for r in q_sample_decile(spark, SF_DIR).collect()}
     assert a == b
     assert 0 < len(a) < 500  # nontrivial cut
+
+
+def test_balanced_sample_evens_classes(spark):
+    """Rate-based class balancing: the minority class is kept ~whole
+    (rate 1.0 keeps every doc), the majority thinned toward it, and
+    membership is deterministic."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        q_sample_balanced,
+    )
+
+    rows = q_sample_balanced(spark, SF_DIR).collect()
+    by_label: dict[int, set[int]] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], set()).add(r["doc_id"])
+    assert set(by_label) == {0, 1}
+    n0, n1 = len(by_label[0]), len(by_label[1])
+    # sf0.001 labels split 250/250 → both rates 1.0 → everything kept
+    assert abs(n0 - n1) <= 0.2 * max(n0, n1), (n0, n1)
+    again = {
+        (r["label"], r["doc_id"])
+        for r in q_sample_balanced(spark, SF_DIR).collect()
+    }
+    assert again == {(lab, d) for lab, ds in by_label.items() for d in ds}
+
+
+def test_balanced_sample_thins_majority_class(spark):
+    """The thinning path on a genuinely skewed mix: 1000 majority vs
+    100 minority docs → the majority must come down to ~100 (binomial
+    noise around rate n_min/n_c = 0.1) while the minority is kept
+    whole (rate 1.0 keeps every doc)."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        balanced_sample,
+    )
+
+    docs = spark.range(1100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, 0).otherwise(1).cast("int").alias("label"),
+        F.concat(F.lit("document text number "), F.col("id")).alias("text"),
+    )
+    rows = balanced_sample(docs).collect()
+    n = {0: 0, 1: 0}
+    for r in rows:
+        n[r["label"]] += 1
+    assert n[1] == 100                      # minority kept whole
+    assert 60 <= n[0] <= 140, n             # majority thinned to ~100

@@ -58,6 +58,21 @@ def test_docs_scan_prunes_columns(spark):
         assert unused not in read_schema, read_schema
 
 
+def test_frontdoor_plan_is_broadcast_and_pruned(spark):
+    """The end-to-end CSV→NB front door must keep the parquet-path
+    plan shape: every join broadcast (model, per-doc scores, output
+    text join — all small-or-keyed-by-doc sides at this layout), no
+    cartesian product, and every documents scan pruned to
+    (doc_id, text)."""
+    plan = _plan(entrymod.queries()["csv_nb_frontdoor"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "doc_id:bigint,text:string" in line, line
+
+
 def test_textstats_are_shuffle_free(spark):
     """Narrow-map operators must have no Exchange in the plan."""
     for name in ("text_token_stats", "text_quality", "text_lang_id",

@@ -61,6 +61,49 @@ def _sized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BALANCE_DENOM = 1_000_000  # hash-rate denominator for balanced sampling
+
+
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced deterministic downsampling: each class keeps
+    ~min_class_count docs by thinning every class c at rate
+    n_min/n_c through the content-hash filter.
+
+    Scale shape: the per-class counts are a tiny aggregate (one row
+    per class) broadcast back onto the corpus, so membership is ONE
+    narrow filter — no per-class sort or rank (exact-count balancing
+    would need an order-by-hash per class, which shuffles the whole
+    corpus into as few partitions as there are classes).  The keep
+    test is pure integer math — ``(hash % D) · n_c < n_min · D`` ⇔
+    hash-uniform rate n_min/n_c — so Spark and the DuckDB oracle
+    agree bit-for-bit, retries are stable, and exact duplicates land
+    on the same side of the cut like every hash-sampling operator
+    here."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+        "text",
+    )
+    return balanced_sample(docs)
+
+
+def balanced_sample(docs: DataFrame) -> DataFrame:
+    """The operator over any (doc_id, label, text) frame — see
+    :func:`q_sample_balanced` for the contract; the thinning path on a
+    genuinely skewed class mix is pinned by tests/test_pipeline.py."""
+    counts = docs.groupBy("label").agg(F.count("*").alias("n_c"))
+    n_min = counts.agg(F.min("n_c").alias("n_min"))
+    rates = counts.crossJoin(n_min)  # classes × 1 — broadcast-sized
+    return (
+        docs.join(F.broadcast(rates), "label")
+        .filter(
+            F.pmod(hex32(F.col("text")), BALANCE_DENOM) * F.col("n_c")
+            < F.col("n_min") * BALANCE_DENOM
+        )
+        .select("doc_id", "label")
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-then-chunk packing (see module header for the
     overflow contract vs ``pipe_pack_nextfit``): per hash bucket, docs
@@ -122,6 +165,15 @@ ORACLES: dict[str, str] = {
     "pipe_sample_decile": (
         f"SELECT doc_id FROM documents WHERE {hex32_sql('text')} % {SAMPLE_MOD} = 0"
     ),
+    "pipe_sample_balanced": (
+        "WITH labeled AS (SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS label, "
+        "text FROM documents), "
+        "counts AS (SELECT label, count(*) AS n_c FROM labeled GROUP BY label), "
+        "m AS (SELECT min(n_c) AS n_min FROM counts) "
+        "SELECT d.doc_id, d.label FROM labeled d JOIN counts c USING (label), m "
+        f"WHERE ({hex32_sql('d.text')} % {BALANCE_DENOM}) * c.n_c "
+        f"< m.n_min * {BALANCE_DENOM}"
+    ),
     "pipe_pack_sequences": (
         "WITH sized AS (SELECT doc_id, "
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
@@ -135,6 +187,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "pipe_sample_decile": q_sample_decile,
+    "pipe_sample_balanced": q_sample_balanced,
     "pipe_pack_sequences": q_pack_sequences,
     "pipe_pack_nextfit": q_pack_nextfit,
 }
