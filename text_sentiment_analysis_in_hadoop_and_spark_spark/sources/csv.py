@@ -117,19 +117,39 @@ def nb_frontdoor_from_path(spark: SparkSession, csv_path: str) -> DataFrame:
     return output_for_docs(frontdoor_docs(parsed))
 
 
+# Parsed+cleaned front-door docs are read by four passes inside one
+# query (stats collect, vocab agg, test tokens, output text join) —
+# the 7-regex clean chain dominates, so memoize like labeled_docs.
+# (imported here, not at the top: operators.common pulls in the
+# cleaning/table machinery this source module otherwise never needs)
+from ..operators.common import register_cache as _register_cache  # noqa: E402
+
+_FRONTDOOR_CACHE: dict[tuple[str, str], DataFrame] = _register_cache({})
+
+
+def _frontdoor_docs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _FRONTDOOR_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents")
+        lines = docs.select(_synth_line(docs).alias("line"))
+        parsed = lines.select(*fidelity_parse(F.col("line")))
+        df = frontdoor_docs(parsed).cache()
+        _FRONTDOOR_CACHE[key] = df
+    return df
+
+
 def q_csv_nb_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable twin of :func:`nb_frontdoor_from_path`: the CSV
     lines are synthesized from `documents` (embedded comma exercises the
     re-stitch), then the identical parse→clean→train→predict→format
     chain runs.  End-to-end this covers S1+S3+P2..P11+A1..A3+J1+M8+M9+S6
     in a single DAG — the whole reference program."""
-    from .tables import load_table
     from ..operators.nb import output_for_docs
 
-    docs = load_table(spark, sf_dir, "documents")
-    lines = docs.select(_synth_line(docs).alias("line"))
-    parsed = lines.select(*fidelity_parse(F.col("line")))
-    return output_for_docs(frontdoor_docs(parsed))
+    return output_for_docs(_frontdoor_docs_cached(spark, sf_dir))
 
 
 _SYNTH_LINES_CTE = (
