@@ -111,3 +111,32 @@ def test_url_regex_java_re2_parity(spark):
 def test_cleaning_edge_cases_both_engines(spark, raw, want):
     assert _spark_clean(spark, [raw]) == [want]
     assert _duck_clean([raw]) == [want]
+
+
+def test_cleaning_engine_parity_fuzz(spark):
+    """Seeded batch fuzz of the riskiest equivalence in the repo: the
+    Java-regex chain Spark executes vs the RE2 rewrite DuckDB executes
+    (the URL pattern's `(?!www)` lookahead is hand-translated, see
+    functions/cleaning.py).  500 adversarial strings — url-ish
+    fragments, www edge labels, mentions/entities, digits, unicode,
+    tabs — must clean identically through BOTH engines."""
+    import random
+
+    rng = random.Random(20260813)
+    frags = [
+        "http://", "https://", "www.", "ww", "www", "wwwx", "w-w.",
+        "a.co", "foo.com/x?y=1", "x.io", "tweet", "@user", "#tag",
+        "&amp;", "&", "can't", "no2o", "42", "3.14", "…", "naïve",
+        "ПРИВЕТ", "日本語", "\t", "  ", ".", ",", "-", "_", "~", "co",
+        "W", "WwW.", "HTTP://", "a" * 30, "b.c",
+    ]
+    texts = []
+    for _ in range(500):
+        n = rng.randint(0, 8)
+        texts.append(" ".join(rng.choice(frags) for _ in range(n)))
+    s = _spark_clean(spark, texts)
+    d = _duck_clean(texts)
+    diverged = [
+        (raw, sv, dv) for raw, sv, dv in zip(texts, s, d) if sv != dv
+    ]
+    assert not diverged, diverged[:5]

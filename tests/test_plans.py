@@ -73,6 +73,33 @@ def test_frontdoor_plan_is_broadcast_and_pruned(spark):
             assert "doc_id:bigint,text:string" in line, line
 
 
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Directory partitioning is the 100 TB data-layout knob: a filter
+    on the partition column must become a PartitionFilter (directory
+    pruning — untouched partitions are never listed into the scan),
+    not a post-scan row filter."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.sinks import (
+        write_parquet,
+    )
+
+    out = str(tmp_path / "events_by_type")
+    df = spark.createDataFrame(
+        [(t, float(i)) for i, t in enumerate(["click", "view", "error"] * 20)],
+        "event_type STRING, value DOUBLE",
+    )
+    write_parquet(df, out, partition_by=["event_type"])
+
+    q = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = _plan(q)
+    assert any(
+        "PartitionFilters" in ln and "event_type" in ln
+        for ln in plan.splitlines()
+    ), plan
+    assert q.count() == 20
+
+
 def test_textstats_are_shuffle_free(spark):
     """Narrow-map operators must have no Exchange in the plan."""
     for name in ("text_token_stats", "text_quality", "text_lang_id",

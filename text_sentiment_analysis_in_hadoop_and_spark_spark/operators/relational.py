@@ -329,6 +329,41 @@ def q_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated-subquery pattern, decorrelated:
+    revenue from lineitems whose quantity is below half their part's
+    average quantity.
+
+    The correlated form (`WHERE l_quantity < (SELECT 0.5*avg(...) WHERE
+    p_partkey = l_partkey)`) would re-aggregate per row; the scalable
+    plan aggregates per-part (sum, count) ONCE — a |part|-sized result,
+    ~30× smaller than lineitem — and joins it back on partkey.  No
+    broadcast hint: AQE picks broadcast when the per-part aggregate
+    fits (it does at every test sf) and a shuffle-hash join on partkey
+    when it doesn't — both are the right plan at their scale.
+
+    The threshold compare is exact integer math, no division:
+    ``2 · qty · cnt < sum_qty  ⇔  qty < 0.5 · avg`` (quantities are
+    integral), so Spark and DuckDB agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _cents(F.col("l_extendedprice")).alias("price_cents"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").cast("long").alias("sum_qty"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.lit(2) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.count("*").cast("long").alias("n_lineitems"),
+            F.sum("price_cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
 def q_customer_monthly_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer monthly spend with a 3-month moving average — the
     window done RIGHT: partitioned by customer (bounded partitions,
@@ -488,6 +523,16 @@ ORACLES: dict[str, str] = {
         "JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY ROLLUP (r_name, n_name)"
     ),
+    "rel_small_quantity_revenue": (
+        "WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, "
+        f"{_cents_sql('l_extendedprice')} AS price_cents FROM lineitem), "
+        "per_part AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY l_partkey) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_lineitems, "
+        "CAST(sum(price_cents) AS BIGINT) AS revenue_cents "
+        "FROM li JOIN per_part USING (l_partkey) "
+        "WHERE 2 * qty * cnt < sum_qty"
+    ),
 }
 
 QUERIES = {
@@ -503,4 +548,5 @@ QUERIES = {
     "rel_promo_revenue": q_promo_revenue,
     "rel_supplier_nation_revenue": q_supplier_nation_revenue,
     "rel_customer_monthly_ma": q_customer_monthly_ma,
+    "rel_small_quantity_revenue": q_small_quantity_revenue,
 }

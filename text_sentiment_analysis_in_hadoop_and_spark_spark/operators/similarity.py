@@ -296,10 +296,13 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
         n = emb.count()
         k = max(4, math.isqrt(n))
         target = TRAIN_PER_CENTROID * k
-        if n > target:
-            # keep vec_id-hash residues below the sampling modulus —
-            # deterministic, partition-independent, pushes to the scan
-            mod = max(2, n // target)
+        if n >= 2 * target:
+            # keep one vec_id-hash residue class — deterministic,
+            # partition-independent, pushes to the scan.  The 1/mod
+            # rate only approximates target/n in integer steps, so
+            # engage it only from 2× over-budget (below that the
+            # coarsest rate 1/2 would over-thin the training set)
+            mod = n // target  # ≥ 2 here → sample ≈ target vectors
             emb = emb.filter(F.pmod(F.xxhash64("vec_id"), mod) == 0)
         feats = emb.select(array_to_vector("arr").alias("features"))
         # 8 iterations + random init (k-means|| costs 3× in extra
