@@ -25,6 +25,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     multimodal,
     nb,
     pipeline,
+    quality,
     relational,
     similarity,
     textstats,
@@ -56,6 +57,7 @@ _MODULE_ORDER = (
     multimodal,
     pipeline,
     csv_source,
+    quality,
     nb,
     tfidf,
     dedup,

@@ -104,9 +104,18 @@ def test_textstats_are_shuffle_free(spark):
     """Narrow-map operators must have no Exchange in the plan."""
     for name in ("text_token_stats", "text_quality", "text_lang_id",
                  "text_bpe_token_count", "text_fingerprint",
-                 "text_winnow_fingerprints"):
+                 "text_winnow_fingerprints", "text_repetition",
+                 "text_pii_redact"):
         plan = _plan(entrymod.queries()[name](spark, SF_DIR))
         assert "Exchange" not in plan, (name, plan)
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark gram set is fixed-size (real benchmark suites are
+    MBs) — it must broadcast; the corpus side must never sort-merge."""
+    plan = _plan(entrymod.queries()["text_contamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_sim_topk_broadcasts_queries(spark):

@@ -1,0 +1,112 @@
+"""Semantics of the corpus-quality gates (operators/quality.py):
+repetition fractions on crafted docs, PII scrub on organic + injected
+PII, and the contamination overlap on a planted benchmark member."""
+
+from __future__ import annotations
+
+import hashlib
+
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.quality import (
+    BENCH_MOD,
+    BENCH_RESIDUE,
+    CONTAM_K,
+    q_contamination,
+    q_pii_redact,
+    q_repetition,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = tmp_path / "q"
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_repetition_fractions(spark, tmp_path):
+    rows = [
+        (1, "a a a a"),                    # degenerate repetition
+        (2, "x"),                          # single token: all zero
+        (3, "one two three four one two"), # mild repetition, no runs
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in q_repetition(spark, sf).collect()}
+
+    assert got[1]["dup_token_frac"] == 0.75
+    assert got[1]["adj_repeat_frac"] == 1.0
+    # overlapping "a a" occurrences would give 2*3/4 = 1.5 — capped
+    assert got[1]["top_bigram_frac"] == 1.0
+    assert got[1]["keep"] is False
+
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["adj_repeat_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.0
+    assert got[2]["keep"] is True
+
+    assert got[3]["dup_token_frac"] == round(1 - 4 / 6, 6)
+    assert got[3]["adj_repeat_frac"] == 0.0
+    # "one two" appears twice over 6 tokens → 2*2/6
+    assert got[3]["top_bigram_frac"] == round(4 / 6, 6)
+
+
+def test_pii_redaction(spark, tmp_path):
+    # doc 7 carries ORGANIC PII on top of the injected contact line
+    rows = [
+        (7, "mail me at bob@corp.io or ping 192.168.0.1 ok"),
+        (8, "plain words only"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in q_pii_redact(spark, sf).collect()}
+
+    # injected line contributes 1 email + 1 ip + 1 phone to every doc
+    assert got[8]["n_emails"] == 1
+    assert got[8]["n_ips"] == 1
+    assert got[8]["n_phones"] == 1
+    assert got[7]["n_emails"] == 2
+    assert got[7]["n_ips"] == 2
+
+    for doc_id in (7, 8):
+        red = got[doc_id]["redacted"]
+        assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red
+        assert "@" not in red
+        assert "+1-555-" not in red
+    assert "bob@corp.io" not in got[7]["redacted"]
+    assert "192.168.0.1" not in got[7]["redacted"]
+    assert got[8]["redacted"].startswith("plain words only contact ")
+
+
+def _hex32(text: str) -> int:
+    return int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+
+
+def test_contamination_planted_overlap(spark, tmp_path):
+    base = "one two three four five six seven eight"
+    # search a pad suffix that lands the doc in the benchmark residue
+    # class (membership is a pure content-hash function, so the test
+    # plants a member the same way a user cannot: by construction)
+    bench_text = next(
+        t
+        for i in range(10_000)
+        if (t := f"{base} pad{i}") and _hex32(t) % BENCH_MOD == BENCH_RESIDUE
+    )
+    corpus_text = f"{base} tailx taily"
+    assert _hex32(corpus_text) % BENCH_MOD != BENCH_RESIDUE
+    clean_text = "zz yy xx ww vv uu tt ss"
+    assert _hex32(clean_text) % BENCH_MOD != BENCH_RESIDUE
+
+    sf = _write_docs(
+        spark, tmp_path, [(1, bench_text), (2, corpus_text), (3, clean_text)]
+    )
+    got = {r["doc_id"]: r for r in q_contamination(spark, sf).collect()}
+
+    # benchmark members are excluded from the output
+    assert 1 not in got
+    # corpus doc: 10 tokens → 6 shingles; the 4 shingles fully inside
+    # `base` (8 tokens → 8-K+1 = 4) also occur in the benchmark doc
+    toks = corpus_text.split()
+    assert got[2]["n_grams"] == len(toks) - CONTAM_K + 1 == 6
+    assert got[2]["n_hits"] == 4
+    assert got[2]["contam_frac"] == round(4 / 6, 6)
+    assert got[3]["n_hits"] == 0
+    assert got[3]["contam_frac"] == 0.0

@@ -1,0 +1,270 @@
+"""Corpus-quality gate operators — the filters a 100 TB training-data
+pipeline runs between ingest and training (engine extensions; the
+reference stops at regex cleaning, /root/reference/Spark/NB.scala:20-26).
+
+Three families, all oracle-checked:
+
+- **Repetition stats** (`text_repetition`) — the Gopher-rule shape
+  (Rae et al. 2021, §A1.1): duplicate-token fraction, adjacent-repeat
+  fraction, top-bigram coverage.  Pure higher-order Column functions —
+  a shuffle-free narrow map like the rest of `textstats`.  The
+  top-bigram mode is O(distinct·n) per doc, the right trade for
+  bounded docs (tweets, web pages); book-length docs would switch to
+  the explode + groupBy((doc, bigram)) variant which is one extra
+  shuffle but linear.
+- **PII redaction** (`text_pii_redact`) — email / IPv4 / phone
+  scrub via `regexp_replace`, counts via `regexp_count`.  The corpus
+  is synthetic word-salad with no organic PII, so the query first
+  injects a deterministic doc_id-derived contact line into each doc —
+  both engines compute the identical injected text, then redact it —
+  making the regex chain genuinely load-bearing in the oracle check
+  rather than an identity map.  Patterns are written in the
+  Java-regex ∩ RE2 common subset (no lookahead — same constraint as
+  functions/cleaning.py) so Spark and DuckDB agree byte-for-byte.
+- **Benchmark contamination** (`text_contamination`) — fraction of
+  each doc's token 5-grams that appear in a held-out "benchmark" set
+  (stand-in: the ~1% of docs selected by a content-hash residue, the
+  same deterministic-sampling contract as operators/pipeline.py).
+  Scale shape: real benchmark suites are fixed-size (MBs), so the
+  distinct benchmark-gram table is **broadcast** and the corpus side
+  streams through a narrow hash join — explode, broadcast-join, one
+  partial-agg groupBy(doc_id).  No shuffle grows with the benchmark;
+  the only corpus-sized shuffle is the per-doc rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hex32, hex32_sql
+from ..sources.tables import load_table
+
+# Gopher-style gate thresholds (engine choice, documented constants).
+ADJ_REPEAT_MAX = 0.15   # fraction of adjacent equal-token pairs
+TOP_BIGRAM_MAX = 0.18   # fraction of tokens covered by the mode bigram
+
+# PII scrub patterns — Java-regex ∩ RE2 subset (no lookahead/backrefs).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9][0-9\- ]{5,}[0-9]"  # intl-prefixed, ≥7 chars
+
+CONTAM_K = 5        # token n-gram width for contamination overlap
+BENCH_MOD = 97      # content-hash modulus selecting the benchmark set
+BENCH_RESIDUE = 13  # ~1% of docs play the held-out benchmark
+
+
+def _toks(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition statistics + the keep/drop gate flag.
+
+    All three fractions are computed from the token array in one
+    projection — no shuffle, no UDF.  The gate compares the ROUNDED
+    fractions so Spark and the oracle flag identical docs even at a
+    threshold boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    n = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    dup_frac = F.round(1 - n_dis.cast("double") / n, 6)
+    # adjacent equal pairs / (n-1); guard n<2 — Spark's sequence(1, 0)
+    # steps BACKWARD instead of returning empty, unlike DuckDB range()
+    adj = F.when(
+        n < 2, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.element_at(toks, i)
+                    == F.element_at(toks, i + 1),
+                )
+            ).cast("double")
+            / (n - 1),
+            6,
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    mode_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda g: F.size(F.filter(bigrams, lambda b: b == g)),
+        )
+    )
+    # overlapping occurrences ("a a a a" → 3 copies of "a a" over 4
+    # tokens) can push 2·mode/n past 1 — cap at 1.0 (fully covered)
+    top_bigram = F.when(n < 2, F.lit(0.0)).otherwise(
+        F.least(F.round(F.lit(2) * mode_cnt.cast("double") / n, 6), F.lit(1.0))
+    )
+    out = docs.select(
+        "doc_id",
+        dup_frac.alias("dup_token_frac"),
+        adj.alias("adj_repeat_frac"),
+        top_bigram.alias("top_bigram_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("adj_repeat_frac") <= ADJ_REPEAT_MAX)
+        & (F.col("top_bigram_frac") <= TOP_BIGRAM_MAX),
+    )
+
+
+def _injected(doc_id: Column, text: Column) -> Column:
+    """Deterministic synthetic contact line appended to each doc (see
+    module header — makes the scrub regexes load-bearing on a corpus
+    with no organic PII)."""
+    return F.concat(
+        text,
+        F.lit(" contact u"),
+        doc_id.cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10."),
+        (doc_id % 256).cast("string"),
+        F.lit(".0."),
+        ((doc_id * 7) % 256).cast("string"),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact emails → IPv4s → phones (that order: the
+    email's domain dots must not be half-eaten by the IP pattern, and
+    the phone pattern's digit runs must not bite into IPs — each pass
+    only sees what prior passes left).  Narrow map, regex engines
+    JVM-side, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    inj = _injected(F.col("doc_id"), F.col("text"))
+    red = F.regexp_replace(inj, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(inj, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(inj, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(inj, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        red.alias("redacted"),
+    )
+
+
+def _shingles(text: Column) -> Column:
+    """Token CONTAM_K-grams; docs shorter than K yield the whole text
+    as one gram (same convention as the winnowing fingerprints)."""
+    toks = _toks(text)
+    return F.when(
+        F.size(toks) < CONTAM_K, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - CONTAM_K),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, CONTAM_K)),
+        )
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc overlap with the benchmark gram set: n_grams, n_hits,
+    contam_frac for every NON-benchmark doc (benchmark members are
+    excluded — they would trivially score 1.0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    member = F.pmod(hex32(F.col("text")), BENCH_MOD) == BENCH_RESIDUE
+    bench_grams = (
+        docs.filter(member)
+        .select(F.explode(_shingles(F.col("text"))).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = docs.filter(~member).select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "contam_frac",
+            F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_TOKS = "string_split(text, ' ')"
+_N = f"len({_TOKS})"
+
+_INJ_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.com or +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+    "CAST((doc_id * 7) % 256 AS VARCHAR)"
+)
+
+_SHINGLES_SQL = (
+    f"CASE WHEN len(toks) < {CONTAM_K} THEN [array_to_string(toks, ' ')] "
+    f"ELSE list_transform(range(1, len(toks) - {CONTAM_K - 2}), "
+    "i -> array_to_string(toks[i:i+" + str(CONTAM_K - 1) + "], ' ')) END"
+)
+
+ORACLES: dict[str, str] = {
+    "text_repetition": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+        f"{_N} AS n, len(list_distinct({_TOKS})) AS n_dis FROM documents), "
+        "s AS (SELECT doc_id, n, "
+        "round(1 - CAST(n_dis AS DOUBLE) / n, 6) AS dup_token_frac, "
+        "CASE WHEN n < 2 THEN 0.0 ELSE round(CAST(len(list_filter("
+        "range(1, n), i -> toks[i] = toks[i+1])) AS DOUBLE) / (n - 1), 6) "
+        "END AS adj_repeat_frac, "
+        "CASE WHEN n < 2 THEN [] ELSE list_transform(range(1, n), "
+        "i -> toks[i] || ' ' || toks[i+1]) END AS bg FROM t), "
+        "u AS (SELECT doc_id, dup_token_frac, adj_repeat_frac, "
+        "CASE WHEN n < 2 THEN 0.0 ELSE least(round(2 * CAST(list_max("
+        "list_transform(list_distinct(bg), g -> len(list_filter(bg, "
+        "b -> b = g)))) AS DOUBLE) / n, 6), 1.0) END AS top_bigram_frac FROM s) "
+        "SELECT doc_id, dup_token_frac, adj_repeat_frac, top_bigram_frac, "
+        f"(adj_repeat_frac <= {ADJ_REPEAT_MAX} AND "
+        f"top_bigram_frac <= {TOP_BIGRAM_MAX}) AS keep FROM u"
+    ),
+    "text_pii_redact": (
+        f"WITH inj AS (SELECT doc_id, {_INJ_SQL} AS s FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(s, '{EMAIL_RE}')) AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(s, '{IPV4_RE}')) AS BIGINT) AS n_ips, "
+        f"CAST(len(regexp_extract_all(s, '{PHONE_RE}')) AS BIGINT) AS n_phones, "
+        f"regexp_replace(regexp_replace(regexp_replace(s, '{EMAIL_RE}', "
+        "'<EMAIL>', 'g'), "
+        f"'{IPV4_RE}', '<IP>', 'g'), '{PHONE_RE}', '<PHONE>', 'g') "
+        "AS redacted FROM inj"
+    ),
+    "text_contamination": (
+        "WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS toks, "
+        f"{hex32_sql('text')} % {BENCH_MOD} AS res FROM documents), "
+        f"sh AS (SELECT doc_id, res, {_SHINGLES_SQL} AS grams FROM tok), "
+        "bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh "
+        f"WHERE res = {BENCH_RESIDUE}), "
+        "corpus AS (SELECT doc_id, unnest(grams) AS gram FROM sh "
+        f"WHERE res <> {BENCH_RESIDUE}) "
+        "SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "CAST(count(b.gram) AS BIGINT) AS n_hits, "
+        "round(CAST(count(b.gram) AS DOUBLE) / count(*), 6) AS contam_frac "
+        "FROM corpus c LEFT JOIN bench b USING (gram) GROUP BY c.doc_id"
+    ),
+}
+
+QUERIES = {
+    "text_repetition": q_repetition,
+    "text_pii_redact": q_pii_redact,
+    "text_contamination": q_contamination,
+}
