@@ -110,6 +110,44 @@ def test_textstats_are_shuffle_free(spark):
         assert "Exchange" not in plan, (name, plan)
 
 
+def test_disjunctive_predicate_splits_to_both_scans(spark):
+    """Q19 shape: the OR-of-ANDs spans both join sides, so neither arm
+    pushes whole — but Catalyst must distribute per-side residuals: the
+    part scan keeps only brand/size-matching rows and the lineitem scan
+    only quantity-range rows, BEFORE the broadcast join."""
+    # FileScan metadata truncates at 100 chars by default, which can
+    # cut the residual out of the string depending on attribute-id
+    # width — widen it for the duration of the assertion
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        plan = _plan(
+            entrymod.queries()["rel_disjunctive_revenue"](spark, SF_DIR)
+        )
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "BroadcastHashJoin" in plan, plan
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert any("p_brand" in ln and "Brand#12" in ln for ln in scans), plan
+    assert any("l_quantity" in ln and "DataFilters" in ln for ln in scans), plan
+
+
+def test_order_count_distribution_preaggregates(spark):
+    """Q13 shape: orders must aggregate per custkey BEFORE the join
+    (the shuffle carries |customer| rows, not |orders|), and the
+    orders scan must read only the join key."""
+    plan = _plan(
+        entrymod.queries()["rel_order_count_distribution"](spark, SF_DIR)
+    )
+    assert "partial_count" in plan, plan
+    order_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and "orders.parquet" in ln
+    ]
+    assert order_scans and all(
+        "o_totalprice" not in ln for ln in order_scans
+    ), plan
+
+
 def test_contamination_broadcasts_benchmark(spark):
     """The benchmark gram set is fixed-size (real benchmark suites are
     MBs) — it must broadcast; the corpus side must never sort-merge."""

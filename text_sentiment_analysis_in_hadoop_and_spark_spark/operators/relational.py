@@ -364,6 +364,79 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — how many customers placed 0, 1, 2, … orders.
+
+    The naive form left-joins raw ``orders`` onto ``customer`` and
+    counts after the join — shuffling every order row.  The scalable
+    form pre-aggregates orders per custkey FIRST (map-side combine;
+    the shuffle carries one row per customer, ~10× fewer than orders),
+    then left-joins the |customer|-sized aggregate — customers with no
+    orders surface via coalesce(0).  The final distribution groupBy is
+    over ≤ a few hundred distinct counts: trivially tiny."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("n_orders", F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+    )
+
+
+# Q19-shape disjunctive predicate: (brand, size-range, quantity-range)
+# triples — adapted to the driver schema (no p_container column).
+Q19_ARMS: tuple[tuple[str, int, int, int], ...] = (
+    ("Brand#12", 10, 1, 11),
+    ("Brand#23", 20, 10, 20),
+    ("Brand#34", 30, 20, 30),
+)
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue from an OR-of-ANDs predicate mixing
+    part attributes (brand, size) and lineitem attributes (quantity).
+
+    The disjunction spans both join sides, so no single conjunct can
+    be pushed whole — but Catalyst distributes the OR into per-side
+    residuals: the part scan keeps only rows satisfying SOME arm's
+    (brand, size) clause and lineitem only rows in SOME quantity range
+    (asserted in tests/test_plans.py).  Part is a dimension →
+    broadcast join; the full mixed predicate runs as the post-join
+    filter on the already-thinned stream."""
+    li_raw = load_table(spark, sf_dir, "lineitem")
+    li = li_raw.select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _revenue_cents(li_raw).alias("rev_u"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    arm = None
+    for brand, size_max, q_lo, q_hi in Q19_ARMS:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= size_max)
+            & (F.col("qty") >= q_lo)
+            & (F.col("qty") <= q_hi)
+        )
+        arm = c if arm is None else (arm | c)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(arm)
+        .agg(
+            F.count("*").cast("long").alias("n_lineitems"),
+            F.sum("rev_u").cast("long").alias("revenue_u"),
+        )
+    )
+
+
 def q_customer_monthly_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer monthly spend with a 3-month moving average — the
     window done RIGHT: partitioned by customer (bounded partitions,
@@ -523,6 +596,26 @@ ORACLES: dict[str, str] = {
         "JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY ROLLUP (r_name, n_name)"
     ),
+    "rel_order_count_distribution": (
+        "WITH pc AS (SELECT o_custkey, count(*) AS n_orders "
+        "FROM orders GROUP BY o_custkey) "
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+        "SELECT CAST(coalesce(n_orders, 0) AS BIGINT) AS c_count "
+        "FROM customer LEFT JOIN pc ON c_custkey = o_custkey) "
+        "GROUP BY c_count"
+    ),
+    "rel_disjunctive_revenue": (
+        "WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, "
+        f"{_REV_SQL} AS rev_u FROM lineitem) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_lineitems, "
+        "CAST(sum(rev_u) AS BIGINT) AS revenue_u "
+        "FROM li JOIN part ON l_partkey = p_partkey WHERE "
+        + " OR ".join(
+            f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s} "
+            f"AND qty BETWEEN {lo} AND {hi})"
+            for b, s, lo, hi in Q19_ARMS
+        )
+    ),
     "rel_small_quantity_revenue": (
         "WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, "
         f"{_cents_sql('l_extendedprice')} AS price_cents FROM lineitem), "
@@ -549,4 +642,6 @@ QUERIES = {
     "rel_supplier_nation_revenue": q_supplier_nation_revenue,
     "rel_customer_monthly_ma": q_customer_monthly_ma,
     "rel_small_quantity_revenue": q_small_quantity_revenue,
+    "rel_order_count_distribution": q_order_count_distribution,
+    "rel_disjunctive_revenue": q_disjunctive_revenue,
 }
