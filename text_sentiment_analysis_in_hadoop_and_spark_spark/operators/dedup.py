@@ -318,6 +318,91 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+JACCARD_DUP_MIN = 0.5  # verified-pair threshold for cluster edges
+CC_MAX_ITERS = 25      # safety bound; real convergence is diameter-fast
+
+# converged component labels memoized per (session, sf_dir) — the
+# iteration's intermediates are unpersisted in-loop; only the final
+# labels table stays cached, evictable via common.clear_caches()
+_CC_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation to convergence over the verified-pair
+    subgraph; returns (node, label)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CC_CACHE:
+        return _CC_CACHE[key]
+    jac = q_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_DUP_MIN
+    )
+    edges = (
+        jac.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            jac.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .cache()
+    )
+    for _ in range(CC_MAX_ITERS):
+        prop = labels.join(edges, labels.node == edges.src).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            )
+            .filter(F.col("label") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    _CC_CACHE[key] = labels
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the VERIFIED near-dup pairs — the
+    step that turns pairwise `dedup_jaccard_pairs` output into
+    dedup clusters (every doc labeled with the min doc_id of its
+    component; canonical corpus = ``filter(doc_id == cluster_id)``).
+
+    Scale shape: the iteration runs ONLY on the candidate subgraph
+    (docs appearing in a verified pair — a tiny fraction of the
+    corpus), never the corpus itself; untouched docs join back as
+    singletons in one final left join.  Each round is min-label
+    propagation (join labels→edges, groupBy min) — rounds needed =
+    component diameter, and near-dup clusters are shallow (dup
+    groups, not social graphs).  For adversarially deep graphs the
+    standard upgrade is large-star/small-star (O(log n) rounds);
+    the per-round convergence check is a scalar `count`, the one
+    driver-side relay.  Per-round DataFrames are cached and the
+    predecessor evicted, so lineage stays one round deep."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = _cc_labels(spark, sf_dir)
+    return docs.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("label", "doc_id").cast("long").alias("cluster_id"),
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -434,6 +519,39 @@ ORACLES: dict[str, str] = {
         for i in range(SIMHASH_BITS)
     )
     + " AS BIGINT) AS simhash FROM sbits",
+    # transitive closure via recursive CTE: cc enumerates every label
+    # reachable from each node over the thresholded edge set (UNION
+    # dedups, so it terminates); min(label) = component min doc_id —
+    # exactly the fixpoint the Spark propagation loop converges to
+    "dedup_clusters": "WITH RECURSIVE "
+    + ",\n".join(
+        _MINHASH_PRELUDE
+        + (
+            "dsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+            "FROM dsh GROUP BY doc_id)",
+            "dinter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) "
+            "AS n_inter FROM dpairs p JOIN dsh a ON a.doc_id = p.doc_a "
+            "JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle "
+            "GROUP BY p.doc_a, p.doc_b)",
+            "djac AS (SELECT p.doc_a, p.doc_b, "
+            "coalesce(i.n_inter, 0) / "
+            "(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS jaccard "
+            "FROM dpairs p LEFT JOIN dinter i USING (doc_a, doc_b) "
+            "JOIN dsizes sa ON sa.doc_id = p.doc_a "
+            "JOIN dsizes sb ON sb.doc_id = p.doc_b)",
+            "dedges AS (SELECT doc_a AS src, doc_b AS dst FROM djac "
+            f"WHERE jaccard >= {JACCARD_DUP_MIN} "
+            "UNION ALL SELECT doc_b, doc_a FROM djac "
+            f"WHERE jaccard >= {JACCARD_DUP_MIN})",
+            "cc(node, label) AS (SELECT src, src FROM dedges "
+            "UNION "
+            "SELECT e.dst, cc.label FROM cc JOIN dedges e ON cc.node = e.src)",
+        )
+    )
+    + "\nSELECT d.doc_id, CAST(coalesce(m.label, d.doc_id) AS BIGINT) "
+    "AS cluster_id FROM documents d LEFT JOIN "
+    "(SELECT node, min(label) AS label FROM cc GROUP BY node) m "
+    "ON d.doc_id = m.node",
 }
 
 QUERIES = {
@@ -443,4 +561,5 @@ QUERIES = {
     "dedup_minhash_pairs": q_minhash_pairs,
     "dedup_jaccard_pairs": q_jaccard_pairs,
     "dedup_simhash": q_simhash,
+    "dedup_clusters": q_dedup_clusters,
 }

@@ -155,6 +155,57 @@ def q_events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    converts a stage only by an event AT OR AFTER their entry into the
+    previous stage (first qualifying timestamp chains forward).
+
+    Scale shape: each stage is `filter(type) → co-partitioned join on
+    user_id → groupBy(user_id) min` — the stage filter pushes to the
+    parquet scan so pass k touches ONLY stage-k events, the per-user
+    stage table is ≤ |users| rows, and every join/agg keys on user_id
+    (AQE broadcasts the shrinking stage tables when they fit).  The
+    final four counts are one-row aggregates crossed together —
+    broadcast of single rows, not a data join."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "epoch_sec"
+    )
+    views = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("epoch_sec").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(views, "user_id")
+        .filter(F.col("epoch_sec") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("epoch_sec").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(clicks, "user_id")
+        .filter(F.col("epoch_sec") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("epoch_sec").alias("t_purchase"))
+    )
+    return (
+        ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .crossJoin(views.agg(F.count("*").cast("long").alias("n_viewed")))
+        .crossJoin(clicks.agg(F.count("*").cast("long").alias("n_clicked")))
+        .crossJoin(
+            purchases.agg(F.count("*").cast("long").alias("n_purchased"))
+        )
+        .withColumn(
+            "conversion",
+            F.round(F.col("n_purchased") / F.col("n_users"), 6),
+        )
+    )
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -199,6 +250,25 @@ ORACLES: dict[str, str] = {
         "round(quantile_cont(value, 0.99), 6) AS p99 "
         "FROM events GROUP BY event_type"
     ),
+    "events_funnel": (
+        "WITH base AS (SELECT user_id, event_type, "
+        "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s FROM events), "
+        "v AS (SELECT user_id, min(s) AS t_view FROM base "
+        f"WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id), "
+        "c AS (SELECT b.user_id, min(b.s) AS t_click FROM base b "
+        f"JOIN v USING (user_id) WHERE b.event_type = '{FUNNEL_STAGES[1]}' "
+        "AND b.s >= v.t_view GROUP BY b.user_id), "
+        "p AS (SELECT b.user_id, min(b.s) AS t_purchase FROM base b "
+        f"JOIN c USING (user_id) WHERE b.event_type = '{FUNNEL_STAGES[2]}' "
+        "AND b.s >= c.t_click GROUP BY b.user_id) "
+        "SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM base) "
+        "AS n_users, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased, "
+        "round((SELECT count(*) FROM p) * 1.0 / "
+        "(SELECT count(DISTINCT user_id) FROM base), 6) AS conversion"
+    ),
     "events_hourly_pivot": (
         "SELECT CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT) "
         "AS window_start_epoch, "
@@ -216,4 +286,5 @@ QUERIES = {
     "events_percentiles": q_events_percentiles,
     "events_percentiles_approx": q_events_percentiles_approx,
     "events_hourly_pivot": q_events_hourly_pivot,
+    "events_funnel": q_events_funnel,
 }
