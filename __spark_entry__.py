@@ -48,7 +48,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r1–r3 led with nb/tfidf/dedup/similarity/textstats/ml — all 50 green
 #   in CORRECTNESS_r03 and locked by tools/parity.py + tests/.
 #   r4 leads with the 24 not-yet-driver-checked modules (relational,
-#   asof, streaming, multimodal, pipeline, csv) so they land rows too.
+#   asof, streaming, multimodal, pipeline, csv), the new r4 quality/
+#   dedup-cluster queries next — the first 50 = every query without a
+#   prior driver row; nb/tfidf/similarity/textstats (all green in r3)
+#   rotate beyond the cap, locked by tools/parity.py + tests/.
 _MODULE_ORDER = (
     relational,
     asof,
@@ -58,9 +61,9 @@ _MODULE_ORDER = (
     pipeline,
     csv_source,
     quality,
+    dedup,
     nb,
     tfidf,
-    dedup,
     similarity,
     textstats,
     ml,

@@ -327,19 +327,20 @@ CC_MAX_ITERS = 25      # safety bound; real convergence is diameter-fast
 _CC_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
-def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-label propagation to convergence over the verified-pair
-    subgraph; returns (node, label)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _CC_CACHE:
-        return _CC_CACHE[key]
-    jac = q_jaccard_pairs(spark, sf_dir).filter(
-        F.col("jaccard") >= JACCARD_DUP_MIN
-    )
+def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Generic connected components over an undirected pair table
+    ``(doc_a, doc_b)`` — returns ``(node, label)`` with label = the
+    component-min node id.  Reusable for ANY near-dup pair family
+    (text Jaccard here; embedding-cosine pairs from
+    operators/similarity.py have the same shape).  See
+    :func:`q_dedup_clusters` for the scale contract; the returned
+    DataFrame is cached (caller owns eviction)."""
     edges = (
-        jac.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
-            jac.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
         )
         .cache()
     )
@@ -349,7 +350,7 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .cache()
     )
-    for _ in range(CC_MAX_ITERS):
+    for _ in range(max_iters):
         prop = labels.join(edges, labels.node == edges.src).select(
             F.col("dst").alias("node"), "label"
         )
@@ -372,8 +373,19 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    _CC_CACHE[key] = labels
     return labels
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged (node, label) over the verified text near-dup pairs,
+    memoized per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CC_CACHE:
+        jac = q_jaccard_pairs(spark, sf_dir).filter(
+            F.col("jaccard") >= JACCARD_DUP_MIN
+        )
+        _CC_CACHE[key] = connected_components(jac)
+    return _CC_CACHE[key]
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

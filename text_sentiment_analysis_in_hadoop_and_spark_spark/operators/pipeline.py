@@ -128,6 +128,38 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 64  # training-export shard fan-out
+
+
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard manifest for a training-data export:
+    content-hash shard assignment (exact duplicates co-locate; retries
+    and engines agree) with per-shard doc/token/char totals — the
+    index a downstream trainer uses to plan even reads.
+
+    Scale shape: shard assignment is the same narrow hash map the
+    bucketed writer uses (sources/bucketing.py); the rollup is one
+    groupBy on an N_SHARDS-value key — partial aggregation reduces
+    each input partition to ≤ N_SHARDS rows before the shuffle, so
+    the exchange is O(partitions · shards) regardless of corpus
+    size.  The actual export is ``write_parquet(df,
+    partition_by=["shard"])`` on the same assignment column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.pmod(hex32(F.col("text")), N_SHARDS).alias("shard"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("nt"),
+            F.length("text").cast("long").alias("nc"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("nc").cast("long").alias("n_chars"),
+        )
+    )
+
+
 def _pack_bucket_nextfit(pdf: pd.DataFrame) -> pd.DataFrame:
     """Next-fit over one bucket, docs in doc_id order: close the open
     bin when the next doc would overflow it.  An oversized doc
@@ -174,6 +206,13 @@ ORACLES: dict[str, str] = {
         f"WHERE ({hex32_sql('d.text')} % {BALANCE_DENOM}) * c.n_c "
         f"< m.n_min * {BALANCE_DENOM}"
     ),
+    "pipe_export_manifest": (
+        f"SELECT {hex32_sql('text')} % {N_SHARDS} AS shard, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, "
+        "CAST(sum(length(text)) AS BIGINT) AS n_chars "
+        "FROM documents GROUP BY shard"
+    ),
     "pipe_pack_sequences": (
         "WITH sized AS (SELECT doc_id, "
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
@@ -188,6 +227,7 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "pipe_sample_decile": q_sample_decile,
     "pipe_sample_balanced": q_sample_balanced,
+    "pipe_export_manifest": q_export_manifest,
     "pipe_pack_sequences": q_pack_sequences,
     "pipe_pack_nextfit": q_pack_nextfit,
 }
