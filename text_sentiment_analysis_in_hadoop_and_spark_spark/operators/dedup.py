@@ -40,6 +40,8 @@ from ..functions.hashing import (
 )
 from ..sources.tables import load_table
 from .common import register_cache
+from .quality import ORACLES as _QUALITY_ORACLES
+from .quality import q_repetition
 
 N_PERM = 16        # minhash permutations
 BANDS = 4          # LSH bands
@@ -56,9 +58,13 @@ SIMHASH_BITS = 32
 HOT_BUCKET_CAP = 1000
 
 # banded signatures memoized per (session, sf_dir): the sig/pairs/
-# verify queries all consume the same signature table.
+# verify queries all consume the same signature table.  The verified
+# Jaccard pairs are memoized too — the cluster/corpus-keep queries
+# re-derive their edge set from them, and without the cache each
+# consumer re-runs the candidate→verify joins (~8 s/sf0.1).
 _SIG_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+_JACCARD_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 # --------------------------------------------------------------------------
@@ -259,7 +265,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verify stage: exact shingle-set Jaccard, computed only for the
-    LSH candidate pairs (never all-pairs)."""
+    LSH candidate pairs (never all-pairs).  Memoized: the cluster and
+    corpus-keep queries consume this as their edge source."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _JACCARD_CACHE.get(key)
+    if cached is not None:
+        return cached
     sh = _shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     pairs = candidate_pairs(_banded_cached(spark, sf_dir))
@@ -272,7 +283,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_inter"))
     )
-    return (
+    out = (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
         .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
@@ -285,7 +296,10 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+        .cache()
     )
+    _JACCARD_CACHE[key] = out
+    return out
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,8 +347,19 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     component-min node id.  Reusable for ANY near-dup pair family
     (text Jaccard here; embedding-cosine pairs from
     operators/similarity.py have the same shape).  See
-    :func:`q_dedup_clusters` for the scale contract; the returned
-    DataFrame is cached (caller owns eviction)."""
+    :func:`q_dedup_clusters` for the scale contract.
+
+    Lineage discipline (the r4 bench caught this at 27 s/sf0.1):
+    every round materializes via ``localCheckpoint`` rather than
+    ``cache`` — with cache alone the data is reused but each round's
+    LOGICAL plan still embeds its parents' full trees (edges carries
+    the whole candidate→verify chain), so Catalyst re-analysis grows
+    exponentially with rounds and the driver, not the executors,
+    becomes the bottleneck.  Checkpointing truncates the plan to the
+    materialized partitions (the same reason MLlib's iterative
+    algorithms checkpoint); on a real cluster this would be
+    ``checkpoint()`` to reliable storage so a lost executor cannot
+    force recomputing round k from round 0."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -342,13 +367,13 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
-        .cache()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         prop = labels.join(edges, labels.node == edges.src).select(
@@ -358,7 +383,7 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(
@@ -368,11 +393,9 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 
@@ -386,6 +409,38 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _CC_CACHE[key] = connected_components(jac)
     return _CC_CACHE[key]
+
+
+def q_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end kept corpus — the capstone composition a
+    training-data pipeline actually ships: a doc survives iff it
+
+    1. passes the repetition quality gate (operators/quality.py),
+    2. is the canonical (min doc_id) copy of its exact-content group,
+    3. is the canonical (min doc_id) member of its near-dup cluster.
+
+    Each gate is computed INDEPENDENTLY on the full corpus and the
+    keep-sets intersected — order-independent and idempotent, so
+    re-running the pipeline on its own output is a no-op and gates
+    can be recomputed selectively.  Scale shape: three doc_id-keyed
+    left-semi joins, all hash-partitioned on the same key (one
+    co-partitioned shuffle family); the quality gate is a narrow map,
+    the exact gate one partial-agg groupBy, and the cluster gate
+    reuses the memoized CC labels over the candidate subgraph only
+    (see :func:`q_dedup_clusters`)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    gate = q_repetition(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    exact = q_dedup_keep_first(spark, sf_dir).select("doc_id")
+    canon = (
+        q_dedup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(gate, "doc_id", "left_semi")
+        .join(exact, "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,6 +533,32 @@ _EST_MATCHES = " + ".join(
     f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END" for k in range(N_PERM)
 )
 
+# exact-Jaccard verify → thresholded edges → recursive-CTE transitive
+# closure → min-label per node; shared by the dedup_clusters and
+# dedup_corpus_keep oracles
+_CLUSTER_CTES = _MINHASH_PRELUDE + (
+    "dsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+    "FROM dsh GROUP BY doc_id)",
+    "dinter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) "
+    "AS n_inter FROM dpairs p JOIN dsh a ON a.doc_id = p.doc_a "
+    "JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle "
+    "GROUP BY p.doc_a, p.doc_b)",
+    "djac AS (SELECT p.doc_a, p.doc_b, "
+    "coalesce(i.n_inter, 0) / "
+    "(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS jaccard "
+    "FROM dpairs p LEFT JOIN dinter i USING (doc_a, doc_b) "
+    "JOIN dsizes sa ON sa.doc_id = p.doc_a "
+    "JOIN dsizes sb ON sb.doc_id = p.doc_b)",
+    "dedges AS (SELECT doc_a AS src, doc_b AS dst FROM djac "
+    f"WHERE jaccard >= {JACCARD_DUP_MIN} "
+    "UNION ALL SELECT doc_b, doc_a FROM djac "
+    f"WHERE jaccard >= {JACCARD_DUP_MIN})",
+    "cc(node, label) AS (SELECT src, src FROM dedges "
+    "UNION "
+    "SELECT e.dst, cc.label FROM cc JOIN dedges e ON cc.node = e.src)",
+    "dlabels AS (SELECT node, min(label) AS label FROM cc GROUP BY node)",
+)
+
 _SIMHASH_BITSUM_CTES = (
     "stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
     "FROM documents)",
@@ -536,34 +617,28 @@ ORACLES: dict[str, str] = {
     # dedups, so it terminates); min(label) = component min doc_id —
     # exactly the fixpoint the Spark propagation loop converges to
     "dedup_clusters": "WITH RECURSIVE "
+    + ",\n".join(_CLUSTER_CTES)
+    + "\nSELECT d.doc_id, CAST(coalesce(m.label, d.doc_id) AS BIGINT) "
+    "AS cluster_id FROM documents d LEFT JOIN dlabels m "
+    "ON d.doc_id = m.node",
+    # q_corpus_keep: the three keep-sets intersected (quality's
+    # text_repetition oracle nests as a subquery — its WITH is local)
+    "dedup_corpus_keep": "WITH RECURSIVE "
     + ",\n".join(
-        _MINHASH_PRELUDE
+        _CLUSTER_CTES
         + (
-            "dsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
-            "FROM dsh GROUP BY doc_id)",
-            "dinter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) "
-            "AS n_inter FROM dpairs p JOIN dsh a ON a.doc_id = p.doc_a "
-            "JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle "
-            "GROUP BY p.doc_a, p.doc_b)",
-            "djac AS (SELECT p.doc_a, p.doc_b, "
-            "coalesce(i.n_inter, 0) / "
-            "(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)) AS jaccard "
-            "FROM dpairs p LEFT JOIN dinter i USING (doc_a, doc_b) "
-            "JOIN dsizes sa ON sa.doc_id = p.doc_a "
-            "JOIN dsizes sb ON sb.doc_id = p.doc_b)",
-            "dedges AS (SELECT doc_a AS src, doc_b AS dst FROM djac "
-            f"WHERE jaccard >= {JACCARD_DUP_MIN} "
-            "UNION ALL SELECT doc_b, doc_a FROM djac "
-            f"WHERE jaccard >= {JACCARD_DUP_MIN})",
-            "cc(node, label) AS (SELECT src, src FROM dedges "
-            "UNION "
-            "SELECT e.dst, cc.label FROM cc JOIN dedges e ON cc.node = e.src)",
+            "rep_keep AS (SELECT doc_id FROM ("
+            + _QUALITY_ORACLES["text_repetition"]
+            + ") WHERE keep)",
+            "exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY md5(text))",
         )
     )
-    + "\nSELECT d.doc_id, CAST(coalesce(m.label, d.doc_id) AS BIGINT) "
-    "AS cluster_id FROM documents d LEFT JOIN "
-    "(SELECT node, min(label) AS label FROM cc GROUP BY node) m "
-    "ON d.doc_id = m.node",
+    + "\nSELECT d.doc_id FROM documents d "
+    "JOIN rep_keep USING (doc_id) "
+    "JOIN exact_keep USING (doc_id) "
+    "LEFT JOIN dlabels m ON d.doc_id = m.node "
+    "WHERE coalesce(m.label, d.doc_id) = d.doc_id",
 }
 
 QUERIES = {
@@ -574,4 +649,5 @@ QUERIES = {
     "dedup_jaccard_pairs": q_jaccard_pairs,
     "dedup_simhash": q_simhash,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_corpus_keep": q_corpus_keep,
 }

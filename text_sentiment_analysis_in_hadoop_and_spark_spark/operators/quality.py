@@ -64,9 +64,24 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     All three fractions are computed from the token array in one
     projection — no shuffle, no UDF.  The gate compares the ROUNDED
     fractions so Spark and the oracle flag identical docs even at a
-    threshold boundary."""
+    threshold boundary.
+
+    Plan notes (the r4 bench caught this at 168 s/sf0.1): the token
+    and bigram arrays go through ``explode(array(...))`` Generate
+    barriers so each is materialized ONCE per row — ProjectCollapsing
+    would otherwise re-inline the split/transform at every lambda
+    reference (the same Catalyst pitfall as dedup.doc_shingles).  The
+    mode-bigram count is a sorted-run-length scan (``array_sort`` +
+    one ``aggregate`` pass, O(n log n)) instead of the textbook
+    O(distinct·n) count-per-distinct-gram nest; max run length in the
+    sorted array IS the max multiplicity, so values are unchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _toks(F.col("text"))
+    # barrier 1: materialize the token array
+    tokd = docs.select(
+        "doc_id",
+        F.explode(F.array(_toks(F.col("text")))).alias("toks"),
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     n_dis = F.size(F.array_distinct(toks))
     dup_frac = F.round(1 - n_dis.cast("double") / n, 6)
@@ -87,24 +102,48 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
     )
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
-    mode_cnt = F.array_max(
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
-            F.array_distinct(bigrams),
-            lambda g: F.size(F.filter(bigrams, lambda b: b == g)),
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
         )
+    )
+    # barrier 2: materialize the SORTED bigram array once per row
+    bgd = tokd.select(
+        "doc_id",
+        "toks",
+        F.explode(F.array(F.array_sort(bigrams))).alias("bg"),
+    )
+    # max multiplicity = max equal-run length in the sorted array:
+    # one aggregate pass with (prev, run, best) accumulator state
+    def _extend_run(acc, x):
+        nrun = F.when(
+            acc.prev.isNotNull() & (x == acc.prev), acc.run + 1
+        ).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            nrun.alias("run"),
+            F.greatest(acc.best, nrun).alias("best"),
+        )
+
+    mode_cnt = F.aggregate(
+        F.col("bg"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        _extend_run,
+        lambda acc: acc.best,
     )
     # overlapping occurrences ("a a a a" → 3 copies of "a a" over 4
     # tokens) can push 2·mode/n past 1 — cap at 1.0 (fully covered)
     top_bigram = F.when(n < 2, F.lit(0.0)).otherwise(
         F.least(F.round(F.lit(2) * mode_cnt.cast("double") / n, 6), F.lit(1.0))
     )
-    out = docs.select(
+    out = bgd.select(
         "doc_id",
         dup_frac.alias("dup_token_frac"),
         adj.alias("adj_repeat_frac"),

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .common import register_cache
+from .dedup import connected_components
 
 DIM = 64
 N_QUERIES = 8
@@ -450,6 +451,39 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# converged embedding-cluster labels memoized per (session, sf_dir)
+_EMB_CC_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: the generic connected-components
+    operator (operators/dedup.py — the same one the text-Jaccard
+    family uses) run over the verified cosine pairs, labeling every
+    vector with the min vec_id of its component (singletons label
+    themselves).  Demonstrates the CC API is pair-family agnostic:
+    candidate→verify produces ``(a, b)`` edges, CC turns them into a
+    dedup-cluster keep policy (``vec_id == cluster_id`` survives).
+
+    Scale shape: identical to the text variant — the iteration runs
+    only on vectors that appear in a verified pair; the full
+    embedding table joins back once as singletons."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    labels = _EMB_CC_CACHE.get(key)
+    if labels is None:
+        pairs = q_dedup_embedding_pairs(spark, sf_dir).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        labels = connected_components(pairs)
+        _EMB_CC_CACHE[key] = labels
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    return emb.join(
+        labels.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce("label", "vec_id").cast("long").alias("cluster_id"),
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -543,14 +577,34 @@ _PAIR_CAND_CTE = (
     + "))"
 )
 
-_EMB_DUP_SQL = (
-    f"WITH {_B_CTE}, {_PAIR_CAND_CTE}, "
+_EMB_VERIFIED_CTE = (
     "verified AS (SELECT p.vec_a, p.vec_b, "
     + _cos_sql("a.embedding", "c.embedding")
     + " AS cos FROM pairs p JOIN embeddings a ON a.vec_id = p.vec_a "
-    "JOIN embeddings c ON c.vec_id = p.vec_b) "
+    "JOIN embeddings c ON c.vec_id = p.vec_b)"
+)
+
+_EMB_DUP_SQL = (
+    f"WITH {_B_CTE}, {_PAIR_CAND_CTE}, {_EMB_VERIFIED_CTE} "
     "SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM verified "
     f"WHERE round(cos, 6) >= {COS_DUP_THRESHOLD}"
+)
+
+# same recursive-CTE transitive closure as dedup.py's text clusters,
+# over the thresholded cosine edge set
+_EMB_CC_SQL = (
+    f"WITH RECURSIVE {_B_CTE}, {_PAIR_CAND_CTE}, {_EMB_VERIFIED_CTE}, "
+    "vedges AS (SELECT vec_a AS src, vec_b AS dst FROM verified "
+    f"WHERE round(cos, 6) >= {COS_DUP_THRESHOLD} "
+    "UNION ALL SELECT vec_b, vec_a FROM verified "
+    f"WHERE round(cos, 6) >= {COS_DUP_THRESHOLD}), "
+    "cc(node, label) AS (SELECT src, src FROM vedges "
+    "UNION "
+    "SELECT e.dst, cc.label FROM cc JOIN vedges e ON cc.node = e.src), "
+    "vlabels AS (SELECT node, min(label) AS label FROM cc GROUP BY node) "
+    "SELECT e.vec_id, CAST(coalesce(m.label, e.vec_id) AS BIGINT) "
+    "AS cluster_id FROM embeddings e LEFT JOIN vlabels m "
+    "ON e.vec_id = m.node"
 )
 
 # sim_ivf_assign / sim_topk_ivf are rows-only: the k-means quantizer
@@ -560,6 +614,7 @@ _EMB_DUP_SQL = (
 ORACLES: dict[str, str] = {
     "sim_topk_brute": _BRUTE_SQL,
     "dedup_embedding_pairs": _EMB_DUP_SQL,
+    "dedup_embedding_clusters": _EMB_CC_SQL,
     "sim_lsh_buckets": (
         "SELECT vec_id, "
         + ", ".join(
@@ -576,6 +631,7 @@ QUERIES = {
     "sim_lsh_buckets": q_sim_lsh_buckets,
     "sim_topk_lsh": q_sim_topk_lsh,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
+    "dedup_embedding_clusters": q_dedup_embedding_clusters,
     "sim_ivf_assign": q_sim_ivf_assign,
     "sim_topk_ivf": q_sim_topk_ivf,
 }
