@@ -70,11 +70,19 @@ _MODULE_ORDER = (
 )
 
 
+# Queries that live in a module past the driver's 50-query cap but have
+# never had a driver-green CORRECTNESS row — hoisted to the front of the
+# registration order (their module's other queries were green in r3).
+_PROMOTED = ("dedup_embedding_clusters",)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULE_ORDER:
         out.update(mod.QUERIES)
-    return out
+    head = {n: out[n] for n in _PROMOTED if n in out}
+    head.update((n, f) for n, f in out.items() if n not in _PROMOTED)
+    return head
 
 
 def oracle_sql() -> dict[str, str]:
