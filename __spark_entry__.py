@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import csv as csv_source
+from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import joins as streaming_joins
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import sessions as streaming_sessions
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import windowed as streaming_windowed
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
@@ -57,6 +58,7 @@ _MODULE_ORDER = (
     asof,
     streaming_windowed,
     streaming_sessions,
+    streaming_joins,
     multimodal,
     pipeline,
     csv_source,
@@ -73,7 +75,13 @@ _MODULE_ORDER = (
 # Queries that live in a module past the driver's 50-query cap but have
 # never had a driver-green CORRECTNESS row — hoisted to the front of the
 # registration order (their module's other queries were green in r3).
-_PROMOTED = ("dedup_embedding_clusters",)
+_PROMOTED = (
+    "dedup_embedding_clusters",
+    "dedup_span_stats",
+    "dedup_incremental",
+    "dedup_clusters",
+    "dedup_corpus_keep",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

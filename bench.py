@@ -59,9 +59,13 @@ def main() -> int:
     from text_sentiment_analysis_in_hadoop_and_spark_spark.session import get_spark
 
     spark = get_spark("tsa_bench")
-    # one trivial job up front so JVM/codegen warmup isn't billed to
-    # whichever query happens to run first
+    # warm up the JVM paths every query shares so they aren't billed to
+    # whichever query happens to run first: codegen (range), the
+    # parquet reader stack (1-row scan) and the noop sink
     spark.range(1000).count()
+    _force(
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1)
+    )
 
     timings: dict[str, float] = {}
     for mod in entrymod._MODULE_ORDER:

@@ -27,7 +27,7 @@ in functions/hashing.py exists precisely so both engines agree).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -263,17 +263,16 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verify stage: exact shingle-set Jaccard, computed only for the
-    LSH candidate pairs (never all-pairs).  Memoized: the cluster and
-    corpus-keep queries consume this as their edge source."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _JACCARD_CACHE.get(key)
-    if cached is not None:
-        return cached
+def verify_jaccard(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Exact shingle-set Jaccard for an ARBITRARY (doc_a, doc_b) pair
+    table — the verify stage, shared by the full-corpus pair query
+    and the incremental batch probe.  One shingle-keyed join computes
+    intersections for the candidate pairs only; sizes attach via two
+    doc_id-keyed joins."""
     sh = _shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
-    pairs = candidate_pairs(_banded_cached(spark, sf_dir))
     inter = (
         pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
         .join(
@@ -283,7 +282,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_inter"))
     )
-    out = (
+    return (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
         .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
@@ -296,8 +295,19 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
-        .cache()
     )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verify stage: exact shingle-set Jaccard, computed only for the
+    LSH candidate pairs (never all-pairs).  Memoized: the cluster and
+    corpus-keep queries consume this as their edge source."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _JACCARD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = candidate_pairs(_banded_cached(spark, sf_dir))
+    out = verify_jaccard(spark, sf_dir, pairs).cache()
     _JACCARD_CACHE[key] = out
     return out
 
@@ -440,6 +450,150 @@ def q_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(gate, "doc_id", "left_semi")
         .join(exact, "doc_id", "left_semi")
         .join(canon, "doc_id", "left_semi")
+    )
+
+
+SPAN_K = 8       # token-gram width for duplicated-span detection
+BATCH_MOD = 10   # incremental probe: doc_id % 10 == 0 is "today's crawl"
+
+
+def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (exact-substring) duplication stats, the
+    document-level summary of Lee et al. 2021-style substring dedup:
+    for every SPAN_K-token gram occurring in ≥2 distinct documents,
+    mark its occurrence positions, then report per doc how many
+    tokens fall under at least one such cross-document duplicated
+    span (interval union of the K-wide windows).
+
+    Spark-first shape instead of a suffix array: positional K-grams
+    are an O(total tokens) narrow expansion; "appears in ≥2 docs" is
+    ONE partial-agg groupBy on the gram fingerprint; marking is a
+    left-semi join co-partitioned on the same key (each position row
+    matches at most once — no fan-out); the interval union is a
+    per-doc window over dup positions only (sorted runs: a position's
+    marginal coverage is min(K, next_pos - pos)), bounded by doc
+    length — never a global sort.  Gram key is the md5 fingerprint:
+    position rows carry 32 chars instead of the K-token text, and
+    exact-match semantics are preserved (at 100 TB a 128-bit
+    fingerprint's collision odds are negligible; the same trade as
+    q_dedup_exact).
+
+    The token array goes through the explode(array(...)) Generate
+    barrier (see doc_shingles) so split() runs once per row, not once
+    per gram."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok_df = docs.select(
+        "doc_id",
+        F.explode(F.array(F.split(F.col("text"), " "))).alias("toks"),
+    )
+    toks = F.col("toks")
+    n = F.size(toks)
+    grams = F.when(
+        n < SPAN_K, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - SPAN_K),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, SPAN_K))),
+        )
+    )
+    gpos = tok_df.select(
+        "doc_id", F.posexplode(grams).alias("pos", "g")
+    )
+    dup_g = (
+        gpos.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    covered = (
+        gpos.join(dup_g, "g", "left_semi")
+        .withColumn("nxt", F.lead("pos").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_grams"),
+            F.sum(
+                F.least(
+                    F.lit(SPAN_K),
+                    F.coalesce(F.col("nxt") - F.col("pos"), F.lit(SPAN_K)),
+                )
+            )
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+    )
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return sized.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+        F.coalesce(F.col("covered_tokens"), F.lit(0))
+        .cast("long")
+        .alias("covered_tokens"),
+        F.round(
+            F.coalesce(F.col("covered_tokens"), F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_span_frac"),
+    )
+
+
+def q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: probe a NEW batch (the last decile of
+    doc_ids — an arrival-order split, so a re-crawled exact duplicate
+    really does land in the batch while its original sits in the
+    index) against the EXISTING corpus index, reporting each batch
+    doc's best near-dup match (highest Jaccard, ties to the smallest
+    index doc_id).  Batch docs with no match are the admit set.
+
+    This is the daily-ingest shape of MinHash dedup: the banded
+    signature table IS the persisted index a real pipeline maintains
+    (append-only, partitioned by band key); the probe joins ONLY
+    batch band keys against it — per-band equi-joins keyed on the
+    band hash, never a corpus×corpus pass — and the verify stage runs
+    on the (batch × matched-bucket) candidates only.  Hot index
+    buckets above HOT_BUCKET_CAP are dropped from the probe exactly
+    as in ``candidate_pairs`` (boilerplate buckets route to the exact
+    pass).  The final best-match rank is a per-batch-doc window —
+    bounded by that doc's candidate count.  Ordering ranks on the
+    ROUNDED jaccard so Spark and the oracle always agree at
+    tie boundaries."""
+    banded = _banded_cached(spark, sf_dir)
+    is_batch = F.col("doc_id") % BATCH_MOD == 0
+    b_sigs = banded.filter(is_batch)
+    i_sigs = banded.filter(~is_batch)
+    parts = []
+    for b in range(BANDS):
+        hot = (
+            i_sigs.groupBy(F.col(f"band{b}").alias("bk"))
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > HOT_BUCKET_CAP)
+            .select("bk")
+        )
+        left = b_sigs.select(
+            F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk")
+        ).join(F.broadcast(hot), "bk", "left_anti")
+        right = i_sigs.select(
+            F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk")
+        )
+        parts.append(left.join(right, "bk").select("doc_a", "doc_b"))
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.union(p)
+    jac = verify_jaccard(spark, sf_dir, pairs.distinct())
+    w = Window.partitionBy("doc_a").orderBy(
+        F.desc("jaccard"), F.asc("doc_b")
+    )
+    return (
+        jac.filter(F.col("jaccard") >= JACCARD_DUP_MIN)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("dup_of"),
+            "jaccard",
+        )
     )
 
 
@@ -641,6 +795,74 @@ ORACLES: dict[str, str] = {
     "WHERE coalesce(m.label, d.doc_id) = d.doc_id",
 }
 
+# q_span_stats: positional K-grams → cross-doc dup grams → interval
+# union per doc (coverage of a sorted run of K-wide windows)
+ORACLES["dedup_span_stats"] = (
+    "WITH sp_toks AS (SELECT doc_id, string_split(text, ' ') AS arr "
+    "FROM documents), "
+    "sp_pos AS (SELECT doc_id, arr, "
+    f"unnest(range(0, greatest(len(arr) - {SPAN_K - 1}, 0))) AS pos "
+    "FROM sp_toks), "
+    "sp_gpos AS (SELECT doc_id, pos, "
+    f"md5(array_to_string(arr[pos + 1 : pos + {SPAN_K}], ' ')) AS g "
+    "FROM sp_pos), "
+    "sp_dup AS (SELECT g FROM sp_gpos GROUP BY g "
+    "HAVING count(DISTINCT doc_id) >= 2), "
+    "sp_cov AS (SELECT doc_id, pos, "
+    "lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt "
+    "FROM sp_gpos WHERE g IN (SELECT g FROM sp_dup)), "
+    "sp_per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams, "
+    f"CAST(sum(least({SPAN_K}, coalesce(nxt - pos, {SPAN_K}))) AS BIGINT) "
+    "AS covered_tokens FROM sp_cov GROUP BY doc_id), "
+    "sp_sz AS (SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+    "FROM documents) "
+    "SELECT s.doc_id, s.n_tokens, "
+    "CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams, "
+    "CAST(coalesce(p.covered_tokens, 0) AS BIGINT) AS covered_tokens, "
+    "round(CAST(coalesce(p.covered_tokens, 0) AS DOUBLE) / s.n_tokens, 6) "
+    "AS dup_span_frac "
+    "FROM sp_sz s LEFT JOIN sp_per p USING (doc_id)"
+)
+
+# q_incremental: batch bands probe index bands (index-side hot-bucket
+# cap), verify exact Jaccard on candidates, rank best match per doc
+_INC_PAIR_UNION = " UNION ".join(
+    f"SELECT b.doc_id AS doc_a, i.doc_id AS doc_b "
+    f"FROM dband b JOIN dband i ON b.band{k} = i.band{k} "
+    f"WHERE b.doc_id % {BATCH_MOD} = 0 AND i.doc_id % {BATCH_MOD} <> 0 "
+    f"AND b.band{k} NOT IN (SELECT band{k} FROM dband "
+    f"WHERE doc_id % {BATCH_MOD} <> 0 "
+    f"GROUP BY band{k} HAVING count(*) > {HOT_BUCKET_CAP})"
+    for k in range(BANDS)
+)
+
+ORACLES["dedup_incremental"] = _with(
+    *_DSH_CTES,
+    _DH_CTE,
+    _SIG_CTE,
+    _BAND_CTE,
+    "inc_pairs AS (" + _INC_PAIR_UNION + ")",
+    "inc_sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+    "FROM dsh GROUP BY doc_id)",
+    "inc_inter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) "
+    "AS n_inter FROM inc_pairs p JOIN dsh a ON a.doc_id = p.doc_a "
+    "JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle "
+    "GROUP BY p.doc_a, p.doc_b)",
+    "inc_jac AS (SELECT p.doc_a, p.doc_b, "
+    "round(coalesce(i.n_inter, 0) / "
+    "(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard "
+    "FROM inc_pairs p LEFT JOIN inc_inter i USING (doc_a, doc_b) "
+    "JOIN inc_sizes sa ON sa.doc_id = p.doc_a "
+    "JOIN inc_sizes sb ON sb.doc_id = p.doc_b)",
+) + (
+    "SELECT doc_id, dup_of, jaccard FROM ("
+    "SELECT doc_a AS doc_id, doc_b AS dup_of, jaccard, "
+    "row_number() OVER (PARTITION BY doc_a "
+    "ORDER BY jaccard DESC, doc_b) AS rn "
+    f"FROM inc_jac WHERE jaccard >= {JACCARD_DUP_MIN}) WHERE rn = 1"
+)
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_first": q_dedup_keep_first,
@@ -650,4 +872,6 @@ QUERIES = {
     "dedup_simhash": q_simhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_corpus_keep": q_corpus_keep,
+    "dedup_span_stats": q_span_stats,
+    "dedup_incremental": q_incremental,
 }

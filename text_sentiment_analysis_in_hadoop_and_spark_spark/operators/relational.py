@@ -467,6 +467,136 @@ def q_customer_monthly_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIG_ORDER_MIN_QTY = 250    # Q18-style threshold: ~top 1% of orders by qty
+LATE_DAYS = 365            # Q21-style lateness: shipped >1y after order
+IDLE_NATIONS = (2, 5, 9, 12, 17, 20, 23)  # Q22-style country-code set
+IDLE_SINCE = "2000-01-01"  # "idle" = no orders on/after this date
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): a HAVING filter on a
+    fact-side aggregate, joined back to orders and customer.
+
+    Scale shape: the quantity rollup is a partial-agg groupBy on
+    lineitem BEFORE any join, so the join probe side is already
+    filtered to the ~1% of orders above the threshold; big⋈orders is
+    orderkey-co-partitioned, and orders⋈customer is a fact⋈fact
+    shuffle left to AQE (customer grows with the corpus — a broadcast
+    hint here would be wrong at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > BIG_ORDER_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select(
+            "c_name",
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _cents(F.col("o_totalprice")).alias("total_price_cents"),
+            "total_qty",
+        )
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    multi-supplier orders where EXACTLY ONE supplier shipped late,
+    count blamed orders per supplier; top 100.
+
+    Spark-first rewrite of Q21's EXISTS/NOT-EXISTS double self-join:
+    one orderkey groupBy computes (distinct suppliers, distinct LATE
+    suppliers, the lone late supplier) with conditional aggregates —
+    the two correlated subqueries collapse into a single partial-agg
+    shuffle instead of two extra passes over the fact table.  The
+    lone supplier is well-defined exactly when the distinct-late
+    count is 1, so ``min(CASE WHEN late...)`` recovers it without a
+    join back.  Top-100 is orderBy+limit → distributed
+    ``TakeOrderedAndProject`` (same pattern as q_top_customers);
+    ties are impossible to mis-order because s_name is unique."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {LATE_DAYS} DAYS"
+    )
+    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+        F.min(F.when(F.col("late"), F.col("l_suppkey"))).alias("lone"),
+    )
+    blamed = (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .groupBy(F.col("lone").alias("suppkey"))
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+    return (
+        blamed.join(F.broadcast(supp), F.col("suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers in a
+    fixed nation set with above-average positive account balance and
+    no RECENT orders (every sf0.01 customer has ≥1 lifetime order, so
+    the idle predicate is "nothing on/after IDLE_SINCE"), rolled up
+    per nation.
+
+    The scalar AVG subquery is decorrelated as a 1-row aggregate
+    cross-joined (broadcast) onto the corpus — and the comparison is
+    kept in EXACT integer math (``bal_cents · n_pos > sum_pos_cents``
+    ⇔ bal > avg) so partial-sum order can never flip a razor-edge
+    comparison between engines.  The recent-orders test is a LEFT
+    ANTI join on custkey against a date-pruned orders scan (the
+    filter reaches the parquet scan); nation is a broadcast dim."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*IDLE_NATIONS)
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(IDLE_SINCE))
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").cast("long").alias("n_pos"),
+        F.sum(_cents(F.col("c_acctbal"))).cast("long").alias("sum_pos_cents"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(
+            _cents(F.col("c_acctbal")) * F.col("n_pos") > F.col("sum_pos_cents")
+        )
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum(_cents(F.col("c_acctbal")))
+            .cast("long")
+            .alias("total_acctbal_cents"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -628,6 +758,50 @@ ORACLES: dict[str, str] = {
     ),
 }
 
+ORACLES["rel_big_orders"] = (
+    "WITH big AS (SELECT l_orderkey, "
+    "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty "
+    "FROM lineitem GROUP BY l_orderkey "
+    f"HAVING sum(CAST(l_quantity AS BIGINT)) > {BIG_ORDER_MIN_QTY}) "
+    "SELECT c_name, o_custkey AS custkey, o_orderkey AS orderkey, "
+    "strftime(o_orderdate, '%Y-%m-%d') AS orderdate, "
+    f"{_cents_sql('o_totalprice')} AS total_price_cents, total_qty "
+    "FROM big JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON c_custkey = o_custkey"
+)
+
+ORACLES["rel_waiting_suppliers"] = (
+    "WITH flagged AS (SELECT l_orderkey, l_suppkey, "
+    f"(l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY) AS late "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+    "per_order AS (SELECT l_orderkey, "
+    "count(DISTINCT l_suppkey) AS n_supp, "
+    "count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late, "
+    "min(CASE WHEN late THEN l_suppkey END) AS lone "
+    "FROM flagged GROUP BY l_orderkey), "
+    "blamed AS (SELECT lone AS suppkey, CAST(count(*) AS BIGINT) AS numwait "
+    "FROM per_order WHERE n_supp >= 2 AND n_late = 1 GROUP BY lone) "
+    "SELECT s_name, numwait FROM blamed "
+    "JOIN supplier ON s_suppkey = suppkey "
+    "ORDER BY numwait DESC, s_name LIMIT 100"
+)
+
+_IDLE_IN = ", ".join(str(k) for k in IDLE_NATIONS)
+ORACLES["rel_idle_customers"] = (
+    "WITH pos AS (SELECT CAST(count(*) AS BIGINT) AS n_pos, "
+    f"CAST(sum({_cents_sql('c_acctbal')}) AS BIGINT) AS sum_pos_cents "
+    f"FROM customer WHERE c_nationkey IN ({_IDLE_IN}) AND c_acctbal > 0) "
+    "SELECT n_name, CAST(count(*) AS BIGINT) AS numcust, "
+    f"CAST(sum({_cents_sql('c_acctbal')}) AS BIGINT) AS total_acctbal_cents "
+    "FROM customer CROSS JOIN pos "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    f"WHERE c_nationkey IN ({_IDLE_IN}) "
+    f"AND {_cents_sql('c_acctbal')} * n_pos > sum_pos_cents "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    f"AND o_orderdate >= TIMESTAMP '{IDLE_SINCE}') "
+    "GROUP BY n_name"
+)
+
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_revenue_by_nation": q_revenue_by_nation,
@@ -644,4 +818,7 @@ QUERIES = {
     "rel_small_quantity_revenue": q_small_quantity_revenue,
     "rel_order_count_distribution": q_order_count_distribution,
     "rel_disjunctive_revenue": q_disjunctive_revenue,
+    "rel_big_orders": q_big_orders,
+    "rel_waiting_suppliers": q_waiting_suppliers,
+    "rel_idle_customers": q_idle_customers,
 }
