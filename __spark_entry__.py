@@ -78,6 +78,7 @@ _MODULE_ORDER = (
 _PROMOTED = (
     "dedup_embedding_clusters",
     "dedup_span_stats",
+    "dedup_span_scrub",
     "dedup_incremental",
     "dedup_clusters",
     "dedup_corpus_keep",

@@ -8,6 +8,7 @@ from __future__ import annotations
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
     SPAN_K,
     q_incremental,
+    q_span_scrub,
     q_span_stats,
 )
 
@@ -69,6 +70,40 @@ def test_span_two_disjoint_runs_sum(spark, tmp_path):
     # the whole of docs 2 and 3 is duplicated material
     assert got[2]["covered_tokens"] == 9
     assert got[3]["covered_tokens"] == 9
+
+
+def test_span_scrub_canonical_keeps_copy_empties(spark, tmp_path):
+    # doc 1 and doc 2 are byte-identical; doc 3 is novel.  The
+    # canonical owner (min doc_id) survives verbatim, the re-crawl
+    # scrubs to empty, the novel doc is untouched.
+    words = [f"w{i:02d}" for i in range(30)]
+    base = " ".join(words)
+    novel = " ".join(f"n{i}x" for i in range(20))
+    sf = _write_docs(spark, tmp_path, [(1, base), (2, base), (3, novel)])
+    got = {r["doc_id"]: r for r in q_span_scrub(spark, sf).collect()}
+    assert got[1]["scrubbed_text"] == base
+    assert got[1]["n_kept_tokens"] == 30
+    assert got[2]["scrubbed_text"] == ""
+    assert got[2]["n_kept_tokens"] == 0
+    assert got[3]["scrubbed_text"] == novel
+
+
+def test_span_scrub_near_dup_keeps_novel_context(spark, tmp_path):
+    # doc 2 differs from doc 1 at position 15 only: after scrubbing,
+    # doc 2 keeps exactly the tokens no duplicated gram covers — the
+    # changed token plus the sub-K flanks reachable only through it.
+    words = [f"w{i:02d}" for i in range(40)]
+    changed = ["CHANGED" if i == 15 else w for i, w in enumerate(words)]
+    sf = _write_docs(
+        spark, tmp_path, [(1, " ".join(words)), (2, " ".join(changed))]
+    )
+    got = {r["doc_id"]: r for r in q_span_scrub(spark, sf).collect()}
+    assert got[1]["scrubbed_text"] == " ".join(words)
+    kept = got[2]["scrubbed_text"].split(" ")
+    assert "CHANGED" in kept
+    # dup grams of doc 2 start at 0..15-K and 16..40-K; their interval
+    # union covers [0, 15) and [16, 40) exactly → only CHANGED survives
+    assert kept == ["CHANGED"]
 
 
 def test_incremental_probe_orientation(spark, tmp_path):

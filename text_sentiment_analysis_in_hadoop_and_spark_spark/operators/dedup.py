@@ -456,6 +456,40 @@ def q_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_K = 8       # token-gram width for duplicated-span detection
 BATCH_MOD = 10   # incremental probe: doc_id % 10 == 0 is "today's crawl"
 
+# positional K-gram table memoized per (session, sf_dir): inside one
+# span query it feeds BOTH the dup-gram aggregate and the semi-join
+# probe (uncached, Spark recomputes the tokenize+gram expansion for
+# each branch), and the stats/scrub queries share it across calls.
+_SPAN_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+def _span_gpos_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SPAN_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        tok_df = docs.select(
+            "doc_id",
+            F.explode(F.array(F.split(F.col("text"), " "))).alias("toks"),
+        )
+        toks = F.col("toks")
+        n = F.size(toks)
+        grams = F.when(
+            n < SPAN_K, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - SPAN_K),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(toks, i + 1, SPAN_K))
+                ),
+            )
+        )
+        df = tok_df.select(
+            "doc_id", F.posexplode(grams).alias("pos", "g")
+        ).cache()
+        _SPAN_CACHE[key] = df
+    return df
+
 
 def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level (exact-substring) duplication stats, the
@@ -482,23 +516,7 @@ def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     barrier (see doc_shingles) so split() runs once per row, not once
     per gram."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok_df = docs.select(
-        "doc_id",
-        F.explode(F.array(F.split(F.col("text"), " "))).alias("toks"),
-    )
-    toks = F.col("toks")
-    n = F.size(toks)
-    grams = F.when(
-        n < SPAN_K, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - SPAN_K),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, SPAN_K))),
-        )
-    )
-    gpos = tok_df.select(
-        "doc_id", F.posexplode(grams).alias("pos", "g")
-    )
+    gpos = _span_gpos_cached(spark, sf_dir)
     dup_g = (
         gpos.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -536,6 +554,92 @@ def q_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.coalesce(F.col("covered_tokens"), F.lit(0)) / F.col("n_tokens"), 6
         ).alias("dup_span_frac"),
+    )
+
+
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup SCRUB — the corpus-transforming output of Lee
+    et al. 2021-style substring dedup: every cross-document duplicated
+    K-gram span is removed from every doc EXCEPT the gram's canonical
+    owner (min doc_id), and each doc's surviving tokens are
+    reassembled in order.  An exact re-crawl therefore scrubs to empty
+    while its original survives verbatim; a near-dup keeps only its
+    novel tokens (plus the sub-K context no dup gram covers).
+    Intra-doc repetition is deliberately NOT this operator's job — the
+    repetition quality gate (operators/quality.py) owns it.
+
+    Scale shape, stage by stage: canonical owner is one partial-agg
+    groupBy on the gram key; non-canonical occurrences come from the
+    co-partitioned gram join; their positions are merged into maximal
+    intervals with two bounded per-doc windows (prefix-max end +
+    running interval id) BEFORE exploding — the scrub set is
+    O(covered tokens), never the K× per-position fan-out; the kept
+    set is a (doc_id, pos)-keyed anti join; reassembly is a per-doc
+    sort of surviving tokens (bounded by doc length).  Everything
+    shuffles on doc_id or the gram key — the same two partitioning
+    families as q_span_stats, whose cached positional-gram table this
+    reuses."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    gpos = _span_gpos_cached(spark, sf_dir)
+    dup_g = (
+        gpos.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    can = (
+        gpos.join(dup_g, "g", "left_semi")
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("cdoc"))
+    )
+    occ = (
+        gpos.join(can, "g")
+        .filter(F.col("doc_id") != F.col("cdoc"))
+        .select("doc_id", "pos")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    ivs = (
+        occ.withColumn(
+            "prev_end", F.max(F.col("pos") + SPAN_K).over(w_prev)
+        )
+        .withColumn(
+            "new_iv",
+            (
+                F.col("prev_end").isNull()
+                | (F.col("pos") > F.col("prev_end"))
+            ).cast("int"),
+        )
+        .withColumn("iv", F.sum("new_iv").over(w_ord))
+        .groupBy("doc_id", "iv")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + SPAN_K).alias("e"),
+        )
+    )
+    scrub_pos = ivs.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("pos")
+    )
+    toks_pos = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    kept = toks_pos.join(scrub_pos, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_kept_tokens"), F.lit(0))
+        .cast("long")
+        .alias("n_kept_tokens"),
+        F.coalesce(F.col("scrubbed_text"), F.lit("")).alias("scrubbed_text"),
     )
 
 
@@ -795,34 +899,77 @@ ORACLES: dict[str, str] = {
     "WHERE coalesce(m.label, d.doc_id) = d.doc_id",
 }
 
-# q_span_stats: positional K-grams → cross-doc dup grams → interval
-# union per doc (coverage of a sorted run of K-wide windows)
-ORACLES["dedup_span_stats"] = (
-    "WITH sp_toks AS (SELECT doc_id, string_split(text, ' ') AS arr "
-    "FROM documents), "
+# positional K-grams → cross-doc dup grams; shared by the span-stats
+# and span-scrub oracles
+_SPAN_CTES = (
+    "sp_toks AS (SELECT doc_id, string_split(text, ' ') AS arr "
+    "FROM documents)",
     "sp_pos AS (SELECT doc_id, arr, "
     f"unnest(range(0, greatest(len(arr) - {SPAN_K - 1}, 0))) AS pos "
-    "FROM sp_toks), "
+    "FROM sp_toks)",
     "sp_gpos AS (SELECT doc_id, pos, "
     f"md5(array_to_string(arr[pos + 1 : pos + {SPAN_K}], ' ')) AS g "
-    "FROM sp_pos), "
+    "FROM sp_pos)",
     "sp_dup AS (SELECT g FROM sp_gpos GROUP BY g "
-    "HAVING count(DISTINCT doc_id) >= 2), "
+    "HAVING count(DISTINCT doc_id) >= 2)",
+)
+
+# q_span_stats: interval union per doc (coverage of a sorted run of
+# K-wide windows)
+ORACLES["dedup_span_stats"] = _with(
+    *_SPAN_CTES,
     "sp_cov AS (SELECT doc_id, pos, "
     "lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt "
-    "FROM sp_gpos WHERE g IN (SELECT g FROM sp_dup)), "
+    "FROM sp_gpos WHERE g IN (SELECT g FROM sp_dup))",
     "sp_per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams, "
     f"CAST(sum(least({SPAN_K}, coalesce(nxt - pos, {SPAN_K}))) AS BIGINT) "
-    "AS covered_tokens FROM sp_cov GROUP BY doc_id), "
+    "AS covered_tokens FROM sp_cov GROUP BY doc_id)",
     "sp_sz AS (SELECT doc_id, "
     "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
-    "FROM documents) "
+    "FROM documents)",
+) + (
     "SELECT s.doc_id, s.n_tokens, "
     "CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams, "
     "CAST(coalesce(p.covered_tokens, 0) AS BIGINT) AS covered_tokens, "
     "round(CAST(coalesce(p.covered_tokens, 0) AS DOUBLE) / s.n_tokens, 6) "
     "AS dup_span_frac "
     "FROM sp_sz s LEFT JOIN sp_per p USING (doc_id)"
+)
+
+# q_span_scrub: canonical doc per dup gram → non-canonical occurrence
+# positions → merged intervals (prefix-max window) → exploded scrub
+# set → anti-joined token reassembly
+ORACLES["dedup_span_scrub"] = _with(
+    *_SPAN_CTES,
+    "sc_can AS (SELECT g, min(doc_id) AS cdoc FROM sp_gpos "
+    "WHERE g IN (SELECT g FROM sp_dup) GROUP BY g)",
+    "sc_occ AS (SELECT p.doc_id, p.pos FROM sp_gpos p "
+    "JOIN sc_can c ON c.g = p.g AND p.doc_id <> c.cdoc)",
+    "sc_marked AS (SELECT doc_id, pos, "
+    f"max(pos + {SPAN_K}) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end "
+    "FROM sc_occ)",
+    "sc_flag AS (SELECT doc_id, pos, CASE WHEN prev_end IS NULL "
+    "OR pos > prev_end THEN 1 ELSE 0 END AS new_iv FROM sc_marked)",
+    "sc_ivd AS (SELECT doc_id, pos, sum(new_iv) OVER "
+    "(PARTITION BY doc_id ORDER BY pos) AS iv FROM sc_flag)",
+    "sc_ivs AS (SELECT doc_id, iv, min(pos) AS s, "
+    f"max(pos) + {SPAN_K} AS e FROM sc_ivd GROUP BY doc_id, iv)",
+    "sc_scrub AS (SELECT doc_id, unnest(range(s, e)) AS pos FROM sc_ivs)",
+    "sc_tp0 AS (SELECT doc_id, arr, unnest(range(0, len(arr))) AS pos "
+    "FROM sp_toks)",
+    "sc_toks AS (SELECT doc_id, pos, arr[pos + 1] AS tok FROM sc_tp0)",
+    "sc_kept AS (SELECT t.doc_id, t.pos, t.tok FROM sc_toks t "
+    "WHERE NOT EXISTS (SELECT 1 FROM sc_scrub s "
+    "WHERE s.doc_id = t.doc_id AND s.pos = t.pos))",
+    "sc_agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_tokens, "
+    "string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text "
+    "FROM sc_kept GROUP BY doc_id)",
+) + (
+    "SELECT d.doc_id, "
+    "CAST(coalesce(a.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens, "
+    "coalesce(a.scrubbed_text, '') AS scrubbed_text "
+    "FROM documents d LEFT JOIN sc_agg a USING (doc_id)"
 )
 
 # q_incremental: batch bands probe index bands (index-side hot-bucket
@@ -873,5 +1020,6 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_corpus_keep": q_corpus_keep,
     "dedup_span_stats": q_span_stats,
+    "dedup_span_scrub": q_span_scrub,
     "dedup_incremental": q_incremental,
 }

@@ -511,15 +511,17 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     count blamed orders per supplier; top 100.
 
     Spark-first rewrite of Q21's EXISTS/NOT-EXISTS double self-join:
-    one orderkey groupBy computes (distinct suppliers, distinct LATE
-    suppliers, the lone late supplier) with conditional aggregates —
-    the two correlated subqueries collapse into a single partial-agg
-    shuffle instead of two extra passes over the fact table.  The
-    lone supplier is well-defined exactly when the distinct-late
-    count is 1, so ``min(CASE WHEN late...)`` recovers it without a
-    join back.  Top-100 is orderBy+limit → distributed
-    ``TakeOrderedAndProject`` (same pattern as q_top_customers);
-    ties are impossible to mis-order because s_name is unique."""
+    a TWO-LEVEL aggregate replaces both correlated subqueries AND the
+    count-distinct Expand.  Level 1 dedups to (order, supplier,
+    any-late) — after it, plain count/sum ARE the distinct counts, so
+    level 2 needs no ``countDistinct`` (a single groupBy with two
+    distinct aggregates compiles to an Expand that triples the
+    shuffle volume; both levels here keep map-side partial agg).  The
+    lone supplier is well-defined exactly when the late count is 1,
+    so ``min(CASE WHEN late...)`` recovers it without a join back.
+    Top-100 is orderBy+limit → distributed ``TakeOrderedAndProject``
+    (same pattern as q_top_customers); ties are impossible to
+    mis-order because s_name is unique."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -533,11 +535,12 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "l_orderkey", "l_suppkey", late.alias("late")
     )
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late"
-        ),
+    per_pair = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
         F.min(F.when(F.col("late"), F.col("l_suppkey"))).alias("lone"),
     )
     blamed = (
@@ -774,11 +777,12 @@ ORACLES["rel_waiting_suppliers"] = (
     "WITH flagged AS (SELECT l_orderkey, l_suppkey, "
     f"(l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY) AS late "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
-    "per_order AS (SELECT l_orderkey, "
-    "count(DISTINCT l_suppkey) AS n_supp, "
-    "count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late, "
+    "per_pair AS (SELECT l_orderkey, l_suppkey, bool_or(late) AS late "
+    "FROM flagged GROUP BY l_orderkey, l_suppkey), "
+    "per_order AS (SELECT l_orderkey, count(*) AS n_supp, "
+    "sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late, "
     "min(CASE WHEN late THEN l_suppkey END) AS lone "
-    "FROM flagged GROUP BY l_orderkey), "
+    "FROM per_pair GROUP BY l_orderkey), "
     "blamed AS (SELECT lone AS suppkey, CAST(count(*) AS BIGINT) AS numwait "
     "FROM per_order WHERE n_supp >= 2 AND n_late = 1 GROUP BY lone) "
     "SELECT s_name, numwait FROM blamed "
