@@ -243,3 +243,47 @@ def test_no_python_udf_on_relational_paths(spark):
         plan = _plan(entrymod.queries()[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_waiting_suppliers_has_no_expand(spark):
+    """Q21 shape: the two distinct counts come from a two-level
+    aggregate — a countDistinct pair in one groupBy compiles to an
+    Expand that triples the shuffle volume."""
+    plan = _plan(entrymod.queries()["rel_waiting_suppliers"](spark, SF_DIR))
+    assert "Expand" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_span_stats_windows_are_doc_partitioned(spark):
+    """Span coverage: every window is doc_id-partitioned (bounded by
+    doc length) and the dup-gram mark is a semi join, never a fan-out
+    inner join."""
+    plan = _plan(entrymod.queries()["dedup_span_stats"](spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "doc_id" in line, line
+    assert "LeftSemi" in plan, plan
+
+
+def test_incremental_probe_caps_via_broadcast_anti(spark):
+    """Incremental probe: the index-side hot-bucket exclusion is a
+    broadcast anti join (the hot-key list is tiny), and batch/index
+    splitting never becomes a cartesian product."""
+    plan = _plan(entrymod.queries()["dedup_incremental"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_big_orders_aggregates_before_join(spark):
+    """Q18 shape: the quantity rollup must sit BELOW the joins (the
+    probe side is pre-filtered to big orders), with the HAVING filter
+    applied on the aggregate, not post-join."""
+    plan = _plan(entrymod.queries()["rel_big_orders"](spark, SF_DIR))
+    # the tree prints top-down, so an aggregate that feeds the join
+    # (dataflow-before) appears AFTER the join operator in the string
+    assert plan.index("HashAggregate") > plan.index("Join"), plan
+    # and the threshold filter rides on the aggregate output column,
+    # pre-join
+    agg_tail = plan[plan.index("Join") :]
+    assert "total_qty" in agg_tail and "Filter" in agg_tail, plan
+    assert "CartesianProduct" not in plan, plan
