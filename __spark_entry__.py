@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import csv as csv_source
+from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import enrich as streaming_enrich
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import joins as streaming_joins
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import sessions as streaming_sessions
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import windowed as streaming_windowed
@@ -59,6 +60,7 @@ _MODULE_ORDER = (
     streaming_windowed,
     streaming_sessions,
     streaming_joins,
+    streaming_enrich,
     multimodal,
     pipeline,
     csv_source,
@@ -76,6 +78,7 @@ _MODULE_ORDER = (
 # never had a driver-green CORRECTNESS row — hoisted to the front of the
 # registration order (their module's other queries were green in r3).
 _PROMOTED = (
+    "text_top_tokens",
     "dedup_embedding_clusters",
     "dedup_span_stats",
     "dedup_span_scrub",

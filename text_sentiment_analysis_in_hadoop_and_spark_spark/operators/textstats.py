@@ -210,6 +210,11 @@ for _lang in _LANGS:
 _PRED += "ELSE 'und' END"
 
 ORACLES: dict[str, str] = {
+    "text_top_tokens": (
+        "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+        ") GROUP BY token ORDER BY n DESC, token LIMIT 500"
+    ),
     "text_token_stats": (
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
         f"CAST({_NTOK} AS BIGINT) AS n_tokens, "
@@ -265,8 +270,31 @@ ORACLES: dict[str, str] = {
     ),
 }
 
+TOP_TOKENS_K = 500
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token heavy hitters: the vocabulary/BPE-merge
+    precursor every tokenizer build runs first.  One partial-agg
+    groupBy on the token (map-side combine collapses each partition to
+    its distinct tokens before the shuffle), then a distributed
+    top-K — ``orderBy().limit()`` compiles to TakeOrderedAndProject
+    (per-partition heaps of K, one K-row driver merge), never a global
+    sort.  The (count DESC, token ASC) order is total, so the K-row
+    cut is deterministic on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_toks(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(TOP_TOKENS_K)
+    )
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
+    "text_top_tokens": q_top_tokens,
     "text_quality": q_text_quality,
     "text_lang_id": q_lang_id,
     "text_bpe_token_count": q_bpe_token_count,
