@@ -85,6 +85,7 @@ _PROMOTED = (
     "dedup_incremental",
     "dedup_clusters",
     "dedup_corpus_keep",
+    "dedup_corpus_keep_mm",
 )
 
 

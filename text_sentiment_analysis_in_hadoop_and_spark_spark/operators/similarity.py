@@ -484,6 +484,27 @@ def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_keep_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL corpus keep-list: the text capstone
+    (dedup.q_corpus_keep — repetition gate ∧ exact canonical ∧
+    text-near-dup canonical) intersected with the EMBEDDING near-dup
+    cluster canonical (vec_id == cluster_id, the semantic-dup gate the
+    text shingles can't see — paraphrases, translations, re-encodes).
+    The driver's doc_id ↔ vec_id spaces are 1:1, so the gate is one
+    more doc_id-keyed left-semi join in the same co-partitioned
+    shuffle family; both sides reuse their memoized cluster labels,
+    and the gates stay independently computed → order-independent and
+    idempotent like the text-only variant."""
+    from .dedup import q_corpus_keep
+
+    emb_canon = (
+        q_dedup_embedding_clusters(spark, sf_dir)
+        .filter(F.col("vec_id") == F.col("cluster_id"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return q_corpus_keep(spark, sf_dir).join(emb_canon, "doc_id", "left_semi")
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -607,6 +628,20 @@ _EMB_CC_SQL = (
     "ON e.vec_id = m.node"
 )
 
+# q_corpus_keep_mm: the text keep-list intersected with the embedding
+# cluster canonicals.  Both sides nest as self-contained subqueries
+# (each carries its own WITH RECURSIVE) so their CTE namespaces — both
+# define `cc` — never collide.
+def _mm_keep_sql() -> str:
+    from .dedup import ORACLES as _DEDUP_ORACLES
+
+    return (
+        "SELECT doc_id FROM (" + _DEDUP_ORACLES["dedup_corpus_keep"] + ") "
+        "WHERE doc_id IN (SELECT vec_id FROM (" + _EMB_CC_SQL + ") "
+        "WHERE vec_id = cluster_id)"
+    )
+
+
 # sim_ivf_assign / sim_topk_ivf are rows-only: the k-means quantizer
 # is iterative and not expressible as one SQL statement.  Their
 # behavior is pinned by tests/test_similarity.py (assignment totals +
@@ -615,6 +650,7 @@ ORACLES: dict[str, str] = {
     "sim_topk_brute": _BRUTE_SQL,
     "dedup_embedding_pairs": _EMB_DUP_SQL,
     "dedup_embedding_clusters": _EMB_CC_SQL,
+    "dedup_corpus_keep_mm": _mm_keep_sql(),
     "sim_lsh_buckets": (
         "SELECT vec_id, "
         + ", ".join(
@@ -632,6 +668,7 @@ QUERIES = {
     "sim_topk_lsh": q_sim_topk_lsh,
     "dedup_embedding_pairs": q_dedup_embedding_pairs,
     "dedup_embedding_clusters": q_dedup_embedding_clusters,
+    "dedup_corpus_keep_mm": q_corpus_keep_mm,
     "sim_ivf_assign": q_sim_ivf_assign,
     "sim_topk_ivf": q_sim_topk_ivf,
 }
