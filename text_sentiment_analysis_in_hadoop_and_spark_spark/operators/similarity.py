@@ -322,19 +322,85 @@ def _centroids_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "cid INT, cvec ARRAY<DOUBLE>")
 
 
-def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+# ---- two-level quantizer (the documented escape hatch, implemented) --
+
+W_PROBE = 2             # coarse cells probed per vector on assignment
+# Engage the two-level path once the fine-centroid count is past the
+# one-level/two-level crossover (measured at sf0.1: k=70 two-level runs
+# ~2× the one-level time — three extra N-row joins outweigh saving
+# (k − 4√k) ≈ 37 dot products; the savings term grows as k, the join
+# overhead stays flat, so the crossover sits at k ~ 10³).  k = 1024 ↔
+# N ≈ 10⁶ vectors at k = √N.
+TWO_LEVEL_MIN_K = 1024
+
+
+def _coarse_cells(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[list[float]], list[int]]:
+    """√k coarse centroids over the k fine centroids plus each fine
+    centroid's coarse-cell id — a driver-side seeded Lloyd loop on a
+    k×DIM float array (k ≈ √N rows: trivially driver-sized exactly
+    because the fine table is the thing that outgrew one level)."""
+    import numpy as np
+
+    cents = np.asarray(_centroids(spark, sf_dir), dtype=np.float64)
+    k = len(cents)
+    k1 = max(2, math.isqrt(k))
+    norm = cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+    )
+    rng = np.random.RandomState(KMEANS_SEED)
+    coarse = norm[rng.choice(k, size=k1, replace=False)]
+    for _ in range(10):
+        sims = norm @ coarse.T                      # k × k1 cosines
+        cells = np.argmax(sims, axis=1)
+        for c in range(k1):
+            members = norm[cells == c]
+            if len(members):
+                m = members.mean(axis=0)
+                coarse[c] = m / max(float(np.linalg.norm(m)), 1e-12)
+    cells = np.argmax(norm @ coarse.T, axis=1)
+    return [[float(x) for x in c] for c in coarse], [int(c) for c in cells]
+
+
+def ivf_assignments(
+    spark: SparkSession, sf_dir: str, two_level: bool | None = None
+) -> DataFrame:
     """(vec_id, centroid_id): nearest centroid by cosine, ties to the
-    smallest id.  One broadcast of the k×64 centroid table, one
-    partial-aggregating max_by per vector — no N×k shuffle.  Cached:
-    assign + topk both consume it."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    smallest id.  Cached: assign + topk both consume it.
+
+    One-level (k < TWO_LEVEL_MIN_K): broadcast the k×DIM centroid
+    table, one partial-aggregating max_by per vector — no N×k shuffle.
+
+    Two-level (the 100 TB path — at k = √N ≈ 10⁶ the fine table is a
+    ~500 MB broadcast and k dot-products per vector): assign each
+    vector to its W_PROBE nearest COARSE cells (√k centroids — two
+    broadcast max_by passes, both map-side combinable), then score
+    only the fine centroids of those cells: ~2√k + 2·(k/√k) ≈ 4√k
+    dots per vector instead of k (250× at k = 10⁶).  The fine join
+    keys on the coarse cell, so beyond broadcast range it degrades to
+    a plain shuffle join with bounded fan-out — no k-sized broadcast
+    anywhere.  W_PROBE > 1 is the recall guard for vectors near a
+    coarse-cell boundary; assignment is then approximate (the true
+    nearest fine centroid can live outside the probed cells), which
+    an inverted-file index tolerates by construction — recall is
+    pinned end-to-end by tests/test_similarity.py (which also forces
+    this path at small k).  At this repo's scales the extra joins
+    cost more than they save, so the auto switch waits for
+    TWO_LEVEL_MIN_K (see the constant's crossover measurement)."""
+    k = len(_centroids(spark, sf_dir))
+    if two_level is None:
+        two_level = k >= TWO_LEVEL_MIN_K
+    key = (spark.sparkContext.applicationId, sf_dir, bool(two_level))
     asg = _ASG_CACHE.get(key)
-    if asg is None:
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding"
-        )
-        cents = _centroids_df(spark, sf_dir)
-        sim = cosine(F.col("embedding"), F.col("cvec"))
+    if asg is not None:
+        return asg
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = _centroids_df(spark, sf_dir)
+    sim = cosine(F.col("embedding"), F.col("cvec"))
+    if not two_level:
         asg = (
             emb.crossJoin(F.broadcast(cents))
             .groupBy("vec_id")
@@ -347,6 +413,58 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cache()
         )
         _ASG_CACHE[key] = asg
+        return asg
+    coarse_vecs, cells = _coarse_cells(spark, sf_dir)
+    coarse = spark.createDataFrame(
+        list(enumerate(coarse_vecs)), "ccell INT, covec ARRAY<DOUBLE>"
+    )
+    fine = cents.join(
+        F.broadcast(
+            spark.createDataFrame(
+                list(enumerate(cells)), "cid INT, ccell INT"
+            )
+        ),
+        "cid",
+    )
+    csim = cosine(F.col("embedding"), F.col("covec"))
+    best = (
+        emb.crossJoin(F.broadcast(coarse))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("ccell"),
+                F.struct(csim.alias("s"), (-F.col("ccell")).alias("t")),
+            ).alias("c1")
+        )
+    )
+    second = (
+        emb.join(best, "vec_id")
+        .crossJoin(F.broadcast(coarse))
+        .filter(F.col("ccell") != F.col("c1"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("ccell"),
+                F.struct(csim.alias("s"), (-F.col("ccell")).alias("t")),
+            ).alias("c2")
+        )
+    )
+    probes = best.select("vec_id", F.col("c1").alias("ccell")).union(
+        second.select("vec_id", F.col("c2").alias("ccell"))
+    )
+    asg = (
+        probes.join(emb, "vec_id")
+        .join(fine, "ccell")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cid"),
+                F.struct(sim.alias("sim"), (-F.col("cid")).alias("tie")),
+            ).alias("centroid_id")
+        )
+        .cache()
+    )
+    _ASG_CACHE[key] = asg
     return asg
 
 
