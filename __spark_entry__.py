@@ -49,11 +49,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # accumulates a driver-green CORRECTNESS row over rounds:
 #   r1–r3 led with nb/tfidf/dedup/similarity/textstats/ml — all 50 green
 #   in CORRECTNESS_r03 and locked by tools/parity.py + tests/.
-#   r4 leads with the 24 not-yet-driver-checked modules (relational,
-#   asof, streaming, multimodal, pipeline, csv), the new r4 quality/
-#   dedup-cluster queries next — the first 50 = every query without a
-#   prior driver row; nb/tfidf/similarity/textstats (all green in r3)
-#   rotate beyond the cap, locked by tools/parity.py + tests/.
+#   r4 leads with every query that had no prior driver row (relational,
+#   asof, streaming, multimodal, pipeline, csv, quality + the new
+#   dedup/span/incremental/cluster/keep queries, hoisted via _PROMOTED)
+#   — 49 never-checked + 1 spare; nb/tfidf/similarity/textstats/ml
+#   (all green in r3) rotate beyond the cap, locked by tools/parity.py
+#   + tests/.
+#   r5 SHOULD rotate back: lead with nb/tfidf/similarity/textstats/ml
+#   (+ any query newly added in r5), letting the r4-green families move
+#   past the cap in turn.
 _MODULE_ORDER = (
     relational,
     asof,
