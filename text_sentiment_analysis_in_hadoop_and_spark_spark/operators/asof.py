@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..streaming.windowed import load_events
+from ..streaming.windowed import epoch_us_col, load_events
 
 LEFT_TYPE = "purchase"
 RIGHT_TYPE = "view"
@@ -41,7 +41,7 @@ def asof_join_events(
     # ASOF JOIN input) is µs-precision, so the composition matches at
     # µs too — both engines then draw the at-or-before boundary at the
     # same tick
-    ts_us = F.expr("ts DIV 1000").cast("long")
+    ts_us = epoch_us_col(ev)
     right = ev.filter(F.col("event_type") == right_type).select(
         F.lit(None).cast("long").alias("event_id"),
         "user_id",
@@ -99,7 +99,7 @@ def range_join_events(
     exact range applied as a residual filter.  Cost: 2× probe-side
     rows, no nested loop — the standard bucketed range join at any
     scale."""
-    ts_us = F.expr("ts DIV 1000").cast("long")
+    ts_us = epoch_us_col(ev)
     right = ev.filter(F.col("event_type") == right_type).select(
         F.col("event_id").cast("long").alias("right_id"),
         "user_id",

@@ -1,0 +1,230 @@
+"""Decorrelation-shape relational queries — round-4 breadth over the
+TPC-H-style star schema (sibling of operators/relational.py; same
+integer-cents arithmetic contract so Spark's partition-parallel sums
+hash-match DuckDB's sequential ones).
+
+Each query is a classic *correlated-subquery* benchmark shape
+(TPC-H Q2 / Q11 / Q15 / Q20) rewritten the way a distributed engine
+must run it: the correlated scalar becomes a standalone aggregate
+joined (broadcast when dimension-sized) or crossed (when 1-row) back
+into the probe — never a per-row re-aggregation.
+
+Scale notes (100 TB posture):
+
+- The per-part / per-supplier aggregate tables are DIMENSION-sized
+  (bounded by |part| / |supplier|, not by fact rows), so their joins
+  back into the fact-derived rows broadcast; only the initial
+  fact-side groupBy shuffles, keyed the same as the downstream join.
+- The two-level aggregates (Q20 shape) derive the coarser level from
+  the finer one — the fact is shuffled ONCE on (part, supplier); the
+  part-level rollup re-aggregates the already-small result.
+- 1-row global scalars (Q11's total, Q15's max) ride a broadcast
+  cross-join, the same pattern as the reference's counters-via-conf
+  side input (/root/reference/Hadoop/NB.java:305-316).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .relational import _cents, _cents_sql, _revenue_cents, _REV_SQL
+
+Q2_MAX_SIZE = 10
+Q2_TYPE = "STANDARD"
+Q11_NATION = "NATION_7"
+Q11_FRACTION_DEN = 1000  # keep parts with value > total/1000
+Q15_FROM, Q15_TO = "1996-01-01", "1996-04-01"
+Q20_YEAR_FROM, Q20_YEAR_TO = "1997-01-01", "1998-01-01"
+
+
+def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each small STANDARD part, the supplier(s)
+    quoting its minimum price.  The correlated ``price = (SELECT
+    min(price) ...)`` subquery decorrelates into a per-part min table
+    joined back on the SAME key the aggregate grouped by — co-keyed,
+    and dimension-sized so it broadcasts."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= Q2_MAX_SIZE) & (F.col("p_type") == Q2_TYPE)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    scoped = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+    mins = scoped.groupBy("l_partkey").agg(
+        F.min("price_c").alias("min_price_cents")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        scoped.join(F.broadcast(mins), "l_partkey")
+        .filter(F.col("price_c") == F.col("min_price_cents"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "min_price_cents",
+        )
+        .distinct()
+        .join(F.broadcast(sup), "s_suppkey")
+        .select("p_partkey", "s_suppkey", "s_name", "min_price_cents")
+    )
+
+
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part revenue from one nation's suppliers,
+    keeping parts whose value exceeds 1/1000 of the nation total.  The
+    HAVING-against-a-global-scalar decorrelates into a 1-row aggregate
+    broadcast-crossed into the per-part rows; the threshold compare is
+    integer (value*1000 > total) — no float boundary."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == Q11_NATION
+    )
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    scoped = li.join(
+        F.broadcast(sup), li.l_suppkey == F.col("s_suppkey")
+    ).select("l_partkey", _revenue_cents(li).alias("rev_u"))
+    per_part = scoped.groupBy("l_partkey").agg(
+        F.sum("rev_u").cast("long").alias("value_u")
+    )
+    total = per_part.agg(
+        F.sum("value_u").cast("long").alias("total_u")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_u") * Q11_FRACTION_DEN > F.col("total_u"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "value_u",
+            F.round(F.col("value_u") / F.col("total_u"), 6).alias("share"),
+        )
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in one
+    quarter.  ``revenue = (SELECT max(total) ...)`` decorrelates into
+    a 1-row max broadcast-crossed into the per-supplier aggregate —
+    an argmax with no global sort and no single-partition window."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_FROM))
+        & (F.col("l_shipdate") < F.lit(Q15_TO))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_revenue_cents(li)).cast("long").alias("total_revenue_u")
+    )
+    best = rev.agg(F.max("total_revenue_u").alias("max_u"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue_u") == F.col("max_u"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"), "total_revenue_u"
+        )
+        .join(F.broadcast(sup), "s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue_u")
+    )
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than half of some
+    part's 1997 volume, with how many parts they dominate.  Two-level
+    aggregate: the fact shuffles ONCE on (part, supplier); the
+    part-level total re-aggregates that small result, then joins back
+    broadcast (both levels are dimension-bounded)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q20_YEAR_FROM))
+        & (F.col("l_shipdate") < F.lit(Q20_YEAR_TO))
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q_ps")
+    )
+    pt = ps.groupBy("l_partkey").agg(
+        F.sum("q_ps").cast("long").alias("q_total")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ps.join(F.broadcast(pt), "l_partkey")
+        .filter(F.col("q_ps") * 2 > F.col("q_total"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").cast("long").alias("n_parts_dominated"))
+        .join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select("s_suppkey", "s_name", "n_parts_dominated")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "rel_min_price_supplier": (
+        "WITH scoped AS (SELECT l_partkey, l_suppkey, "
+        f"{_cents_sql('l_extendedprice')} AS price_c "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        f"WHERE p_size <= {Q2_MAX_SIZE} AND p_type = '{Q2_TYPE}'), "
+        "m AS (SELECT l_partkey, min(price_c) AS min_price_cents "
+        "FROM scoped GROUP BY l_partkey) "
+        "SELECT DISTINCT sc.l_partkey AS p_partkey, "
+        "sc.l_suppkey AS s_suppkey, sup.s_name, m.min_price_cents "
+        "FROM scoped sc JOIN m USING (l_partkey) "
+        "JOIN supplier sup ON sc.l_suppkey = sup.s_suppkey "
+        "WHERE sc.price_c = m.min_price_cents"
+    ),
+    "rel_part_value_share": (
+        "WITH scoped AS (SELECT l_partkey, "
+        f"{_REV_SQL} AS rev_u "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        f"WHERE n_name = '{Q11_NATION}'), "
+        "pp AS (SELECT l_partkey, CAST(sum(rev_u) AS BIGINT) AS value_u "
+        "FROM scoped GROUP BY l_partkey), "
+        "t AS (SELECT CAST(sum(value_u) AS BIGINT) AS total_u FROM pp) "
+        "SELECT pp.l_partkey AS p_partkey, pp.value_u, "
+        "round(pp.value_u / t.total_u, 6) AS share "
+        "FROM pp, t "
+        f"WHERE pp.value_u * {Q11_FRACTION_DEN} > t.total_u"
+    ),
+    "rel_top_supplier": (
+        "WITH rev AS (SELECT l_suppkey, "
+        f"CAST(sum({_REV_SQL}) AS BIGINT) AS total_revenue_u "
+        "FROM lineitem "
+        f"WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}' "
+        f"AND l_shipdate < TIMESTAMP '{Q15_TO}' "
+        "GROUP BY l_suppkey), "
+        "best AS (SELECT max(total_revenue_u) AS max_u FROM rev) "
+        "SELECT rev.l_suppkey AS s_suppkey, sup.s_name, "
+        "rev.total_revenue_u "
+        "FROM rev, best "
+        "JOIN supplier sup ON rev.l_suppkey = sup.s_suppkey "
+        "WHERE rev.total_revenue_u = best.max_u"
+    ),
+    "rel_dominant_suppliers": (
+        "WITH ps AS (SELECT l_partkey, l_suppkey, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_ps "
+        "FROM lineitem "
+        f"WHERE l_shipdate >= TIMESTAMP '{Q20_YEAR_FROM}' "
+        f"AND l_shipdate < TIMESTAMP '{Q20_YEAR_TO}' "
+        "GROUP BY l_partkey, l_suppkey), "
+        "pt AS (SELECT l_partkey, CAST(sum(q_ps) AS BIGINT) AS q_total "
+        "FROM ps GROUP BY l_partkey) "
+        "SELECT ps.l_suppkey AS s_suppkey, sup.s_name, "
+        "CAST(count(*) AS BIGINT) AS n_parts_dominated "
+        "FROM ps JOIN pt USING (l_partkey) "
+        "JOIN supplier sup ON ps.l_suppkey = sup.s_suppkey "
+        "WHERE ps.q_ps * 2 > pt.q_total "
+        "GROUP BY ps.l_suppkey, sup.s_name"
+    ),
+}
+
+QUERIES = {
+    "rel_min_price_supplier": q_min_price_supplier,
+    "rel_part_value_share": q_part_value_share,
+    "rel_top_supplier": q_top_supplier,
+    "rel_dominant_suppliers": q_dominant_suppliers,
+}

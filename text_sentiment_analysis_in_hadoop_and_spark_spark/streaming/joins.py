@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .windowed import WATERMARK, load_events
+from .windowed import WATERMARK, event_ts_col, load_events
 
 ATTRIB_SEC = 1800  # purchase counts for a view seen ≤ 30 min before
 
@@ -88,14 +88,8 @@ def attribution_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     schema = spark.read.parquet(events_dir).schema
 
     def side() -> DataFrame:
-        return (
-            spark.readStream.schema(schema)
-            .parquet(events_dir)
-            .withColumn(
-                "event_ts",
-                F.timestamp_seconds(F.expr("ts DIV 1000000000").cast("long")),
-            )
-        )
+        raw = spark.readStream.schema(schema).parquet(events_dir)
+        return raw.withColumn("event_ts", event_ts_col(raw))
 
     views = (
         side()

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from .windowed import load_events
+from .windowed import event_ts_col, load_events
 
 GAP_SEC = 1800
 GAP = "30 minutes"
@@ -59,15 +59,10 @@ def sessions_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     file landing zone, as in windowed.py."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(events_dir)
-        .withColumn(
-            "event_ts",
-            F.timestamp_seconds(F.expr("ts DIV 1000000000").cast("long")),
-        )
-        .withWatermark("event_ts", WATERMARK)
-    )
+    raw = spark.readStream.schema(schema).parquet(events_dir)
+    stream = raw.withColumn(
+        "event_ts", event_ts_col(raw)
+    ).withWatermark("event_ts", WATERMARK)
     return (
         stream.groupBy(
             F.col("user_id"), F.session_window(F.col("event_ts"), GAP)

@@ -16,18 +16,19 @@ The SAME logical aggregation is exposed twice:
   state; tests/test_streaming.py proves stream ≡ batch on the same
   files.
 
-Timestamp handling: the driver's parquet stores TIMESTAMP(NANOS),
-which Spark's vectorized reader rejects; the engine reads it via the
-``spark.sql.legacy.parquet.nanosAsLong`` conf.  That conf is a
-SESSION-WIDE requirement: sessions built by ``session.get_spark`` set
-it at creation; for externally-created sessions the loaders below set
-it once before reading (documented side effect — it changes how
-nanos-timestamp parquet columns read for the whole session, which is
-exactly the engine's contract for this dataset; ADVICE r2).  The
-arithmetic on the long column is EXACT integer math —
-``ts_nanos DIV 1e9 DIV 3600 * 3600`` — for window starts.  The DuckDB
-oracle uses ``epoch_ns`` integer division, so both engines bucket
-identically with no float rounding at window edges.
+Timestamp handling: the driver's parquet has shipped ``ts`` as BOTH
+TIMESTAMP(NANOS) (earlier rounds — Spark's vectorized reader rejects
+it, so the engine reads it as long via the
+``spark.sql.legacy.parquet.nanosAsLong`` conf, kept session-wide) and
+TIMESTAMP(MICROS) (current rounds — read as a real timestamp).
+:func:`epoch_sec_col` normalizes either physical type to the SAME
+exact epoch-second long column using integer math only —
+``ts_nanos DIV 1e9`` or ``unix_micros(ts) DIV 1e6`` — so every
+consumer (windows, sessions, as-of, funnel) is physical-type-agnostic.
+The DuckDB oracle uses ``epoch_ns`` integer division, so both engines
+bucket identically with no float rounding at window edges.  The
+session timezone is pinned UTC (session.py), which makes the
+NTZ→instant interpretation match DuckDB's.
 
 Watermarking is what makes this run forever at scale: state for an
 hour window is dropped once the watermark (max event time − 1 hour)
@@ -40,20 +41,49 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 WINDOW = "1 hour"
 WATERMARK = "1 hour"
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
+def epoch_sec_col(df: DataFrame) -> F.Column:
+    """Exact epoch seconds from ``ts`` whichever way the parquet
+    stored it: long nanos (legacy nanosAsLong read) or a real
+    timestamp (micros).  Integer division only — no float rounding."""
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return F.expr("ts DIV 1000000000").cast("long")
+    return F.expr(
+        "unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000"
+    ).cast("long")
+
+
+def epoch_us_col(df: DataFrame) -> F.Column:
+    """Exact epoch microseconds from ``ts`` (either physical type).
+    µs is DuckDB TIMESTAMP's native precision, so as-of/range joins
+    verified against DuckDB draw boundaries at the same tick."""
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return F.expr("ts DIV 1000").cast("long")
+    return F.expr("unix_micros(CAST(ts AS TIMESTAMP))").cast("long")
+
+
+def event_ts_col(df: DataFrame) -> F.Column:
+    """``ts`` as a second-truncated TIMESTAMP for watermarks/windows —
+    same instant both physical types, matching :func:`epoch_sec_col`."""
+    return F.timestamp_seconds(epoch_sec_col(df))
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with exact epoch-second column derived from the nanos
-    timestamp (integer division — no double rounding)."""
+    """events with exact epoch-second column (integer division — no
+    double rounding)."""
     spark.conf.set(_NANOS_CONF, "true")
+    # NTZ→instant interpretation must be UTC to match DuckDB's
+    # epoch_ns — pinned here too so externally-created sessions
+    # (the driver's) agree with session.get_spark's contract
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return ev.withColumn(
-        "epoch_sec", F.expr("ts DIV 1000000000").cast("long")
-    )
+    return ev.withColumn("epoch_sec", epoch_sec_col(ev))
 
 
 def windowed_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,14 +112,9 @@ def windowed_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     bucket because hour windows align to the epoch."""
     spark.conf.set(_NANOS_CONF, "true")
     schema = spark.read.parquet(events_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(events_dir)
-        .withColumn(
-            "event_ts",
-            F.timestamp_seconds(F.expr("ts DIV 1000000000").cast("long")),
-        )
-        .withWatermark("event_ts", WATERMARK)
+    raw = spark.readStream.schema(schema).parquet(events_dir)
+    stream = raw.withColumn("event_ts", event_ts_col(raw)).withWatermark(
+        "event_ts", WATERMARK
     )
     return (
         stream.groupBy(
