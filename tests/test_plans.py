@@ -287,3 +287,35 @@ def test_big_orders_aggregates_before_join(spark):
     agg_tail = plan[plan.index("Join") :]
     assert "total_qty" in agg_tail and "Filter" in agg_tail, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_relational2_decorrelated_shapes(spark):
+    """The Q2/Q11/Q15/Q20 decorrelations must keep their aggregate
+    tables on the broadcast side: no cartesian products beyond the
+    1-row scalar crosses, and no sort-merge join against a
+    dimension-sized aggregate."""
+    q = entrymod.queries()
+    for name in (
+        "rel_min_price_supplier",
+        "rel_part_value_share",
+        "rel_top_supplier",
+        "rel_dominant_suppliers",
+    ):
+        plan = _plan(q[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, name
+        assert "CartesianProduct" not in plan, name
+        # only fact-side groupBys may shuffle; the join of the
+        # per-part/per-supplier aggregate back into the probe must not
+        # introduce a second fact-wide Exchange via SortMergeJoin
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_dominant_suppliers_single_fact_shuffle(spark):
+    """Q20 shape: the part-level rollup must derive from the
+    (part, supplier) aggregate — exactly one Exchange keyed on the
+    fact columns (plus AQE reads), not two independent fact scans."""
+    plan = _plan(
+        entrymod.queries()["rel_dominant_suppliers"](spark, SF_DIR)
+    )
+    scans = plan.count("FileScan parquet")
+    assert scans == 2, f"expected lineitem+supplier scans only:\n{plan}"

@@ -25,7 +25,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -136,9 +136,11 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers who shipped more than half of some
     part's 1997 volume, with how many parts they dominate.  Two-level
-    aggregate: the fact shuffles ONCE on (part, supplier); the
-    part-level total re-aggregates that small result, then joins back
-    broadcast (both levels are dimension-bounded)."""
+    aggregate: the fact scans and shuffles ONCE, on (part, supplier);
+    the part-level total is a whole-partition window SUM over that
+    already-dimension-sized result (a re-aggregate via self-join would
+    make Catalyst plan — and scan — the shared subtree twice; the
+    window re-exchanges only |part×supplier| rows)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(Q20_YEAR_FROM))
         & (F.col("l_shipdate") < F.lit(Q20_YEAR_TO))
@@ -146,12 +148,12 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q_ps")
     )
-    pt = ps.groupBy("l_partkey").agg(
-        F.sum("q_ps").cast("long").alias("q_total")
-    )
+    w_part = Window.partitionBy("l_partkey")
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        ps.join(F.broadcast(pt), "l_partkey")
+        ps.withColumn(
+            "q_total", F.sum("q_ps").over(w_part).cast("long")
+        )
         .filter(F.col("q_ps") * 2 > F.col("q_total"))
         .groupBy("l_suppkey")
         .agg(F.count("*").cast("long").alias("n_parts_dominated"))
