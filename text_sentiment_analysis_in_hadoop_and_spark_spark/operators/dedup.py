@@ -65,6 +65,7 @@ HOT_BUCKET_CAP = 1000
 _SIG_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 _JACCARD_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+_INCR_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 # --------------------------------------------------------------------------
@@ -131,44 +132,51 @@ def banded_signatures(sigs: DataFrame) -> DataFrame:
     return sigs.select("doc_id", *[f"s{k}" for k in range(N_PERM)], *bands)
 
 
+def banded_long(banded: DataFrame) -> DataFrame:
+    """Unpivot the band columns to (doc_id, bi, bk) — one ``stack``
+    Generate, BANDS rows per doc.  A single (bi, bk)-keyed join over
+    this long table replaces BANDS separate per-band joins: one
+    shuffle, one hot-bucket aggregate, one stage — instead of BANDS
+    small jobs whose fixed costs dominate (and whose subtrees multiply
+    whenever the consumer references the pair table twice)."""
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(BANDS))
+    return banded.select(
+        "doc_id", F.expr(f"stack({BANDS}, {stack_args}) AS (bi, bk)")
+    )
+
+
 def candidate_pairs(
     banded: DataFrame, cap: int = HOT_BUCKET_CAP
 ) -> DataFrame:
     """Same-bucket pairs (doc_a < doc_b), deduped across bands.
 
-    Scale note: each band join shuffles on the band hash; bucket
-    sizes are the skew risk (near-universal boilerplate shingles).
-    Band keys whose bucket count exceeds ``cap`` are dropped before
-    the self-join: the per-band aggregate is tiny (one row per band
-    key, partial-agg combined), the hot-key list is tinier still
+    Scale note: the (bi, bk)-keyed self-join shuffles on the band
+    hash; bucket sizes are the skew risk (near-universal boilerplate
+    shingles).  Band keys whose bucket count exceeds ``cap`` are
+    dropped before the self-join: the per-(band, key) aggregate is
+    tiny (partial-agg combined), the hot-key list is tinier still
     (only keys above the cap), so it broadcast-anti-joins against the
     probe side for free.  Excluding the key on ONE side suffices —
     the equi-join can't match a dropped key anyway.  AQE skew-join
     splitting handles the sub-cap skew that remains.
     """
-    parts = []
-    for b in range(BANDS):
-        hot = (
-            banded.groupBy(F.col(f"band{b}").alias("bk"))
-            .agg(F.count("*").alias("c"))
-            .filter(F.col("c") > cap)
-            .select("bk")
-        )
-        left = banded.select(
-            F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk")
-        ).join(F.broadcast(hot), "bk", "left_anti")
-        right = banded.select(
-            F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk")
-        )
-        parts.append(
-            left.join(right, "bk")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.union(p)
-    return out.distinct()
+    long = banded_long(banded)
+    hot = (
+        long.groupBy("bi", "bk")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > cap)
+        .select("bi", "bk")
+    )
+    left = long.select(
+        F.col("doc_id").alias("doc_a"), "bi", "bk"
+    ).join(F.broadcast(hot), ["bi", "bk"], "left_anti")
+    right = long.select(F.col("doc_id").alias("doc_b"), "bi", "bk")
+    return (
+        left.join(right, ["bi", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 # --------------------------------------------------------------------------
@@ -663,29 +671,34 @@ def q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by that doc's candidate count.  Ordering ranks on the
     ROUNDED jaccard so Spark and the oracle always agree at
     tie boundaries."""
-    banded = _banded_cached(spark, sf_dir)
-    is_batch = F.col("doc_id") % BATCH_MOD == 0
-    b_sigs = banded.filter(is_batch)
-    i_sigs = banded.filter(~is_batch)
-    parts = []
-    for b in range(BANDS):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _INCR_PAIRS_CACHE.get(key)
+    if pairs is None:
+        long = banded_long(_banded_cached(spark, sf_dir))
+        is_batch = F.col("doc_id") % BATCH_MOD == 0
+        b_long = long.filter(is_batch)
+        i_long = long.filter(~is_batch)
         hot = (
-            i_sigs.groupBy(F.col(f"band{b}").alias("bk"))
+            i_long.groupBy("bi", "bk")
             .agg(F.count("*").alias("c"))
             .filter(F.col("c") > HOT_BUCKET_CAP)
-            .select("bk")
+            .select("bi", "bk")
         )
-        left = b_sigs.select(
-            F.col("doc_id").alias("doc_a"), F.col(f"band{b}").alias("bk")
-        ).join(F.broadcast(hot), "bk", "left_anti")
-        right = i_sigs.select(
-            F.col("doc_id").alias("doc_b"), F.col(f"band{b}").alias("bk")
+        left = b_long.select(
+            F.col("doc_id").alias("doc_a"), "bi", "bk"
+        ).join(F.broadcast(hot), ["bi", "bk"], "left_anti")
+        right = i_long.select(F.col("doc_id").alias("doc_b"), "bi", "bk")
+        # cache: the verify stage references the pair table twice
+        # (intersection build + final left join) — uncached, the whole
+        # probe-join subtree would execute twice
+        pairs = (
+            left.join(right, ["bi", "bk"])
+            .select("doc_a", "doc_b")
+            .distinct()
+            .cache()
         )
-        parts.append(left.join(right, "bk").select("doc_a", "doc_b"))
-    pairs = parts[0]
-    for p in parts[1:]:
-        pairs = pairs.union(p)
-    jac = verify_jaccard(spark, sf_dir, pairs.distinct())
+        _INCR_PAIRS_CACHE[key] = pairs
+    jac = verify_jaccard(spark, sf_dir, pairs)
     w = Window.partitionBy("doc_a").orderBy(
         F.desc("jaccard"), F.asc("doc_b")
     )
