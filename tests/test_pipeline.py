@@ -121,3 +121,18 @@ def test_balanced_sample_thins_majority_class(spark):
         n[r["label"]] += 1
     assert n[1] == 100                      # minority kept whole
     assert 60 <= n[0] <= 140, n             # majority thinned to ~100
+
+
+def test_profile_one_row_per_column(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        PROFILE_COLUMNS,
+        q_profile,
+    )
+
+    rows = {r["col_name"]: r for r in q_profile(spark, SF_DIR).collect()}
+    assert set(rows) == set(PROFILE_COLUMNS)
+    n = {r["n_rows"] for r in rows.values()}
+    assert len(n) == 1  # every column profiled over the same corpus
+    assert rows["doc_id"]["n_nulls"] == 0
+    # numeric min/max must order numerically, not lexically
+    assert int(rows["n_chars"]["min_repr"]) <= int(rows["n_chars"]["max_repr"])

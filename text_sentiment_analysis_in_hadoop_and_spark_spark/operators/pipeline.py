@@ -160,6 +160,48 @@ def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFILE_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column corpus profile — row counts, null counts, EXACT
+    distinct counts, and min/max (rendered to string so heterogeneous
+    column types share one schema; min/max are taken in the column's
+    native type BEFORE casting, so numerics order numerically).  The
+    first look a data engineer takes at a new drop, and the
+    column-level contract a pipeline asserts before training.
+
+    Scale shape: one narrow single-column aggregate per profiled
+    column, unioned — each scans ONLY its own column (columnar
+    pruning makes five 1-column passes ≈ one full-width pass) and
+    each is partial-agg combined.  The alternative — one pass with
+    five count(DISTINCT)s — plans an Expand (×5 row blowup before
+    the shuffle), strictly worse at corpus scale.  Exact distinct is
+    the honest per-column shuffle; swap in approx_count_distinct
+    (HLL, mergeable, one pass for ALL columns) when ±2% suffices —
+    the same exact/approx pairing as tfidf_df_approx."""
+    docs = load_table(spark, sf_dir, "documents")
+    parts = []
+    for name in PROFILE_COLUMNS:
+        v = F.col(name)
+        parts.append(
+            docs.select(v.alias("v")).agg(
+                F.lit(name).alias("col_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_nulls"),
+                F.countDistinct("v").cast("long").alias("n_distinct"),
+                F.min("v").cast("string").alias("min_repr"),
+                F.max("v").cast("string").alias("max_repr"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _pack_bucket_nextfit(pdf: pd.DataFrame) -> pd.DataFrame:
     """Next-fit over one bucket, docs in doc_id order: close the open
     bin when the next doc would overflow it.  An oversized doc
@@ -222,6 +264,17 @@ ORACLES: dict[str, str] = {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
         f"/ {PACK_BUDGET}) AS BIGINT) AS bin FROM sized"
     ),
+    "pipe_profile": " UNION ALL ".join(
+        f"SELECT '{name}' AS col_name, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_nulls, "
+        f"CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct, "
+        f"CAST(min({name}) AS VARCHAR) AS min_repr, "
+        f"CAST(max({name}) AS VARCHAR) AS max_repr "
+        "FROM documents"
+        for name in PROFILE_COLUMNS
+    ),
 }
 
 QUERIES = {
@@ -230,4 +283,5 @@ QUERIES = {
     "pipe_export_manifest": q_export_manifest,
     "pipe_pack_sequences": q_pack_sequences,
     "pipe_pack_nextfit": q_pack_nextfit,
+    "pipe_profile": q_profile,
 }
