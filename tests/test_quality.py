@@ -110,3 +110,26 @@ def test_contamination_planted_overlap(spark, tmp_path):
     assert got[2]["contam_frac"] == round(4 / 6, 6)
     assert got[3]["n_hits"] == 0
     assert got[3]["contam_frac"] == 0.0
+
+
+def test_lm_score_semantics(spark, tmp_path):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.quality import (
+        q_lm_score,
+    )
+    import math
+
+    rows = [
+        (1, "the cat sat"),   # bigrams shared with doc 2's prefix
+        (2, "the cat ran"),   # diverges on the second bigram
+        (3, "zq zq zq zq"),   # fully predictable: P(zq|zq) = 1
+        (4, "x"),             # no bigrams
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in q_lm_score(spark, sf).collect()}
+    # doc 3: every bigram (zq,zq) has c12 = c1 = 3 → entropy 0
+    assert got[3]["n_bigrams"] == 3 and got[3]["cross_entropy"] == 0.0
+    # doc 4: no bigrams → coalesced zeros
+    assert got[4]["n_bigrams"] == 0 and got[4]["cross_entropy"] == 0.0
+    # docs 1/2: "the cat" certain (c=2/2); second bigram splits 1-of-2
+    expect = round(-(math.log(1.0) + math.log(0.5)) / 2, 6)
+    assert got[1]["cross_entropy"] == expect == got[2]["cross_entropy"]

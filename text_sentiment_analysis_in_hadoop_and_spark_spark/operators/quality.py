@@ -236,6 +236,59 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-corpus bigram-LM cross-entropy per doc — the relational form
+    of the perplexity quality filter (CCNet/Gopher run a KenLM; here
+    the corpus is its own LM, which is the bootstrap when no external
+    LM exists).  P(w2|w1) = c(w1,w2)/c(w1·) over the whole corpus;
+    score = −avg ln P over the doc's bigrams.  LOW = predictable /
+    boilerplate, HIGH = novel (or noise) — both tails are the usual
+    filter targets.  No smoothing needed: every scored bigram is in
+    the counts by construction (c ≥ 1), so the log is finite.
+
+    Scale shape: the bigram count table IS the LM — built by one
+    (w1, w2)-keyed partial-agg groupBy; the context totals derive from
+    it (vocabulary-sized groupBy over the already-aggregated counts —
+    the corpus is NOT re-scanned).  Scoring joins the corpus bigrams
+    back on the same (w1, w2) key the count table was partitioned by,
+    the context totals attach on w1 (broadcast when the vocabulary
+    fits, AQE decides), and the per-doc rollup is one doc_id shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select("doc_id", _toks(F.col("text")).alias("tk"))
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+                "(w, i) -> struct(w AS w1, tk[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    per_doc = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.avg(F.log(F.col("c12") / F.col("c1"))), 6
+            ).alias("cross_entropy"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0))
+        .cast("long")
+        .alias("n_bigrams"),
+        F.coalesce(F.col("cross_entropy"), F.lit(0.0)).alias(
+            "cross_entropy"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
@@ -300,10 +353,29 @@ ORACLES: dict[str, str] = {
         "round(CAST(count(b.gram) AS DOUBLE) / count(*), 6) AS contam_frac "
         "FROM corpus c LEFT JOIN bench b USING (gram) GROUP BY c.doc_id"
     ),
+    "text_lm_score": (
+        "WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk "
+        "FROM documents), "
+        "bg AS (SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2 "
+        "FROM (SELECT doc_id, tk, "
+        "unnest(range(0, greatest(len(tk) - 1, 0))) AS i FROM base)), "
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1), "
+        "per AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "round(-avg(ln(CAST(c12.c12 AS DOUBLE) / c1.c1)), 6) "
+        "AS cross_entropy "
+        "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) "
+        "GROUP BY bg.doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+        "coalesce(p.cross_entropy, 0.0) AS cross_entropy "
+        "FROM documents d LEFT JOIN per p USING (doc_id)"
+    ),
 }
 
 QUERIES = {
     "text_repetition": q_repetition,
     "text_pii_redact": q_pii_redact,
     "text_contamination": q_contamination,
+    "text_lm_score": q_lm_score,
 }
