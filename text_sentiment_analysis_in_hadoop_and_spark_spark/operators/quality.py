@@ -39,6 +39,9 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hex32, hex32_sql
 from ..sources.tables import load_table
+from .common import register_cache
+
+_BIGRAM_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 # Gopher-style gate thresholds (engine choice, documented constants).
 ADJ_REPEAT_MAX = 0.15   # fraction of adjacent equal-token pairs
@@ -246,35 +249,48 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter targets.  No smoothing needed: every scored bigram is in
     the counts by construction (c ≥ 1), so the log is finite.
 
-    Scale shape: the bigram count table IS the LM — built by one
-    (w1, w2)-keyed partial-agg groupBy; the context totals derive from
-    it (vocabulary-sized groupBy over the already-aggregated counts —
-    the corpus is NOT re-scanned).  Scoring joins the corpus bigrams
-    back on the same (w1, w2) key the count table was partitioned by,
-    the context totals attach on w1 (broadcast when the vocabulary
-    fits, AQE decides), and the per-doc rollup is one doc_id shuffle.
+    Scale shape: the corpus is scanned ONCE into a memoized
+    (doc_id, w1, w2) → n occurrence-count table (bigram explode +
+    partial-agg groupBy); everything else derives from it — the LM
+    count table (one (w1, w2) groupBy of the memo), the context totals
+    (vocabulary-sized groupBy of the count table), the scoring join
+    (back on the same (w1, w2) key), and the per-doc rollup (one
+    doc_id shuffle, occurrence-weighted: Σ n·lnP / Σ n).  Without the
+    memo Catalyst re-plans the shared bigram subtree per consumer —
+    the naive self-join form scanned the corpus 4×.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = docs.select("doc_id", _toks(F.col("text")).alias("tk"))
-    bg = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), "
-                "(w, i) -> struct(w AS w1, tk[i + 1] AS w2))"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    bgc = _BIGRAM_CACHE.get(key)
+    if bgc is None:
+        base = docs.select("doc_id", _toks(F.col("text")).alias("tk"))
+        bgc = (
+            base.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+                        "(w, i) -> struct(w AS w1, tk[i + 1] AS w2))"
+                    )
+                ).alias("p"),
             )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+            .select("doc_id", "p.w1", "p.w2")
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count("*").alias("n"))
+            .cache()
+        )
+        _BIGRAM_CACHE[key] = bgc
+    c12 = bgc.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    lnp = F.log(F.col("c12") / F.col("c1"))
     per_doc = (
-        bg.join(c12, ["w1", "w2"])
+        bgc.join(c12, ["w1", "w2"])
         .join(c1, "w1")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("n").cast("long").alias("n_bigrams"),
             F.round(
-                -F.avg(F.log(F.col("c12") / F.col("c1"))), 6
+                -F.sum(F.col("n") * lnp) / F.sum("n"), 6
             ).alias("cross_entropy"),
         )
     )
