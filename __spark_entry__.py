@@ -12,6 +12,7 @@ Implementation lives in ``text_sentiment_analysis_in_hadoop_and_spark_spark``
 from __future__ import annotations
 
 from collections.abc import Callable
+from types import SimpleNamespace
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,6 +60,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r5 SHOULD rotate back: lead with nb/tfidf/similarity/textstats/ml
 #   (+ any query newly added in r5), letting the r4-green families move
 #   past the cap in turn.
+_pipeline_late = SimpleNamespace(
+    __name__="pipeline_late",
+    QUERIES=pipeline.QUERIES_LATE,
+    ORACLES=pipeline.ORACLES_LATE,
+)
+
+
 _MODULE_ORDER = (
     relational,
     asof,
@@ -73,6 +81,7 @@ _MODULE_ORDER = (
     relational2,  # added mid-r4: after the never-checked block so its
     # first entry takes the one spare slot in the 50-query window;
     # the rest rotate into the window in later rounds
+    _pipeline_late,
     dedup,
     nb,
     tfidf,

@@ -136,3 +136,25 @@ def test_profile_one_row_per_column(spark):
     assert rows["doc_id"]["n_nulls"] == 0
     # numeric min/max must order numerically, not lexically
     assert int(rows["n_chars"]["min_repr"]) <= int(rows["n_chars"]["max_repr"])
+
+
+def test_mixture_weighted_thinning(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        q_mixture,
+    )
+
+    rows = {r["source"]: r for r in q_mixture(spark, SF_DIR).collect()}
+    assert rows  # every source reported
+    for r in rows.values():
+        assert 0 <= r["n_kept"] <= r["n_avail"]
+        assert 0.0 <= r["target_frac"] <= 1.0
+        assert r["realized_frac"] == round(r["n_kept"] / r["n_avail"], 6)
+    # target fractions order by weight (exact math, no sampling noise);
+    # realized counts are too noisy to compare at this corpus size
+    # (2-3 docs/source at sf0.001) — the deterministic filter itself is
+    # pinned by the DuckDB oracle at sf0.01
+    by_w = {}
+    for r in rows.values():
+        by_w.setdefault(r["w"], set()).add(r["target_frac"])
+    if 1 in by_w and 3 in by_w:
+        assert min(by_w[3]) > max(by_w[1])

