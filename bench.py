@@ -61,11 +61,22 @@ def main() -> int:
     spark = get_spark("tsa_bench")
     # warm up the JVM paths every query shares so they aren't billed to
     # whichever query happens to run first: codegen (range), the
-    # parquet reader stack (1-row scan) and the noop sink
+    # parquet reader stack (1-row scan), the noop sink, and the
+    # HashAggregate/Exchange/BroadcastHashJoin operator pipeline that
+    # nearly every query compiles (measured ~1.5-2s of first-plan
+    # codegen + AQE spin-up on a cold JVM, previously billed to the
+    # first family's lead query)
+    from pyspark.sql import functions as F
+
     spark.range(1000).count()
-    _force(
-        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1)
+    li1k = spark.read.parquet(
+        os.path.join(sf_dir, "lineitem.parquet")
+    ).limit(1000)
+    _force(li1k.limit(1))
+    agg = li1k.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("q"), F.count("*").alias("n")
     )
+    _force(agg.join(F.broadcast(agg.select("l_returnflag")), "l_returnflag"))
 
     # eviction groups: caches clear between groups, not inside one.
     # dedup + similarity share artifacts (the multimodal keep-list
