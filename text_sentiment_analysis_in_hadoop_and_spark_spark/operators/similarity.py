@@ -318,8 +318,17 @@ def _centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
 
 
 def _centroids_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = [(i, c) for i, c in enumerate(_centroids(spark, sf_dir))]
-    return spark.createDataFrame(rows, "cid INT, cvec ARRAY<DOUBLE>")
+    """Centroids WITH their norms: the norm is a per-centroid constant,
+    computed driver-side (left-to-right fold, the same order as
+    :func:`dot`) so assignment pays ONE fold per (vector, centroid)
+    pair — ``dot/(nrm·cnrm)`` — instead of cosine()'s three."""
+    rows = [
+        (i, c, math.sqrt(sum(x * x for x in c)))
+        for i, c in enumerate(_centroids(spark, sf_dir))
+    ]
+    return spark.createDataFrame(
+        rows, "cid INT, cvec ARRAY<DOUBLE>, cnrm DOUBLE"
+    )
 
 
 # ---- two-level quantizer (the documented escape hatch, implemented) --
@@ -395,11 +404,11 @@ def ivf_assignments(
     asg = _ASG_CACHE.get(key)
     if asg is not None:
         return asg
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
-    )
+    emb = _emb_with_norm(spark, sf_dir)
     cents = _centroids_df(spark, sf_dir)
-    sim = cosine(F.col("embedding"), F.col("cvec"))
+    sim = dot(F.col("embedding"), F.col("cvec")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
     if not two_level:
         asg = (
             emb.crossJoin(F.broadcast(cents))
@@ -416,7 +425,11 @@ def ivf_assignments(
         return asg
     coarse_vecs, cells = _coarse_cells(spark, sf_dir)
     coarse = spark.createDataFrame(
-        list(enumerate(coarse_vecs)), "ccell INT, covec ARRAY<DOUBLE>"
+        [
+            (i, v, math.sqrt(sum(x * x for x in v)))
+            for i, v in enumerate(coarse_vecs)
+        ],
+        "ccell INT, covec ARRAY<DOUBLE>, conrm DOUBLE",
     )
     fine = cents.join(
         F.broadcast(
@@ -426,7 +439,9 @@ def ivf_assignments(
         ),
         "cid",
     )
-    csim = cosine(F.col("embedding"), F.col("covec"))
+    csim = dot(F.col("embedding"), F.col("covec")) / (
+        F.col("nrm") * F.col("conrm")
+    )
     best = (
         emb.crossJoin(F.broadcast(coarse))
         .groupBy("vec_id")
