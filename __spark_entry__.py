@@ -60,10 +60,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r5 SHOULD rotate back: lead with nb/tfidf/similarity/textstats/ml
 #   (+ any query newly added in r5), letting the r4-green families move
 #   past the cap in turn.
+# Mid-round additions to early modules register through late
+# namespaces so they cannot push never-driver-checked queries past the
+# driver's 50-query correctness window.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
     ORACLES=pipeline.ORACLES_LATE,
+)
+_multimodal_late = SimpleNamespace(
+    __name__="multimodal_late",
+    QUERIES=multimodal.QUERIES_LATE,
+    ORACLES=multimodal.ORACLES_LATE,
 )
 
 
@@ -82,6 +90,7 @@ _MODULE_ORDER = (
     # first entry takes the one spare slot in the 50-query window;
     # the rest rotate into the window in later rounds
     _pipeline_late,
+    _multimodal_late,
     dedup,
     nb,
     tfidf,

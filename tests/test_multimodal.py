@@ -143,3 +143,57 @@ def test_decode_meta_batch_shape():
     assert o["n_bytes"].tolist() == [3, 700]
     assert o["width"].tolist() == [1 + 3 % 640, 1 + 700 % 640]
     assert o["height"].tolist() == [1 + 0, 1 + 1]
+
+
+def test_bmp_decode_padding_and_orientation():
+    """The real 24-bit BMP decoder: row padding skipped, bottom-up and
+    top-down storage both yield row 0 = image top, BGR→RGB swapped."""
+    import numpy as np
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp,
+    )
+
+    for doc_id in (1, 3, 7, 14, 205):  # mixes widths w/ and w/o padding + top-down
+        base = doc_id % 200
+        w = 4 + doc_id % 5
+        h = 3 + doc_id % 4
+        px = decode_bmp_pixels(make_bmp(doc_id))
+        assert px.shape == (h, w, 3)
+        # pixel (x, y): R = base+x+y, G = base+y, B = base+x
+        for x, y in ((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1)):
+            assert tuple(int(v) for v in px[y, x]) == (
+                base + x + y,
+                base + y,
+                base + x,
+            ), (doc_id, x, y)
+
+
+def test_bmp_decode_rejects_unsupported():
+    import pytest as _pytest
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        make_bmp,
+    )
+
+    bad_bpp = bytearray(make_bmp(5))
+    bad_bpp[28:30] = (8).to_bytes(2, "little")  # 8-bit palette BMP
+    with _pytest.raises(NotImplementedError):
+        decode_bmp_pixels(bytes(bad_bpp))
+    with _pytest.raises(ValueError):
+        decode_bmp_pixels(b"nonsense")
+
+
+def test_pixel_stats_query_matches_closed_form(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.multimodal import (
+        q_mm_pixel_stats,
+    )
+
+    rows = {r["doc_id"]: r for r in q_mm_pixel_stats(spark, SF_DIR).collect()}
+    assert rows
+    for d, r in list(rows.items())[:20]:
+        base, w, h = d % 200, 4 + d % 5, 3 + d % 4
+        assert (r["width"], r["height"], r["tl_g"]) == (w, h, base)
+        assert r["mean_g"] == round(base + (h - 1) / 2.0, 6)

@@ -315,3 +315,178 @@ QUERIES = {
     "mm_resize": q_mm_resize,
     "mm_frame_sample": q_mm_frame_sample,
 }
+
+
+# --------------------------------------------------------------------------
+# REAL pixel work: dependency-free 24-bit BMP decode (r4)
+# --------------------------------------------------------------------------
+
+# Synthetic-BMP geometry: small enough that base + x + y < 256 always
+# (base < 200, x < 8, y < 6), so channel math never wraps and the
+# DuckDB oracle is a CLOSED FORM of doc_id — if the decoder mishandles
+# row padding, bottom-up order, or BGR→RGB, the means/corner drift and
+# the hash check fails.
+BMP_BASE_MOD = 200
+BMP_W_MIN, BMP_W_SPAN = 4, 5    # width 4..8 → 3·w % 4 ∈ {0,3,2,1,0}: padding load-bearing
+BMP_H_MIN, BMP_H_SPAN = 3, 4    # height 3..6
+BMP_TOPDOWN_MOD = 7             # every 7th doc stores rows top-down (negative height)
+
+
+def make_bmp(doc_id: int) -> bytes:
+    """Deterministic 24-bit uncompressed BMP: pixel (x, y) has
+    B = base+x, G = base+y, R = base+x+y with base = doc_id % 200.
+    Real container: BITMAPFILEHEADER + BITMAPINFOHEADER, rows padded
+    to 4 bytes, bottom-up unless doc_id % 7 == 0 (then top-down via
+    negative height) — the two row orders a real decoder must handle."""
+    base = doc_id % BMP_BASE_MOD
+    w = BMP_W_MIN + doc_id % BMP_W_SPAN
+    h = BMP_H_MIN + doc_id % BMP_H_SPAN
+    top_down = doc_id % BMP_TOPDOWN_MOD == 0
+    pad = b"\x00" * ((4 - (w * 3) % 4) % 4)
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    pixel_data = b"".join(
+        b"".join(
+            bytes((base + x, base + y, base + x + y)) for x in range(w)
+        )
+        + pad
+        for y in ys
+    )
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")          # BI_RGB, uncompressed
+        + len(pixel_data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2   # 72 dpi
+        + (0).to_bytes(4, "little") * 2
+    )
+    offset = 14 + 40
+    header = (
+        b"BM"
+        + (offset + len(pixel_data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + offset.to_bytes(4, "little")
+    )
+    return header + info + pixel_data
+
+
+def decode_bmp_pixels(payload: bytes):
+    """REAL pixel decode, numpy only: 24-bit uncompressed BMP →
+    (height, width, 3) uint8 RGB array, row 0 = top of image.
+    Handles row padding, bottom-up (positive height) and top-down
+    (negative height) storage, and BGR→RGB channel order.  Raises
+    NotImplementedError for compressed or non-24-bit BMPs (those need
+    a codec library — Pillow, when installed, via decode_image)."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP container")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+    h = abs(h_raw)
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, np.uint8, stride * h, off).reshape(
+        h, stride
+    )[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:
+        rows = rows[::-1]   # bottom-up file order → top-down image
+    return rows[:, :, ::-1]  # BGR → RGB
+
+
+MM_PIXEL_SCHEMA = (
+    "doc_id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, tl_g int"
+)
+
+
+def bmp_payload_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Synthesize the per-doc BMP payloads (the testdata ships no real
+    image bytes; in production this stage IS the stored blob column)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(
+                    lambda d: make_bmp(int(d))
+                ),
+            }
+        )
+
+
+def pixel_stats_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker running the REAL decoder per payload:
+    per-channel means + the top-left green value (orientation canary —
+    a decoder that ignores bottom-up storage reads the wrong corner)."""
+    for pdf in batches:
+        out = {
+            "doc_id": [], "width": [], "height": [],
+            "mean_r": [], "mean_g": [], "mean_b": [], "tl_g": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            px = decode_bmp_pixels(bytes(payload))
+            h, w, _ = px.shape
+            means = px.reshape(-1, 3).mean(axis=0)
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["mean_r"].append(round(float(means[0]), 6))
+            out["mean_g"].append(round(float(means[1]), 6))
+            out["mean_b"].append(round(float(means[2]), 6))
+            out["tl_g"].append(int(px[0, 0, 1]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                "tl_g": pd.Series(out["tl_g"], dtype="int32"),
+            }
+        )
+
+
+def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize → decode → per-channel stats, two chained narrow
+    Arrow stages (payloads never leave the executor, no shuffle).  The
+    decode stage is a genuine payload→pixels operator usable on any
+    24-bit BMP column; the closed-form oracle makes its padding /
+    orientation / channel-order handling hash-checked."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.mapInPandas(
+        bmp_payload_batches, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(pixel_stats_batches, schema=MM_PIXEL_SCHEMA)
+
+
+_BMP_W_SQL = f"(4 + doc_id % {BMP_W_SPAN})"
+_BMP_H_SQL = f"(3 + doc_id % {BMP_H_SPAN})"
+_BMP_BASE_SQL = f"(doc_id % {BMP_BASE_MOD})"
+
+ORACLES_LATE: dict[str, str] = {
+    # closed form of the synthetic gradient: mean_x over 0..w-1 = (w-1)/2
+    "mm_pixel_stats": (
+        "SELECT doc_id, "
+        f"CAST({_BMP_W_SQL} AS INTEGER) AS width, "
+        f"CAST({_BMP_H_SQL} AS INTEGER) AS height, "
+        f"round({_BMP_BASE_SQL} + ({_BMP_W_SQL} - 1) / 2.0 "
+        f"+ ({_BMP_H_SQL} - 1) / 2.0, 6) AS mean_r, "
+        f"round({_BMP_BASE_SQL} + ({_BMP_H_SQL} - 1) / 2.0, 6) AS mean_g, "
+        f"round({_BMP_BASE_SQL} + ({_BMP_W_SQL} - 1) / 2.0, 6) AS mean_b, "
+        f"CAST({_BMP_BASE_SQL} AS INTEGER) AS tl_g "
+        "FROM documents"
+    ),
+}
+
+QUERIES_LATE = {"mm_pixel_stats": q_mm_pixel_stats}
