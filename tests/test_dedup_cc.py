@@ -46,3 +46,47 @@ def test_chain_merges_and_singletons_stay(spark, tmp_path):
         for r in q_dedup_clusters(spark, sf).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_star_cc_equals_propagation_on_random_graphs(spark):
+    import random
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    prop = {
+        r["node"]: r["label"]
+        for r in connected_components(pairs).collect()
+    }
+    star = {
+        r["node"]: r["label"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert star == prop
+
+
+def test_star_cc_resolves_deep_chain_in_few_rounds(spark):
+    """A 120-node path has diameter 119 — min-label propagation needs
+    ~119 rounds (far past CC_MAX_ITERS); star alternation collapses it
+    within its default O(log n) round budget."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a LONG, doc_b LONG"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components_star(pairs, max_rounds=12).collect()
+    }
+    assert got == {i: 0 for i in range(n)}

@@ -417,6 +417,91 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame, max_rounds: int = 20
+) -> DataFrame:
+    """Connected components via large-star / small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the adversarial-depth upgrade the plain min-label propagation
+    documents: propagation needs diameter rounds (a 10⁶-node chain
+    needs 10⁶ shuffles), this converges in O(log n) rounds on ANY
+    graph shape.  Near-dup clusters are shallow so propagation wins on
+    constants there; use THIS when the pair graph's shape is untrusted
+    (adversarial corpora, transitive-link chains).
+
+    Each round is two groupBy-min + join passes over the current edge
+    set (which only shrinks toward the star form), with the same
+    ``localCheckpoint`` lineage discipline as the propagation variant.
+
+    - large-star: every node links its LARGER neighbors to its
+      current minimum (min over neighborhood ∪ self).
+    - small-star: every node links its smaller-or-equal neighbors and
+      itself to that minimum.
+
+    Converged when the directed (hi → lo) edge set stops changing;
+    the stars then point every node at its component min.  Returns
+    (node, label) like :func:`connected_components`."""
+    # canonical directed form: hi --> lo
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        edges.select(F.col("hi").alias("node"))
+        .union(edges.select(F.col("lo").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # ---- large-star ----
+        bidir = edges.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).union(edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mins = bidir.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("mn"), F.col("u")).alias("m")
+        )
+        ls = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("hi"), F.col("m").alias("lo")
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # ---- small-star over the large-star output ----
+        mins2 = ls.groupBy("hi").agg(F.min("lo").alias("mn")).select(
+            "hi", F.least(F.col("mn"), F.col("hi")).alias("m")
+        )
+        ss = (
+            ls.join(mins2, "hi")
+            .select(F.col("lo").alias("n"), F.col("m"))
+            .union(mins2.select(F.col("hi").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(
+                F.greatest("n", "m").alias("hi"), F.least("n", "m").alias("lo")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        diff = (
+            ss.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(ss).limit(1).count()
+        )
+        edges = ss
+        if diff == 0:
+            break
+    labels = edges.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
+    )
+
+
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Converged (node, label) over the verified text near-dup pairs,
     memoized per (session, sf_dir)."""
