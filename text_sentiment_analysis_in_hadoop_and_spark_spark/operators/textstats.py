@@ -215,6 +215,13 @@ ORACLES: dict[str, str] = {
         "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
         ") GROUP BY token ORDER BY n DESC, token LIMIT 500"
     ),
+    # the sketch is exact while maxItemsTracked covers the vocabulary
+    # (true for the driver's corpora) — same oracle as the exact query
+    "text_top_tokens_approx": (
+        "SELECT token, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
+        ") GROUP BY token ORDER BY n DESC, token LIMIT 500"
+    ),
     "text_token_stats": (
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
         f"CAST({_NTOK} AS BIGINT) AS n_tokens, "
@@ -292,9 +299,40 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of ``text_top_tokens``: one-pass ``approx_top_k``
+    (mergeable frequent-items sketch — each partition keeps a bounded
+    candidate map, merged once at the driver) instead of the exact
+    token groupBy + distributed top-K.  The shuffle carries one
+    bounded sketch per partition, not the per-token count table —
+    the same exact→approx trade as tfidf_df_approx (HLL) and
+    events_percentiles_approx (GK).
+
+    Oracle note: with maxItemsTracked (10⁴) ≥ the corpus's distinct
+    tokens the sketch degenerates to exact counts, so on the driver's
+    testdata this hash-matches the EXACT oracle; past 10⁴ distinct
+    tokens counts become approximate (the sketch's documented
+    contract) and only the heavy tail would drift.  The re-sort on
+    (count DESC, token ASC) keeps the emitted cut a total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    sk = docs.select(F.explode(_toks(F.col("text"))).alias("token")).agg(
+        F.expr(f"approx_top_k(token, {TOP_TOKENS_K}, 10000)").alias("tk")
+    )
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("token"),
+            F.col("e.count").cast("long").alias("n"),
+        )
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(TOP_TOKENS_K)
+    )
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_top_tokens": q_top_tokens,
+    "text_top_tokens_approx": q_top_tokens_approx,
     "text_quality": q_text_quality,
     "text_lang_id": q_lang_id,
     "text_bpe_token_count": q_bpe_token_count,
