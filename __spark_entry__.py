@@ -54,12 +54,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r4 leads with every query that had no prior driver row (relational,
 #   asof, streaming, multimodal, pipeline, csv, quality + the new
 #   dedup/span/incremental/cluster/keep queries, hoisted via _PROMOTED)
-#   — 49 never-checked + 1 spare; nb/tfidf/similarity/textstats/ml
-#   (all green in r3) rotate beyond the cap, locked by tools/parity.py
-#   + tests/.
-#   r5 SHOULD rotate back: lead with nb/tfidf/similarity/textstats/ml
-#   (+ any query newly added in r5), letting the r4-green families move
-#   past the cap in turn.
+#   — the never-checked block ends exactly at position 50
+#   (text_contamination); nb/tfidf/similarity/textstats/ml (all green
+#   in r3) rotate beyond the cap, locked by tools/parity.py + tests/.
+#   Mid-r4 additions (relational2, pipe_mixture, mm_pixel_stats,
+#   text_lm_score, text_top_tokens_approx) register AFTER that block —
+#   via module placement or the late namespaces below — so they queue
+#   for r5 without displacing never-checked queries.
+#   r5 SHOULD rotate to lead with: the mid-r4 additions above, then
+#   nb/tfidf/similarity/textstats/ml, letting the r4-green families
+#   move past the cap in turn.
 # Mid-round additions to early modules register through late
 # namespaces so they cannot push never-driver-checked queries past the
 # driver's 50-query correctness window.
