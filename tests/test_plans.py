@@ -300,6 +300,9 @@ def test_relational2_decorrelated_shapes(spark):
         "rel_part_value_share",
         "rel_top_supplier",
         "rel_dominant_suppliers",
+        "rel_market_share",
+        "rel_profit_by_nation_year",
+        "rel_supplier_part_counts",
     ):
         plan = _plan(q[name](spark, SF_DIR))
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, name

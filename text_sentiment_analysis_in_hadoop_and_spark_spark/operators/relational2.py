@@ -164,6 +164,107 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q8_NATION = "NATION_3"
+Q9_YEARS = ("1996", "1997", "1998")
+Q16_MIN_SIZE = 40
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of yearly revenue — a
+    conditional fraction per group, computed in ONE aggregate pass
+    (``sum(when(nation, rev)) / sum(rev)``), not two joined
+    aggregates.  The nation attaches via broadcast supplier⋈nation
+    before the fact rollup; only lineitem⋈orders shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    rev = _revenue_cents(li)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("n_name") == Q8_NATION, rev).otherwise(0))
+            .cast("long")
+            .alias("nation_rev_u"),
+            F.sum(rev).cast("long").alias("total_rev_u"),
+        )
+        .withColumn(
+            "share",
+            F.round(F.col("nation_rev_u") / F.col("total_rev_u"), 6),
+        )
+    )
+
+
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: supplier-nation profit per year, with
+    ``p_retailprice·qty`` standing in for the missing partsupp cost.
+    Two broadcast dims (part, supplier⋈nation) ride on the single
+    lineitem⋈orders fact shuffle; profit is exact integer cents-units
+    (revenue at price-cents·pct scale, cost scaled ×100 to match)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", _cents(F.col("p_retailprice")).alias("cost_c")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    qty = F.col("l_quantity").cast("long")
+    profit_u = _revenue_cents(li) - F.col("cost_c") * qty * 100
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("o_year").isin([int(y) for y in Q9_YEARS]))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum(profit_u).cast("long").alias("profit_u"))
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type) for large
+    parts, EXCLUDING an unwanted-supplier list (negative balance) via
+    broadcast anti-join.  The exclusion list is dimension-sized; the
+    countDistinct groups by part attributes after one (part, supplier)
+    projection of the fact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") >= Q16_MIN_SIZE
+    ).select("p_partkey", "p_brand", "p_type")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     "rel_min_price_supplier": (
         "WITH scoped AS (SELECT l_partkey, l_suppkey, "
@@ -224,9 +325,49 @@ ORACLES: dict[str, str] = {
     ),
 }
 
+ORACLES.update(
+    {
+        "rel_market_share": (
+            "SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+            f"CAST(sum(CASE WHEN n_name = '{Q8_NATION}' THEN {_REV_SQL} "
+            "ELSE 0 END) AS BIGINT) AS nation_rev_u, "
+            f"CAST(sum({_REV_SQL}) AS BIGINT) AS total_rev_u, "
+            f"round(sum(CASE WHEN n_name = '{Q8_NATION}' THEN {_REV_SQL} "
+            f"ELSE 0 END) / CAST(sum({_REV_SQL}) AS DOUBLE), 6) AS share "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY year(o_orderdate)"
+        ),
+        "rel_profit_by_nation_year": (
+            "SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+            f"CAST(sum({_REV_SQL} - {_cents_sql('p_retailprice')} "
+            "* CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_u "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE year(o_orderdate) IN ("
+            + ", ".join(Q9_YEARS)
+            + ") GROUP BY n_name, year(o_orderdate)"
+        ),
+        "rel_supplier_part_counts": (
+            "SELECT p_brand, p_type, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            f"WHERE p_size >= {Q16_MIN_SIZE} AND l_suppkey NOT IN ("
+            "SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY p_brand, p_type"
+        ),
+    }
+)
+
 QUERIES = {
     "rel_min_price_supplier": q_min_price_supplier,
     "rel_part_value_share": q_part_value_share,
     "rel_top_supplier": q_top_supplier,
     "rel_dominant_suppliers": q_dominant_suppliers,
+    "rel_market_share": q_market_share,
+    "rel_profit_by_nation_year": q_profit_by_nation_year,
+    "rel_supplier_part_counts": q_supplier_part_counts,
 }
