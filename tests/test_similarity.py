@@ -185,3 +185,30 @@ def test_ivf_two_level_recall_holds(spark, planted_dir, monkeypatch):
         assert _recall(S.q_sim_topk_ivf(spark, d), expected) >= 0.9
     finally:
         common.clear_caches(d)
+
+
+def test_quantize_dequant_error_bound(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.similarity import (
+        Q8_SCALE,
+        q_embedding_quantize,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import (
+        load_table,
+    )
+
+    raw = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    rows = q_embedding_quantize(spark, SF_DIR).collect()
+    assert len(rows) == len(raw)
+    for r in rows[:50]:
+        v = raw[r["vec_id"]]
+        assert len(r["qvec"]) == len(v)
+        assert max(abs(q) for q in r["qvec"]) <= Q8_SCALE
+        # dequantization error ≤ scale/2 per component, with the EXACT
+        # per-vector scale (the exposed column is rounded to 6 decimals
+        # for the oracle hash, so recompute the bound from the raw max)
+        exact_scale = max(abs(float(x)) for x in v) / Q8_SCALE
+        for q, x in zip(r["qvec"], v):
+            assert abs(q * exact_scale - x) <= exact_scale / 2 + 1e-9

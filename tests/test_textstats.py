@@ -31,3 +31,37 @@ def test_shared_substring_shares_fingerprint(spark, tmp_path):
     # shared run of 10 tokens ≫ guarantee threshold (W + K - 1 = 6)
     assert fps[1] & fps[2], (fps[1], fps[2])
     assert not (fps[1] & fps[3])
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.textstats import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        q_chunk_windows,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    out = {}
+    for r in q_chunk_windows(spark, SF_DIR).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    assert set(out) == set(docs)  # every doc chunks
+    for doc_id, chunks in list(out.items())[:30]:
+        toks = docs[doc_id]
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        # chunk k starts at k·stride and carries the right tokens
+        for r in chunks:
+            s = r["chunk_idx"] * CHUNK_STRIDE
+            expect = toks[s : s + CHUNK_SIZE]
+            assert r["chunk_text"].split(" ") == expect
+            assert r["n_chunk_tokens"] == len(expect)
+        # coverage: the last chunk reaches the end of the doc
+        last = chunks[-1]
+        assert last["chunk_idx"] * CHUNK_STRIDE + last["n_chunk_tokens"] == len(toks)

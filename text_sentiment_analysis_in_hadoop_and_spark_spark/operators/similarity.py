@@ -775,6 +775,51 @@ def _mm_keep_sql() -> str:
     )
 
 
+Q8_SCALE = 127  # int8 quantization range
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization — the storage-side operator
+    a 100 TB vector corpus runs before indexing (4× smaller than
+    float32, SIMD-friendly dot products): q_i = round(v_i·127 / max|v|)
+    with one scale per vector.  Shuffle-free narrow map; the math is
+    forced to double on BOTH engines so rounding at the .5 boundary
+    agrees.  Zero vectors quantize to zeros with scale 0 (guarded
+    division).  The dequantization error bound (≤ scale/2 per
+    component, scale = max|v|/127) is pinned by
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    q = F.when(
+        mx == 0.0,
+        F.transform(F.col("embedding"), lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * Q8_SCALE / mx).cast("int"),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.round(mx / Q8_SCALE, 6).alias("scale"),
+        q.alias("qvec"),
+    )
+
+
+_QUANT_SQL = (
+    "WITH m AS (SELECT vec_id, embedding, "
+    "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) "
+    "AS mx FROM embeddings) "
+    "SELECT vec_id, "
+    f"round(mx / {127}, 6) AS scale, "
+    "CASE WHEN mx = 0 THEN list_transform(embedding, v -> 0) "
+    "ELSE list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) "
+    f"* {127} / mx) AS INTEGER)) END AS qvec FROM m"
+)
+
+
 # sim_ivf_assign / sim_topk_ivf are rows-only: the k-means quantizer
 # is iterative and not expressible as one SQL statement.  Their
 # behavior is pinned by tests/test_similarity.py (assignment totals +
@@ -793,6 +838,7 @@ ORACLES: dict[str, str] = {
         + " FROM embeddings"
     ),
     "sim_topk_lsh": _LSH_SQL,
+    "sim_embedding_quantize": _QUANT_SQL,
 }
 
 QUERIES = {
@@ -804,4 +850,5 @@ QUERIES = {
     "dedup_corpus_keep_mm": q_corpus_keep_mm,
     "sim_ivf_assign": q_sim_ivf_assign,
     "sim_topk_ivf": q_sim_topk_ivf,
+    "sim_embedding_quantize": q_embedding_quantize,
 }

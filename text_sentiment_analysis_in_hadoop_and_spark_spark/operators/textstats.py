@@ -36,6 +36,9 @@ BPE_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
 
 _EN_STOP = _LEXICON["en"]
 
+CHUNK_SIZE = 64    # tokens per chunk (embedding-model context)
+CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - stride = 16 tokens
+
 
 def _toks(col: Column) -> Column:
     return F.split(col, " ")
@@ -222,6 +225,19 @@ ORACLES: dict[str, str] = {
         "SELECT unnest(string_split(text, ' ')) AS token FROM documents"
         ") GROUP BY token ORDER BY n DESC, token LIMIT 500"
     ),
+    "text_chunk_windows": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk "
+        "FROM documents), "
+        "st AS (SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), "
+        f"{CHUNK_STRIDE})) AS s FROM t), "
+        "num AS (SELECT doc_id, tk, s, CAST(row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT) AS chunk_idx "
+        "FROM st) "
+        "SELECT doc_id, chunk_idx, "
+        f"array_to_string(tk[s + 1:s + {CHUNK_SIZE}], ' ') AS chunk_text, "
+        f"CAST(len(tk[s + 1:s + {CHUNK_SIZE}]) AS BIGINT) "
+        "AS n_chunk_tokens FROM num"
+    ),
     "text_token_stats": (
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
         f"CAST({_NTOK} AS BIGINT) AS n_tokens, "
@@ -329,10 +345,42 @@ def q_top_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunker — the doc→chunk explosion every
+    embedding/RAG pipeline runs before the encoder.  Chunk starts are
+    a per-row ``sequence(0, n-1, stride)``; each chunk slices the
+    token array — pure higher-order Columns, a shuffle-free narrow
+    map whose output rows ≈ corpus_tokens / stride.  Every doc emits
+    at least one chunk (short docs chunk to themselves), so no doc
+    silently vanishes before embedding."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    base = docs.select("doc_id", F.explode(F.array(toks)).alias("tk"))
+    starts = F.expr(
+        f"sequence(0, greatest(size(tk) - 1, 0), {CHUNK_STRIDE})"
+    )
+    return (
+        base.select(
+            "doc_id", F.col("tk"), F.posexplode(starts).alias("chunk_idx", "s")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(
+                f"array_join(slice(tk, s + 1, {CHUNK_SIZE}), ' ')"
+            ).alias("chunk_text"),
+            F.expr(f"size(slice(tk, s + 1, {CHUNK_SIZE}))")
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_top_tokens": q_top_tokens,
     "text_top_tokens_approx": q_top_tokens_approx,
+    "text_chunk_windows": q_chunk_windows,
     "text_quality": q_text_quality,
     "text_lang_id": q_lang_id,
     "text_bpe_token_count": q_bpe_token_count,
