@@ -158,3 +158,33 @@ def test_mixture_weighted_thinning(spark):
         by_w.setdefault(r["w"], set()).add(r["target_frac"])
     if 1 in by_w and 3 in by_w:
         assert min(by_w[3]) > max(by_w[1])
+
+
+def test_training_corpus_is_intersection_of_gates(spark):
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        QUERIES as DEDUP_QUERIES,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        CONTAM_MAX,
+        q_training_corpus,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.quality import (
+        q_contamination,
+    )
+
+    corpus = {r["doc_id"] for r in q_training_corpus(spark, SF_DIR).collect()}
+    assert corpus  # the composition keeps a nonempty corpus
+    keep = {
+        r["doc_id"]
+        for r in DEDUP_QUERIES["dedup_corpus_keep"](spark, SF_DIR).collect()
+    }
+    assert corpus <= keep
+    dirty = {
+        r["doc_id"]
+        for r in q_contamination(spark, SF_DIR)
+        .filter(F.col("contam_frac") > CONTAM_MAX)
+        .collect()
+    }
+    assert not (corpus & dirty)

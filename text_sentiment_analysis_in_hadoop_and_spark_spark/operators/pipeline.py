@@ -245,6 +245,23 @@ def _mix_weight(src_idx: Column) -> Column:
     return (src_idx % 3 + 1).cast("long")
 
 
+def _mixture_kept_docs(docs: DataFrame, rates: DataFrame) -> DataFrame:
+    """(doc_id, source) rows surviving the mixture thinning — the
+    doc-level filter shared by the summary query and the
+    training-corpus capstone."""
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            F.pmod(hex32(F.col("text")), MIX_DENOM)
+            * F.col("n_avail")
+            * F.col("w_total")
+            * MIX_BUDGET_FRAC
+            < F.col("n_total") * F.col("w") * MIX_DENOM
+        )
+        .select("doc_id", "source")
+    )
+
+
 def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling summary: thin each source toward a
     weighted share of a global token^W doc budget (the Pile/DoReMi
@@ -284,14 +301,7 @@ def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mix_weight(F.substring("source", 4, 10).cast("long")).alias("w"),
     )
     kept = (
-        docs.join(F.broadcast(rates), "source")
-        .filter(
-            F.pmod(hex32(F.col("text")), MIX_DENOM)
-            * F.col("n_avail")
-            * F.col("w_total")
-            * MIX_BUDGET_FRAC
-            < F.col("n_total") * F.col("w") * MIX_DENOM
-        )
+        _mixture_kept_docs(docs, rates)
         .groupBy("source")
         .agg(F.count("*").cast("long").alias("n_kept"))
     )
@@ -380,6 +390,37 @@ QUERIES = {
 # Registered AFTER the never-driver-checked r4 block (__spark_entry__
 # wraps these in a late namespace) so mid-round additions don't push
 # the critical queries past the driver's 50-query correctness window.
+def _training_corpus_sql() -> str:
+    """Composed oracle: the keep-list recursive CTE, the contamination
+    query, and the mixture filter nest as self-contained derived
+    tables (the same composition pattern as dedup_corpus_keep_mm)."""
+    from .dedup import ORACLES as _dedup_oracles
+    from .quality import ORACLES as _quality_oracles
+
+    keep = _dedup_oracles["dedup_corpus_keep"]
+    contam = _quality_oracles["text_contamination"]
+    mix = (
+        "WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_avail, "
+        "CAST(CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS BIGINT) AS w "
+        "FROM documents GROUP BY source), "
+        "t AS (SELECT CAST(sum(n_avail) AS BIGINT) AS n_total, "
+        "CAST(sum(w) AS BIGINT) AS w_total FROM cnt) "
+        "SELECT dd.doc_id FROM documents dd JOIN cnt USING (source) "
+        "CROSS JOIN t "
+        f"WHERE ({hex32_sql('dd.text')} % {MIX_DENOM}) * cnt.n_avail "
+        f"* t.w_total * {MIX_BUDGET_FRAC} < t.n_total * cnt.w * {MIX_DENOM}"
+    )
+    return (
+        "SELECT d.doc_id, d.source, "
+        "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents d "
+        f"JOIN ({keep}) k ON d.doc_id = k.doc_id "
+        f"JOIN (SELECT doc_id FROM ({contam}) "
+        f"WHERE contam_frac <= {CONTAM_MAX}) c ON d.doc_id = c.doc_id "
+        f"JOIN ({mix}) m ON d.doc_id = m.doc_id"
+    )
+
+
 ORACLES_LATE: dict[str, str] = {
     "pipe_mixture": (
         "WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_avail, "
@@ -403,4 +444,75 @@ ORACLES_LATE: dict[str, str] = {
     ),
 }
 
-QUERIES_LATE = {"pipe_mixture": q_mixture}
+CONTAM_MAX = 0.2  # training-corpus gate: max benchmark 5-gram overlap
+
+
+def _mixture_rates(docs: DataFrame) -> DataFrame:
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_avail")
+    )
+    totals = counts.agg(
+        F.sum("n_avail").cast("long").alias("n_total"),
+        F.sum(_mix_weight(F.substring("source", 4, 10).cast("long")))
+        .cast("long")
+        .alias("w_total"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_avail",
+        "n_total",
+        "w_total",
+        _mix_weight(F.substring("source", 4, 10).cast("long")).alias("w"),
+    )
+
+
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE pretraining-prep capstone: one query emitting the final
+    training-corpus manifest.  A doc ships iff it
+
+    1. survives the dedup/quality keep-list (repetition gate ∧
+       exact-content canonical ∧ near-dup-cluster canonical —
+       operators/dedup.py:q_corpus_keep),
+    2. is clean of benchmark contamination (5-gram overlap ≤ 0.2;
+       benchmark members themselves are excluded — they are the
+       held-out set), and
+    3. survives the domain-mixture thinning toward the global budget.
+
+    Every gate is computed independently on the full corpus and
+    intersected via doc_id-keyed left-semi joins — the same
+    order-independent, idempotent composition contract as
+    q_corpus_keep, now across all three pipeline stages.  All heavy
+    inputs (cleaned docs, shingle/signature/jaccard tables, CC labels)
+    come from the memoized family caches, so this costs three semi
+    joins + the contamination pass on top of work already done."""
+    from .dedup import q_corpus_keep
+    from .quality import q_contamination
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    keep = q_corpus_keep(spark, sf_dir).select("doc_id")
+    clean = (
+        q_contamination(spark, sf_dir)
+        .filter(F.col("contam_frac") <= CONTAM_MAX)
+        .select("doc_id")
+    )
+    mixed = _mixture_kept_docs(docs, _mixture_rates(docs)).select("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+        .join(keep, "doc_id", "left_semi")
+        .join(clean, "doc_id", "left_semi")
+        .join(mixed, "doc_id", "left_semi")
+    )
+
+
+ORACLES_LATE["pipe_training_corpus"] = _training_corpus_sql()
+
+QUERIES_LATE = {
+    "pipe_mixture": q_mixture,
+    "pipe_training_corpus": q_training_corpus,
+}
