@@ -79,18 +79,25 @@ def main() -> int:
     _force(agg.join(F.broadcast(agg.select("l_returnflag")), "l_returnflag"))
 
     # eviction groups: caches clear between groups, not inside one.
-    # dedup + similarity share artifacts (the multimodal keep-list
-    # composes the text-side jaccard/CC caches with the embedding
-    # clusters), so they bill as one group — clearing between them
-    # forces dedup_corpus_keep_mm to recompute the whole text chain
-    # (measured 7.8s vs ~2s warm at sf0.1)
+    # dedup + similarity + pipeline_late share artifacts (the
+    # multimodal keep-list composes the text-side jaccard/CC caches
+    # with the embedding clusters, and the pretraining capstone
+    # composes the keep-list + contamination + mixture), so they bill
+    # as one group — splitting them forces the whole shingle→
+    # signature→jaccard→CC chain to recompute (measured 7.8s for
+    # dedup_corpus_keep_mm and 7.0s for pipe_training_corpus vs ~2s
+    # warm at sf0.1)
     mods = {m.__name__.rsplit(".", 1)[-1]: m for m in entrymod._MODULE_ORDER}
+    shared = [
+        mods[n] for n in ("similarity", "pipeline_late") if n in mods
+    ]
+    shared_names = {m.__name__.rsplit(".", 1)[-1] for m in shared}
     groups = []
     for m in entrymod._MODULE_ORDER:
         name = m.__name__.rsplit(".", 1)[-1]
-        if name == "similarity":
+        if name in shared_names:
             continue  # appended to the dedup group below
-        groups.append([m, mods["similarity"]] if name == "dedup" else [m])
+        groups.append([m, *shared] if name == "dedup" else [m])
 
     timings: dict[str, float] = {}
     for group in groups:
