@@ -77,6 +77,11 @@ _multimodal_late = SimpleNamespace(
     QUERIES=multimodal.QUERIES_LATE,
     ORACLES=multimodal.ORACLES_LATE,
 )
+_windowed_late = SimpleNamespace(
+    __name__="windowed_late",
+    QUERIES=streaming_windowed.QUERIES_LATE,
+    ORACLES=streaming_windowed.ORACLES_LATE,
+)
 
 
 _MODULE_ORDER = (
@@ -95,6 +100,7 @@ _MODULE_ORDER = (
     # the rest rotate into the window in later rounds
     _pipeline_late,
     _multimodal_late,
+    _windowed_late,
     dedup,
     nb,
     tfidf,

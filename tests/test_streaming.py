@@ -85,3 +85,49 @@ def test_stream_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert streamed == batch
+
+
+def test_sliding_volume_range_frame_includes_peers(spark, tmp_path):
+    """RANGE frames include ALL rows at equal order values (peers) —
+    two events at the same second must see each other's value."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        SLIDE_SEC,
+        q_events_sliding_volume,
+    )
+
+    base = 1_704_067_200  # 2024-01-01T00:00:00Z
+    rows = [  # (event_id, epoch_sec, user, value)
+        (1, base, 7, 1.0),
+        (2, base, 7, 2.0),                  # peer of 1
+        (3, base + SLIDE_SEC - 1, 7, 4.0),  # inside 1h of 1/2
+        (4, base + SLIDE_SEC, 7, 8.0),      # 1/2 fall out, 3 stays
+        (5, base, 9, 16.0),                 # other user: isolated
+    ]
+    ts = pa.array(
+        [r[1] * 1_000_000 for r in rows], type=pa.int64()
+    ).cast(pa.timestamp("us"))
+    table = pa.table(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": ts,
+            "user_id": [r[2] for r in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [r[3] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"), store_schema=False)
+    got = {
+        r["event_id"]: (r["n_1h"], r["vol_1h"])
+        for r in q_events_sliding_volume(spark, str(d)).collect()
+    }
+    assert got[1] == (2, 3.0)  # peers see each other
+    assert got[2] == (2, 3.0)
+    assert got[3] == (3, 7.0)
+    assert got[4] == (2, 12.0)  # 1h window: events 3 and 4 only
+    assert got[5] == (1, 16.0)

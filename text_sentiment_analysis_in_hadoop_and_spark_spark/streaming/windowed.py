@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -260,6 +260,38 @@ def q_events_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SLIDE_SEC = 3600  # 1-hour trailing window
+
+
+def q_events_sliding_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-hour volume — the RANGE-frame window mode
+    (value-based frame bounds, `RANGE BETWEEN 3599 PRECEDING AND
+    CURRENT ROW` over epoch seconds) that rows-based frames cannot
+    express: the frame holds however many events fall in the time
+    span, including all peers at equal timestamps, so the result is
+    deterministic without a row tie-break.
+
+    Scale shape: one user_id shuffle, then an in-partition ordered
+    scan with a sliding aggregator — the canonical time-series moving
+    metric; frame size is bounded by per-user event rate × window, not
+    by history length."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "epoch_sec", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_sec")
+        .rangeBetween(-(SLIDE_SEC - 1), 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "epoch_sec",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.round(F.sum("value").over(w), 6).alias("vol_1h"),
+    )
+
+
 ORACLES: dict[str, str] = {
     "events_windowed": (
         "SELECT CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT) "
@@ -305,6 +337,21 @@ ORACLES: dict[str, str] = {
         + " FROM events GROUP BY 1"
     ),
 }
+
+ORACLES_LATE: dict[str, str] = {
+    "events_sliding_volume": (
+        "WITH e AS (SELECT user_id, event_id, "
+        "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS epoch_sec, value "
+        "FROM events) "
+        "SELECT user_id, event_id, epoch_sec, "
+        "CAST(count(*) OVER w AS BIGINT) AS n_1h, "
+        "round(sum(value) OVER w, 6) AS vol_1h "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_sec "
+        f"RANGE BETWEEN {SLIDE_SEC - 1} PRECEDING AND CURRENT ROW)"
+    ),
+}
+
+QUERIES_LATE = {"events_sliding_volume": q_events_sliding_volume}
 
 QUERIES = {
     "events_windowed": q_events_windowed,
