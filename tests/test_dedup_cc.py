@@ -90,3 +90,24 @@ def test_star_cc_resolves_deep_chain_in_few_rounds(spark):
         for r in connected_components_star(pairs, max_rounds=12).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_star_cc_exhausted_budget_still_one_row_per_node(spark):
+    """ADVICE r4: when max_rounds is exhausted before the edge set
+    reaches star form, the result must still be well-formed — exactly
+    one (node, label) row per node (labels may be unconverged upper
+    bounds, like the propagation variant's degradation mode)."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 200  # deep path; 1 round cannot reach star form
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a LONG, doc_b LONG"
+    )
+    rows = connected_components_star(pairs, max_rounds=1).collect()
+    assert len(rows) == n
+    assert len({r["node"] for r in rows}) == n  # no conflicting dupes
+    # labels are valid upper bounds: label <= node, and label is a node
+    nodes = {r["node"] for r in rows}
+    assert all(r["label"] <= r["node"] and r["label"] in nodes for r in rows)

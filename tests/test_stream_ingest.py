@@ -70,3 +70,43 @@ def test_stream_admits_equal_batch_admits(spark, tmp_path):
     assert admitted == expect
     # zero streaming state: the probe is pure batch logic per micro-batch
     assert not (progress or {}).get("stateOperators")
+
+
+def test_novel_doc_id_duplicate_is_rejected(spark):
+    """ADVICE r4: an arrival whose doc_id does NOT exist in the corpus
+    documents table but whose text exactly duplicates an index doc must
+    be rejected — the verify stage has to shingle the batch's own text,
+    not look the arrival up in the corpus."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        BATCH_MOD,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import (
+        load_table,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.ingest import (
+        probe_batch_against_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # pick an INDEX doc (outside the arrival decile) and re-land its
+    # exact text under a doc_id no corpus row uses
+    src = (
+        docs.filter(F.col("doc_id") % BATCH_MOD != 0)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .first()
+    )
+    novel_id = 10_000_019  # prime, far past any corpus doc_id
+    assert docs.filter(F.col("doc_id") == novel_id).count() == 0
+    batch = spark.createDataFrame(
+        [(novel_id, src["text"]), (novel_id + 1, "zxqv unseen gibberish wholly novel text")],
+        "doc_id LONG, text STRING",
+    )
+    admitted = {
+        r["doc_id"]
+        for r in probe_batch_against_index(spark, batch, SF_DIR).collect()
+    }
+    assert novel_id not in admitted  # exact dup of index doc → rejected
+    assert novel_id + 1 in admitted  # genuinely novel text → admitted

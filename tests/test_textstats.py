@@ -5,6 +5,8 @@ sampling would not)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.textstats import (
     WINNOW_K,
     WINNOW_W,
@@ -65,3 +67,41 @@ def test_chunk_windows_cover_and_overlap(spark):
         # coverage: the last chunk reaches the end of the doc
         last = chunks[-1]
         assert last["chunk_idx"] * CHUNK_STRIDE + last["n_chunk_tokens"] == len(toks)
+
+
+def test_top_tokens_approx_tie_boundary_beyond_k(spark, tmp_path):
+    """ADVICE r4: with > TOP_TOKENS_K distinct tokens and counts tied
+    at the rank-K boundary, the approx twin must still produce the
+    exact (n DESC, token ASC) cut while the vocabulary fits the
+    sketch's tracked width — the sketch emits its full tracked map and
+    the deterministic re-sort decides the boundary, not the sketch."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.textstats import (
+        QUERIES,
+        TOP_TOKENS_K,
+    )
+
+    # 40 heavy tokens (count 3) + 660 tied singletons → 700 distinct,
+    # the K-row cut lands mid-tie among the singletons
+    rows = []
+    doc_id = 0
+    for i in range(40):
+        rows.append((doc_id, " ".join([f"hv{i:03d}"] * 3)))
+        doc_id += 1
+    for i in range(660):
+        rows.append((doc_id, f"tie{i:04d}"))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING").select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("synth").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    sf = tmp_path / "sf_tie"
+    sf.mkdir()
+    docs.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    exact = QUERIES["text_top_tokens"](spark, str(sf)).collect()
+    approx = QUERIES["text_top_tokens_approx"](spark, str(sf)).collect()
+    assert len(exact) == TOP_TOKENS_K
+    assert [tuple(r) for r in approx] == [tuple(r) for r in exact]

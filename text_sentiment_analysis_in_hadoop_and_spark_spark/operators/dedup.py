@@ -272,19 +272,44 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def verify_jaccard(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    pairs: DataFrame,
+    shingles_a: DataFrame | None = None,
+    shingles_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for an ARBITRARY (doc_a, doc_b) pair
     table — the verify stage, shared by the full-corpus pair query
     and the incremental batch probe.  One shingle-keyed join computes
     intersections for the candidate pairs only; sizes attach via two
-    doc_id-keyed joins."""
-    sh = _shingles_cached(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    doc_id-keyed joins.
+
+    ``shingles_a`` / ``shingles_b`` override the (doc_id, shingle)
+    source per pair side; both default to the corpus documents table.
+    The incremental-ingest probe passes its arrival batch's OWN
+    shingles as ``shingles_a`` — an arrival whose doc_id is absent
+    from the corpus table would otherwise lose every candidate pair
+    in the inner size/intersection joins and be admitted even as an
+    exact duplicate (ADVICE r4)."""
+    sh = (
+        _shingles_cached(spark, sf_dir)
+        if shingles_a is None or shingles_b is None
+        else None
+    )
+    sh_a = shingles_a if shingles_a is not None else sh
+    sh_b = shingles_b if shingles_b is not None else sh
+    sizes_a = sh_a.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_sh")
+    )
+    sizes_b = (
+        sizes_a
+        if sh_b is sh_a
+        else sh_b.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    )
     inter = (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        pairs.join(sh_a.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            sh_b.select(F.col("doc_id").alias("doc_b"), "shingle"),
             ["doc_b", "shingle"],
         )
         .groupBy("doc_a", "doc_b")
@@ -292,8 +317,8 @@ def verify_jaccard(
     )
     return (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .join(sizes_a.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes_b.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -496,7 +521,15 @@ def connected_components_star(
         edges = ss
         if diff == 0:
             break
-    labels = edges.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
+    # ADVICE r4: if max_rounds exhausts before star form, a node can
+    # still carry edges to several 'lo' targets — aggregate min per
+    # node so the result is one (node, label) row regardless (an
+    # unconverged min is still a valid upper-bound label, matching the
+    # propagation variant's degradation mode instead of emitting
+    # conflicting duplicate rows).
+    labels = edges.groupBy(F.col("hi").alias("node")).agg(
+        F.min("lo").alias("label")
+    )
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce(F.col("label"), F.col("node")).alias("label")
     )

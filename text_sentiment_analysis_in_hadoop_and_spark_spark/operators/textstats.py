@@ -328,11 +328,21 @@ def q_top_tokens_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens the sketch degenerates to exact counts, so on the driver's
     testdata this hash-matches the EXACT oracle; past 10⁴ distinct
     tokens counts become approximate (the sketch's documented
-    contract) and only the heavy tail would drift.  The re-sort on
-    (count DESC, token ASC) keeps the emitted cut a total order."""
+    contract) and only the heavy tail would drift.
+
+    Tie-boundary discipline (ADVICE r4): the sketch is asked for its
+    FULL tracked width (10⁴ items, not K) — if it emitted only K, its
+    choice among counts tied at the rank-K boundary would not follow
+    the (n DESC, token ASC) total order and no re-sort could restore
+    tokens it already dropped.  Emitting the whole tracked map makes
+    the deterministic re-sort the ONLY thing that decides the K-row
+    cut whenever counts are exact (vocab ≤ 10⁴); past 10⁴ distinct
+    tokens the boundary is approximate like the counts themselves.
+    The widened emit is driver-side-cheap: one 10⁴-entry array on the
+    single merged sketch row, not per-partition."""
     docs = load_table(spark, sf_dir, "documents")
     sk = docs.select(F.explode(_toks(F.col("text"))).alias("token")).agg(
-        F.expr(f"approx_top_k(token, {TOP_TOKENS_K}, 10000)").alias("tk")
+        F.expr("approx_top_k(token, 10000, 10000)").alias("tk")
     )
     return (
         sk.select(F.explode("tk").alias("e"))

@@ -48,10 +48,15 @@ def probe_batch_against_index(
     """ADMIT set of one arrival batch: (doc_id) rows for batch docs
     whose best index match is below the duplicate threshold.  Pure
     batch logic — shared verbatim by the stream wrapper below and
-    testable standalone."""
-    sigs = banded_signatures(
-        minhash_signatures(doc_shingles(batch_docs.select("doc_id", "text")))
-    )
+    testable standalone.
+
+    The verify stage takes the arrival side's shingles from the BATCH
+    text (not the corpus documents table): a production arrival's
+    doc_id need not exist in the corpus, and corpus-keyed shingle
+    lookup would silently drop all its candidate pairs and admit an
+    exact duplicate (ADVICE r4)."""
+    batch_shingles = doc_shingles(batch_docs.select("doc_id", "text"))
+    sigs = banded_signatures(minhash_signatures(batch_shingles))
     b_long = banded_long(sigs).select(
         F.col("doc_id").alias("doc_a"), "bi", "bk"
     )
@@ -77,7 +82,7 @@ def probe_batch_against_index(
         .distinct()
     )
     matched = (
-        verify_jaccard(spark, sf_dir, pairs)
+        verify_jaccard(spark, sf_dir, pairs, shingles_a=batch_shingles)
         .filter(F.col("jaccard") >= JACCARD_DUP_MIN)
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()

@@ -119,6 +119,18 @@ def main() -> int:
     con = duck_connection(sf_dir)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # The rows-only manifest must match reality exactly: every declared
+    # query either has an oracle or is documented as intentionally
+    # oracle-free (r4 verdict item 7).
+    declared_rows_only = entrymod.rows_only()
+    actual_rows_only = set(queries) - set(oracles)
+    if actual_rows_only != set(declared_rows_only):
+        print(
+            "✗ rows_only() manifest out of sync: "
+            f"undeclared={sorted(actual_rows_only - declared_rows_only)} "
+            f"stale={sorted(set(declared_rows_only) - actual_rows_only)}"
+        )
+        return 1
     failed = []
     ran = 0
     for name, fn in queries.items():
@@ -130,7 +142,10 @@ def main() -> int:
             df = fn(spark, sf_dir)
             if sql is None:
                 n = df.count()
-                print(f"  {name}: rows-only ({n} rows) — no oracle")
+                print(
+                    f"  {name}: rows-only ({n} rows) — "
+                    "intentionally no oracle (rows_only() manifest)"
+                )
                 continue
             res = con.execute(sql)
             o_cols = [d[0] for d in res.description]
