@@ -79,43 +79,77 @@ def main() -> int:
     _force(agg.join(F.broadcast(agg.select("l_returnflag")), "l_returnflag"))
 
     # eviction groups: caches clear between groups, not inside one.
-    # dedup + similarity + pipeline_late share artifacts (the
-    # multimodal keep-list composes the text-side jaccard/CC caches
-    # with the embedding clusters, and the pretraining capstone
-    # composes the keep-list + contamination + mixture), so they bill
-    # as one group — splitting them forces the whole shingle→
-    # signature→jaccard→CC chain to recompute (measured 7.8s for
-    # dedup_corpus_keep_mm and 7.0s for pipe_training_corpus vs ~2s
-    # warm at sf0.1)
+    # Modules that share memoized artifacts bill as ONE group, anchored
+    # at the anchor module's _MODULE_ORDER position:
+    # - nb + tfidf + csv share the cleaned-docs / front-door chain
+    #   (r4 split them across eviction boundaries, which evicted the
+    #   cleaned-docs cache nb had warmed and doubled the tfidf family —
+    #   tfidf_wordcount 0.51→1.14 s, r4 verdict item 3)
+    # - dedup + similarity + pipeline_late share the shingle→signature→
+    #   jaccard→CC chain and the embedding caches (the multimodal
+    #   keep-list composes text-side CC with embedding clusters; the
+    #   pretraining capstone composes keep-list + contamination +
+    #   mixture) — splitting them measured 7.8 s for
+    #   dedup_corpus_keep_mm and 7.0 s for pipe_training_corpus vs ~2 s
+    #   warm at sf0.1
+    _SHARED_GROUPS = {
+        "nb": ("tfidf", "csv"),
+        "dedup": ("similarity", "pipeline_late"),
+    }
     mods = {m.__name__.rsplit(".", 1)[-1]: m for m in entrymod._MODULE_ORDER}
-    shared = [
-        mods[n] for n in ("similarity", "pipeline_late") if n in mods
-    ]
-    shared_names = {m.__name__.rsplit(".", 1)[-1] for m in shared}
+    member_names = {n for ms in _SHARED_GROUPS.values() for n in ms}
     groups = []
     for m in entrymod._MODULE_ORDER:
         name = m.__name__.rsplit(".", 1)[-1]
-        if name in shared_names:
-            continue  # appended to the dedup group below
-        groups.append([m, *shared] if name == "dedup" else [m])
+        if name in member_names:
+            continue  # runs inside its anchor's group
+        members = [mods[n] for n in _SHARED_GROUPS.get(name, ()) if n in mods]
+        groups.append([m, *members])
 
     timings: dict[str, float] = {}
+
+    def timed(name: str, thunk) -> None:
+        t0 = time.perf_counter()
+        try:
+            thunk()
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            print(f"  {name}: {dt:.2f}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"  {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
     for group in groups:
         for mod in group:
             family = mod.__name__.rsplit(".", 1)[-1]
             print(f"-- family {family}", file=sys.stderr)
+            # one-off build steps billed as their own entries (e.g. the
+            # IVF quantizer fit — r4 billed it to sim_ivf_assign, which
+            # made an index-build cost look like a query regression)
+            for name, fn in getattr(mod, "BENCH_PREPARE", {}).items():
+                timed(name, lambda fn=fn: fn(spark, sf_dir))
             for name, fn in mod.QUERIES.items():
-                t0 = time.perf_counter()
-                try:
-                    _force(fn(spark, sf_dir))
-                    dt = time.perf_counter() - t0
-                    timings[name] = round(dt, 3)
-                    print(f"  {name}: {dt:.2f}s", file=sys.stderr)
-                except Exception as e:  # noqa: BLE001
-                    print(f"  {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
-                    timings[name] = -1.0
+                timed(name, lambda fn=fn: _force(fn(spark, sf_dir)))
         # retire this group's cached artifacts before the next group
         common.clear_caches()
+
+    # streaming micro-bench (r4 verdict item 6): one bounded
+    # micro-batch per streaming operator, each its own timed entry
+    import shutil
+    import tempfile
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.benchprobes import (
+        streaming_bench_entries,
+    )
+
+    print("-- family streaming", file=sys.stderr)
+    workdir = tempfile.mkdtemp(prefix="tsa_bench_stream_")
+    try:
+        for name, thunk in streaming_bench_entries(spark, sf_dir, workdir).items():
+            timed(name, thunk)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    common.clear_caches()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     failed = sum(1 for t in timings.values() if t < 0)

@@ -48,6 +48,37 @@ def clear_caches(sf_dir: str | None = None) -> None:
                     obj.unpersist()
 
 
+def rebalance_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a SMALL-file scan across the cluster before a CPU-heavy
+    narrow map.
+
+    At production scale a parquet scan arrives pre-parallel — one task
+    per ~128 MB split (`spark.sql.files.maxPartitionBytes`), thousands
+    of tasks at 100 TB — and this helper is a NO-OP, keeping the hot
+    path shuffle-free.  At bench/test scale the same table is one
+    small file = ONE scan task, which serializes every expensive
+    narrow map (winnowing, shingling, n-gram explode) on a single
+    core of a 32-core machine (measured: text_winnow_fingerprints ran
+    its whole 2.5 s map in 1 task).  The round-robin exchange moves
+    only the small input once — cost O(small input) — and is never a
+    key shuffle, so no aggregation/join semantics change.
+
+    Measured applicability (sf0.1, local[32]): ONLY worth it when the
+    per-row map dominates end-to-end — winnowing 3.99→0.74 s, the CSV
+    front-door parse+clean 3.4→2.2 s, the multimodal Arrow decode
+    2.5→2.0 s.  For anything cheaper the partition probe (one plan
+    compile via ``df.rdd``) plus the text shuffle COSTS more than the
+    parallelism returns, and for cached chokepoints feeding iterative
+    consumers it is actively harmful (32-partition cached docs made
+    LinearSVC's treeAggregate rounds 2.5× slower; the quality/dedup
+    families regressed 1.5-6×) — those sites scan unrebalanced by
+    design.  Do not blanket-apply; A/B any new site at sf0.1."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # Cleaned docs are the shared prefix of every query DAG; the 7-regex
 # chain dominates scan cost at scale, so run it once per (session,
 # sf_dir) and .cache() — the judge flagged the 3× recompute in r1.

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .common import rebalance_scan
 
 MM_META_SCHEMA = (
     "doc_id long, n_bytes long, width int, height int, n_frames int"
@@ -158,7 +159,7 @@ def decode_meta_batches(
 
 
 def q_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_scan(spark, load_table(spark, sf_dir, "documents"))
     return with_payload(docs).mapInPandas(
         decode_meta_batches, schema=MM_META_SCHEMA
     )
@@ -236,7 +237,7 @@ def resize_batches(
 
 
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_scan(spark, load_table(spark, sf_dir, "documents"))
     return with_payload(docs).mapInPandas(
         resize_batches, schema=MM_RESIZE_SCHEMA
     )
@@ -271,7 +272,7 @@ def frame_sample_batches(
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_scan(spark, load_table(spark, sf_dir, "documents"))
     return with_payload(docs).mapInPandas(
         frame_sample_batches, schema=MM_FRAMES_SCHEMA
     )
@@ -400,6 +401,28 @@ def decode_bmp_pixels(payload: bytes):
     return rows[:, :, ::-1]  # BGR → RGB
 
 
+def decode_pixels(payload: bytes):
+    """Payload → (height, width, 3) uint8 RGB pixels: the
+    dependency-free 24-bit-BMP path first, then Pillow for every other
+    container/encoding when installed (r4 verdict item 4).  The
+    NotImplementedError branch now covers ONLY codec-less environments
+    (no Pillow and not a plain 24-bit BMP)."""
+    try:
+        return decode_bmp_pixels(payload)
+    except (NotImplementedError, ValueError):
+        if _PILImage is None:
+            raise NotImplementedError(
+                "payload is not an uncompressed 24-bit BMP and Pillow "
+                "is not installed"
+            ) from None
+    import io
+
+    import numpy as np
+
+    with _PILImage.open(io.BytesIO(payload)) as im:  # pragma: no cover
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
 MM_PIXEL_SCHEMA = (
     "doc_id long, width int, height int, "
     "mean_r double, mean_g double, mean_b double, tl_g int"
@@ -427,14 +450,16 @@ def pixel_stats_batches(
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas worker running the REAL decoder per payload:
     per-channel means + the top-left green value (orientation canary —
-    a decoder that ignores bottom-up storage reads the wrong corner)."""
+    a decoder that ignores bottom-up storage reads the wrong corner).
+    Decodes via :func:`decode_pixels`, so any Pillow-readable format
+    works where Pillow is installed; plain 24-bit BMP needs nothing."""
     for pdf in batches:
         out = {
             "doc_id": [], "width": [], "height": [],
             "mean_r": [], "mean_g": [], "mean_b": [], "tl_g": [],
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            px = decode_bmp_pixels(bytes(payload))
+            px = decode_pixels(bytes(payload))
             h, w, _ = px.shape
             means = px.reshape(-1, 3).mean(axis=0)
             out["doc_id"].append(int(doc_id))
@@ -463,7 +488,9 @@ def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode stage is a genuine payload→pixels operator usable on any
     24-bit BMP column; the closed-form oracle makes its padding /
     orientation / channel-order handling hash-checked."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = rebalance_scan(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
     payloads = docs.mapInPandas(
         bmp_payload_batches, schema="doc_id long, payload binary"
     )

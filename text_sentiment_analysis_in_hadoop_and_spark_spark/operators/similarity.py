@@ -852,3 +852,20 @@ QUERIES = {
     "sim_topk_ivf": q_sim_topk_ivf,
     "sim_embedding_quantize": q_embedding_quantize,
 }
+
+
+def bench_prepare_ivf_fit(spark: SparkSession, sf_dir: str) -> None:
+    """Bench-only probe: force the IVF coarse-quantizer fit (the
+    driver-side sampled KMeans in :func:`_centroids`) so the bench can
+    bill it as its OWN entry (``sim_ivf_fit``) instead of folding it
+    into whichever IVF query happens to run first.  r4 billed the fit
+    to ``sim_ivf_assign`` after the cache-group re-billing, which made
+    a pure index-BUILD cost look like a per-query assignment
+    regression (r4 verdict item 2).  No-op when the centroid cache is
+    already warm."""
+    _centroids(spark, sf_dir)
+
+
+# Timed one-off setup steps the bench records as separate entries
+# before this module's QUERIES run (consumed by bench.py).
+BENCH_PREPARE = {"sim_ivf_fit": bench_prepare_ivf_fit}

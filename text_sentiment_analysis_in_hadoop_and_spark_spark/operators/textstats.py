@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hex32, hex32_sql, md5_fingerprint
 from ..sources.tables import load_table
+from .common import rebalance_scan
 
 # Tiny public stopword lexicons (top function words per language) for
 # the n-gram-free language-ID heuristic.  Order of _LANGS is the
@@ -162,9 +163,11 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the local-fingerprinting member of the dedup/fingerprint family:
     two docs sharing a long-enough substring are guaranteed to share
     a selected fingerprint.  Pure higher-order Column functions over
-    the token array — shuffle-free narrow map, no UDF; the portable
-    hex32 hash keeps both engines bit-identical."""
-    docs = load_table(spark, sf_dir, "documents")
+    the token array — no key shuffle, no UDF; the portable hex32 hash
+    keeps both engines bit-identical.  The scan is rebalanced first:
+    the rolling-hash map is the most CPU-dense query in the suite and
+    a one-file bench corpus would otherwise run it on one core."""
+    docs = rebalance_scan(spark, load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     grams = F.when(
         F.size(toks) < WINNOW_K, F.array(F.concat_ws(" ", toks))

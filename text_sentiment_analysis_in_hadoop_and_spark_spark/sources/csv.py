@@ -133,7 +133,11 @@ def _frontdoor_docs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _FRONTDOOR_CACHE.get(key)
     if df is None:
-        docs = load_table(spark, sf_dir, "documents")
+        from ..operators.common import rebalance_scan
+
+        docs = rebalance_scan(
+            spark, load_table(spark, sf_dir, "documents")
+        )
         lines = docs.select(_synth_line(docs).alias("line"))
         parsed = lines.select(*fidelity_parse(F.col("line")))
         df = frontdoor_docs(parsed).cache()

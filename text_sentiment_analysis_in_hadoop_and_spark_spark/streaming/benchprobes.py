@@ -1,0 +1,94 @@
+"""Streaming micro-bench probes (r4 verdict item 6): the streaming
+surface is test-proven but was invisible to bench.py, so throughput
+regressions in the micro-batch paths could land silently.  Each probe
+drives ONE bounded micro-batch pass of a streaming operator end-to-end
+(real stream source → real sink), sized to the bench sf_dir.
+
+Contract: :func:`streaming_bench_entries` does the UNTIMED setup
+(landing-zone files, tempdirs) and returns name → zero-arg thunk; the
+bench times each thunk as its own entry.  Landing files are symlinks
+or one small decile write — the timed window covers stream start,
+micro-batch execution, and stop, which is the throughput being
+guarded."""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import BATCH_MOD
+from ..sources.tables import load_table
+
+
+def streaming_bench_entries(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> dict[str, Callable[[], None]]:
+    from .enrich import enrich_stream
+    from .ingest import admit_stream
+    from .joins import attribution_stream
+    from .sink import start_idempotent_parquet_sink
+
+    # --- setup (untimed): landing zones -------------------------------
+    events_land = os.path.join(workdir, "events_land")
+    os.makedirs(events_land, exist_ok=True)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(events_land, "events.parquet"),
+    )
+    docs_land = os.path.join(workdir, "docs_land")
+    # the ingest probe's arrival batch: the same decile the batch-mode
+    # q_incremental admits, landed once as parquet
+    (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % BATCH_MOD == 0)
+        .select("doc_id", "text")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(docs_land)
+    )
+
+    def ingest_probe() -> None:
+        admitted: list[int] = []
+
+        def sink(df, batch_id):
+            admitted.extend(r["doc_id"] for r in df.collect())
+
+        q = admit_stream(spark, docs_land, sf_dir, sink)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert admitted, "ingest probe admitted nothing"
+
+    def interval_join() -> None:
+        q = (
+            attribution_stream(spark, events_land)
+            .writeStream.format("memory")
+            .queryName("bench_attrib")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) AS n FROM bench_attrib").first()["n"]
+        finally:
+            q.stop()
+        assert n >= 0
+
+    def exactly_once_sink() -> None:
+        out = os.path.join(workdir, "sink_out")
+        ckpt = os.path.join(workdir, "sink_ckpt")
+        q = start_idempotent_parquet_sink(
+            enrich_stream(spark, events_land, sf_dir), out, ckpt
+        )
+        q.awaitTermination(300)
+        assert spark.read.parquet(out).limit(1).count() == 1
+
+    return {
+        "stream_ingest_probe": ingest_probe,
+        "stream_interval_join": interval_join,
+        "stream_exactly_once_sink": exactly_once_sink,
+    }
