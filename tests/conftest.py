@@ -27,3 +27,10 @@ def duck():
     con = duck_connection(SF_DIR)
     yield con
     con.close()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: bench-scale checks at sf0.1 (deselect with -m 'not slow')",
+    )
