@@ -188,3 +188,91 @@ def test_training_corpus_is_intersection_of_gates(spark):
         .collect()
     }
     assert not (corpus & dirty)
+
+
+def test_leakage_safe_split_never_straddles_near_dups(spark):
+    """The whole point of pipe_split_leakage_safe: every verified
+    near-dup pair lands in ONE split, and the 8/1/1 fan covers all
+    three splits across clusters."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        JACCARD_DUP_MIN,
+        q_jaccard_pairs,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        q_split_leakage_safe,
+    )
+
+    splits = q_split_leakage_safe(spark, SF_DIR)
+    pairs = q_jaccard_pairs(spark, SF_DIR).filter(
+        F.col("jaccard") >= JACCARD_DUP_MIN
+    )
+    straddling = (
+        pairs.join(
+            splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddling == 0
+    # one split per doc, full corpus covered
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import (
+        load_table,
+    )
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert splits.count() == n_docs
+    assert splits.select("doc_id").distinct().count() == n_docs
+
+
+def test_ttr_weighted_sample_rate_tracks_ttr(spark):
+    """Acceptance is exactly `hash % n < n_distinct`: a doc with all
+    tokens distinct (TTR 1.0) is always kept; overall keep rate sits
+    near the corpus mean TTR."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        q_sample_ttr_weighted,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import (
+        load_table,
+    )
+
+    kept = q_sample_ttr_weighted(spark, SF_DIR)
+    # TTR == 1 → n_distinct == n_tokens → hash % n < n always
+    assert kept.filter(F.col("n_distinct") == F.col("n_tokens")).count() > 0
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = F.split(F.col("text"), " ")
+    mean_ttr = docs.select(
+        F.avg(F.size(F.array_distinct(toks)) / F.size(toks)).alias("m")
+    ).first()["m"]
+    rate = kept.count() / docs.count()
+    assert abs(rate - mean_ttr) < 0.15, (rate, mean_ttr)
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    """(shard, pos) must be a bijection over the corpus: positions
+    within each shard are 1..n_shard with no gaps or dupes."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        q_global_shuffle,
+    )
+
+    out = q_global_shuffle(spark, SF_DIR)
+    per_shard = out.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("nd"),
+    )
+    bad = per_shard.filter(
+        (F.col("lo") != 1) | (F.col("hi") != F.col("n")) | (F.col("nd") != F.col("n"))
+    ).count()
+    assert bad == 0

@@ -512,7 +512,141 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES_LATE["pipe_training_corpus"] = _training_corpus_sql()
 
+
+# --------------------------------------------------------------------------
+# r5 additions: leakage-safe splitting, quality-weighted sampling,
+# deterministic global shuffle (training-order export)
+# --------------------------------------------------------------------------
+
+SPLIT_DENOM = 10  # leakage-safe split fan: 8/1/1 train/val/test
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split assigned per NEAR-DUP CLUSTER, not per doc:
+    the split key hashes the cluster label, so two near-duplicate
+    documents can never straddle train and eval — the standard
+    eval-contamination leak a doc-keyed split silently allows (a dup
+    of a training doc landing in val inflates metrics exactly like
+    benchmark contamination).
+
+    Scale shape: one doc_id-keyed join of the corpus against the
+    memoized cluster labels (built on the candidate subgraph only —
+    see q_dedup_clusters), then a narrow hash map; no new shuffle
+    beyond the label join.  Idempotent and stable: membership is a
+    pure function of cluster_id."""
+    from .dedup import q_dedup_clusters
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    h = F.pmod(hex32(F.col("cluster_id").cast("string")), SPLIT_DENOM)
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h < SPLIT_DENOM - 2, F.lit("train"))
+        .when(h < SPLIT_DENOM - 1, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def q_sample_ttr_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted acceptance sampling with EXACT integer math:
+    accept a doc iff ``hex32(text) % n_tokens < n_distinct_tokens`` —
+    keep probability equals the doc's type-token ratio, so lexically
+    diverse documents are preferentially retained (the
+    quality-proportional downsampling step of corpus curation) while
+    boilerplate is thinned, deterministically and reproducibly.
+
+    Integer-only comparison by design: a float threshold
+    (``hash/DENOM < quality``) would make membership depend on
+    engine-specific double rounding at the boundary; integers make
+    the keep set bit-identical on any engine (same discipline as
+    pipe_sample_balanced / pipe_mixture).  Narrow map, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            nd.alias("n_distinct"),
+            F.pmod(hex32(F.col("text")), n).alias("h"),
+        )
+        .filter(F.col("h") < F.col("n_distinct"))
+        .select("doc_id", "n_tokens", "n_distinct")
+    )
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: every doc gets
+    (shard, pos) — shard by content hash (same map as the export
+    manifest), position by within-shard hash order.  Reading shards
+    round-robin replays one fixed, seedable pseudo-random permutation
+    of the corpus — reproducible across engines and re-runs, which a
+    ``rand()``-keyed sort is not.
+
+    Scale shape: the window partitions by shard — N_SHARDS
+    independent sorts of corpus/N_SHARDS rows each (range-partition
+    friendly), never a single global sort; ties (identical text)
+    break on doc_id so the order is total."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = hex32(F.col("text"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            F.pmod(h, N_SHARDS).cast("long").alias("shard"),
+            h.alias("h"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def _split_leakage_sql() -> str:
+    from .dedup import _CLUSTER_CTES
+
+    hexpr = hex32_sql("CAST(cluster_id AS VARCHAR)")
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(_CLUSTER_CTES)
+        + ", dclusters AS (SELECT d.doc_id, "
+        "CAST(coalesce(m.label, d.doc_id) AS BIGINT) AS cluster_id "
+        "FROM documents d LEFT JOIN dlabels m ON d.doc_id = m.node) "
+        "SELECT doc_id, cluster_id, CASE "
+        f"WHEN ({hexpr}) % {SPLIT_DENOM} < {SPLIT_DENOM - 2} THEN 'train' "
+        f"WHEN ({hexpr}) % {SPLIT_DENOM} < {SPLIT_DENOM - 1} THEN 'val' "
+        "ELSE 'test' END AS split FROM dclusters"
+    )
+
+
+ORACLES_LATE["pipe_split_leakage_safe"] = None  # filled below
+ORACLES_LATE["pipe_sample_ttr_weighted"] = (
+    "SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+    "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) "
+    "AS n_distinct FROM documents "
+    f"WHERE ({hex32_sql('text')}) % len(string_split(text, ' ')) "
+    "< len(list_distinct(string_split(text, ' ')))"
+)
+ORACLES_LATE["pipe_global_shuffle"] = (
+    f"SELECT doc_id, CAST(h % {N_SHARDS} AS BIGINT) AS shard, "
+    "CAST(row_number() OVER ("
+    f"PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id) AS BIGINT) AS pos "
+    f"FROM (SELECT doc_id, {hex32_sql('text')} AS h FROM documents)"
+)
+
 QUERIES_LATE = {
     "pipe_mixture": q_mixture,
     "pipe_training_corpus": q_training_corpus,
+    "pipe_split_leakage_safe": q_split_leakage_safe,
+    "pipe_sample_ttr_weighted": q_sample_ttr_weighted,
+    "pipe_global_shuffle": q_global_shuffle,
 }
+
+
+def _late_init() -> None:
+    ORACLES_LATE["pipe_split_leakage_safe"] = _split_leakage_sql()
+
+
+_late_init()
