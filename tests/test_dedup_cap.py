@@ -68,3 +68,44 @@ def test_hot_list_is_per_band(spark):
     without = candidate_pairs(banded, cap=10**9).count()
     # distinct docs form no bucket > 5, so the cap changes nothing
     assert with_cap == without
+
+
+def test_containment_catches_quoted_subset_doc(spark, tmp_path):
+    """A doc that is a strict prefix-subset of a bigger doc has high
+    containment_a but diluted jaccard — the asymmetric signal the
+    symmetric verify misses.  Fixture texts are fixed, so the LSH
+    band collision (and thus the emitted pair) is deterministic."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        common,
+        dedup,
+    )
+
+    base = [f"tok{i:02d}" for i in range(40)]
+    big = " ".join(base)
+    small = " ".join(base[:30])  # strict subset → containment_a = 1.0
+    rows = [
+        (1, small, "en", "synth", len(small)),
+        (2, big, "en", "synth", len(big)),
+        (3, "completely unrelated filler words here", "en", "synth", 38),
+    ]
+    sf = tmp_path / "sf_contain"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    try:
+        out = {
+            (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+            for r in dedup.QUERIES["dedup_containment_pairs"](
+                spark, str(sf)
+            ).collect()
+        }
+    finally:
+        common.clear_caches(str(sf))
+    assert (1, 2) in out, out
+    ca, cb = out[(1, 2)]
+    # shingle ground truth: A has 28 3-gram shingles, all inside B's 38
+    assert ca == 1.0
+    assert cb == round(28 / 38, 6)

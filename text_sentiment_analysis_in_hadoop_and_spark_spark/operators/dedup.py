@@ -345,6 +345,50 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric verify: per-direction shingle-set CONTAINMENT for the
+    LSH candidate pairs — ``containment_a = |A∩B| / |A|`` (how much of
+    doc_a sits inside doc_b) and the mirror.  Jaccard alone misses the
+    quoted-document case: a small doc fully contained in a large one
+    has |A∩B|/|A∪B| diluted toward 0 by the large doc's size while
+    containment_a = 1.0 — the signal partial-dup / quote scrubbing
+    needs (same motivation as the span-level family, at doc grain).
+
+    Scale shape: identical to the jaccard verify — candidates only
+    (never all-pairs), one shingle-keyed partial-agg join for the
+    intersections, two doc_id-keyed size joins."""
+    pairs = candidate_pairs(_banded_cached(spark, sf_dir))
+    sh = _shingles_cached(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ni / F.col("na"), 6).alias("containment_a"),
+            F.round(ni / F.col("nb"), 6).alias("containment_b"),
+        )
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over unigram token counts: bit i is the sign of
     Σ_tokens (±count) where the sign is bit i of the token's hash."""
@@ -994,6 +1038,21 @@ ORACLES: dict[str, str] = {
     "FROM dpairs p LEFT JOIN dinter i USING (doc_a, doc_b) "
     "JOIN dsizes sa ON sa.doc_id = p.doc_a "
     "JOIN dsizes sb ON sb.doc_id = p.doc_b",
+    "dedup_containment_pairs": _with(
+        *_MINHASH_PRELUDE,
+        "dsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+        "FROM dsh GROUP BY doc_id)",
+        "dinter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter "
+        "FROM dpairs p JOIN dsh a ON a.doc_id = p.doc_a "
+        "JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle "
+        "GROUP BY p.doc_a, p.doc_b)",
+    )
+    + "SELECT p.doc_a, p.doc_b, "
+    "round(coalesce(i.n_inter, 0) / sa.n_sh, 6) AS containment_a, "
+    "round(coalesce(i.n_inter, 0) / sb.n_sh, 6) AS containment_b "
+    "FROM dpairs p LEFT JOIN dinter i USING (doc_a, doc_b) "
+    "JOIN dsizes sa ON sa.doc_id = p.doc_a "
+    "JOIN dsizes sb ON sb.doc_id = p.doc_b",
     "dedup_simhash": _with(*_SIMHASH_BITSUM_CTES)
     + "SELECT doc_id, CAST("
     + " + ".join(
@@ -1147,6 +1206,7 @@ QUERIES = {
     "dedup_minhash_sig": q_minhash_sig,
     "dedup_minhash_pairs": q_minhash_pairs,
     "dedup_jaccard_pairs": q_jaccard_pairs,
+    "dedup_containment_pairs": q_containment_pairs,
     "dedup_simhash": q_simhash,
     "dedup_clusters": q_dedup_clusters,
     "dedup_corpus_keep": q_corpus_keep,
