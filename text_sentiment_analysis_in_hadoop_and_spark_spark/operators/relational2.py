@@ -164,6 +164,54 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q7_NATIONS = ("NATION_4", "NATION_9")  # bilateral-trade pair
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — revenue flowing
+    between one nation PAIR, split by (supplier nation, customer
+    nation, ship year), both directions.
+
+    Scale shape: the nation filter lands on the DIMENSION tables
+    before any fact join, shrinking supplier/customer to the pair's
+    members (2/25 of rows) — so the supplier side broadcasts and the
+    orders⋈customer equi-join carries only pair-member customers.
+    The fact-fact lineitem⋈orders join is the one full shuffle; the
+    final rollup groups on a 2×2×years key with map-side combine."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*Q7_NATIONS)
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _revenue_cents(li)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("l_year"),
+            rev.alias("rev_u"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_u").cast("long").alias("revenue_u"))
+    )
+
+
 Q8_NATION = "NATION_3"
 Q9_YEARS = ("1996", "1997", "1998")
 Q16_MIN_SIZE = 40
@@ -351,6 +399,20 @@ ORACLES.update(
             + ", ".join(Q9_YEARS)
             + ") GROUP BY n_name, year(o_orderdate)"
         ),
+        "rel_volume_shipping": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS INTEGER) AS l_year, "
+            f"CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_u "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE n1.n_name IN (\'NATION_4\', \'NATION_9\') "
+            "AND n2.n_name IN (\'NATION_4\', \'NATION_9\') "
+            "AND n1.n_name <> n2.n_name "
+            "GROUP BY n1.n_name, n2.n_name, year(l_shipdate)"
+        ),
         "rel_supplier_part_counts": (
             "SELECT p_brand, p_type, "
             "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
@@ -370,4 +432,5 @@ QUERIES = {
     "rel_market_share": q_market_share,
     "rel_profit_by_nation_year": q_profit_by_nation_year,
     "rel_supplier_part_counts": q_supplier_part_counts,
+    "rel_volume_shipping": q_volume_shipping,
 }
