@@ -371,3 +371,33 @@ def test_no_pathological_operators_in_any_query(spark):
         plan = _plan(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, f"{name}: row Python UDF"
         assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_global_shuffle_sorts_per_shard_not_globally(spark):
+    """pipe_global_shuffle must be N_SHARDS independent sorts: exactly
+    one hash Exchange keyed on shard, and the Sort node is per-
+    partition (global=false) — never a range-partitioned global sort."""
+    plan = _plan(entrymod.queries()["pipe_global_shuffle"](spark, SF_DIR))
+    assert "hashpartitioning(shard" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # Spark renders a global sort as `Sort [...], true`; per-partition
+    # window sorts render `false`
+    assert "], true, " not in plan, plan
+
+
+def test_volume_shipping_broadcasts_dims_pushes_nation_filter(spark):
+    """rel_volume_shipping's contract: the nation pair filter reaches
+    BOTH nation scans as a pushed In-filter, and the supplier side
+    stays a broadcast join even when auto-broadcast is off (the
+    explicit hint) — only the fact joins shuffle."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(
+            entrymod.queries()["rel_volume_shipping"](spark, SF_DIR)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert plan.count("In(n_name") == 2, plan  # pushed to both scans
+    assert "BroadcastHashJoin [l_suppkey" in plan, plan
+    assert "CartesianProduct" not in plan, plan
