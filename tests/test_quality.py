@@ -133,3 +133,38 @@ def test_lm_score_semantics(spark, tmp_path):
     # docs 1/2: "the cat" certain (c=2/2); second bigram splits 1-of-2
     expect = round(-(math.log(1.0) + math.log(0.5)) / 2, 6)
     assert got[1]["cross_entropy"] == expect == got[2]["cross_entropy"]
+
+
+def test_phrase_pmi_ranks_planted_collocation_first(spark, tmp_path):
+    """A pair of tokens that ONLY ever occur together (and meet the
+    support floor) must out-PMI every free-floating pair."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        common,
+        quality,
+    )
+
+    rng_words = [f"w{i}" for i in range(20)]
+    rows = []
+    # 10 docs containing the exclusive collocation "hong kong"
+    for d in range(10):
+        filler = " ".join(rng_words[d % 20 : d % 20 + 3])
+        rows.append((d, f"{filler} hong kong {filler}"))
+    # 30 docs of free-floating filler (every pair well-mixed)
+    for d in range(10, 40):
+        rows.append((d, " ".join(rng_words[(d + i) % 20] for i in range(8))))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("synth").alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    sf = tmp_path / "sf_pmi"
+    sf.mkdir()
+    docs.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    try:
+        top = quality.QUERIES["text_phrase_pmi"](spark, str(sf)).collect()
+    finally:
+        common.clear_caches(str(sf))
+    assert top, "support floor dropped everything"
+    assert (top[0]["w1"], top[0]["w2"]) == ("hong", "kong"), top[:3]

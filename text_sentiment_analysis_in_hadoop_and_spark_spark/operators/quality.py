@@ -239,6 +239,90 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigrams_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, w1, w2) → n adjacent-bigram occurrence table —
+    the single corpus scan behind the LM scorer and the PMI phrase
+    miner.  Everything bigram-shaped derives from this memo; without
+    it Catalyst re-plans the shared subtree per consumer (the naive
+    self-join form scanned the corpus 4×)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    bgc = _BIGRAM_CACHE.get(key)
+    if bgc is None:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        base = docs.select("doc_id", _toks(F.col("text")).alias("tk"))
+        bgc = (
+            base.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), "
+                        "(w, i) -> struct(w AS w1, tk[i + 1] AS w2))"
+                    )
+                ).alias("p"),
+            )
+            .select("doc_id", "p.w1", "p.w2")
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count("*").alias("n"))
+            .cache()
+        )
+        _BIGRAM_CACHE[key] = bgc
+    return bgc
+
+
+PMI_MIN_COUNT = 5  # collocation support floor (word2phrase's min_count)
+PMI_TOP_K = 200
+
+
+def q_phrase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation / phrase mining: corpus-level pointwise mutual
+    information per adjacent bigram — the word2phrase step (Mikolov et
+    al. 2013) that decides which token pairs merge into phrases before
+    tokenizer/vocab builds.  PMI = ln(c12·T / (c1·c2)) over the bigram
+    table's own marginals; pairs below the support floor are dropped
+    first (rare pairs have unboundedly inflated PMI — the standard
+    word2phrase discount motivation).
+
+    Determinism at the K-cut: the emitted order key is the ROUNDED pmi
+    (then w1, w2 — a total order, since (w1, w2) is unique), so both
+    engines cut the same row set even when unrounded doubles differ in
+    the last ulp.
+
+    Scale shape: derives entirely from the memoized bigram memo — one
+    (w1, w2) partial-agg groupBy, two vocabulary-sized marginal
+    groupBys joined back on their own keys, a 1-row total broadcast,
+    and TakeOrderedAndProject for the cut (per-partition heaps, never
+    a global sort)."""
+    bgc = _bigrams_cached(spark, sf_dir)
+    c12 = bgc.groupBy("w1", "w2").agg(F.sum("n").cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    tot = c12.agg(F.sum("c12").cast("long").alias("t"))
+    return (
+        c12.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            # double-space on BOTH engines, same op order: long×long
+            # would overflow past ~2^63 corpus bigrams, and a mixed
+            # long/double formula diverges from the oracle once the
+            # exact product exceeds 2^53
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("t"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_K)
+    )
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-corpus bigram-LM cross-entropy per doc — the relational form
     of the perplexity quality filter (CCNet/Gopher run a KenLM; here
@@ -260,26 +344,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive self-join form scanned the corpus 4×.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    bgc = _BIGRAM_CACHE.get(key)
-    if bgc is None:
-        base = docs.select("doc_id", _toks(F.col("text")).alias("tk"))
-        bgc = (
-            base.select(
-                "doc_id",
-                F.explode(
-                    F.expr(
-                        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), "
-                        "(w, i) -> struct(w AS w1, tk[i + 1] AS w2))"
-                    )
-                ).alias("p"),
-            )
-            .select("doc_id", "p.w1", "p.w2")
-            .groupBy("doc_id", "w1", "w2")
-            .agg(F.count("*").alias("n"))
-            .cache()
-        )
-        _BIGRAM_CACHE[key] = bgc
+    bgc = _bigrams_cached(spark, sf_dir)
     c12 = bgc.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     lnp = F.log(F.col("c12") / F.col("c1"))
@@ -369,6 +434,23 @@ ORACLES: dict[str, str] = {
         "round(CAST(count(b.gram) AS DOUBLE) / count(*), 6) AS contam_frac "
         "FROM corpus c LEFT JOIN bench b USING (gram) GROUP BY c.doc_id"
     ),
+    "text_phrase_pmi": (
+        "WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk "
+        "FROM documents), "
+        "bg AS (SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2 "
+        "FROM (SELECT doc_id, tk, "
+        "unnest(range(0, greatest(len(tk) - 1, 0))) AS i FROM base)), "
+        "c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 "
+        "FROM bg GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1), "
+        "c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c12 GROUP BY w2), "
+        "t AS (SELECT CAST(sum(c12) AS BIGINT) AS t FROM c12) "
+        "SELECT w1, w2, c12, "
+        "round(ln((CAST(c12 AS DOUBLE) * t.t) / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 6) "
+        "AS pmi FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN t "
+        f"WHERE c12 >= {PMI_MIN_COUNT} "
+        f"ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_K}"
+    ),
     "text_lm_score": (
         "WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk "
         "FROM documents), "
@@ -394,4 +476,5 @@ QUERIES = {
     "text_pii_redact": q_pii_redact,
     "text_contamination": q_contamination,
     "text_lm_score": q_lm_score,
+    "text_phrase_pmi": q_phrase_pmi,
 }
