@@ -160,9 +160,40 @@ ORACLES: dict[str, str] = {
         f"AND epoch_us(v.ts) >= epoch_us(p.ts) - {RANGE_US} "
         "AND epoch_us(v.ts) <= epoch_us(p.ts)"
     ),
+    "events_json_extract": (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+        "AS BIGINT) AS sum_k, "
+        "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) "
+        "AS avg_k FROM events GROUP BY event_type"
+    ),
 }
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON column
+    with an EXPLICIT schema (``from_json`` → struct field), then roll
+    up per event type.  The explicit schema is the scale discipline:
+    JVM-side Jackson parsing in one pass, no sampling-based schema
+    inference scan, and Catalyst prunes the struct to the referenced
+    field (Spark's JSON reader with inference reads the corpus twice
+    — once to guess the schema, once to parse).  This is the engine's
+    path for event payloads / API logs riding a string column through
+    parquet."""
+    ev = load_events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
 
 QUERIES = {
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
+    "events_json_extract": q_events_json_extract,
 }
