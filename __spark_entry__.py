@@ -151,9 +151,9 @@ def oracle_sql() -> dict[str, str]:
 
 # Queries intentionally declared WITHOUT a DuckDB oracle, per SURVEY.md
 # §5's split: hash-seeded feature spaces (HashingTF, minhash perms),
-# iterative ML fits, GK/approx sketches, and sequential recurrences are
-# not ANSI-SQL-expressible, so the driver records a rows-only check for
-# them BY DESIGN.  Each is pinned instead by determinism / recall /
+# iterative ML fits, and GK/HLL sketches are not reproducible in
+# ANSI SQL, so the driver records a rows-only check for them BY
+# DESIGN.  Each is pinned instead by determinism / recall /
 # metric-bound tests in tests/.  A "no_oracle" CORRECTNESS row for a
 # name in this set means "intentional", not "broken".
 _ROWS_ONLY = frozenset(
@@ -165,7 +165,6 @@ _ROWS_ONLY = frozenset(
         "ml_svm_metrics",  # LinearSVC iterative fit
         "ml_modified_nb_metrics",
         "ml_modified_svm_metrics",
-        "pipe_pack_nextfit",  # sequential recurrence — serial-ref test
         "sim_ivf_assign",  # sampled KMeans quantizer — recall tests
         "sim_topk_ivf",
         "tfidf_df_approx",  # HLL sketch — exact-twin comparison test

@@ -225,8 +225,10 @@ def q_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched ``applyInPandas`` — one shuffle on bucket, then each
     bucket packs sequentially with O(1) state; buckets pack in
     parallel, so the wall-clock is N/PACK_BUCKETS doc steps exactly
-    like the window variant.  Rows-only for the driver (the recurrence
-    is not SQL-expressible); the no-overflow invariant is pinned by
+    like the window variant.  Oracle-checked since r5: the recurrence
+    IS SQL-expressible as an iterative recursive CTE stepping one row
+    per bucket per iteration (depth = max docs/bucket); the
+    no-overflow invariant is additionally pinned by
     tests/test_pipeline.py."""
     docs = _sized_docs(spark, sf_dir)
     return docs.groupBy("bucket").applyInPandas(
@@ -355,6 +357,26 @@ ORACLES: dict[str, str] = {
         "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, "
         "CAST(sum(length(text)) AS BIGINT) AS n_chars "
         "FROM documents GROUP BY shard"
+    ),
+    "pipe_pack_nextfit": (
+        "WITH RECURSIVE sized AS ("
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+        "AS n_tokens, "
+        f"CAST(doc_id % {PACK_BUCKETS} AS BIGINT) AS bucket FROM documents), "
+        "ordered AS (SELECT *, row_number() OVER "
+        "(PARTITION BY bucket ORDER BY doc_id) AS rn FROM sized), "
+        "steps AS ("
+        "SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin, "
+        "n_tokens AS fill FROM ordered WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT o.bucket, o.rn, o.doc_id, o.n_tokens, "
+        f"CASE WHEN s.fill + o.n_tokens > {PACK_BUDGET} "
+        "THEN s.bin + 1 ELSE s.bin END, "
+        f"CASE WHEN s.fill + o.n_tokens > {PACK_BUDGET} "
+        "THEN o.n_tokens ELSE s.fill + o.n_tokens END "
+        "FROM steps s JOIN ordered o "
+        "ON o.bucket = s.bucket AND o.rn = s.rn + 1) "
+        "SELECT doc_id, n_tokens, bucket, bin FROM steps"
     ),
     "pipe_pack_sequences": (
         "WITH sized AS (SELECT doc_id, "
