@@ -84,6 +84,11 @@ _windowed_late = SimpleNamespace(
     QUERIES=streaming_windowed.QUERIES_LATE,
     ORACLES=streaming_windowed.ORACLES_LATE,
 )
+_quality_late = SimpleNamespace(
+    __name__="quality_late",
+    QUERIES=quality.QUERIES_LATE,
+    ORACLES=quality.ORACLES_LATE,
+)
 
 
 _MODULE_ORDER = (
@@ -106,6 +111,7 @@ _MODULE_ORDER = (
     _pipeline_late,
     _multimodal_late,
     _windowed_late,
+    _quality_late,
     dedup,
 )
 

@@ -168,3 +168,32 @@ def test_phrase_pmi_ranks_planted_collocation_first(spark, tmp_path):
         common.clear_caches(str(sf))
     assert top, "support floor dropped everything"
     assert (top[0]["w1"], top[0]["w2"]) == ("hong", "kong"), top[:3]
+
+
+def test_contamination_bloom_equals_exact(spark):
+    """The bloom pre-filter is a physical strategy only: its result
+    must equal the exact broadcast-join form row for row, and the
+    probe must appear in the plan as a getbit filter feeding ONE
+    broadcast verify join."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.quality import (
+        q_contamination_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contam_frac"])
+        for r in q_contamination(spark, sf).collect()
+    }
+    bloom_df = q_contamination_bloom(spark, sf)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contam_frac"])
+        for r in bloom_df.collect()
+    }
+    assert got == exact
+
+    plan = bloom_df._jdf.queryExecution().executedPlan().toString()
+    assert "getbit" in plan
+    # both the bitset side and the verify side stay broadcast — the
+    # corpus never shuffles into a join
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -478,3 +478,113 @@ QUERIES = {
     "text_lm_score": q_lm_score,
     "text_phrase_pmi": q_phrase_pmi,
 }
+
+
+# --- Bloom-filter decontamination pre-filter (late registration) -----
+
+BLOOM_M = 1 << 17   # bits in the benchmark-gram bloom filter
+BLOOM_WORDS = BLOOM_M // 64
+
+
+def _bloom_positions(gram: Column) -> tuple[Column, Column]:
+    """Two independent bit positions per gram (k=2 double hashing):
+    JVM-side xxhash64 under two seeds, folded into [0, BLOOM_M)."""
+    return (
+        F.pmod(F.xxhash64(gram), F.lit(BLOOM_M)),
+        F.pmod(F.xxhash64(gram, F.lit(1)), F.lit(BLOOM_M)),
+    )
+
+
+def _bloom_member(gram: Column, bits: Column) -> Column:
+    """Membership probe against a bitset carried as array<long>."""
+    p1, p2 = _bloom_positions(gram)
+
+    def probe(p: Column) -> Column:
+        word = F.element_at(bits, (p / 64).cast("int") + 1)
+        return F.getbit(word, F.pmod(p, F.lit(64))) == 1
+
+    return probe(p1) & probe(p2)
+
+
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_contamination`` computed through a **broadcast Bloom
+    pre-filter** — the physical strategy that survives when the
+    benchmark-gram table outgrows the broadcast-hash-join budget.
+
+    The exact-join form broadcasts every distinct benchmark gram
+    (string bytes, ~gram_len × |grams|).  Here the benchmark set is
+    folded into a fixed BLOOM_M-bit bitset (16 KiB regardless of gram
+    count — the same shape as Spark's own runtime bloom-filter join
+    pruning): one pass over the (fixed-size, MB-scale) benchmark
+    builds it, the corpus side probes it as a narrow map, and only the
+    ~|true hits| + ε·|corpus| false-positive survivors reach the exact
+    verify join.  The result is EXACT — the bloom only prunes probes;
+    every candidate is re-checked against the real gram set — so the
+    oracle is the same SQL as ``text_contamination``.
+
+    At 100 TB: the exact verify side stays broadcast here, but the
+    same plan degrades gracefully to a shuffle join of the (already
+    bloom-thinned) candidates when the benchmark outgrows broadcast;
+    the bitset collect is a bounded model-sized aggregate (S5 shape,
+    16 KiB), never O(corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    member = F.pmod(hex32(F.col("text")), BENCH_MOD) == BENCH_RESIDUE
+    bench_grams = (
+        docs.filter(member)
+        .select(F.explode(_shingles(F.col("text"))).alias("gram"))
+        .distinct()
+    )
+    p1, p2 = _bloom_positions(F.col("gram"))
+    word_rows = (
+        bench_grams.select(F.explode(F.array(p1, p2)).alias("p"))
+        .distinct()
+        .groupBy((F.col("p") / 64).cast("int").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))"
+            ).alias("bits")
+        )
+        .collect()
+    )
+    bitset = [0] * BLOOM_WORDS
+    for r in word_rows:
+        bitset[r["w"]] = r["bits"]
+    bits_df = spark.createDataFrame([(bitset,)], "bloom array<long>")
+
+    corpus = (
+        docs.filter(~member)
+        .select("doc_id", F.explode(_shingles(F.col("text"))).alias("gram"))
+        .crossJoin(F.broadcast(bits_df))
+        .withColumn("cand", _bloom_member(F.col("gram"), F.col("bloom")))
+    )
+    bench_hit = bench_grams.withColumnRenamed("gram", "bgram").withColumn(
+        "hit", F.lit(1)
+    )
+    return (
+        corpus.join(
+            F.broadcast(bench_hit),
+            F.col("cand") & (F.col("gram") == F.col("bgram")),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "contam_frac",
+            F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6),
+        )
+    )
+
+
+ORACLES_LATE: dict[str, str] = {
+    # identical semantics to text_contamination — the bloom is a
+    # physical pre-filter, so the exact oracle carries over verbatim
+    "text_contamination_bloom": ORACLES["text_contamination"],
+}
+
+QUERIES_LATE = {
+    "text_contamination_bloom": q_contamination_bloom,
+}
