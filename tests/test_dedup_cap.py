@@ -109,3 +109,31 @@ def test_containment_catches_quoted_subset_doc(spark, tmp_path):
     # shingle ground truth: A has 28 3-gram shingles, all inside B's 38
     assert ca == 1.0
     assert cb == round(28 / 38, 6)
+
+
+def test_simhash_pairs_banding_is_exact(spark):
+    """Pigeonhole exactness: the banded equi-join must recover EVERY
+    pair within Hamming ≤ HAMMING_MAX — recall 1.0 is a theorem for
+    SIMHASH_BANDS = HAMMING_MAX + 1 blocks, so the banded result
+    equals the brute-force all-pairs scan exactly."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        HAMMING_MAX,
+        q_simhash,
+        q_simhash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sims = {r["doc_id"]: r["simhash"] for r in q_simhash(spark, sf).collect()}
+    ids = sorted(sims)
+    brute = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sims[a] ^ sims[b]).count("1") <= HAMMING_MAX
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in q_simhash_pairs(spark, sf).collect()
+    }
+    assert banded == brute
+    assert brute  # non-vacuous: the corpus does contain near-dups
