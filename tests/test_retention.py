@@ -1,0 +1,73 @@
+"""Cohort retention + hourly anomaly semantics on crafted events
+(streaming/windowed.py late queries)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+    DAY_SEC,
+    q_events_anomaly,
+    q_events_retention,
+)
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, epoch_sec, user_id, event_type, value)."""
+    d = tmp_path / "ev"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * 10**9 for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/events.parquet")
+    return str(d)
+
+
+def test_retention_matrix(spark, tmp_path):
+    # u1 first active day 0, returns day 1 and day 3 (twice: still one
+    # active-day row); u2 first active day 0 only; u3 first active day 1
+    rows = [
+        (1, 0, 1, "view", 0),
+        (2, DAY_SEC + 5, 1, "view", 0),
+        (3, 3 * DAY_SEC, 1, "click", 0),
+        (4, 3 * DAY_SEC + 9, 1, "view", 0),
+        (5, 10, 2, "view", 0),
+        (6, DAY_SEC + 1, 3, "view", 0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {
+        (r["cohort_day"], r["day_offset"]): (r["n_active"], r["retention_frac"])
+        for r in q_events_retention(spark, sf).collect()
+    }
+    assert got == {
+        (0, 0): (2, 1.0),    # u1, u2
+        (0, 1): (1, 0.5),    # u1 returns
+        (0, 3): (1, 0.5),    # u1 returns once despite two events
+        (1, 0): (1, 1.0),    # u3's own cohort
+    }
+
+
+def test_anomaly_flags_the_spike(spark, tmp_path):
+    # 9 quiet hours of 2 events + 1 hour of 20 -> the spike's z is the
+    # only one past the threshold
+    rows = []
+    eid = 0
+    for h in range(9):
+        for k in range(2):
+            rows.append((eid := eid + 1, h * 3600 + k, 100 + k, "view", 1))
+    for k in range(20):
+        rows.append((eid := eid + 1, 9 * 3600 + k, 200 + k, "view", 1))
+    sf = _write_events(tmp_path, rows)
+    out = {r["hour_epoch"]: r for r in q_events_anomaly(spark, sf).collect()}
+    assert len(out) == 10
+    assert out[9 * 3600]["is_anomaly"] is True
+    assert all(not out[h * 3600]["is_anomaly"] for h in range(9))
+    assert out[9 * 3600]["n_events"] == 20

@@ -353,6 +353,107 @@ ORACLES_LATE: dict[str, str] = {
 
 QUERIES_LATE = {"events_sliding_volume": q_events_sliding_volume}
 
+
+DAY_SEC = 86400
+ANOM_Z = 2.0  # |z| threshold flagging an anomalous hour
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by first-active day, counted on each later active day as
+    (cohort_day, day_offset, n_active, retention_frac).
+
+    Scale shape: activity distinct-ing and first-day aggregation both
+    key on user_id, so the join between them reuses ONE user_id
+    shuffle family (co-partitioned, no re-exchange); cohort sizes are
+    a tiny (days-sized) aggregate joined back BROADCAST; the final
+    rollup's output is O(days²/2) — bounded by calendar, not corpus.
+    """
+    ev = load_events(spark, sf_dir)
+    act = (
+        ev.select("user_id", (F.col("epoch_sec") / DAY_SEC).cast("long").alias("day"))
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort_sizes = first.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("cohort_n")
+    )
+    ret = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    return ret.join(F.broadcast(cohort_sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        F.round(F.col("n_active") / F.col("cohort_n"), 6).alias("retention_frac"),
+    )
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-volume anomaly flags per event type: z-score of each
+    hour's event count against that type's own mean/stddev across all
+    hours, |z| > ANOM_Z flagged.  The per-type stats are a TYPES-sized
+    aggregate joined back broadcast — the hourly count table never
+    re-shuffles (the window-function form would funnel every row
+    through one partition per type); stddev is the sample form on
+    both engines."""
+    ev = load_events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            (F.expr(f"epoch_sec DIV 3600") * 3600).cast("long").alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n_events").alias("mu"), F.stddev_samp("n_events").alias("sd")
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sd")
+    return hourly.join(F.broadcast(stats), "event_type").select(
+        "hour_epoch",
+        "event_type",
+        "n_events",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > ANOM_Z).alias("is_anomaly"),
+    )
+
+
+ORACLES_LATE["events_retention"] = (
+    "WITH act AS (SELECT DISTINCT user_id, "
+    f"CAST(epoch_ns(ts) // 1000000000 // {DAY_SEC} AS BIGINT) AS day "
+    "FROM events), "
+    "first AS (SELECT user_id, min(day) AS cohort_day FROM act "
+    "GROUP BY user_id), "
+    "sizes AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_n "
+    "FROM first GROUP BY cohort_day), "
+    "ret AS (SELECT f.cohort_day, a.day - f.cohort_day AS day_offset, "
+    "CAST(count(*) AS BIGINT) AS n_active FROM act a "
+    "JOIN first f USING (user_id) GROUP BY 1, 2) "
+    "SELECT r.cohort_day, r.day_offset, r.n_active, "
+    "round(r.n_active * 1.0 / s.cohort_n, 6) AS retention_frac "
+    "FROM ret r JOIN sizes s USING (cohort_day)"
+)
+
+ORACLES_LATE["events_anomaly"] = (
+    "WITH hourly AS (SELECT "
+    "CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT) AS hour_epoch, "
+    "event_type, CAST(count(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY 1, 2), "
+    "stats AS (SELECT event_type, avg(n_events) AS mu, "
+    "stddev_samp(n_events) AS sd FROM hourly GROUP BY event_type) "
+    "SELECT h.hour_epoch, h.event_type, h.n_events, "
+    "round((h.n_events - s.mu) / s.sd, 6) AS z, "
+    f"abs((h.n_events - s.mu) / s.sd) > {2.0} AS is_anomaly "
+    "FROM hourly h JOIN stats s USING (event_type)"
+)
+
+QUERIES_LATE["events_retention"] = q_events_retention
+QUERIES_LATE["events_anomaly"] = q_events_anomaly
+
 QUERIES = {
     "events_windowed": q_events_windowed,
     "events_percentiles": q_events_percentiles,
