@@ -230,3 +230,35 @@ def test_decode_pixels_fallback_env_gated():
         buf = io.BytesIO()
         mm._PILImage.fromarray(src).save(buf, format="PNG")
         assert np.array_equal(mm.decode_pixels(buf.getvalue()), src)
+
+
+def test_wav_chunk_walk_is_load_bearing():
+    """probe_wav_meta must walk chunks (LIST interposed on doc_id%3==0)
+    and decode real int16 PCM — fields match the synthesis formula."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.multimodal import (
+        WAV_FRAMES_MOD,
+        WAV_RATES,
+        make_wav,
+        probe_wav_meta,
+    )
+
+    for doc_id in (0, 1, 2, 3, 6, 7, 499, 500):
+        rate, ch, bits, n_frames, data = probe_wav_meta(make_wav(doc_id))
+        assert rate == WAV_RATES[doc_id % 5]
+        assert ch == 1 + doc_id % 2
+        assert bits == 16
+        assert n_frames == 1 + doc_id % WAV_FRAMES_MOD
+        # first decoded sample equals the closed form
+        v0 = int.from_bytes(data[0:2], "little", signed=True)
+        assert v0 == ((doc_id * 31) % 65536) - 32768
+
+
+def test_wav_rejects_non_riff():
+    import pytest
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.multimodal import (
+        probe_wav_meta,
+    )
+
+    with pytest.raises(ValueError):
+        probe_wav_meta(b"not a wav at all")

@@ -517,3 +517,166 @@ ORACLES_LATE: dict[str, str] = {
 }
 
 QUERIES_LATE = {"mm_pixel_stats": q_mm_pixel_stats}
+
+
+# --------------------------------------------------------------------------
+# REAL audio work: dependency-free RIFF/WAVE PCM decode (r5)
+# --------------------------------------------------------------------------
+
+WAV_RATES = (8000, 16000, 22050, 44100, 48000)
+WAV_FRAMES_MOD = 499     # 1..499 frames per synthetic clip
+WAV_JUNK_MOD = 3         # every 3rd doc carries a LIST chunk before data
+
+
+def make_wav(doc_id: int) -> bytes:
+    """Deterministic 16-bit PCM RIFF/WAVE clip: rate/channels/length
+    are closed forms of doc_id, flat sample k (channel-interleaved) is
+    ((doc_id*31 + k*17) % 65536) - 32768.  Every 3rd doc interposes a
+    junk LIST chunk between fmt and data, so a parser that assumes
+    fixed offsets instead of walking chunks breaks."""
+    rate = WAV_RATES[doc_id % len(WAV_RATES)]
+    channels = 1 + doc_id % 2
+    n_frames = 1 + doc_id % WAV_FRAMES_MOD
+    n_samples = n_frames * channels
+    data = b"".join(
+        (((doc_id * 31 + k * 17) % 65536) - 32768).to_bytes(
+            2, "little", signed=True
+        )
+        for k in range(n_samples)
+    )
+    block_align = channels * 2
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    junk = (
+        b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+        if doc_id % WAV_JUNK_MOD == 0
+        else b""
+    )
+    body = b"WAVE" + fmt + junk + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def probe_wav_meta(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """REAL RIFF parse, no codec library: walk the chunk list (never
+    assume fixed offsets — real WAVs carry LIST/INFO/fact chunks),
+    return (sample_rate, n_channels, bits, n_frames, pcm_bytes).
+    Raises ValueError on a non-WAVE container or missing chunks."""
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    n_frames = len(data) // (channels * bits // 8)
+    return rate, channels, bits, n_frames, data
+
+
+MM_AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, bits int, "
+    "n_frames long, duration_ms double, amp_mean double, amp_peak int"
+)
+
+
+def audio_meta_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: synthesize the clip, then run the REAL
+    chunk walk + int16 PCM decode on its bytes — header fields and
+    sample stats all come back out of the container, not the formula."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "doc_id", "sample_rate", "n_channels", "bits",
+            "n_frames", "duration_ms", "amp_mean", "amp_peak",
+        )}
+        for doc_id in pdf["doc_id"]:
+            rate, ch, bits, n_frames, data = probe_wav_meta(
+                make_wav(int(doc_id))
+            )
+            samples = np.frombuffer(data, "<i2").astype(np.int64)
+            out["doc_id"].append(int(doc_id))
+            out["sample_rate"].append(rate)
+            out["n_channels"].append(ch)
+            out["bits"].append(bits)
+            out["n_frames"].append(n_frames)
+            out["duration_ms"].append(round(n_frames * 1000.0 / rate, 6))
+            out["amp_mean"].append(
+                round(float(samples.sum()) / len(samples), 6)
+            )
+            out["amp_peak"].append(int(np.abs(samples).max()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                "n_channels": pd.Series(out["n_channels"], dtype="int32"),
+                "bits": pd.Series(out["bits"], dtype="int32"),
+                "n_frames": pd.Series(out["n_frames"], dtype="int64"),
+                "duration_ms": pd.Series(out["duration_ms"], dtype="float64"),
+                "amp_mean": pd.Series(out["amp_mean"], dtype="float64"),
+                "amp_peak": pd.Series(out["amp_peak"], dtype="int32"),
+            }
+        )
+
+
+def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality metadata + PCM sample stats: a real RIFF chunk
+    walk and int16 decode per clip (the synthetic clips are closed
+    forms of doc_id so the DuckDB oracle recomputes every field
+    without touching bytes — any parser off-by-one in chunk walking,
+    word alignment, or sample signedness diverges).  Narrow Arrow
+    `mapInPandas`, no shuffle; payloads live one batch at a time."""
+    docs = rebalance_scan(
+        spark, load_table(spark, sf_dir, "documents")
+    ).select("doc_id")
+    return docs.mapInPandas(audio_meta_batches, schema=MM_AUDIO_SCHEMA)
+
+
+_WAV_RATE_SQL = (
+    "CASE doc_id % 5 "
+    + " ".join(
+        f"WHEN {i} THEN {r}" for i, r in enumerate(WAV_RATES)
+    )
+    + " END"
+)
+
+ORACLES_LATE["mm_audio_meta"] = (
+        f"WITH meta AS (SELECT doc_id, {_WAV_RATE_SQL} AS sample_rate, "
+        "CAST(1 + doc_id % 2 AS INTEGER) AS n_channels, "
+        f"CAST(1 + doc_id % {WAV_FRAMES_MOD} AS BIGINT) AS n_frames "
+        "FROM documents), "
+        "samp AS (SELECT m.doc_id, "
+        "CAST(sum((m.doc_id * 31 + k * 17) % 65536 - 32768) AS DOUBLE) "
+        "/ count(*) AS amp_mean, "
+        "max(abs((m.doc_id * 31 + k * 17) % 65536 - 32768)) AS amp_peak "
+        "FROM meta m, unnest(range(0, m.n_frames * m.n_channels)) AS t(k) "
+        "GROUP BY m.doc_id) "
+        "SELECT m.doc_id, CAST(m.sample_rate AS INTEGER) AS sample_rate, "
+        "m.n_channels, CAST(16 AS INTEGER) AS bits, m.n_frames, "
+        "round(m.n_frames * 1000.0 / m.sample_rate, 6) AS duration_ms, "
+        "round(s.amp_mean, 6) AS amp_mean, "
+        "CAST(s.amp_peak AS INTEGER) AS amp_peak "
+        "FROM meta m JOIN samp s USING (doc_id)"
+)
+
+QUERIES_LATE["mm_audio_meta"] = q_mm_audio_meta
