@@ -401,3 +401,25 @@ def test_volume_shipping_broadcasts_dims_pushes_nation_filter(spark):
     assert plan.count("In(n_name") == 2, plan  # pushed to both scans
     assert "BroadcastHashJoin [l_suppkey" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_forecast_revenue_filters_pushed(spark):
+    """Q6 is pure pushdown: the shipdate and quantity predicates must
+    reach the parquet scan's PushedFilters, and the plan has no join
+    or wide exchange beyond the single global-agg collapse."""
+    plan = _plan(entrymod.queries()["rel_forecast_revenue"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    scan = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_shipdate" in scan and "l_quantity" in scan
+    assert "Join" not in plan
+
+
+def test_shipping_priority_preaggregates_lineitem(spark):
+    """Q3's orderkey shuffle must carry per-order PARTIAL aggregates,
+    not raw lines: a partial_sum HashAggregate appears below the
+    l_orderkey Exchange, and the segment customers probe broadcast."""
+    plan = _plan(entrymod.queries()["rel_shipping_priority"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    li_exchange = plan.index("hashpartitioning(l_orderkey")
+    assert "partial_sum" in plan[li_exchange:]

@@ -434,3 +434,150 @@ QUERIES = {
     "rel_supplier_part_counts": q_supplier_part_counts,
     "rel_volume_shipping": q_volume_shipping,
 }
+
+
+# --- r5 gap-fill: Q3 / Q6 shapes + GROUPING SETS ---------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-15"
+Q3_TOP = 10
+Q6_FROM, Q6_TO = "1997-01-01", "1998-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.03, 0.07   # inclusive band, TPC-H Q6 style
+Q6_QTY_MAX = 24
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 not-yet-shipped orders by revenue for
+    one market segment.  Join order is the scale story: lineitem is
+    filtered (shipdate pushed to the scan) and PRE-AGGREGATED to
+    per-order revenue BEFORE meeting orders — the orderkey shuffle
+    carries one row per order, not one per line — while the segment's
+    customers semi-join orders broadcast.  The top-10 is
+    TakeOrderedAndProject (no global sort)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(Q3_DATE))
+        .join(F.broadcast(cust.select("c_custkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE)
+    )
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(_revenue_cents(li)).alias("revenue_cents_pct")
+    )
+    return (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue_cents_pct",
+        )
+        .orderBy(F.desc("revenue_cents_pct"), F.asc("o_orderkey"))
+        .limit(Q3_TOP)
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure filter-and-sum forecast — everything
+    rides predicate pushdown (date + discount band + quantity reach
+    the parquet scan; `.explain` shows them in PushedFilters) and one
+    partial-agg global sum; no join, no wide shuffle.  Discount cents
+    keep the band integer-exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_c = _cents(F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_FROM))
+            & (F.col("l_shipdate") < F.lit(Q6_TO))
+            & (disc_c >= int(Q6_DISC_LO * 100))
+            & (disc_c <= int(Q6_DISC_HI * 100))
+            & (F.col("l_quantity") < Q6_QTY_MAX)
+        )
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice")) * disc_c)
+            .cast("long")
+            .alias("forecast_cents_pct"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third grouping surface next to the
+    existing ROLLUP/CUBE twins: ((nation, year), (year), ()) with a
+    grouping_id disambiguating aggregation levels (NULL nation in a
+    subtotal row vs a hypothetical NULL key).  One fact-side shuffle;
+    Spark expands the sets map-side (Expand), not by re-scanning per
+    set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    joined = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("year"),
+            _revenue_cents(li).alias("rev"),
+        )
+    )
+    return joined.groupingSets(
+        [["nation", "year"], ["year"], []], "nation", "year"
+    ).agg(
+        F.grouping_id("nation", "year").cast("long").alias("gid"),
+        F.sum("rev").cast("long").alias("revenue_cents_pct"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+ORACLES.update(
+    {
+        "rel_shipping_priority": (
+            "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') "
+            "AS o_orderdate, "
+            f"CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_cents_pct "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            f"WHERE c_mktsegment = '{Q3_SEGMENT}' "
+            f"AND o_orderdate < TIMESTAMP '{Q3_DATE}' "
+            f"AND l_shipdate > TIMESTAMP '{Q3_DATE}' "
+            "GROUP BY o_orderkey, o_orderdate "
+            f"ORDER BY revenue_cents_pct DESC, o_orderkey LIMIT {Q3_TOP}"
+        ),
+        "rel_forecast_revenue": (
+            "SELECT CAST(sum("
+            f"{_cents_sql('l_extendedprice')} * {_cents_sql('l_discount')}"
+            ") AS BIGINT) AS forecast_cents_pct, "
+            "CAST(count(*) AS BIGINT) AS n_lines FROM lineitem "
+            f"WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}' "
+            f"AND l_shipdate < TIMESTAMP '{Q6_TO}' "
+            f"AND {_cents_sql('l_discount')} >= {int(Q6_DISC_LO * 100)} "
+            f"AND {_cents_sql('l_discount')} <= {int(Q6_DISC_HI * 100)} "
+            f"AND l_quantity < {Q6_QTY_MAX}"
+        ),
+        "rel_revenue_grouping_sets": (
+            "WITH j AS (SELECT n_name AS nation, year(l_shipdate) AS year, "
+            f"{_REV_SQL} AS rev FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey) "
+            "SELECT nation, year, "
+            "CAST(grouping(nation) * 2 + grouping(year) AS BIGINT) AS gid, "
+            "CAST(sum(rev) AS BIGINT) AS revenue_cents_pct, "
+            "CAST(count(*) AS BIGINT) AS n_lines FROM j "
+            "GROUP BY GROUPING SETS ((nation, year), (year), ())"
+        ),
+    }
+)
+
+QUERIES["rel_shipping_priority"] = q_shipping_priority
+QUERIES["rel_forecast_revenue"] = q_forecast_revenue
+QUERIES["rel_revenue_grouping_sets"] = q_revenue_grouping_sets
