@@ -92,3 +92,42 @@ def test_range_join_is_equi_not_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_nearest_picks_closer_side_tie_earlier(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.asof import (
+        asof_nearest_events,
+    )
+
+    rows = [
+        (1, 100 * US, 7, "view"),
+        (2, 130 * US, 7, "purchase"),   # prev@100 (d=30) vs next@140 (d=10) → 140
+        (3, 140 * US, 7, "view"),
+        (4, 120 * US, 8, "view"),
+        (5, 130 * US, 8, "purchase"),   # prev@120 vs next@140 equidistant → earlier 120
+        (6, 140 * US, 8, "view"),
+        (7, 50 * US, 9, "purchase"),    # only a later view → forward match
+        (8, 90 * US, 9, "view"),
+        (9, 10 * US, 10, "purchase"),   # no views at all → dropped
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING"
+    )
+    out = {
+        r["event_id"]: (r["right_ts_us"], r["delta_us"])
+        for r in asof_nearest_events(ev).collect()
+    }
+    assert out == {
+        2: (140, -10),
+        5: (120, 10),
+        7: (90, -40),
+    }
+
+
+def test_asof_nearest_is_single_shuffle(spark):
+    import __spark_entry__ as entrymod
+    from conftest import SF_DIR
+
+    df = entrymod.queries()["events_asof_nearest"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

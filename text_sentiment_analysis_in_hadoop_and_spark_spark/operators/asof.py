@@ -197,3 +197,98 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "events_json_extract": q_events_json_extract,
 }
+
+
+def asof_nearest_events(ev: DataFrame) -> DataFrame:
+    """Nearest-match as-of join — both directions: each purchase
+    matches the view whose timestamp is CLOSEST (before or after),
+    ties at equal distance to the EARLIER view.  Same single-shuffle
+    union-and-carry plan as the backward as-of: one user_id exchange,
+    then a running max-of-view-ts over the preceding frame (latest
+    at-or-before) and a min-of-view-ts over the following frame
+    (earliest after) inside each partition — no range join, no per-row
+    probe, frames bounded by per-user history.
+
+    Verified against DuckDB running the SAME semantics as two native
+    ASOF JOINs (backward + forward) combined — not a hand-rolled twin.
+    """
+    ts_us = epoch_us_col(ev)
+    right = ev.filter(F.col("event_type") == RIGHT_TYPE).select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        ts_us.alias("ts"),
+        F.lit(0).alias("side"),
+    )
+    left = ev.filter(F.col("event_type") == LEFT_TYPE).select(
+        F.col("event_id").cast("long"),
+        "user_id",
+        ts_us.alias("ts"),
+        F.lit(1).alias("side"),
+    )
+    # views sort before purchases at equal ts, so an equal-ts view is
+    # "at-or-before" (prev frame), matching ASOF's >= inclusivity
+    order = [F.asc("ts"), F.asc("side")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    view_ts = F.when(F.col("side") == 0, F.col("ts"))
+    carried = (
+        right.unionByName(left)
+        .withColumn("prev_ts", F.max(view_ts).over(w_prev))
+        .withColumn("next_ts", F.min(view_ts).over(w_next))
+    )
+    d_prev = F.col("ts") - F.col("prev_ts")
+    d_next = F.col("next_ts") - F.col("ts")
+    matched = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(d_next < d_prev, F.col("next_ts"))
+        .otherwise(F.col("prev_ts"))  # tie → earlier (prev)
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .withColumn("matched_ts", matched)
+        .filter(F.col("matched_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("left_ts_us"),
+            F.col("matched_ts").alias("right_ts_us"),
+            (F.col("ts") - F.col("matched_ts")).alias("delta_us"),
+        )
+    )
+
+
+def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_nearest_events(load_events(spark, sf_dir))
+
+
+ORACLES["events_asof_nearest"] = (
+    "WITH p AS (SELECT event_id, user_id, ts FROM events "
+    f"WHERE event_type = '{LEFT_TYPE}'), "
+    f"v AS (SELECT user_id, ts FROM events WHERE event_type = '{RIGHT_TYPE}'), "
+    "bwd AS (SELECT p.event_id, v.ts AS prev_ts FROM p "
+    "ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts), "
+    "fwd AS (SELECT p.event_id, v.ts AS next_ts FROM p "
+    "ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts < v.ts), "
+    "m AS (SELECT p.event_id, p.user_id, p.ts, "
+    "CASE WHEN b.prev_ts IS NULL THEN f.next_ts "
+    "WHEN f.next_ts IS NULL THEN b.prev_ts "
+    "WHEN f.next_ts - p.ts < p.ts - b.prev_ts THEN f.next_ts "
+    "ELSE b.prev_ts END AS mts "
+    "FROM p JOIN bwd b USING (event_id) JOIN fwd f USING (event_id)) "
+    "SELECT event_id, user_id, "
+    "CAST(epoch_us(ts) AS BIGINT) AS left_ts_us, "
+    "CAST(epoch_us(mts) AS BIGINT) AS right_ts_us, "
+    "CAST(epoch_us(ts) - epoch_us(mts) AS BIGINT) AS delta_us "
+    "FROM m WHERE mts IS NOT NULL"
+)
+
+QUERIES["events_asof_nearest"] = q_events_asof_nearest

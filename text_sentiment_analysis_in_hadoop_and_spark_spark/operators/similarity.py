@@ -869,3 +869,69 @@ def bench_prepare_ivf_fit(spark: SparkSession, sf_dir: str) -> None:
 # Timed one-off setup steps the bench records as separate entries
 # before this module's QUERIES run (consumed by bench.py).
 BENCH_PREPARE = {"sim_ivf_fit": bench_prepare_ivf_fit}
+
+
+# --- per-group embedding centroids (r5) ------------------------------
+
+def q_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the vector-mean
+    aggregation a mixture/clustering pipeline runs per domain (and the
+    building block the IVF trainer repeats).  Spark has no elementwise
+    vector-sum aggregate, so the idiomatic distributed form is
+    posexplode → groupBy(label, pos) avg → reassemble ordered.
+
+    Scale shape: the exploded shuffle is tamed by partial aggregation
+    — each map task pre-combines to |labels|·DIM rows regardless of
+    input size — and the reassembly groupBy handles |labels|·DIM tiny
+    rows.  The centroid norm is computed from the ROUNDED means so
+    both engines derive it from identical doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    means = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("m"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    return (
+        means.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.col("pm.m").alias("centroid"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.col("pm.m"),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x * x,
+                    )
+                ),
+                6,
+            ).alias("centroid_norm"),
+        )
+    )
+
+
+ORACLES["sim_group_centroids"] = (
+    "WITH e AS (SELECT label, "
+    "generate_subscripts(embedding, 1) AS pos, "
+    "unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v "
+    "FROM embeddings), "
+    "a AS (SELECT label, pos, round(avg(v), 6) AS m, "
+    "CAST(count(*) AS BIGINT) AS n FROM e GROUP BY label, pos), "
+    "c AS (SELECT label, max(n) AS n_vecs, "
+    "list(m ORDER BY pos) AS centroid FROM a GROUP BY label) "
+    "SELECT label, n_vecs, centroid, "
+    "round(sqrt(list_sum(list_transform(centroid, x -> x * x))), 6) "
+    "AS centroid_norm FROM c"
+)
+
+QUERIES["sim_group_centroids"] = q_group_centroids
