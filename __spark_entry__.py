@@ -17,6 +17,7 @@ from types import SimpleNamespace
 from pyspark.sql import DataFrame, SparkSession
 
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import csv as csv_source
+from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import jsonl as jsonl_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import enrich as streaming_enrich
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import joins as streaming_joins
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import sessions as streaming_sessions
@@ -112,6 +113,7 @@ _MODULE_ORDER = (
     _multimodal_late,
     _windowed_late,
     _quality_late,
+    jsonl_source,
     dedup,
 )
 

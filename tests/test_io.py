@@ -159,3 +159,31 @@ def test_parquet_sink_partitioning(spark, tmp_path):
     ) == ["k=a", "k=b"]
     back = spark.read.parquet(out)
     assert back.count() == 3
+
+
+def test_jsonl_corrupt_lines_are_tagged_not_dropped(spark):
+    """PERMISSIVE parse: a broken line surfaces its raw bytes in
+    _corrupt_record with NULL typed fields — never silently dropped,
+    never poisoning valid rows."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.jsonl import (
+        parse_jsonl,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            ('{"doc_id": 1, "lang": "en", "n_chars": 5, "text": "hello"}',),
+            ('{"doc_id": 2, "lang',),     # truncated mid-key
+            ("not json at all",),
+        ],
+        "line STRING",
+    )
+    rows = parse_jsonl(lines).collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 1 and good[0]["doc_id"] == 1
+    assert len(bad) == 2
+    assert all(r["doc_id"] is None for r in bad)
+    assert bad[0]["_corrupt_record"].startswith('{"doc_id"') or bad[
+        1
+    ]["_corrupt_record"].startswith('{"doc_id"')
