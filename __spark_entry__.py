@@ -24,6 +24,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import sessions
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import windowed as streaming_windowed
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     asof,
+    bpe,
     dedup,
     ml,
     multimodal,
@@ -114,6 +115,7 @@ _MODULE_ORDER = (
     _windowed_late,
     _quality_late,
     jsonl_source,
+    bpe,
     dedup,
 )
 
@@ -176,6 +178,8 @@ _ROWS_ONLY = frozenset(
         "sim_ivf_assign",  # sampled KMeans quantizer — recall tests
         "sim_topk_ivf",
         "tfidf_df_approx",  # HLL sketch — exact-twin comparison test
+        "text_bpe_merges",  # iterative greedy trainer — golden tests
+        "text_bpe_tokenize",
     }
 )
 

@@ -1,0 +1,151 @@
+"""Distributed BPE merge training — the iterative-algorithm showcase
+(engine extension; pairs with textstats' regex token counter the way a
+tokenizer-training pipeline precedes a token-counting pipeline).
+
+Classic byte-pair encoding (Sennrich et al. 2016) trains on the WORD
+FREQUENCY table, not the corpus: distributed cost per round is one
+explode-adjacent-pairs + partial-agg groupBy over segmentations of the
+(vocab-sized, corpus-size-independent) word table, then a 1-row argmax
+collected to the driver — the S5 counters-as-side-input shape — and a
+narrow fold rewriting segmentations.  N_MERGES bounds the rounds.
+
+At 100 TB: the word-frequency build is the only corpus-sized pass
+(one explode + groupBy, partial-agg).  Every round after that touches
+|vocab| rows; real trainers run thousands of merges over a
+millions-row vocab — same plan, more rounds.  Lineage is cut per
+round with localCheckpoint exactly like the connected-components
+loop, so round N's plan does not re-derive rounds 1..N-1.
+
+No SQL oracle BY DESIGN (SURVEY §5's iterative-algorithm category):
+the greedy left-to-right merge fold inside each round is not
+expressible in DuckDB SQL (string replace shares consumed boundary
+delimiters, breaking run-greedy semantics).  Pinned instead by a
+golden hand-computed merge sequence and a determinism test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+N_MERGES = 8
+END_MARK = "</w>"  # word-end marker, standard BPE
+
+
+def _sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def word_freq_table(docs: DataFrame) -> DataFrame:
+    """The one corpus-sized pass: (word, cnt) with initial
+    character segmentations + end marker."""
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wf = words.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    return wf.withColumn(
+        "syms",
+        F.concat(
+            F.split(F.col("word"), ""),  # chars
+            F.array(F.lit(END_MARK)),
+        ),
+    )
+
+
+def _merge_expr(a: str, b: str) -> str:
+    """Greedy left-to-right merge of adjacent (a, b) → a||b as a fold:
+    append x unless the previous emitted symbol is `a` and x is `b`
+    (then rewrite the tail).  Nested CASE keeps element_at off empty
+    arrays under ANSI."""
+    a, b = _sq(a), _sq(b)
+    return (
+        "aggregate(syms, cast(array() as array<string>), (out, x) -> "
+        "CASE WHEN size(out) = 0 THEN array(x) "
+        f"WHEN element_at(out, -1) = '{a}' AND x = '{b}' "
+        f"THEN concat(slice(out, 1, size(out) - 1), array('{a}{b}')) "
+        "ELSE concat(out, array(x)) END)"
+    )
+
+
+def train_bpe(docs: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
+    """Learn ``n_merges`` merges; returns rows of
+    (round, left, right, merged, pair_count)."""
+    wf = word_freq_table(docs).localCheckpoint()
+    merges: list[dict] = []
+    for rnd in range(1, n_merges + 1):
+        pairs = wf.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, greatest(size(syms) - 1, 0)), "
+                    "(s, i) -> struct(s AS a, syms[i + 1] AS b))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < 2:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
+        merges.append(
+            {
+                "round": rnd,
+                "left": a,
+                "right": b,
+                "merged": a + b,
+                "pair_count": int(n),
+            }
+        )
+        wf = wf.withColumn("syms", F.expr(_merge_expr(a, b))).localCheckpoint()
+    return merges
+
+
+def apply_merges(docs: DataFrame, merges: list[dict]) -> DataFrame:
+    """Tokenize docs with a learned merge list: per word, chars + end
+    marker folded through every merge in order — the APPLY side a
+    tokenizer service runs; narrow maps only."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    seg = toks.withColumn(
+        "syms",
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_MARK))),
+    )
+    for m in merges:
+        seg = seg.withColumn(
+            "syms", F.expr(_merge_expr(m["left"], m["right"]))
+        )
+    return seg.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.size("syms")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    rows = train_bpe(docs)
+    return spark.createDataFrame(
+        rows or [],
+        "round INT, left STRING, right STRING, merged STRING, pair_count LONG",
+    ).select("round", "left", "right", "merged", "pair_count")
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(docs.select("text"))
+    return apply_merges(docs, merges)
+
+
+ORACLES: dict[str, str] = {}
+
+QUERIES = {
+    "text_bpe_merges": q_bpe_merges,
+    "text_bpe_tokenize": q_bpe_tokenize,
+}
