@@ -25,6 +25,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import windowed
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     asof,
     bpe,
+    graph,
     dedup,
     ml,
     multimodal,
@@ -116,6 +117,7 @@ _MODULE_ORDER = (
     _quality_late,
     jsonl_source,
     bpe,
+    graph,
     dedup,
 )
 
@@ -180,6 +182,7 @@ _ROWS_ONLY = frozenset(
         "tfidf_df_approx",  # HLL sketch — exact-twin comparison test
         "text_bpe_merges",  # iterative greedy trainer — golden tests
         "text_bpe_tokenize",
+        "dedup_pagerank",  # damped float recursion — closed-form tests
     }
 )
 

@@ -71,3 +71,29 @@ def test_anomaly_flags_the_spike(spark, tmp_path):
     assert out[9 * 3600]["is_anomaly"] is True
     assert all(not out[h * 3600]["is_anomaly"] for h in range(9))
     assert out[9 * 3600]["n_events"] == 20
+
+
+def test_gap_fill_densifies_and_carries_forward(spark, tmp_path):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        q_events_gap_fill,
+    )
+
+    H = 3600
+    # type "a": hours 0 and 3 observed, 1-2 are gaps; value mean 5.0 then 9.0
+    rows = [
+        (1, 10, 1, "a", 4.0),
+        (2, 20, 2, "a", 6.0),
+        (3, 3 * H + 5, 1, "a", 9.0),
+        (4, 0, 1, "b", 1.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = {
+        (r["event_type"], r["hour_epoch"]): (r["n_events"], r["locf_mean"])
+        for r in q_events_gap_fill(spark, sf).collect()
+    }
+    assert out[("a", 0)] == (2, 5.0)
+    assert out[("a", H)] == (0, 5.0)        # gap: zero events, LOCF mean
+    assert out[("a", 2 * H)] == (0, 5.0)
+    assert out[("a", 3 * H)] == (1, 9.0)
+    assert out[("b", 0)] == (1, 1.0)
+    assert len(out) == 5                     # dense spine, per-type bounds

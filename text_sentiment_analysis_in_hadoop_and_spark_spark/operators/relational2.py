@@ -581,3 +581,54 @@ ORACLES.update(
 QUERIES["rel_shipping_priority"] = q_shipping_priority
 QUERIES["rel_forecast_revenue"] = q_forecast_revenue
 QUERIES["rel_revenue_grouping_sets"] = q_revenue_grouping_sets
+
+
+TOPK_PER_NATION = 3
+
+
+def q_top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — the window-rank pattern the global top-N
+    queries (TakeOrderedAndProject) cannot express: the 3
+    highest-revenue parts WITHIN each supplier nation.  Revenue
+    pre-aggregates per (nation, part) BEFORE ranking, so the window
+    sorts |nations|·|parts| aggregate rows, never fact rows, and the
+    rank filter prunes inside the window stage.  Ties broken on
+    p_partkey for an engine-stable total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "l_partkey")
+        .agg(F.sum(_revenue_cents(li)).cast("long").alias("revenue_cents_pct"))
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.desc("revenue_cents_pct"), F.asc("l_partkey")
+    )
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_PER_NATION)
+        .select(
+            "nation",
+            F.col("l_partkey").alias("p_partkey"),
+            "revenue_cents_pct",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+ORACLES["rel_top_parts_per_nation"] = (
+    "WITH per AS (SELECT n_name AS nation, l_partkey, "
+    f"CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_cents_pct "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2), "
+    "rk AS (SELECT nation, l_partkey AS p_partkey, revenue_cents_pct, "
+    "CAST(row_number() OVER (PARTITION BY nation "
+    "ORDER BY revenue_cents_pct DESC, l_partkey) AS INTEGER) AS rk FROM per) "
+    f"SELECT * FROM rk WHERE rk <= {TOPK_PER_NATION}"
+)
+
+QUERIES["rel_top_parts_per_nation"] = q_top_parts_per_nation

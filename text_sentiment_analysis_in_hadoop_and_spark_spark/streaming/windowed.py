@@ -451,6 +451,69 @@ ORACLES_LATE["events_anomaly"] = (
     "FROM hourly h JOIN stats s USING (event_type)"
 )
 
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification + LOCF — the gap-filling pass a
+    metrics pipeline runs before charting/joining regular series:
+    every (event_type, hour) slot over the global hour range exists in
+    the output, empty hours carry n_events = 0 and the LAST observed
+    hourly mean value carried forward (NULL before the first
+    observation).
+
+    Scale shape: the dense hour spine is `sequence()` per event type —
+    |types|·|hours| generated rows, zero corpus scan — left-joined
+    with the hourly aggregate on (type, hour); LOCF is one
+    `last(value, ignoreNulls)` over an unbounded-preceding frame per
+    type.  The only corpus-sized operation stays the initial hourly
+    groupBy."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        (F.expr("epoch_sec DIV 3600") * 3600).cast("long").alias("hour_epoch"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("value"), 6).alias("hour_mean"),
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour_epoch").alias("lo"), F.max("hour_epoch").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_epoch"),
+    )
+    dense = spine.join(hourly, ["event_type", "hour_epoch"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        "event_type",
+        "hour_epoch",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.last("hour_mean", ignorenulls=True).over(w).alias("locf_mean"),
+    )
+
+
+ORACLES_LATE["events_gap_fill"] = (
+    "WITH hourly AS (SELECT event_type, "
+    "CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT) AS hour_epoch, "
+    "CAST(count(*) AS BIGINT) AS n, round(avg(value), 6) AS hour_mean "
+    "FROM events GROUP BY 1, 2), "
+    "bounds AS (SELECT event_type, min(hour_epoch) AS lo, "
+    "max(hour_epoch) AS hi FROM hourly GROUP BY event_type), "
+    "spine AS (SELECT event_type, "
+    "unnest(range(lo, hi + 3600, 3600)) AS hour_epoch FROM bounds) "
+    "SELECT s.event_type, s.hour_epoch, "
+    "CAST(coalesce(h.n, 0) AS BIGINT) AS n_events, "
+    "last_value(h.hour_mean IGNORE NULLS) OVER "
+    "(PARTITION BY s.event_type ORDER BY s.hour_epoch "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_mean "
+    "FROM spine s LEFT JOIN hourly h USING (event_type, hour_epoch)"
+)
+
+QUERIES_LATE["events_gap_fill"] = q_events_gap_fill
+
+
 QUERIES_LATE["events_retention"] = q_events_retention
 QUERIES_LATE["events_anomaly"] = q_events_anomaly
 
