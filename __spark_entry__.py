@@ -26,6 +26,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     asof,
     bpe,
     graph,
+    retrieval,
     dedup,
     ml,
     multimodal,
@@ -72,6 +73,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # late namespace (see _pipeline_late below) — never directly into an
 # early module's QUERIES — so they cannot push never-driver-checked
 # queries past the driver's 50-query correctness window.
+#   r5 mid-round note: sim_group_centroids registers directly in
+#   similarity.QUERIES and lands at window slot 49 — a DELIBERATE
+#   exception: every slot-15..49 occupant is r3-green (nothing
+#   never-checked can be evicted), the displaced text_token_stats has
+#   its r3 row, and the newcomer gains a driver row itself.  All other
+#   r5 additions (quality_late, jsonl, bpe, graph, relational2 tail,
+#   windowed/mm late entries) land past the cap;
+#   tests/test_registration.py pins the head either way.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
@@ -118,6 +127,7 @@ _MODULE_ORDER = (
     jsonl_source,
     bpe,
     graph,
+    retrieval,
     dedup,
 )
 

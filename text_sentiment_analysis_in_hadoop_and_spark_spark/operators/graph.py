@@ -38,7 +38,18 @@ DAMPING = 0.85
 
 def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = N_ITERS) -> DataFrame:
     """nodes(node), undirected edges(a, b) → (node, rank); Σrank = |nodes|
-    (the size-normalized convention, so a singleton's rank is 1.0)."""
+    (the size-normalized convention, so a singleton's rank is 1.0 only
+    until damping redistributes its mass).
+
+    Driver-loop discipline: NO per-round action.  In an undirected
+    graph every node that touches an edge has out-degree ≥ 1, so the
+    only dangling nodes are the singletons outside the edge set — and
+    they all carry the SAME rank, which follows the closed driver-side
+    recurrence r_s(t+1) = (1−d) + d·n_sing·r_s(t)/N.  The dangling
+    mass and per-round base term therefore precompute analytically;
+    the distributed loop touches ONLY the connected subgraph (the same
+    only-iterate-the-candidates discipline as dedup's CC loop), and
+    singletons join back at the end with their closed-form rank."""
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
@@ -54,39 +65,42 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = N_ITERS) -> Data
         .repartition("src")
         .localCheckpoint()
     )
-    ranks = nodes.select(
-        F.col("node"), F.lit(1.0).alias("rank")
-    ).localCheckpoint()
+    connected = deg.select(F.col("src").alias("node")).localCheckpoint()
+    n_connected = connected.count()
+    n_sing = n_nodes - n_connected
+
+    # closed-form singleton/base series (no distributed work)
+    r_s = 1.0
+    bases = []
     for _ in range(n_iters):
+        base = (1.0 - DAMPING) + DAMPING * n_sing * r_s / n_nodes
+        bases.append(base)
+        r_s = base
+
+    ranks = connected.select("node", F.lit(1.0).alias("rank"))
+    for rnd, base in enumerate(bases, 1):
         contrib = (
             ranks.join(out, ranks.node == out.src)
             .select(F.col("dst").alias("node"), (F.col("rank") * F.col("w")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("recv"))
         )
-        # dangling mass: rank held by nodes with no out-edges,
-        # redistributed uniformly (1-row aggregate → broadcast scalar)
-        dangling = (
-            ranks.join(deg, ranks.node == deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+        ranks = connected.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(DAMPING) * F.coalesce("recv", F.lit(0.0))
+            ).alias("rank"),
         )
-        base = (1.0 - DAMPING) + DAMPING * dangling / n_nodes
-        nxt = (
-            ranks.select("node")
-            .join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(DAMPING) * F.coalesce("recv", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
-        ranks.unpersist()
-        ranks = nxt
-    return ranks
+        # cut lineage every third round: each eager checkpoint is a
+        # job, and a 3-round plan over the (tiny) subgraph is cheaper
+        # than a job per round
+        if rnd % 3 == 0 or rnd == len(bases):
+            ranks = ranks.localCheckpoint()
+    singles = nodes.join(connected, "node", "left_anti").select(
+        "node", F.lit(r_s).alias("rank")
+    )
+    return ranks.unionByName(singles)
 
 
 def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,130 @@
+"""BM25 inverted-index retrieval — sparse-vector search over the
+document corpus (engine extension; complements the dense-vector ANN
+family in operators/similarity.py the way lexical search complements
+embedding search in a RAG stack).
+
+The distributed shape IS the inverted index: the corpus explodes once
+into postings (token, doc_id, tf), document frequencies aggregate to a
+VOCAB-sized idf table, and a query joins the posting list on token —
+the classic term-at-a-time scatter-gather.  Eight query docs probe at
+once here; a serving deployment would broadcast the query terms and
+partition postings by token, which is exactly the join this plan
+produces (query side tiny → broadcast; postings shuffle keyed on
+token only once, at index build).
+
+Scoring is textbook Okapi BM25 (Robertson et al.):
+idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+tf_norm = tf·(k1+1)/(tf + k1·(1 - b + b·len/avg_len)), k1=1.2, b=0.75.
+Query docs are excluded from their own result lists; the top-K cut
+ranks on the ROUNDED score with doc_id tie-break, so both engines cut
+the identical row set at the K boundary (the same total-order
+discipline as text_phrase_pmi).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+N_QUERY_DOCS = 8
+BM25_TOP_K = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dlen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    scalars = dlen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    df_tab = postings.groupBy("token").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    idf = df_tab.crossJoin(F.broadcast(scalars)).select(
+        "token",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avg_dl",
+    )
+    q_terms = (
+        postings.filter(F.col("doc_id") < N_QUERY_DOCS)
+        .select(F.col("doc_id").alias("q_id"), "token")
+    )
+    # query side is tiny → broadcast into the posting list (the
+    # token-partitioned scatter); idf/avg_dl ride along token-keyed
+    scored = (
+        postings.join(F.broadcast(q_terms), "token")
+        .filter(F.col("doc_id") >= N_QUERY_DOCS)  # not self/peer queries
+        .join(dlen, "doc_id")
+        .join(idf, "token")
+        .select(
+            "q_id",
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avg_dl"))
+                )
+            ).alias("s"),
+        )
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOP_K)
+        .select("q_id", "doc_id", "score", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLES: dict[str, str] = {
+    "text_bm25_topk": (
+        "WITH postings AS (SELECT doc_id, token, "
+        "CAST(count(*) AS DOUBLE) AS tf FROM (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS token FROM documents) "
+        "WHERE token <> '' GROUP BY doc_id, token), "
+        "dlen AS (SELECT doc_id, sum(tf) AS dl FROM postings "
+        "GROUP BY doc_id), "
+        "scal AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, "
+        "avg(dl) AS avg_dl FROM dlen), "
+        "idf AS (SELECT token, ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) "
+        "AS idf, s.avg_dl FROM (SELECT token, CAST(count(*) AS DOUBLE) "
+        "AS df FROM postings GROUP BY token) CROSS JOIN scal s), "
+        f"q AS (SELECT doc_id AS q_id, token FROM postings "
+        f"WHERE doc_id < {N_QUERY_DOCS}), "
+        "scored AS (SELECT q.q_id, p.doc_id, "
+        f"round(sum(i.idf * p.tf * ({BM25_K1} + 1) / (p.tf + {BM25_K1} * "
+        f"(1 - {BM25_B} + {BM25_B} * d.dl / i.avg_dl))), 6) AS score "
+        "FROM postings p JOIN q USING (token) "
+        "JOIN dlen d ON p.doc_id = d.doc_id "
+        "JOIN idf i ON p.token = i.token "
+        f"WHERE p.doc_id >= {N_QUERY_DOCS} GROUP BY q.q_id, p.doc_id), "
+        "rk AS (SELECT q_id, doc_id, score, CAST(row_number() OVER "
+        "(PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS rk "
+        "FROM scored) "
+        f"SELECT * FROM rk WHERE rk <= {BM25_TOP_K}"
+    ),
+}
+
+QUERIES = {
+    "text_bm25_topk": q_bm25_topk,
+}
