@@ -101,6 +101,11 @@ _quality_late = SimpleNamespace(
     QUERIES=quality.QUERIES_LATE,
     ORACLES=quality.ORACLES_LATE,
 )
+_similarity_late = SimpleNamespace(
+    __name__="similarity_late",
+    QUERIES=similarity.QUERIES_LATE,
+    ORACLES=similarity.ORACLES_LATE,
+)
 
 
 _MODULE_ORDER = (
@@ -128,6 +133,7 @@ _MODULE_ORDER = (
     bpe,
     graph,
     retrieval,
+    _similarity_late,
     dedup,
 )
 
@@ -193,6 +199,8 @@ _ROWS_ONLY = frozenset(
         "text_bpe_merges",  # iterative greedy trainer — golden tests
         "text_bpe_tokenize",
         "dedup_pagerank",  # damped float recursion — closed-form tests
+        "sim_pq_codes",  # per-subspace KMeans codebooks — recall tests
+        "sim_topk_pq",
     }
 )
 

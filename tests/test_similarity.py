@@ -266,3 +266,44 @@ def test_ivf_recall_at_bench_scale(spark, planted_sf01_dir):
     end-to-end on a corpus-sized table."""
     d, expected = planted_sf01_dir
     assert _recall(S.q_sim_topk_ivf(spark, d), expected) >= 0.9
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    sf = "/root/testdata/sf0.001"
+    S._PQ_CODES_CACHE.clear()
+    a = {r["vec_id"]: tuple(r["codes"]) for r in S.q_sim_pq_codes(spark, sf).collect()}
+    S._PQ_CODES_CACHE.clear()
+    S._PQ_CACHE.clear()
+    b = {r["vec_id"]: tuple(r["codes"]) for r in S.q_sim_pq_codes(spark, sf).collect()}
+    assert a == b
+    assert all(
+        len(c) == S.M_SUB and all(0 <= x < S.K_CODES for x in c)
+        for c in a.values()
+    )
+
+
+def test_pq_rerank_recall_vs_exact_l2(spark):
+    """The ADC-shortlist → exact-refine pipeline must recover ≥0.7 of
+    the true L2 top-10 on average (measured ≈0.8 at both test SFs;
+    raw 4-bit ADC alone ranks ≈0.25 — the refine stage is
+    load-bearing)."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], float)
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    got: dict[int, set] = {}
+    for r in S.q_sim_topk_pq(spark, sf).collect():
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recs = []
+    for q in range(S.N_QUERIES):
+        d = sorted(
+            (float(((emb[q] - emb[i]) ** 2).sum()), i)
+            for i in emb
+            if i >= S.N_QUERIES
+        )
+        exact = {i for _, i in d[: S.TOP_K]}
+        recs.append(len(exact & got[q]) / S.TOP_K)
+    assert sum(recs) / len(recs) >= 0.7

@@ -935,3 +935,220 @@ ORACLES["sim_group_centroids"] = (
 )
 
 QUERIES["sim_group_centroids"] = q_group_centroids
+
+
+# --------------------------------------------------------------------------
+# Product quantization (r5): 64-dim float → 8 × 4-bit codes, ADC top-k
+# --------------------------------------------------------------------------
+
+M_SUB = 8                     # subspaces
+SUB_DIM = DIM // M_SUB        # dims per subspace
+K_CODES = 16                  # codebook entries per subspace (4-bit codes)
+
+# codebooks memoized per (session, sf_dir): list[m][code] = 8-dim center
+_PQ_CACHE: dict[tuple[str, str], list] = register_cache({})
+_PQ_CODES_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    """Driver-side per-subspace Lloyd training on the SAME bounded
+    hash-residue sample discipline as the IVF quantizer: the training
+    set is ~TRAIN_PER_CENTROID·K_CODES vectors regardless of corpus
+    size, and each of the M_SUB fits runs on a (sample × SUB_DIM)
+    array — trivially driver-sized."""
+    import numpy as np
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    books = _PQ_CACHE.get(key)
+    if books is not None:
+        return books
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("arr")
+    )
+    n = emb.count()
+    target = TRAIN_PER_CENTROID * K_CODES
+    if n >= 2 * target:
+        mod = n // target
+        emb = emb.filter(F.pmod(F.xxhash64("vec_id"), mod) == 0)
+    sample = np.asarray(
+        [r["arr"] for r in emb.select("arr").collect()], dtype=np.float64
+    )
+    books = []
+    for m in range(M_SUB):
+        sub = sample[:, m * SUB_DIM : (m + 1) * SUB_DIM]
+        rng = np.random.RandomState(KMEANS_SEED + m)
+        cents = sub[rng.choice(len(sub), size=K_CODES, replace=False)]
+        for _ in range(10):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(K_CODES):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    _PQ_CACHE[key] = books
+    return books
+
+
+def _codebook_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    books = _pq_codebooks(spark, sf_dir)
+    rows = [
+        (m, c, books[m][c], sum(x * x for x in books[m][c]))
+        for m in range(M_SUB)
+        for c in range(K_CODES)
+    ]
+    return spark.createDataFrame(
+        rows, "m INT, code INT, cvec ARRAY<DOUBLE>, c2 DOUBLE"
+    )
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, codes array<int>[M_SUB]): nearest codebook entry per
+    subspace.  One broadcast join against the 128-row codebook and a
+    min_by groupBy — the encode pass that shrinks every vector 64×
+    (8 × 4-bit codes vs 64 floats); downstream top-k scans THESE, not
+    the float column."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PQ_CODES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs_expr = F.expr(
+        "explode(transform(sequence(0, {last}), m -> struct(m AS m, "
+        "transform(slice(embedding, m * {sd} + 1, {sd}), "
+        "x -> CAST(x AS DOUBLE)) AS sub)))".format(
+            last=M_SUB - 1, sd=SUB_DIM
+        )
+    )
+    subs = emb.select("vec_id", subs_expr.alias("s")).select(
+        "vec_id", "s.m", "s.sub"
+    )
+    scored = subs.join(F.broadcast(_codebook_df(spark, sf_dir)), "m").select(
+        "vec_id",
+        "m",
+        "code",
+        # argmin ||sub − c||² == argmin (−2⟨sub,c⟩ + ||c||²)
+        (
+            F.lit(-2.0)
+            * F.aggregate(
+                F.zip_with("sub", "cvec", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            + F.col("c2")
+        ).alias("d"),
+    )
+    best = scored.groupBy("vec_id", "m").agg(
+        F.min(F.struct("d", "code")).alias("b")
+    )
+    out = (
+        best.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", F.col("b.code").alias("code")))).alias("mc"))
+        .select("vec_id", F.col("mc.code").alias("codes"))
+        .cache()
+    )
+    _PQ_CODES_CACHE[key] = out
+    return out
+
+
+def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_codes(spark, sf_dir)
+
+
+RERANK_POOL = 100  # ADC shortlist size fed to the exact re-rank
+
+
+def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving top-k, the two-stage textbook shape (Jégou et al.):
+    **ADC shortlist** — per query, an L2 distance table to every
+    codebook entry (M_SUB × K_CODES × N_QUERIES rows, broadcast)
+    replaces all float math, and each candidate's approximate distance
+    is 8 lookups summed over the 64×-compressed codes table — then
+    **exact re-rank**: only the top-RERANK_POOL shortlist docs fetch
+    their float vectors for true L2, and the final top-k is exact over
+    that pool.  4-bit codes alone rank too coarsely (measured
+    recall@10 ≈ 0.25); the shortlist+refine split is how production
+    PQ serves: the compressed scan bounds IO, the refine touches
+    pool-sized data.  Recall is pinned ≥ 0.7 in tests at both test
+    scales."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_subs = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.expr(
+                "explode(transform(sequence(0, {last}), m -> struct(m AS m, "
+                "transform(slice(embedding, m * {sd} + 1, {sd}), "
+                "x -> CAST(x AS DOUBLE)) AS sub)))".format(
+                    last=M_SUB - 1, sd=SUB_DIM
+                )
+            ).alias("s"),
+        )
+        .select("q_id", "s.m", "s.sub")
+    )
+    dtab = q_subs.join(F.broadcast(_codebook_df(spark, sf_dir)), "m").select(
+        "q_id",
+        "m",
+        "code",
+        F.aggregate(
+            F.zip_with("sub", "cvec", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    cand = (
+        pq_codes(spark, sf_dir)
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", F.posexplode("codes").alias("m", "code"))
+    )
+    adc = (
+        cand.join(F.broadcast(dtab), ["m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w_pool = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    shortlist = adc.withColumn("prk", F.row_number().over(w_pool)).filter(
+        F.col("prk") <= RERANK_POOL
+    )
+    # exact refine on the pool only: fetch floats for shortlist docs +
+    # the 8 query vectors (both tiny) and score true L2
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    refined = (
+        shortlist.join(
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+            "vec_id",
+        )
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("v", "q_vec", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("l2_dist"), F.asc("vec_id"))
+    return (
+        refined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id", "l2_dist", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+# late namespace (driver-window policy): PQ entries must not consume
+# window slots — rows-only, pinned by the recall tests
+QUERIES_LATE = {
+    "sim_pq_codes": q_sim_pq_codes,
+    "sim_topk_pq": q_sim_topk_pq,
+}
+ORACLES_LATE: dict[str, str] = {}
