@@ -97,3 +97,52 @@ def test_gap_fill_densifies_and_carries_forward(spark, tmp_path):
     assert out[("a", 3 * H)] == (1, 9.0)
     assert out[("b", 0)] == (1, 1.0)
     assert len(out) == 5                     # dense spine, per-type bounds
+
+
+def test_latest_state_compaction(spark, tmp_path):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        q_events_latest_state,
+    )
+
+    rows = [
+        (1, 100, 7, "view", 1.0),
+        (2, 200, 7, "view", 2.0),     # later ts wins
+        (3, 200, 8, "view", 3.0),
+        (4, 200, 8, "view", 4.0),     # equal ts: higher event_id wins
+        (5, 50, 7, "click", 5.0),     # separate key
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = {
+        (r["user_id"], r["event_type"]): (r["last_event_id"], r["last_value"])
+        for r in q_events_latest_state(spark, sf).collect()
+    }
+    assert out == {
+        (7, "view"): (2, 2.0),
+        (8, "view"): (4, 4.0),
+        (7, "click"): (5, 5.0),
+    }
+
+
+def test_latest_state_uses_window_group_limit(spark):
+    """rk=1 must prune inside the window stage (WindowGroupLimit),
+    not materialize full ranked partitions."""
+    import __spark_entry__ as entrymod
+    from conftest import SF_DIR
+
+    df = entrymod.queries()["events_latest_state"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_histogram_buckets_cover_all_rows(spark, tmp_path):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        N_HIST_BUCKETS,
+        q_events_value_histogram,
+    )
+
+    rows = [(i, i, 1, "a", float(v)) for i, v in enumerate([0, 1, 5, 9, 10, 10])]
+    sf = _write_events(tmp_path, rows)
+    out = {r["bucket"]: r["n"] for r in q_events_value_histogram(spark, sf).collect()}
+    assert len(out) == N_HIST_BUCKETS          # dense spine
+    assert sum(out.values()) == 6              # every row in exactly one bucket
+    assert out[N_HIST_BUCKETS] == 2            # max values clamp into the top bucket

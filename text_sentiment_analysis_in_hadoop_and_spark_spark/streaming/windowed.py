@@ -514,6 +514,110 @@ ORACLES_LATE["events_gap_fill"] = (
 QUERIES_LATE["events_gap_fill"] = q_events_gap_fill
 
 
+def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction: the LATEST event per (user_id,
+    event_type) key — the upsert-view materialization every
+    change-log consumer runs (event_id DESC tie-break inside equal
+    timestamps keeps replays deterministic).  One key-partitioned
+    window, rank pruned INSIDE the window stage (Spark pushes the
+    rk=1 filter into WindowGroupLimit), no self-join against a
+    max-ts aggregate."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("epoch_sec"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("epoch_sec").alias("last_epoch_sec"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
+
+
+N_HIST_BUCKETS = 20
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value histogram with FIXED equal-width buckets over
+    the type's own [min, max] — two passes: a types-sized min/max
+    aggregate broadcast back, then one width_bucket groupBy.  Empty
+    buckets are densified via the same sequence-spine pattern as
+    gap-fill, so every (type, bucket) row exists."""
+    ev = load_events(spark, sf_dir)
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    counted = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            # explicit floor(n·(v−lo)/(hi−lo))+1, clamped — the SAME
+            # operation order as the oracle (DuckDB has no
+            # width_bucket; an algebraically equivalent form with a
+            # different division order can land boundary values in
+            # the neighbouring bucket)
+            F.least(
+                F.floor(
+                    F.lit(N_HIST_BUCKETS)
+                    * (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("int")
+                + 1,
+                F.lit(N_HIST_BUCKETS),
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(N_HIST_BUCKETS))).alias("bucket"),
+    )
+    return (
+        spine.join(counted, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+ORACLES_LATE["events_latest_state"] = (
+    "WITH e AS (SELECT user_id, event_type, event_id, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s, value, "
+    "row_number() OVER (PARTITION BY user_id, event_type "
+    "ORDER BY epoch_ns(ts) // 1000000000 DESC, event_id DESC) AS rk "
+    "FROM events) "
+    "SELECT user_id, event_type, event_id AS last_event_id, "
+    "s AS last_epoch_sec, round(value, 6) AS last_value "
+    "FROM e WHERE rk = 1"
+)
+
+ORACLES_LATE["events_value_histogram"] = (
+    "WITH bounds AS (SELECT event_type, min(value) AS lo, max(value) AS hi "
+    "FROM events GROUP BY event_type), "
+    "counted AS (SELECT e.event_type, "
+    "least(CAST(floor(20 * (e.value - b.lo) / (b.hi - b.lo)) AS INTEGER) "
+    "+ 1, 20) AS bucket, "
+    "CAST(count(*) AS BIGINT) AS n FROM events e "
+    "JOIN bounds b USING (event_type) GROUP BY 1, 2), "
+    "spine AS (SELECT event_type, unnest(range(1, 21)) AS bucket "
+    "FROM bounds) "
+    "SELECT s.event_type, CAST(s.bucket AS INTEGER) AS bucket, "
+    "CAST(coalesce(c.n, 0) AS BIGINT) AS n "
+    "FROM spine s LEFT JOIN counted c USING (event_type, bucket)"
+)
+
+QUERIES_LATE["events_latest_state"] = q_events_latest_state
+QUERIES_LATE["events_value_histogram"] = q_events_value_histogram
+
+
 QUERIES_LATE["events_retention"] = q_events_retention
 QUERIES_LATE["events_anomaly"] = q_events_anomaly
 
