@@ -26,6 +26,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     asof,
     bpe,
     graph,
+    layout,
     retrieval,
     dedup,
     ml,
@@ -133,6 +134,7 @@ _MODULE_ORDER = (
     bpe,
     graph,
     retrieval,
+    layout,
     _similarity_late,
     dedup,
 )
