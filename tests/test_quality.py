@@ -197,3 +197,45 @@ def test_contamination_bloom_equals_exact(spark):
     # corpus never shuffles into a join
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_source_divergence_detects_planted_drift(spark, tmp_path):
+    """A source whose vocabulary diverges from the corpus must score a
+    strictly higher KL than sources drawn from the shared
+    distribution; KL is non-negative."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.quality import (
+        q_source_divergence,
+    )
+
+    rows = (
+        [(i, "alpha beta gamma delta", "en", "web", 23) for i in range(20)]
+        + [(100 + i, "alpha beta gamma delta", "en", "books", 23) for i in range(20)]
+        + [(200 + i, "zq zq zq zq", "en", "spam", 11) for i in range(20)]
+    )
+    d = tmp_path / "kl"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    out = {
+        r["source"]: r["kl_divergence"]
+        for r in q_source_divergence(spark, str(d)).collect()
+    }
+    assert all(v >= 0 for v in out.values())
+    # web/books aren't near zero: the corpus marginal includes spam's
+    # tokens, shifting q for everyone — the MONITOR signal is spam
+    # scoring well clear of the shared-distribution sources
+    assert out["spam"] > 2 * max(out["web"], out["books"])
+    assert out["web"] == out["books"]  # identical distributions tie

@@ -146,3 +146,19 @@ def test_histogram_buckets_cover_all_rows(spark, tmp_path):
     assert len(out) == N_HIST_BUCKETS          # dense spine
     assert sum(out.values()) == 6              # every row in exactly one bucket
     assert out[N_HIST_BUCKETS] == 2            # max values clamp into the top bucket
+
+
+def test_winsorize_clamps_only_the_tails(spark, tmp_path):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        q_events_winsorized,
+    )
+
+    # 99 moderate values + one huge outlier: the outlier must clamp,
+    # the winsorized mean must drop below the raw mean
+    rows = [(i, i, 1, "a", float(v)) for i, v in enumerate(range(99))]
+    rows.append((99, 99, 1, "a", 1e6))
+    sf = _write_events(tmp_path, rows)
+    r = q_events_winsorized(spark, sf).collect()[0]
+    assert r["n_events"] == 100
+    assert r["n_clamped_hi"] == 1
+    assert r["mean_winsorized"] < r["mean_raw"]

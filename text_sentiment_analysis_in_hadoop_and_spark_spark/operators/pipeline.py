@@ -672,3 +672,48 @@ def _late_init() -> None:
 
 
 _late_init()
+
+
+# --- Efraimidis–Spirakis weighted sample (r5) ------------------------
+
+WEIGHTED_K = 100
+
+
+def q_sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k items, one
+    pass: the Efraimidis–Spirakis A-ES scheme — key_i = u_i^(1/w_i)
+    with u_i uniform, keep the k largest keys.  The distributed shape
+    is a single TakeOrderedAndProject (per-partition top-k, merged at
+    the driver): no global sort, no rejection loop, no second pass —
+    THE way to draw a weighted sample from a 100 TB corpus.
+
+    u_i derives from the content hash (hex32/2^32 — deterministic, so
+    both engines draw the identical sample; a production run would
+    salt the hash with a seed).  Weights are n_chars: longer docs
+    proportionally likelier, the usual length-weighted curation draw.
+    ln(key) = ln(u)/w ranks identically to key and avoids pow()
+    underflow at tiny u, so both engines order on the exact same
+    double."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (hex32(F.col("text")) + 1).cast("double") / F.lit(float(1 << 32))
+    logkey = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.round(logkey, 6).alias("log_key"),
+        )
+        .orderBy(F.desc("log_key"), F.asc("doc_id"))
+        .limit(WEIGHTED_K)
+    )
+
+
+ORACLES_LATE["pipe_sample_weighted_k"] = (
+    "SELECT doc_id, n_chars, "
+    f"round(ln(CAST({hex32_sql('text')} + 1 AS DOUBLE) / {float(1 << 32)}) "
+    "/ n_chars, 6) AS log_key "
+    "FROM documents ORDER BY log_key DESC, doc_id "
+    f"LIMIT {WEIGHTED_K}"
+)
+
+QUERIES_LATE["pipe_sample_weighted_k"] = q_sample_weighted_k

@@ -588,3 +588,67 @@ ORACLES_LATE: dict[str, str] = {
 QUERIES_LATE = {
     "text_contamination_bloom": q_contamination_bloom,
 }
+
+
+# --- per-source divergence from the corpus (late, r5) ----------------
+
+KL_SMOOTH = 0.5  # add-λ smoothing keeps log finite for unseen tokens
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ∥ corpus) over unigram distributions — the
+    domain-shift monitor a mixture pipeline runs per ingest source:
+    a drifting source's divergence moves before downstream evals do.
+
+    Shape: ONE (source, token) groupBy off the token explode; corpus
+    marginals derive from the same aggregate (re-aggregated, never a
+    second scan), joined back on token; per-source totals broadcast.
+    Smoothed with add-λ over the corpus vocab so KL stays finite; all
+    log arithmetic in the same operation order both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source", F.explode(_toks(F.col("text"))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").cast("double").alias("c_st"))
+    )
+    corpus = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    vocab_total = corpus.agg(
+        F.count("*").alias("v"), F.sum("c_t").alias("n")
+    )
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    joined = (
+        st.join(corpus, "token")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(vocab_total))
+    )
+    p = (F.col("c_st") + KL_SMOOTH) / (
+        F.col("n_s") + KL_SMOOTH * F.col("v")
+    )
+    q = (F.col("c_t") + KL_SMOOTH) / (F.col("n") + KL_SMOOTH * F.col("v"))
+    return (
+        joined.select("source", (p * F.log(p / q)).alias("term"))
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 6).alias("kl_divergence"))
+    )
+
+
+ORACLES_LATE["text_source_divergence"] = (
+    "WITH st AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS c_st "
+    "FROM (SELECT source, unnest(string_split(text, ' ')) AS token "
+    "FROM documents) WHERE token <> '' GROUP BY source, token), "
+    "corpus AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY token), "
+    "vt AS (SELECT count(*) AS v, sum(c_t) AS n FROM corpus), "
+    "stot AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY source), "
+    "j AS (SELECT st.source, "
+    f"(st.c_st + {KL_SMOOTH}) / (stot.n_s + {KL_SMOOTH} * vt.v) AS p, "
+    f"(c.c_t + {KL_SMOOTH}) / (vt.n + {KL_SMOOTH} * vt.v) AS q "
+    "FROM st JOIN corpus c USING (token) JOIN stot USING (source) "
+    "CROSS JOIN vt) "
+    "SELECT source, round(sum(p * ln(p / q)), 6) AS kl_divergence "
+    "FROM j GROUP BY source"
+)
+
+QUERIES_LATE["text_source_divergence"] = q_source_divergence

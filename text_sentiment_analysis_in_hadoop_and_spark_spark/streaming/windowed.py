@@ -618,6 +618,61 @@ QUERIES_LATE["events_latest_state"] = q_events_latest_state
 QUERIES_LATE["events_value_histogram"] = q_events_value_histogram
 
 
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clamping by per-type percentile fences (winsorization):
+    values clamp into [p01, p99] of their own type's distribution and
+    the query reports mean before/after plus the clamp count — the
+    robustness pass a metrics pipeline runs before aggregating
+    heavy-tailed values.  The exact interpolated percentiles are a
+    TYPES-sized aggregate joined back broadcast; clamping is a narrow
+    map; one corpus-sized groupBy ends it."""
+    ev = load_events(spark, sf_dir)
+    fences = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "value",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("w"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.avg("w"), 6).alias("mean_winsorized"),
+        F.sum((F.col("value") < F.col("lo")).cast("long"))
+        .cast("long")
+        .alias("n_clamped_lo"),
+        F.sum((F.col("value") > F.col("hi")).cast("long"))
+        .cast("long")
+        .alias("n_clamped_hi"),
+    )
+
+
+ORACLES_LATE["events_winsorized"] = (
+    "WITH fences AS (SELECT event_type, "
+    f"quantile_cont(value, {WINSOR_LO}) AS lo, "
+    f"quantile_cont(value, {WINSOR_HI}) AS hi "
+    "FROM events GROUP BY event_type) "
+    "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    "round(avg(e.value), 6) AS mean_raw, "
+    "round(avg(least(greatest(e.value, f.lo), f.hi)), 6) "
+    "AS mean_winsorized, "
+    "CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_clamped_lo, "
+    "CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_clamped_hi "
+    "FROM events e JOIN fences f USING (event_type) GROUP BY e.event_type"
+)
+
+QUERIES_LATE["events_winsorized"] = q_events_winsorized
+
+
 QUERIES_LATE["events_retention"] = q_events_retention
 QUERIES_LATE["events_anomaly"] = q_events_anomaly
 
