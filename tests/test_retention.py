@@ -162,3 +162,28 @@ def test_winsorize_clamps_only_the_tails(spark, tmp_path):
     assert r["n_events"] == 100
     assert r["n_clamped_hi"] == 1
     assert r["mean_winsorized"] < r["mean_raw"]
+
+
+def test_transition_matrix_counts_and_rows_sum_to_one(spark, tmp_path):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        q_events_transitions,
+    )
+
+    rows = [
+        (1, 10, 1, "view", 0),
+        (2, 20, 1, "click", 0),
+        (3, 30, 1, "view", 0),
+        (4, 40, 1, "click", 0),
+        (5, 15, 2, "view", 0),
+        (6, 25, 2, "purchase", 0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in q_events_transitions(spark, sf).collect()
+    }
+    # user 1: view→click ×2, click→view ×1; user 2: view→purchase ×1
+    assert out[("view", "click")] == (2, round(2 / 3, 6))
+    assert out[("view", "purchase")] == (1, round(1 / 3, 6))
+    assert out[("click", "view")] == (1, 1.0)
+    assert len(out) == 3

@@ -673,6 +673,56 @@ ORACLES_LATE["events_winsorized"] = (
 QUERIES_LATE["events_winsorized"] = q_events_winsorized
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next_type | type) with counts — the sequence-mining
+    primitive under session-path and funnel analyses.  ONE user_id
+    shuffle for the lag window ((epoch_sec, event_id) total order, so
+    ties are deterministic), then a types²-bounded groupBy; the row
+    normalizer re-aggregates from the transition counts themselves
+    (no second pass) and joins back broadcast."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("epoch_sec", "event_id")
+    steps = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "epoch_sec",
+            "event_id",
+        )
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = steps.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+    )
+
+
+ORACLES_LATE["events_transitions"] = (
+    "WITH e AS (SELECT user_id, event_type, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s, event_id "
+    "FROM events), "
+    "steps AS (SELECT event_type AS from_type, "
+    "lead(event_type) OVER (PARTITION BY user_id ORDER BY s, event_id) "
+    "AS to_type FROM e), "
+    "c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n "
+    "FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2), "
+    "t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type) "
+    "SELECT c.from_type, c.to_type, c.n, round(c.n * 1.0 / t.tot, 6) AS p "
+    "FROM c JOIN t USING (from_type)"
+)
+
+QUERIES_LATE["events_transitions"] = q_events_transitions
+
+
 QUERIES_LATE["events_retention"] = q_events_retention
 QUERIES_LATE["events_anomaly"] = q_events_anomaly
 
