@@ -276,3 +276,36 @@ def test_global_shuffle_is_a_permutation(spark):
         (F.col("lo") != 1) | (F.col("hi") != F.col("n")) | (F.col("nd") != F.col("n"))
     ).count()
     assert bad == 0
+
+
+def test_incremental_agg_merge_algebra(spark):
+    """The base+delta partial merge must equal a one-pass full
+    recompute exactly — averaging averages (the classic wrong merge)
+    would diverge on unequal split sizes."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        q_incremental_agg,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["lang"]: r for r in q_incremental_agg(spark, sf).collect()}
+    full = {
+        r["lang"]: r
+        for r in load_table(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        )
+        .collect()
+    }
+    assert set(got) == set(full)
+    for lang in full:
+        assert got[lang]["n_docs"] == full[lang]["n_docs"]
+        assert got[lang]["sum_chars"] == full[lang]["sum_chars"]
+        assert got[lang]["mean_chars"] == full[lang]["mean_chars"]

@@ -717,3 +717,69 @@ ORACLES_LATE["pipe_sample_weighted_k"] = (
 )
 
 QUERIES_LATE["pipe_sample_weighted_k"] = q_sample_weighted_k
+
+
+# --- incremental aggregate maintenance (r5) --------------------------
+
+INCR_AGG_MOD = 10  # the "new arrivals" decile (same split as dedup_incremental)
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic view maintenance — update per-lang corpus statistics
+    when a new decile arrives WITHOUT rescanning the base corpus: the
+    base table materializes PARTIAL aggregates (count, sum, sum-of-
+    squares — each algebraic, so mergeable), the delta batch computes
+    the same partials over arrivals only, and the refreshed view is
+    one tiny union + re-aggregation of partials.  mean/stddev derive
+    from the merged sums, never from re-reading rows.
+
+    This is the warehouse incremental-refresh contract: per refresh,
+    work is O(delta) + O(groups), not O(base).  The oracle recomputes
+    the same statistics from the FULL corpus in one pass — if the
+    merge algebra is wrong (e.g. averaging averages), the hash check
+    fails."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.pmod(hex32(F.col("text")), INCR_AGG_MOD) == 0
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("s"),
+            F.sum(F.col("n_chars") * F.col("n_chars"))
+            .cast("long")
+            .alias("ss"),
+        )
+
+    base = partials(docs.filter(~is_delta))
+    delta = partials(docs.filter(is_delta))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum("s").cast("long").alias("sum_chars"),
+            F.sum("ss").cast("long").alias("ss_chars"),
+        )
+    )
+    mean = F.col("sum_chars") / F.col("n_docs")
+    var = (F.col("ss_chars") / F.col("n_docs")) - mean * mean
+    return merged.select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        F.round(mean, 6).alias("mean_chars"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_chars"),
+    )
+
+
+ORACLES_LATE["pipe_incremental_agg"] = (
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+    "round(sum(n_chars) * 1.0 / count(*), 6) AS mean_chars, "
+    "round(sqrt(greatest((sum(n_chars * n_chars) * 1.0 / count(*)) - "
+    "(sum(n_chars) * 1.0 / count(*)) * (sum(n_chars) * 1.0 / count(*)), "
+    "0.0)), 6) AS std_chars "
+    "FROM documents GROUP BY lang"
+)
+
+QUERIES_LATE["pipe_incremental_agg"] = q_incremental_agg
