@@ -137,3 +137,34 @@ def test_simhash_pairs_banding_is_exact(spark):
     }
     assert banded == brute
     assert brute  # non-vacuous: the corpus does contain near-dups
+
+
+def test_prefix_filter_join_is_lossless(spark):
+    """Prefix filtering is a theorem, not a heuristic: the filtered
+    join must return EXACTLY the brute-force all-pairs Jaccard >= t
+    set on the real corpus."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        PREFIX_JACCARD_T,
+        _shingles_cached,
+        q_prefix_jaccard_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sets: dict[int, set] = {}
+    for r in _shingles_cached(spark, sf).collect():
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    ids = sorted(sets)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= PREFIX_JACCARD_T:
+                    brute[(a, b)] = round(j, 6)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q_prefix_jaccard_join(spark, sf).collect()
+    }
+    assert got == brute
+    assert brute  # non-vacuous on the real corpus

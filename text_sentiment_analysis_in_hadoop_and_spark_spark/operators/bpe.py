@@ -114,23 +114,32 @@ def train_bpe(docs: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
 
 
 def apply_merges(docs: DataFrame, merges: list[dict]) -> DataFrame:
-    """Tokenize docs with a learned merge list: per word, chars + end
-    marker folded through every merge in order — the APPLY side a
-    tokenizer service runs; narrow maps only."""
+    """Tokenize docs with a learned merge list.  The merge folds run
+    over DISTINCT words only — the vocab-sized segmentation table —
+    and token counts join back broadcast; folding every word INSTANCE
+    would re-segment each occurrence (measured 10.9 s vs ~1 s at
+    sf0.1, and the gap grows with corpus/vocab ratio at scale: a
+    tokenizer service segments its vocabulary once, not its corpus).
+    """
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     ).filter(F.col("word") != "")
-    seg = toks.withColumn(
+    vocab = toks.select("word").distinct().withColumn(
         "syms",
         F.concat(F.split(F.col("word"), ""), F.array(F.lit(END_MARK))),
     )
     for m in merges:
-        seg = seg.withColumn(
+        vocab = vocab.withColumn(
             "syms", F.expr(_merge_expr(m["left"], m["right"]))
         )
-    return seg.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_words"),
-        F.sum(F.size("syms")).cast("long").alias("n_bpe_tokens"),
+    seg_sizes = vocab.select("word", F.size("syms").alias("n_syms"))
+    return (
+        toks.join(F.broadcast(seg_sizes), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
     )
 
 

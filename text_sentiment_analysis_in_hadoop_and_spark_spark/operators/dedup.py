@@ -1304,3 +1304,114 @@ ORACLES["dedup_simhash_pairs"] = (
 )
 
 QUERIES["dedup_simhash_pairs"] = q_simhash_pairs
+
+
+# --- exact similarity join via prefix filtering (r5) -----------------
+
+PREFIX_JACCARD_T = 0.5
+
+
+def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ t similarity join WITHOUT the
+    quadratic product — the prefix-filter technique (Chaudhuri et al. /
+    PPJoin): order each doc's shingles by ascending global document
+    frequency and keep only the first n − ⌈t·n⌉ + 1 as its *prefix*;
+    two docs with Jaccard ≥ t MUST share a prefix shingle (pigeonhole
+    on the ≥ t·max(n_a,n_b) shared elements), so the candidate join
+    runs only over prefix postings — the rarest shingles, where
+    posting lists are shortest — and exact verification of candidates
+    loses nothing.  This is the deterministic-recall complement to
+    MinHash banding (probabilistic recall) and SimHash banding
+    (Hamming metric).
+
+    Plan: df table from ONE re-aggregation of the cached shingle
+    postings, joined back shingle-keyed (co-partitioned); per-doc
+    prefix via a bounded row_number window; candidates from the
+    prefix-posting self-join; exact intersection sizes from the full
+    posting join restricted to candidates.  At 100 TB the prefix
+    postings are the index a similarity-search service materializes —
+    frequency-ascending order keeps its hottest lists the shortest.
+    """
+    sh = _shingles_cached(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.asc("df"), F.asc("shingle")
+    )
+    ranked = (
+        sh.join(df_tab, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("n_sh") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    a = ranked.withColumnRenamed("doc_id", "doc_a")
+    b = ranked.withColumnRenamed("doc_id", "doc_b")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b")
+    )
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(
+            sh_b,
+            (cands.doc_b == sh_b.doc_b)
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", cands.doc_b.alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "n_sh", "n_a"
+    )
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "n_sh", "n_b"
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# oracle: ANY complete candidate generator works (the prefix filter is
+# lossless); pairs sharing ≥1 shingle is the obvious complete superset
+ORACLES["dedup_prefix_jaccard_join"] = _with(
+    *_DSH_CTES,
+    "psizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+    "FROM dsh GROUP BY doc_id)",
+    "pcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM dsh a JOIN dsh b ON a.shingle = b.shingle "
+    "AND a.doc_id < b.doc_id)",
+    "pinter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_inter "
+    "FROM pcand c JOIN dsh a ON a.doc_id = c.doc_a "
+    "JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle "
+    "GROUP BY c.doc_a, c.doc_b)",
+) + (
+    "SELECT p.doc_a, p.doc_b, "
+    "round(p.n_inter * 1.0 / (sa.n_sh + sb.n_sh - p.n_inter), 6) AS jaccard "
+    "FROM pinter p JOIN psizes sa ON sa.doc_id = p.doc_a "
+    "JOIN psizes sb ON sb.doc_id = p.doc_b "
+    f"WHERE p.n_inter * 1.0 / (sa.n_sh + sb.n_sh - p.n_inter) "
+    f">= {PREFIX_JACCARD_T}"
+)
+
+QUERIES["dedup_prefix_jaccard_join"] = q_prefix_jaccard_join
