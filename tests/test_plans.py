@@ -423,3 +423,15 @@ def test_shipping_priority_preaggregates_lineitem(spark):
     assert "TakeOrderedAndProject" in plan
     li_exchange = plan.index("hashpartitioning(l_orderkey")
     assert "partial_sum" in plan[li_exchange:]
+
+
+def test_revenue_concentration_cuts_before_windowing(spark):
+    """The Pareto curve must TakeOrderedAndProject to the 100-row
+    prefix BEFORE the running-sum window — never a global window over
+    the full per-customer table."""
+    plan = _plan(entrymod.queries()["rel_revenue_concentration"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # the only Window in the plan runs above the 100-row limit, so the
+    # single-partition exchange it needs feeds from the cut, not the
+    # corpus-sized aggregate
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")

@@ -632,3 +632,57 @@ ORACLES["rel_top_parts_per_nation"] = (
 )
 
 QUERIES["rel_top_parts_per_nation"] = q_top_parts_per_nation
+
+
+def q_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-share analysis: customers ranked by revenue
+    with their running share of the total — the 80/20 concentration
+    curve.  The window runs over the AGGREGATED per-customer table
+    (|customers| rows, never fact rows), the global total rides the
+    same window (no second scan or cross join), and the curve is
+    cut to the top 100 rows for a bounded result; rank ties break on
+    custkey so both engines emit the identical prefix."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue_cents(li)).cast("long").alias("rev"))
+    )
+    # the global-window form (row_number + cumsum over ALL customers)
+    # funnels the whole per-customer table through one partition; the
+    # scale-correct cut is TakeOrderedAndProject to the 100-row prefix
+    # FIRST, the global total as a 1-row broadcast scalar, and the
+    # running sum over just those 100 rows (an ordered prefix's
+    # running sum is unchanged by the cut)
+    top = per_cust.orderBy(F.desc("rev"), F.asc("o_custkey")).limit(100)
+    total = per_cust.agg(F.sum("rev").alias("total_rev"))
+    w_order = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return top.crossJoin(F.broadcast(total)).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("rev").alias("revenue_cents_pct"),
+        F.row_number().over(w_order).cast("int").alias("rk"),
+        F.round(
+            F.sum("rev").over(w_cum) / F.col("total_rev"), 6
+        ).alias("cum_share"),
+    )
+
+
+ORACLES["rel_revenue_concentration"] = (
+    "WITH per AS (SELECT o_custkey, "
+    f"CAST(sum({_REV_SQL}) AS BIGINT) AS rev "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_custkey), "
+    "c AS (SELECT o_custkey AS c_custkey, rev AS revenue_cents_pct, "
+    "CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS INTEGER) "
+    "AS rk, "
+    "round(sum(rev) OVER (ORDER BY rev DESC, o_custkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "* 1.0 / sum(rev) OVER (), 6) AS cum_share FROM per) "
+    "SELECT * FROM c WHERE rk <= 100"
+)
+
+QUERIES["rel_revenue_concentration"] = q_revenue_concentration
