@@ -203,6 +203,7 @@ _ROWS_ONLY = frozenset(
         "dedup_pagerank",  # damped float recursion — closed-form tests
         "sim_pq_codes",  # per-subspace KMeans codebooks — recall tests
         "sim_topk_pq",
+        "events_daily_uniques_approx",  # HLL — exact-twin bound test
     }
 )
 

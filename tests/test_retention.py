@@ -187,3 +187,25 @@ def test_transition_matrix_counts_and_rows_sum_to_one(spark, tmp_path):
     assert out[("view", "purchase")] == (1, round(1 / 3, 6))
     assert out[("click", "view")] == (1, 1.0)
     assert len(out) == 3
+
+
+def test_daily_uniques_hll_tracks_exact(spark):
+    """Sketch↔exact pairing discipline: the HLL twin must agree with
+    the exact DAU within 5·rsd on every day of the real corpus."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        q_events_daily_uniques,
+        q_events_daily_uniques_approx,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["day_epoch"]: r["n_users"]
+        for r in q_events_daily_uniques(spark, sf).collect()
+    }
+    approx = {
+        r["day_epoch"]: r["n_users_approx"]
+        for r in q_events_daily_uniques_approx(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.1 * n), (day, n, approx[day])

@@ -686,3 +686,42 @@ ORACLES["rel_revenue_concentration"] = (
 )
 
 QUERIES["rel_revenue_concentration"] = q_revenue_concentration
+
+
+def q_ship_latency_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    interpolated p25/p50/p75/p95 over datediff(shipdate, orderdate).
+    The percentile aggregate runs per priority group with partial
+    aggregation — a priorities-sized result off one fact join; the
+    orders side pre-projects (orderkey, date, priority) only."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("lat_days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.expr("percentile(lat_days, 0.25)").alias("p25"),
+        F.expr("percentile(lat_days, 0.5)").alias("p50"),
+        F.expr("percentile(lat_days, 0.75)").alias("p75"),
+        F.round(F.expr("percentile(lat_days, 0.95)"), 6).alias("p95"),
+    )
+
+
+ORACLES["rel_ship_latency_dist"] = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines, "
+    "quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.25) AS p25, "
+    "quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.5) AS p50, "
+    "quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.75) AS p75, "
+    "round(quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.95), 6) "
+    "AS p95 "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderpriority"
+)
+
+QUERIES["rel_ship_latency_dist"] = q_ship_latency_dist

@@ -723,6 +723,58 @@ ORACLES_LATE["events_transitions"] = (
 QUERIES_LATE["events_transitions"] = q_events_transitions
 
 
+def q_events_daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day — the DAU rollup.  count(DISTINCT)
+    over (day, user) dedups with partial aggregation before the day
+    rollup; the approx twin below carries bounded HLL state instead of
+    the distinct shuffle."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            (F.expr(f"epoch_sec DIV {DAY_SEC}") * DAY_SEC)
+            .cast("long")
+            .alias("day_epoch")
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+def q_events_daily_uniques_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL twin of the DAU rollup (rsd 2%): the sketch carries O(log
+    log N) state per day instead of shuffling every (day, user) pair —
+    the same exact↔sketch pairing discipline as tfidf_df/_approx.
+    Rows-only (HLL is engine-specific); pinned by the ±5·rsd
+    agreement test against the exact twin."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            (F.expr(f"epoch_sec DIV {DAY_SEC}") * DAY_SEC)
+            .cast("long")
+            .alias("day_epoch")
+        )
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02)
+            .cast("long")
+            .alias("n_users_approx")
+        )
+    )
+
+
+ORACLES_LATE["events_daily_uniques"] = (
+    "SELECT CAST(epoch_ns(ts) // 1000000000 // 86400 * 86400 AS BIGINT) "
+    "AS day_epoch, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+    "CAST(count(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY 1"
+)
+
+QUERIES_LATE["events_daily_uniques"] = q_events_daily_uniques
+QUERIES_LATE["events_daily_uniques_approx"] = q_events_daily_uniques_approx
+
+
 QUERIES_LATE["events_retention"] = q_events_retention
 QUERIES_LATE["events_anomaly"] = q_events_anomaly
 
