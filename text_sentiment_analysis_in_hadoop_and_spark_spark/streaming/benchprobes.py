@@ -94,8 +94,25 @@ def streaming_bench_entries(
         q.awaitTermination(300)
         assert spark.read.parquet(out).limit(1).count() == 1
 
+    def upsert_view() -> None:
+        from .latest import latest_state_stream
+
+        emitted: list[int] = []
+        q = (
+            latest_state_stream(spark, events_land)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: emitted.append(df.count()))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert emitted and emitted[0] > 0
+
     return {
         "stream_ingest_probe": ingest_probe,
         "stream_interval_join": interval_join,
         "stream_exactly_once_sink": exactly_once_sink,
+        "stream_upsert_view": upsert_view,
     }
