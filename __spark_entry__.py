@@ -107,6 +107,11 @@ _similarity_late = SimpleNamespace(
     QUERIES=similarity.QUERIES_LATE,
     ORACLES=similarity.ORACLES_LATE,
 )
+_textstats_late = SimpleNamespace(
+    __name__="textstats_late",
+    QUERIES=textstats.QUERIES_LATE,
+    ORACLES=textstats.ORACLES_LATE,
+)
 
 
 _MODULE_ORDER = (
@@ -136,6 +141,7 @@ _MODULE_ORDER = (
     retrieval,
     layout,
     _similarity_late,
+    _textstats_late,
     dedup,
 )
 

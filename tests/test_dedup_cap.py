@@ -168,3 +168,17 @@ def test_prefix_filter_join_is_lossless(spark):
     }
     assert got == brute
     assert brute  # non-vacuous on the real corpus
+
+
+def test_minhash_error_audit_is_bounded(spark):
+    """The sketch audit on the real corpus: 64-perm estimates stay
+    within a loose error envelope and threshold flips are a small
+    minority of pairs (if this drifts, N_PERM is under-budgeted)."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        q_minhash_error,
+    )
+
+    r = q_minhash_error(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_pairs"] > 0
+    assert r["mean_abs_err"] <= 0.15
+    assert r["n_threshold_flips"] <= max(1, 0.2 * r["n_pairs"])

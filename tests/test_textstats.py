@@ -105,3 +105,37 @@ def test_top_tokens_approx_tie_boundary_beyond_k(spark, tmp_path):
     approx = QUERIES["text_top_tokens_approx"](spark, str(sf)).collect()
     assert len(exact) == TOP_TOKENS_K
     assert [tuple(r) for r in approx] == [tuple(r) for r in exact]
+
+
+def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
+    """A corpus whose token frequencies are an exact rank^-1 power law
+    must fit slope ≈ −1; the fit runs over the full planted
+    spectrum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.textstats import (
+        q_zipf_fit,
+    )
+
+    # token t_r appears floor(1200 / r) times, r = 1..40
+    words = []
+    for r in range(1, 41):
+        words += [f"t{r:02d}"] * (1200 // r)
+    docs, chunk = [], 50
+    for i in range(0, len(words), chunk):
+        docs.append((i // chunk, " ".join(words[i : i + chunk])))
+    d = tmp_path / "zipf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([x[0] for x in docs], pa.int64()),
+                "text": pa.array([x[1] for x in docs], pa.string()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    r = q_zipf_fit(spark, str(d)).collect()[0]
+    assert r["n_tokens_fit"] == 40
+    assert -1.1 <= r["zipf_slope"] <= -0.9

@@ -1415,3 +1415,62 @@ ORACLES["dedup_prefix_jaccard_join"] = _with(
 )
 
 QUERIES["dedup_prefix_jaccard_join"] = q_prefix_jaccard_join
+
+
+def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: MinHash-estimated vs exact Jaccard on the
+    banded candidate pairs — mean/max absolute error and the count of
+    threshold DISAGREEMENTS (est and exact landing on opposite sides
+    of the dup cutoff).  The "measure, don't guess" artifact for
+    N_PERM tuning: if max_abs_err or the flip count grows, the
+    permutation budget is too small for the corpus' similarity
+    distribution.  Both inputs come from the memoized pair caches —
+    this is one pair-keyed join + a 1-row rollup."""
+    est = q_minhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+    exact = q_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    err = F.abs(F.col("est_jaccard") - F.col("jaccard"))
+    flip = (F.col("est_jaccard") >= JACCARD_DUP_MIN) != (
+        F.col("jaccard") >= JACCARD_DUP_MIN
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg(err), 6).alias("mean_abs_err"),
+            F.round(F.max(err), 6).alias("max_abs_err"),
+            F.sum(flip.cast("long")).cast("long").alias("n_threshold_flips"),
+        )
+    )
+
+
+ORACLES["dedup_minhash_error"] = _with(
+    *_MINHASH_PRELUDE,
+    "dsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+    "FROM dsh GROUP BY doc_id)",
+    "dinter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter "
+    "FROM dpairs p JOIN dsh a ON a.doc_id = p.doc_a "
+    "JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle "
+    "GROUP BY p.doc_a, p.doc_b)",
+    "mj AS (SELECT p.doc_a, p.doc_b, "
+    f"round(({_EST_MATCHES}) / {float(N_PERM)}, 6) AS est_jaccard, "
+    "round(coalesce(i.n_inter, 0) / "
+    "(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard "
+    "FROM dpairs p JOIN dsig a ON p.doc_a = a.doc_id "
+    "JOIN dsig b ON p.doc_b = b.doc_id "
+    "LEFT JOIN dinter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b "
+    "JOIN dsizes sa ON sa.doc_id = p.doc_a "
+    "JOIN dsizes sb ON sb.doc_id = p.doc_b)",
+) + (
+    "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+    "round(avg(abs(est_jaccard - jaccard)), 6) AS mean_abs_err, "
+    "round(max(abs(est_jaccard - jaccard)), 6) AS max_abs_err, "
+    f"CAST(sum(CASE WHEN (est_jaccard >= {JACCARD_DUP_MIN}) <> "
+    f"(jaccard >= {JACCARD_DUP_MIN}) THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_threshold_flips FROM mj"
+)
+
+QUERIES["dedup_minhash_error"] = q_minhash_error

@@ -12,7 +12,7 @@ operators downstream.  Each query has a DuckDB oracle twin.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hex32, hex32_sql, md5_fingerprint
@@ -399,4 +399,76 @@ QUERIES = {
     "text_bpe_token_count": q_bpe_token_count,
     "text_fingerprint": q_doc_fingerprint,
     "text_winnow_fingerprints": q_winnow_fingerprints,
+}
+
+
+# --- Zipf slope fit (late, r5) ---------------------------------------
+
+ZIPF_TOP = 1000  # fit over the top-K ranked tokens
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token frequency spectrum: least-squares
+    slope of ln(freq) vs ln(rank) for the top-ZIPF_TOP tokens — a
+    natural-language corpus sits near −1; word salad, boilerplate
+    floods, or template spam bend the slope, so this is a one-number
+    corpus-health probe.
+
+    Scale shape: token counts are one partial-agg groupBy; the ranked
+    spectrum is cut to ZIPF_TOP via TakeOrderedAndProject BEFORE the
+    rank window (the cut-before-window discipline — ranks of an
+    ordered prefix are cut-invariant), and the closed-form least
+    squares (Σx, Σy, Σxy, Σx²) is a 1-row aggregate of K rows.  Ranks
+    tie-break on token so both engines rank identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_toks(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(ZIPF_TOP)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    fit = xy.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    return fit.select(
+        F.col("k").cast("long").alias("n_tokens_fit"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+ORACLES_LATE: dict[str, str] = {
+    "text_zipf_fit": (
+        "WITH counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n "
+        "FROM (SELECT unnest(string_split(text, ' ')) AS token "
+        "FROM documents) WHERE token <> '' GROUP BY token), "
+        f"top AS (SELECT n, token FROM counts ORDER BY n DESC, token "
+        f"LIMIT {ZIPF_TOP}), "
+        "xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token) "
+        "AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM top), "
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS k, sum(x) AS sx, "
+        "sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy) "
+        "SELECT CAST(k AS BIGINT) AS n_tokens_fit, "
+        "round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope, "
+        "round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6) "
+        "AS zipf_intercept FROM s"
+    ),
+}
+
+QUERIES_LATE = {
+    "text_zipf_fit": q_zipf_fit,
 }
