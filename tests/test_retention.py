@@ -209,3 +209,37 @@ def test_daily_uniques_hll_tracks_exact(spark):
     assert set(exact) == set(approx)
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(2, 0.1 * n), (day, n, approx[day])
+
+
+def test_equidepth_buckets_roughly_balanced(spark, tmp_path):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        N_EQUIDEPTH,
+        q_events_value_histogram_equidepth,
+    )
+
+    # heavily skewed values: equal-width would starve the tail, the
+    # equi-depth deciles must stay within 2x of the ideal count
+    rows = [(i, i, 1, "a", float(2 ** (i % 17))) for i in range(200)]
+    sf = _write_events(tmp_path, rows)
+    out = q_events_value_histogram_equidepth(spark, sf).collect()
+    ns = [r["n"] for r in out]
+    assert sum(ns) == 200
+    ideal = 200 / N_EQUIDEPTH
+    assert max(ns) <= 2 * ideal
+
+
+def test_user_entropy_bands(spark, tmp_path):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        q_events_user_entropy,
+    )
+
+    rows = (
+        # user 1: single-type bot → entropy 0 (band 0)
+        [(i, i, 1, "view", 0) for i in range(8)]
+        # user 2: perfect 50/50 mix → entropy 1.0 (band 2)
+        + [(10 + i, 10 + i, 2, "view" if i % 2 else "click", 0) for i in range(8)]
+    )
+    sf = _write_events(tmp_path, rows)
+    out = {r["entropy_band"]: r for r in q_events_user_entropy(spark, sf).collect()}
+    assert out[0]["n_users"] == 1 and out[0]["mean_entropy"] == 0.0
+    assert out[2]["n_users"] == 1 and out[2]["mean_entropy"] == 1.0

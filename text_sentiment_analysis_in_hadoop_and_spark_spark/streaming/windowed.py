@@ -775,6 +775,108 @@ QUERIES_LATE["events_daily_uniques"] = q_events_daily_uniques
 QUERIES_LATE["events_daily_uniques_approx"] = q_events_daily_uniques_approx
 
 
+N_EQUIDEPTH = 10  # decile buckets
+
+
+def q_events_value_histogram_equidepth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-DEPTH histogram per event type — decile buckets hold
+    ~equal row counts (the histogram an optimizer or drift monitor
+    wants when the distribution is skewed; the equal-width twin
+    `events_value_histogram` starves its tail buckets).  Boundaries
+    are the type's own exact interpolated percentiles (a types-sized
+    aggregate broadcast back), bucket id = 1 + |{boundaries < value}|
+    via a higher-order filter over the boundary array — identical
+    arithmetic both engines, strict `<` so boundary-equal values land
+    deterministically in the lower bucket."""
+    ev = load_events(spark, sf_dir)
+    qs = ", ".join(
+        str(i / N_EQUIDEPTH) for i in range(1, N_EQUIDEPTH)
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({qs}))").alias("bounds")
+    )
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("bounds"), lambda b: b < F.col("value"))
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+ORACLES_LATE["events_value_histogram_equidepth"] = (
+    "WITH bounds AS (SELECT event_type, ["
+    + ", ".join(
+        f"quantile_cont(value, {i / 10})" for i in range(1, 10)
+    )
+    + "] AS bs FROM events GROUP BY event_type) "
+    "SELECT e.event_type, "
+    "CAST(1 + len(list_filter(b.bs, x -> x < e.value)) AS INTEGER) "
+    "AS bucket, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "round(min(e.value), 6) AS lo, round(max(e.value), 6) AS hi "
+    "FROM events e JOIN bounds b USING (event_type) "
+    "GROUP BY 1, 2"
+)
+
+QUERIES_LATE["events_value_histogram_equidepth"] = (
+    q_events_value_histogram_equidepth
+)
+
+
+def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity rollup: Shannon entropy of each user's
+    event-type mix, summarized per entropy band (bot-detection shape:
+    single-type users sit at 0 bits, uniform-mix users near log2 of
+    the type count).  Two co-partitioned user_id aggregations — the
+    (user, type) counts re-aggregate into per-user totals on the same
+    key, no second scan — then a bounded band rollup; log arithmetic
+    in the same operation order both engines."""
+    ev = load_events(spark, sf_dir)
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    tot = ut.groupBy("user_id").agg(F.sum("c").alias("t"))
+    ent = (
+        ut.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("c") / F.col("t"))
+                    * F.log2(F.col("c") / F.col("t"))
+                )
+            ).alias("h")
+        )
+    )
+    band = F.floor(F.col("h") * 2).cast("int")  # half-bit bands
+    return ent.groupBy(band.alias("entropy_band")).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(F.avg("h"), 6).alias("mean_entropy"),
+    )
+
+
+ORACLES_LATE["events_user_entropy"] = (
+    "WITH ut AS (SELECT user_id, event_type, "
+    "CAST(count(*) AS DOUBLE) AS c FROM events GROUP BY 1, 2), "
+    "tot AS (SELECT user_id, sum(c) AS t FROM ut GROUP BY user_id), "
+    "ent AS (SELECT ut.user_id, -sum((c / t) * log2(c / t)) AS h "
+    "FROM ut JOIN tot USING (user_id) GROUP BY ut.user_id) "
+    "SELECT CAST(floor(h * 2) AS INTEGER) AS entropy_band, "
+    "CAST(count(*) AS BIGINT) AS n_users, "
+    "round(avg(h), 6) AS mean_entropy FROM ent GROUP BY 1"
+)
+
+QUERIES_LATE["events_user_entropy"] = q_events_user_entropy
+
+
 QUERIES_LATE["events_retention"] = q_events_retention
 QUERIES_LATE["events_anomaly"] = q_events_anomaly
 
