@@ -182,3 +182,14 @@ def test_minhash_error_audit_is_bounded(spark):
     assert r["n_pairs"] > 0
     assert r["mean_abs_err"] <= 0.15
     assert r["n_threshold_flips"] <= max(1, 0.2 * r["n_pairs"])
+
+
+def test_cluster_size_dist_accounts_every_doc(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        q_cluster_size_dist,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_cluster_size_dist(spark, sf).collect()
+    assert sum(r["n_docs"] for r in out) == 500       # every doc in a cluster
+    assert any(r["cluster_size"] > 1 for r in out)    # real dup families exist

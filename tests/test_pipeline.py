@@ -309,3 +309,16 @@ def test_incremental_agg_merge_algebra(spark):
         assert got[lang]["n_docs"] == full[lang]["n_docs"]
         assert got[lang]["sum_chars"] == full[lang]["sum_chars"]
         assert got[lang]["mean_chars"] == full[lang]["mean_chars"]
+
+
+def test_shard_skew_report_consistency(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        N_SHARDS,
+        q_shard_skew_report,
+    )
+
+    r = q_shard_skew_report(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_shards"] == N_SHARDS
+    assert r["min_tokens"] <= r["mean_tokens"] <= r["max_tokens"]
+    assert r["max_over_mean"] >= 1.0
+    assert r["cv"] >= 0.0

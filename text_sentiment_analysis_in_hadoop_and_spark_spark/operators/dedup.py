@@ -1474,3 +1474,41 @@ ORACLES["dedup_minhash_error"] = _with(
 )
 
 QUERIES["dedup_minhash_error"] = q_minhash_error
+
+
+def q_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-family size distribution — the dedup-analytics rollup: how
+    many clusters of each size the near-dup graph contains (size 1 =
+    unique docs; a heavy tail here means template/boilerplate floods).
+    Reuses the memoized CC labels; two bounded aggregations (cluster →
+    size, size → count) and a dedup-rate summary column."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+    )
+
+
+ORACLES["dedup_cluster_size_dist"] = (
+    ORACLES["dedup_clusters"].replace(
+        "SELECT d.doc_id, CAST(coalesce(m.label, d.doc_id) AS BIGINT) "
+        "AS cluster_id FROM documents d LEFT JOIN dlabels m "
+        "ON d.doc_id = m.node",
+        "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, "
+        "CAST(cluster_size * count(*) AS BIGINT) AS n_docs FROM ("
+        "SELECT CAST(count(*) AS BIGINT) AS cluster_size FROM ("
+        "SELECT d.doc_id, coalesce(m.label, d.doc_id) AS cluster_id "
+        "FROM documents d LEFT JOIN dlabels m ON d.doc_id = m.node) "
+        "GROUP BY cluster_id) GROUP BY cluster_size",
+    )
+)
+
+QUERIES["dedup_cluster_size_dist"] = q_cluster_size_dist

@@ -783,3 +783,37 @@ ORACLES_LATE["pipe_incremental_agg"] = (
 )
 
 QUERIES_LATE["pipe_incremental_agg"] = q_incremental_agg
+
+
+def q_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance health check over the export manifest: token-mass
+    skew (max/mean ratio), coefficient of variation, and the
+    min/max/mean shard sizes — the number a capacity planner watches
+    before a training run (a hot shard is a straggler executor).  One
+    re-aggregation of the shards-sized manifest; the manifest itself
+    comes from the memoized export rollup."""
+    manifest = q_export_manifest(spark, sf_dir).select(
+        "shard", F.col("n_tokens").cast("double").alias("t")
+    )
+    return manifest.agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.min("t").cast("long").alias("min_tokens"),
+        F.max("t").cast("long").alias("max_tokens"),
+        F.round(F.avg("t"), 6).alias("mean_tokens"),
+        F.round(F.max("t") / F.avg("t"), 6).alias("max_over_mean"),
+        F.round(F.stddev_pop("t") / F.avg("t"), 6).alias("cv"),
+    )
+
+
+ORACLES_LATE["pipe_shard_skew_report"] = (
+    "WITH m AS ("
+    + ORACLES["pipe_export_manifest"]
+    + ") SELECT CAST(count(*) AS BIGINT) AS n_shards, "
+    "CAST(min(n_tokens) AS BIGINT) AS min_tokens, "
+    "CAST(max(n_tokens) AS BIGINT) AS max_tokens, "
+    "round(avg(n_tokens), 6) AS mean_tokens, "
+    "round(max(n_tokens) * 1.0 / avg(n_tokens), 6) AS max_over_mean, "
+    "round(stddev_pop(n_tokens) / avg(n_tokens), 6) AS cv FROM m"
+)
+
+QUERIES_LATE["pipe_shard_skew_report"] = q_shard_skew_report

@@ -725,3 +725,71 @@ ORACLES["rel_ship_latency_dist"] = (
 )
 
 QUERIES["rel_ship_latency_dist"] = q_ship_latency_dist
+
+
+RFM_ANCHOR = "2001-09-01"  # fixed recency anchor (just past max orderdate)
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the CRM staple: per customer Recency (days
+    since last order, from a FIXED anchor so the result is
+    deterministic), Frequency (order count), Monetary (total spend in
+    cents); each scored 1–4 against its quartile boundaries and rolled
+    up into segment counts.  The base is ONE orders groupBy; quartile
+    boundaries are a 1-row exact-percentile aggregate broadcast back
+    (the same fence discipline as winsorization/equi-depth — no
+    ntile window funnelling customers through one partition); strict
+    `<` boundary comparison keeps ties deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_ANCHOR), F.max("o_orderdate")).alias("rec"),
+        F.count("*").cast("double").alias("freq"),
+        F.sum(_cents(F.col("o_totalprice"))).cast("double").alias("mon"),
+    )
+    fences = base.agg(
+        F.expr("percentile(rec, array(0.25, 0.5, 0.75))").alias("rb"),
+        F.expr("percentile(freq, array(0.25, 0.5, 0.75))").alias("fb"),
+        F.expr("percentile(mon, array(0.25, 0.5, 0.75))").alias("mb"),
+    )
+
+    def score(v, bounds):
+        return F.lit(1) + F.size(F.filter(bounds, lambda b: b < v))
+
+    scored = base.crossJoin(F.broadcast(fences)).select(
+        # recency: RECENT is good → invert the quartile index
+        (F.lit(5) - score(F.col("rec").cast("double"), F.col("rb")))
+        .cast("int")
+        .alias("r_score"),
+        score(F.col("freq"), F.col("fb")).cast("int").alias("f_score"),
+        score(F.col("mon"), F.col("mb")).cast("int").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+ORACLES["rel_customer_rfm"] = (
+    "WITH base AS (SELECT o_custkey, "
+    f"datediff('day', max(o_orderdate), TIMESTAMP '{RFM_ANCHOR}') AS rec, "
+    "CAST(count(*) AS DOUBLE) AS freq, "
+    f"CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) AS mon "
+    "FROM orders GROUP BY o_custkey), "
+    "fences AS (SELECT "
+    "[quantile_cont(rec, 0.25), quantile_cont(rec, 0.5), "
+    "quantile_cont(rec, 0.75)] AS rb, "
+    "[quantile_cont(freq, 0.25), quantile_cont(freq, 0.5), "
+    "quantile_cont(freq, 0.75)] AS fb, "
+    "[quantile_cont(mon, 0.25), quantile_cont(mon, 0.5), "
+    "quantile_cont(mon, 0.75)] AS mb FROM base), "
+    "scored AS (SELECT "
+    "CAST(5 - (1 + len(list_filter(f.rb, b -> b < CAST(rec AS DOUBLE)))) "
+    "AS INTEGER) AS r_score, "
+    "CAST(1 + len(list_filter(f.fb, b -> b < freq)) AS INTEGER) AS f_score, "
+    "CAST(1 + len(list_filter(f.mb, b -> b < mon)) AS INTEGER) AS m_score "
+    "FROM base CROSS JOIN fences f) "
+    "SELECT r_score, f_score, m_score, "
+    "CAST(count(*) AS BIGINT) AS n_customers "
+    "FROM scored GROUP BY 1, 2, 3"
+)
+
+QUERIES["rel_customer_rfm"] = q_customer_rfm
