@@ -139,3 +139,22 @@ def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
     r = q_zipf_fit(spark, str(d)).collect()[0]
     assert r["n_tokens_fit"] == 40
     assert -1.1 <= r["zipf_slope"] <= -0.9
+
+
+def test_heaps_curve_monotone_and_complete(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.textstats import (
+        HEAPS_BINS,
+        q_heaps_curve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        q_heaps_curve(spark, sf).collect(), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in rows] == list(range(1, HEAPS_BINS + 1))
+    cv = [r["cum_vocab"] for r in rows]
+    assert cv == sorted(cv)                       # vocabulary only grows
+    assert sum(r["n_new_tokens"] for r in rows) == cv[-1]
+    # sublinear growth on the word-salad corpus: the last decile adds
+    # far fewer new tokens than the first
+    assert rows[-1]["n_new_tokens"] < rows[0]["n_new_tokens"]

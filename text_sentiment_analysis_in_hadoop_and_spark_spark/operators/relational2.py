@@ -793,3 +793,48 @@ ORACLES["rel_customer_rfm"] = (
 )
 
 QUERIES["rel_customer_rfm"] = q_customer_rfm
+
+
+def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the trend query on
+    top of the profit rollup: lag window over the (nation, year)
+    AGGREGATE (|nations|·|years| rows, never fact rows), growth as a
+    rounded ratio, first year NULL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("year"),
+        )
+        .agg(F.sum(_revenue_cents(li)).cast("long").alias("revenue_cents_pct"))
+    )
+    w = Window.partitionBy("nation").orderBy("year")
+    prev = F.lag("revenue_cents_pct").over(w)
+    return per.select(
+        "nation",
+        "year",
+        "revenue_cents_pct",
+        F.round(
+            (F.col("revenue_cents_pct") - prev) / prev, 6
+        ).alias("yoy_growth"),
+    )
+
+
+ORACLES["rel_yearly_growth"] = (
+    "WITH per AS (SELECT n_name AS nation, year(l_shipdate) AS year, "
+    f"CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_cents_pct "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2) "
+    "SELECT nation, year, revenue_cents_pct, "
+    "round((revenue_cents_pct - lag(revenue_cents_pct) OVER w) * 1.0 "
+    "/ lag(revenue_cents_pct) OVER w, 6) AS yoy_growth "
+    "FROM per WINDOW w AS (PARTITION BY nation ORDER BY year)"
+)
+
+QUERIES["rel_yearly_growth"] = q_yearly_growth

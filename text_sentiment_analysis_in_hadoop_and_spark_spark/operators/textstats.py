@@ -472,3 +472,87 @@ ORACLES_LATE: dict[str, str] = {
 QUERIES_LATE = {
     "text_zipf_fit": q_zipf_fit,
 }
+
+
+HEAPS_BINS = 10  # corpus-prefix deciles
+
+
+def q_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-vocabulary size at
+    each tenth of the corpus (doc_id order) — sublinear growth is the
+    natural-language signature; a flat curve means boilerplate, a
+    linear one means noise/IDs.  The distributed trick: a token's
+    first-seen decile is ONE min-aggregate per token (never a running
+    distinct over an ordered scan), new-token counts per decile are a
+    10-row rollup, and the cumulative curve is a 10-row window."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    tok = (
+        docs.crossJoin(F.broadcast(ids))
+        .select(
+            F.least(
+                F.floor(
+                    F.lit(HEAPS_BINS)
+                    * (F.col("doc_id") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo") + 1)
+                ).cast("int")
+                + 1,
+                F.lit(HEAPS_BINS),
+            ).alias("decile"),
+            F.explode(_toks(F.col("text"))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    first_seen = tok.groupBy("token").agg(F.min("decile").alias("d"))
+    new_per = first_seen.groupBy("d").agg(
+        F.count("*").cast("long").alias("n_new_tokens")
+    )
+    mass_per = tok.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        mass_per.join(
+            new_per.withColumnRenamed("d", "decile"), "decile", "left"
+        )
+        .select(
+            "decile",
+            "n_tokens",
+            F.coalesce("n_new_tokens", F.lit(0)).cast("long").alias("n_new_tokens"),
+        )
+        .withColumn(
+            "cum_vocab", F.sum("n_new_tokens").over(w).cast("long")
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+    )
+
+
+ORACLES_LATE["text_heaps_curve"] = (
+    "WITH ids AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi "
+    "FROM documents), "
+    "tok AS (SELECT least(CAST(floor(10 * (doc_id - i.lo) * 1.0 / "
+    "(i.hi - i.lo + 1)) AS INTEGER) + 1, 10) AS decile, token "
+    "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+    "FROM documents) CROSS JOIN ids i WHERE token <> ''), "
+    "fs AS (SELECT token, min(decile) AS d FROM tok GROUP BY token), "
+    "np AS (SELECT d AS decile, CAST(count(*) AS BIGINT) AS n_new_tokens "
+    "FROM fs GROUP BY d), "
+    "mp AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_tokens "
+    "FROM tok GROUP BY decile) "
+    "SELECT mp.decile, mp.n_tokens, "
+    "CAST(coalesce(np.n_new_tokens, 0) AS BIGINT) AS n_new_tokens, "
+    "CAST(sum(coalesce(np.n_new_tokens, 0)) OVER "
+    "(ORDER BY mp.decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS cum_vocab, "
+    "CAST(sum(mp.n_tokens) OVER "
+    "(ORDER BY mp.decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS cum_tokens "
+    "FROM mp LEFT JOIN np USING (decile)"
+)
+
+QUERIES_LATE["text_heaps_curve"] = q_heaps_curve
+
