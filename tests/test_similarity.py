@@ -307,3 +307,19 @@ def test_pq_rerank_recall_vs_exact_l2(spark):
         exact = {i for _, i in d[: S.TOP_K]}
         recs.append(len(exact & got[q]) / S.TOP_K)
     assert sum(recs) / len(recs) >= 0.7
+
+
+def test_lsh_recall_report_matches_guarantee(spark, planted_dir):
+    """The first-class recall report must agree with the engine's
+    standing ≥0.9 LSH guarantee on the PLANTED corpus — and read low
+    on the structureless random corpus (where top-10 neighbours are
+    noise, exactly what the report exists to surface)."""
+    d, _ = planted_dir
+    rows = S.q_lsh_recall_report(spark, d).collect()
+    assert len(rows) == S.N_QUERIES
+    mean = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert mean >= 0.9
+    assert all(r["k"] == S.TOP_K for r in rows)
+
+    noise = S.q_lsh_recall_report(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["recall_at_k"] for r in noise) / len(noise) < 0.5

@@ -1152,3 +1152,51 @@ QUERIES_LATE = {
     "sim_topk_pq": q_sim_topk_pq,
 }
 ORACLES_LATE: dict[str, str] = {}
+
+
+def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a FIRST-CLASS query (the sim-family twin of
+    dedup's MinHash error audit): per-query recall@k of the LSH top-k
+    against the brute-force truth, plus the candidate-set size that
+    bought it — the tuning gauge for N_TABLES × PLANES_PER_TABLE.
+    Composes the two memoized top-k paths with one (q_id, vec_id)
+    semi-join and a per-query rollup; everything upstream is cached,
+    so the report costs two small joins."""
+    brute = q_sim_topk_brute(spark, sf_dir).select(
+        "q_id", F.col("vec_id").alias("true_id")
+    )
+    lsh = q_sim_topk_lsh(spark, sf_dir).select(
+        "q_id", F.col("vec_id").alias("lsh_id")
+    )
+    hits = brute.join(
+        lsh,
+        (brute.q_id == lsh.q_id) & (F.col("true_id") == F.col("lsh_id")),
+        "left",
+    ).groupBy(brute.q_id.alias("q_id")).agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("lsh_id").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_hits"),
+    )
+    return hits.select(
+        "q_id",
+        "k",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("k"), 6).alias("recall_at_k"),
+    )
+
+
+ORACLES["sim_lsh_recall_report"] = (
+    "WITH brute AS (" + _BRUTE_SQL + "), "
+    "lshq AS (" + _LSH_SQL + ") "
+    "SELECT b.q_id, CAST(count(*) AS BIGINT) AS k, "
+    "CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_hits, "
+    "round(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 "
+    "/ count(*), 6) AS recall_at_k "
+    "FROM brute b LEFT JOIN lshq l "
+    "ON b.q_id = l.q_id AND b.vec_id = l.vec_id "
+    "GROUP BY b.q_id"
+)
+
+QUERIES["sim_lsh_recall_report"] = q_lsh_recall_report
