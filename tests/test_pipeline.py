@@ -322,3 +322,31 @@ def test_shard_skew_report_consistency(spark):
     assert r["min_tokens"] <= r["mean_tokens"] <= r["max_tokens"]
     assert r["max_over_mean"] >= 1.0
     assert r["cv"] >= 0.0
+
+
+def test_data_card_mass_and_rates(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        q_data_card,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_data_card(spark, sf).collect()
+    n_docs_total = load_table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    for r in rows:
+        assert 0.0 <= r["quality_pass_rate"] <= 1.0
+        assert 0.0 <= r["exact_dup_rate"] < 1.0
+    # dup-mass consistency: the card's implied canonical count equals
+    # the exact-dedup operator's keep-list size (sf0.001 happens to
+    # have zero exact dups — the consistency check still bites)
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        q_dedup_keep_first,
+    )
+
+    implied_canon = round(
+        sum(r["n_docs"] * (1 - r["exact_dup_rate"]) for r in rows)
+    )
+    assert implied_canon == q_dedup_keep_first(spark, sf).count()

@@ -817,3 +817,73 @@ ORACLES_LATE["pipe_shard_skew_report"] = (
 )
 
 QUERIES_LATE["pipe_shard_skew_report"] = q_shard_skew_report
+
+
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card — one row per (lang, source) cell with the
+    numbers a data statement reports: doc count, token mass, mean doc
+    length, quality-gate pass rate, and exact-duplicate rate.  This is
+    the release artifact a corpus ships with (Gebru et al.'s
+    datasheets shape), assembled from the SAME operators the pipeline
+    gates on — the quality column comes from the repetition gate, the
+    dup column from the exact-dedup canonical set — so the card can
+    never drift from the pipeline's actual behavior.
+
+    Shape: one corpus scan for the base stats; the keep flags join
+    doc_id-keyed from the memoized gate outputs; everything rolls up
+    to a |langs|·|sources|-bounded result."""
+    from .dedup import q_dedup_keep_first
+    from .quality import q_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    keep = q_repetition(spark, sf_dir).select("doc_id", "keep")
+    canon = q_dedup_keep_first(spark, sf_dir).select("doc_id").withColumn(
+        "is_canon", F.lit(1)
+    )
+    return (
+        base.join(keep, "doc_id")
+        .join(canon, "doc_id", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+            F.round(F.avg(F.col("keep").cast("double")), 6).alias(
+                "quality_pass_rate"
+            ),
+            F.round(
+                1 - F.sum(F.coalesce("is_canon", F.lit(0))) / F.count("*"), 6
+            ).alias("exact_dup_rate"),
+        )
+    )
+
+
+from .quality import ORACLES as _QUALITY_ORACLES  # noqa: E402
+
+ORACLES_LATE["pipe_data_card"] = (
+    "WITH rep AS (SELECT doc_id, keep FROM ("
+    + _QUALITY_ORACLES["text_repetition"]
+    + ")), "
+    "canon AS (SELECT min(doc_id) AS doc_id FROM documents "
+    "GROUP BY md5(text)), "
+    "base AS (SELECT d.doc_id, d.lang, d.source, "
+    "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, "
+    "r.keep, CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_canon "
+    "FROM documents d JOIN rep r USING (doc_id) "
+    "LEFT JOIN canon c ON d.doc_id = c.doc_id) "
+    "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+    "round(avg(n_tokens), 6) AS mean_tokens, "
+    "round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 6) "
+    "AS quality_pass_rate, "
+    "round(1 - sum(is_canon) * 1.0 / count(*), 6) AS exact_dup_rate "
+    "FROM base GROUP BY lang, source"
+)
+
+QUERIES_LATE["pipe_data_card"] = q_data_card
