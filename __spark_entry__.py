@@ -210,6 +210,7 @@ _ROWS_ONLY = frozenset(
         "sim_pq_codes",  # per-subspace KMeans codebooks — recall tests
         "sim_topk_pq",
         "events_daily_uniques_approx",  # HLL — exact-twin bound test
+        "events_stickiness_sketch",  # mergeable HLL union — twin test
     }
 )
 

@@ -243,3 +243,25 @@ def test_user_entropy_bands(spark, tmp_path):
     out = {r["entropy_band"]: r for r in q_events_user_entropy(spark, sf).collect()}
     assert out[0]["n_users"] == 1 and out[0]["mean_entropy"] == 0.0
     assert out[2]["n_users"] == 1 and out[2]["mean_entropy"] == 1.0
+
+
+def test_stickiness_sketch_tracks_exact(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        q_events_stickiness,
+        q_events_stickiness_sketch,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["day_epoch"]: (r["dau"], r["wau"])
+        for r in q_events_stickiness(spark, sf).collect()
+    }
+    est = {
+        r["day_epoch"]: (r["dau_est"], r["wau_est"])
+        for r in q_events_stickiness_sketch(spark, sf).collect()
+    }
+    assert set(exact) == set(est)
+    for day, (dau, wau) in exact.items():
+        edau, ewau = est[day]
+        assert abs(edau - dau) <= max(2, 0.05 * dau)
+        assert abs(ewau - wau) <= max(2, 0.05 * wau)

@@ -877,6 +877,122 @@ ORACLES_LATE["events_user_entropy"] = (
 QUERIES_LATE["events_user_entropy"] = q_events_user_entropy
 
 
+WAU_DAYS = 7
+
+
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement ratio product
+    analytics tracks.  Exact trailing-window distinct WITHOUT a range
+    join: each (day, user) activity row fans out to the WAU_DAYS
+    target days it contributes to (a bounded 7× narrow explode), then
+    one countDistinct per target day; DAU comes from the same distinct
+    activity table.  Only full windows emit (the first WAU_DAYS−1
+    days lack history)."""
+    ev = load_events(spark, sf_dir)
+    act = (
+        ev.select(
+            "user_id",
+            (F.expr(f"epoch_sec DIV {DAY_SEC}")).cast("long").alias("day"),
+        )
+        .distinct()
+    )
+    dau = act.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    fan = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (WAU_DAYS - 1))
+        ).alias("day"),
+    )
+    wau = fan.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    lo = act.agg(F.min("day").alias("lo"))
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(lo))
+        # phantom fan days past the data horizon have no dau row, so
+        # the inner join with dau already excludes them
+        .filter(F.col("day") >= F.col("lo") + (WAU_DAYS - 1))
+        .select(
+            (F.col("day") * DAY_SEC).cast("long").alias("day_epoch"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+ORACLES_LATE["events_stickiness"] = (
+    "WITH act AS (SELECT DISTINCT user_id, "
+    f"CAST(epoch_ns(ts) // 1000000000 // {DAY_SEC} AS BIGINT) AS day "
+    "FROM events), "
+    "dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau "
+    "FROM act GROUP BY day), "
+    "fan AS (SELECT user_id, unnest(range(day, day + 7)) AS day FROM act), "
+    "wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau "
+    "FROM fan GROUP BY day), "
+    "lo AS (SELECT min(day) AS lo FROM act) "
+    f"SELECT CAST(d.day * {DAY_SEC} AS BIGINT) AS day_epoch, d.dau, w.wau, "
+    "round(d.dau * 1.0 / w.wau, 6) AS stickiness "
+    "FROM dau d JOIN wau w USING (day) CROSS JOIN lo "
+    "WHERE d.day >= lo.lo + 6"
+)
+
+QUERIES_LATE["events_stickiness"] = q_events_stickiness
+
+
+def q_events_stickiness_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for trailing-window uniques: MERGEABLE
+    datasketches HLL — ONE sketch per day (bounded bytes), each day's
+    sketch fanned to its WAU_DAYS windows and UNIONED per target day
+    (`hll_union_agg`), estimates out.  This is what
+    `approx_count_distinct` cannot do (its sketch is not exposed for
+    re-merge); daily sketches also persist as the incremental state a
+    dashboard service maintains.  Rows-only (sketch internals are
+    engine-specific); pinned by an agreement test against the exact
+    twin."""
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "user_id",
+            (F.expr(f"epoch_sec DIV {DAY_SEC}")).cast("long").alias("day"),
+        )
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    fan = daily.select(
+        "sk",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (WAU_DAYS - 1))
+        ).alias("day"),
+    )
+    wau = fan.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("wau_est")
+    )
+    dau = daily.select(
+        "day", F.hll_sketch_estimate("sk").cast("long").alias("dau_est")
+    )
+    lo = daily.agg(F.min("day").alias("lo"))
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(lo))
+        .filter(F.col("day") >= F.col("lo") + (WAU_DAYS - 1))
+        .select(
+            (F.col("day") * DAY_SEC).cast("long").alias("day_epoch"),
+            "dau_est",
+            "wau_est",
+            F.round(F.col("dau_est") / F.col("wau_est"), 6).alias(
+                "stickiness_est"
+            ),
+        )
+    )
+
+
+QUERIES_LATE["events_stickiness_sketch"] = q_events_stickiness_sketch
+
+
 QUERIES_LATE["events_retention"] = q_events_retention
 QUERIES_LATE["events_anomaly"] = q_events_anomaly
 
