@@ -323,3 +323,34 @@ def test_lsh_recall_report_matches_guarantee(spark, planted_dir):
 
     noise = S.q_lsh_recall_report(spark, "/root/testdata/sf0.001").collect()
     assert sum(r["recall_at_k"] for r in noise) / len(noise) < 0.5
+
+
+def test_norm_outliers_flag_planted_broken_vectors(spark, tmp_path):
+    """The real corpus is healthy (0 flags at sf0.01 — itself the
+    desired reading); planted near-zero and exploded vectors must both
+    flag, healthy ones must not."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], 0) for i in range(60)
+    ]
+    rows.append((100, [1e-6] * 64, 0))          # collapsed encoder output
+    rows.append((101, [50.0] * 64, 0))          # exploded activation
+    d = tmp_path / "emb"
+    d.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).coalesce(1).write.parquet(str(d / "embeddings.parquet"))
+
+    S._EMB_CACHE.clear()
+    try:
+        flagged = {
+            r["vec_id"]: r["z"]
+            for r in S.q_embedding_norm_outliers(spark, str(d)).collect()
+        }
+    finally:
+        S._EMB_CACHE.clear()
+    assert set(flagged) == {100, 101}
+    assert flagged[100] < 0 < flagged[101]

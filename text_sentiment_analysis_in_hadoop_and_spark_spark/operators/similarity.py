@@ -1200,3 +1200,51 @@ ORACLES["sim_lsh_recall_report"] = (
 )
 
 QUERIES["sim_lsh_recall_report"] = q_lsh_recall_report
+
+
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding health gauge: vectors whose L2 norm sits more than
+    3 ROBUST z-scores from the corpus median (broken encoders emit
+    near-zero or exploded vectors; both poison cosine math
+    downstream).  Robust z = (norm − median)/(1.4826·MAD), because a
+    single exploded vector inflates a plain σ enough to MASK the
+    collapsed ones (observed on the planted test corpus) while the
+    median/MAD fence ignores it.  Norms are one narrow map over the
+    cached (vec_id, nrm) table; the two-percentile fence is a 1-row
+    aggregate broadcast back — same shape as the hourly anomaly
+    flags."""
+    emb = _emb_with_norm(spark, sf_dir).select("vec_id", "nrm")
+    med = emb.agg(F.expr("percentile(nrm, 0.5)").alias("mu"))
+    stats = (
+        emb.crossJoin(F.broadcast(med))
+        .agg(
+            F.first("mu").alias("mu"),
+            (
+                F.expr("percentile(abs(nrm - mu), 0.5)") * 1.4826
+            ).alias("sd"),
+        )
+    )
+    z = (F.col("nrm") - F.col("mu")) / F.col("sd")
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.round("nrm", 6).alias("norm"),
+            F.round(z, 6).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 3)
+    )
+
+
+ORACLES["sim_embedding_norm_outliers"] = (
+    "WITH n AS (SELECT vec_id, sqrt(list_sum(list_transform(embedding, "
+    "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm FROM embeddings), "
+    "m AS (SELECT quantile_cont(nrm, 0.5) AS mu FROM n), "
+    "s AS (SELECT m.mu, quantile_cont(abs(n.nrm - m.mu), 0.5) * 1.4826 "
+    "AS sd FROM n CROSS JOIN m GROUP BY m.mu) "
+    "SELECT vec_id, round(nrm, 6) AS norm, "
+    "round((nrm - s.mu) / s.sd, 6) AS z "
+    "FROM n CROSS JOIN s WHERE abs((nrm - s.mu) / s.sd) > 3"
+)
+
+QUERIES["sim_embedding_norm_outliers"] = q_embedding_norm_outliers

@@ -993,6 +993,49 @@ def q_events_stickiness_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_LATE["events_stickiness_sketch"] = q_events_stickiness_sketch
 
 
+def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap distribution — the empirical basis for
+    the sessionization gap constant (a session cut belongs in the
+    valley between within-session and between-visit gap modes):
+    per event-type p50/p90/p99 of consecutive-event gaps plus the
+    fraction under the session gap.  One user_id shuffle for the lag
+    window on the (epoch_sec, event_id) total order, then a
+    types-sized percentile rollup."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("epoch_sec", "event_id")
+    gaps = (
+        ev.select("user_id", "event_type", "epoch_sec", "event_id")
+        .withColumn("gap", F.col("epoch_sec") - F.lag("epoch_sec").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.expr("percentile(gap, 0.5)").alias("p50_sec"),
+        F.expr("percentile(gap, 0.9)").alias("p90_sec"),
+        F.round(F.expr("percentile(gap, 0.99)"), 6).alias("p99_sec"),
+        F.round(
+            F.avg((F.col("gap") <= 1800).cast("double")), 6
+        ).alias("frac_within_session_gap"),
+    )
+
+
+ORACLES_LATE["events_inter_arrival"] = (
+    "WITH e AS (SELECT user_id, event_type, event_id, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s FROM events), "
+    "g AS (SELECT event_type, s - lag(s) OVER "
+    "(PARTITION BY user_id ORDER BY s, event_id) AS gap FROM e) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps, "
+    "quantile_cont(gap, 0.5) AS p50_sec, "
+    "quantile_cont(gap, 0.9) AS p90_sec, "
+    "round(quantile_cont(gap, 0.99), 6) AS p99_sec, "
+    "round(avg(CASE WHEN gap <= 1800 THEN 1.0 ELSE 0.0 END), 6) "
+    "AS frac_within_session_gap "
+    "FROM g WHERE gap IS NOT NULL GROUP BY event_type"
+)
+
+QUERIES_LATE["events_inter_arrival"] = q_events_inter_arrival
+
+
 QUERIES_LATE["events_retention"] = q_events_retention
 QUERIES_LATE["events_anomaly"] = q_events_anomaly
 
