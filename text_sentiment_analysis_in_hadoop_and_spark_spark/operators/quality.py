@@ -652,3 +652,50 @@ ORACLES_LATE["text_source_divergence"] = (
 )
 
 QUERIES_LATE["text_source_divergence"] = q_source_divergence
+
+
+# --- readability scoring (late, r5) ----------------------------------
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease-shaped readability score per doc: 206.835 −
+    1.015·(words/sentences) − 84.6·(syllables/words), with vowel-run
+    counts as the standard syllable proxy and '.'-terminated runs as
+    sentences (min 1 — tweets/fragments still score).  All three
+    densities are regexp_count/size expressions — a shuffle-free
+    narrow map in the Java∩RE2 regex subset, like the PII chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(_toks(F.col("text")), lambda t: t != ""))
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("long")
+    n_syll = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[aeiouyAEIOUY]+")), F.lit(1)
+    ).cast("long")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syll / n_words)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(score, 6).alias("flesch_score"),
+    )
+
+
+ORACLES_LATE["text_readability"] = (
+    "WITH b AS (SELECT doc_id, "
+    "len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_words, "
+    "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent, "
+    "greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1) "
+    "AS n_syll FROM documents) "
+    "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, "
+    "CAST(n_sent AS BIGINT) AS n_sentences, "
+    "CAST(n_syll AS BIGINT) AS n_syllables, "
+    "round(206.835 - 1.015 * (n_words * 1.0 / n_sent) "
+    "- 84.6 * (n_syll * 1.0 / n_words), 6) AS flesch_score FROM b"
+)
+
+QUERIES_LATE["text_readability"] = q_readability

@@ -1036,6 +1036,56 @@ ORACLES_LATE["events_inter_arrival"] = (
 QUERIES_LATE["events_inter_arrival"] = q_events_inter_arrival
 
 
+def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per-user first-view → first-purchase delay,
+    rolled into p25/p50/p90 + conversion count — the time-to-convert
+    companion of `events_funnel` (which counts WHO converts, not how
+    fast).  Two stage-filtered min-aggregates co-partitioned on
+    user_id, one bounded percentile rollup; only users whose purchase
+    follows their first view count (same ordering contract as the
+    funnel)."""
+    ev = load_events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("epoch_sec").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("epoch_sec").alias("t_buy"))
+    )
+    lag = (
+        v.join(p, "user_id")
+        .filter(F.col("t_buy") >= F.col("t_view"))
+        .select((F.col("t_buy") - F.col("t_view")).alias("lag_sec"))
+    )
+    return lag.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.expr("percentile(lag_sec, 0.25)").alias("p25_sec"),
+        F.expr("percentile(lag_sec, 0.5)").alias("p50_sec"),
+        F.round(F.expr("percentile(lag_sec, 0.9)"), 6).alias("p90_sec"),
+    )
+
+
+ORACLES_LATE["events_conversion_lag"] = (
+    "WITH e AS (SELECT user_id, event_type, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s FROM events), "
+    "v AS (SELECT user_id, min(s) AS t_view FROM e "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "p AS (SELECT user_id, min(s) AS t_buy FROM e "
+    "WHERE event_type = 'purchase' GROUP BY user_id), "
+    "lag AS (SELECT p.t_buy - v.t_view AS lag_sec "
+    "FROM v JOIN p USING (user_id) WHERE p.t_buy >= v.t_view) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_converted, "
+    "quantile_cont(lag_sec, 0.25) AS p25_sec, "
+    "quantile_cont(lag_sec, 0.5) AS p50_sec, "
+    "round(quantile_cont(lag_sec, 0.9), 6) AS p90_sec FROM lag"
+)
+
+QUERIES_LATE["events_conversion_lag"] = q_events_conversion_lag
+
+
 QUERIES_LATE["events_retention"] = q_events_retention
 QUERIES_LATE["events_anomaly"] = q_events_anomaly
 
