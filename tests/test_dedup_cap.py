@@ -193,3 +193,44 @@ def test_cluster_size_dist_accounts_every_doc(spark):
     out = q_cluster_size_dist(spark, sf).collect()
     assert sum(r["n_docs"] for r in out) == 500       # every doc in a cluster
     assert any(r["cluster_size"] > 1 for r in out)    # real dup families exist
+
+
+def test_ngram_novelty_exact_recrawl_scores_zero(spark, tmp_path):
+    """An exact re-crawl of an earlier doc must score novelty 0; the
+    original scores 1; partially-copied docs land in between."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import common
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        q_ngram_novelty,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),     # exact re-crawl
+        (3, "alpha beta gamma delta NEW words here"),   # partial copy
+        (4, "totally fresh content nothing shared at"),  # original
+    ]
+    d = tmp_path / "nov"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    try:
+        got = {
+            r["doc_id"]: r["novelty"]
+            for r in q_ngram_novelty(spark, str(d)).collect()
+        }
+    finally:
+        common.clear_caches(str(d))
+    assert got[1] == 1.0
+    assert got[2] == 0.0
+    assert 0.0 < got[3] < 1.0
+    assert got[4] == 1.0

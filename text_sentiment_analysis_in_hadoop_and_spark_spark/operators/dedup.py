@@ -1512,3 +1512,46 @@ ORACLES["dedup_cluster_size_dist"] = (
 )
 
 QUERIES["dedup_cluster_size_dist"] = q_cluster_size_dist
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty score in ingestion (doc_id) order: the fraction
+    of a doc's shingles whose FIRST appearance in the corpus is this
+    doc — near 1 for original content, near 0 for recombinations of
+    seen text.  The running "have I seen this gram before" state
+    collapses into one min-aggregate per shingle (first_seen =
+    min(doc_id)) joined back shingle-keyed — no ordered scan, no
+    accumulating state; the same trick as the Heaps curve, at doc
+    grain.  Reuses the memoized shingle postings."""
+    sh = _shingles_cached(spark, sf_dir)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_seen"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("first_seen") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+ORACLES["dedup_ngram_novelty"] = _with(
+    *_DSH_CTES,
+    "fs AS (SELECT shingle, min(doc_id) AS first_seen FROM dsh "
+    "GROUP BY shingle)",
+) + (
+    "SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+    "CAST(sum(CASE WHEN f.first_seen = d.doc_id THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_novel, "
+    "round(sum(CASE WHEN f.first_seen = d.doc_id THEN 1 ELSE 0 END) "
+    "* 1.0 / count(*), 6) AS novelty "
+    "FROM dsh d JOIN fs f USING (shingle) GROUP BY d.doc_id"
+)
+
+QUERIES["dedup_ngram_novelty"] = q_ngram_novelty

@@ -1086,6 +1086,42 @@ ORACLES_LATE["events_conversion_lag"] = (
 QUERIES_LATE["events_conversion_lag"] = q_events_conversion_lag
 
 
+def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality heatmap: event volume per (day-of-week,
+    hour-of-day) cell.  Day-of-week comes from epoch arithmetic
+    ((days since 1970-01-01 + 4) % 7, Thursday-anchored, 0 = Sunday)
+    rather than either engine's dayofweek() — Spark counts 1=Sunday,
+    DuckDB 0=Sunday, so the portable form IS the arithmetic.  One
+    groupBy to a 168-cell result."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(
+            (
+                (F.expr(f"epoch_sec DIV {DAY_SEC}") + 4) % 7
+            ).cast("int").alias("dow"),
+            (F.expr("epoch_sec DIV 3600") % 24).cast("int").alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+ORACLES_LATE["events_dow_hour_heatmap"] = (
+    "SELECT CAST((epoch_ns(ts) // 1000000000 // 86400 + 4) % 7 "
+    "AS INTEGER) AS dow, "
+    "CAST(epoch_ns(ts) // 1000000000 // 3600 % 24 AS INTEGER) AS hour, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "round(sum(value), 6) AS sum_value "
+    "FROM events GROUP BY 1, 2"
+)
+
+QUERIES_LATE["events_dow_hour_heatmap"] = q_events_dow_hour_heatmap
+
+
 QUERIES_LATE["events_retention"] = q_events_retention
 QUERIES_LATE["events_anomaly"] = q_events_anomaly
 
