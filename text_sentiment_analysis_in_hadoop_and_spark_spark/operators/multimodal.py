@@ -680,3 +680,107 @@ ORACLES_LATE["mm_audio_meta"] = (
 )
 
 QUERIES_LATE["mm_audio_meta"] = q_mm_audio_meta
+
+
+# --- contrastive pair manifest (r5) ----------------------------------
+
+def q_mm_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style contrastive-training manifest — the cross-modal
+    artifact a text↔embedding trainer consumes: each anchor document
+    pairs with its own embedding (positive, doc_id-aligned) and a
+    HARD negative — the highest-cosine OTHER vector among the
+    anchor's LSH bucket-mates (in-batch random negatives are easy;
+    bucket-mates are the confusable ones that make the loss
+    informative).  Negative mining reuses the memoized bucket tables:
+    candidates are bucket-mates only (never all-pairs), the argmax is
+    a max-struct aggregate on the ROUNDED cosine with vec_id
+    tie-break, and anchors with no bucket-mate carry NULLs rather
+    than silently dropping."""
+    from .common import rebalance_scan as _  # noqa: F401 (doc parity)
+    from ..operators.similarity import _bucket_rows, _emb_with_norm, dot
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias(
+            "caption_tokens"
+        ),
+    )
+    bx = _bucket_rows(spark, sf_dir)
+    mate = bx.select(F.col("vec_id").alias("neg_id"), "tbl", "bucket")
+    cand = (
+        bx.join(mate, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("neg_id"))
+        .select(F.col("vec_id").alias("anchor_id"), "neg_id")
+        .distinct()
+    )
+    emb = _emb_with_norm(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    best = (
+        cand.join(a, "anchor_id")
+        .join(b, "neg_id")
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
+        )
+        .groupBy("anchor_id")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("neg_id")).alias("nid"))).alias("m"))
+        .select(
+            "anchor_id",
+            (-F.col("m.nid")).cast("long").alias("neg_id"),
+            F.col("m.cos").alias("neg_cosine"),
+        )
+    )
+    return docs.join(
+        best, docs.doc_id == best.anchor_id, "left"
+    ).select(
+        "doc_id",
+        "caption_tokens",
+        F.col("doc_id").alias("pos_id"),  # aligned positives
+        "neg_id",
+        "neg_cosine",
+    )
+
+
+from ..operators.similarity import _B_CTE as _SIM_B_CTE  # noqa: E402
+from ..operators.similarity import _cos_sql as _sim_cos_sql  # noqa: E402
+
+ORACLES_LATE["mm_pair_manifest"] = (
+    "WITH " + _SIM_B_CTE + ", "
+    "cand AS (SELECT DISTINCT a.vec_id AS anchor_id, c.vec_id AS neg_id "
+    "FROM (" + " UNION ALL ".join(
+        f"SELECT vec_id, bucket{t} AS bk, {t} AS tbl FROM b"
+        for t in range(4)
+    ) + ") a JOIN ("
+    + " UNION ALL ".join(
+        f"SELECT vec_id, bucket{t} AS bk, {t} AS tbl FROM b"
+        for t in range(4)
+    )
+    + ") c ON a.bk = c.bk AND a.tbl = c.tbl AND a.vec_id <> c.vec_id), "
+    "scored AS (SELECT cand.anchor_id, cand.neg_id, "
+    "round(" + _sim_cos_sql("x.embedding", "y.embedding") + ", 6) AS cos "
+    "FROM cand JOIN embeddings x ON x.vec_id = cand.anchor_id "
+    "JOIN embeddings y ON y.vec_id = cand.neg_id), "
+    "best AS (SELECT anchor_id, neg_id, cos, row_number() OVER "
+    "(PARTITION BY anchor_id ORDER BY cos DESC, neg_id ASC) AS rk "
+    "FROM scored) "
+    "SELECT d.doc_id, "
+    "CAST(len(string_split(d.text, ' ')) AS BIGINT) AS caption_tokens, "
+    "d.doc_id AS pos_id, b2.neg_id, b2.cos AS neg_cosine "
+    "FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b2 "
+    "ON d.doc_id = b2.anchor_id"
+)
+
+QUERIES_LATE["mm_pair_manifest"] = q_mm_pair_manifest
