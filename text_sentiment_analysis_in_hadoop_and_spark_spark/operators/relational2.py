@@ -838,3 +838,56 @@ ORACLES["rel_yearly_growth"] = (
 )
 
 QUERIES["rel_yearly_growth"] = q_yearly_growth
+
+
+def q_monthly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal index per calendar month: the month's mean daily
+    revenue divided by the overall mean daily revenue (>1 = a hot
+    month) — computed over (month, day) daily aggregates so month lengths
+    don't bias the index; the global mean rides a 1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.month("l_shipdate").alias("month"),
+        F.to_date("l_shipdate").alias("day"),
+    ).agg(F.sum(_revenue_cents(li)).alias("rev"))
+    # exact-integer sums divided ONCE: avg() accumulates running means
+    # in engine-specific order and drifts a ulp at 1e9 scale — sum and
+    # count are exact BIGINTs, so s/n is the same double both engines
+    monthly = daily.groupBy("month").agg(
+        F.sum("rev").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    overall = daily.agg(
+        F.sum("rev").cast("long").alias("gs"),
+        F.count("*").cast("long").alias("gn"),
+    )
+    # the mean itself ships as exact integer division (cents): rounding
+    # a 1e9-scale double to 6 decimals lands on half-way cases where
+    # Spark's and DuckDB's round() disagree by one ulp — the index
+    # (≈1.0 scale) rounds safely
+    mean = F.col("s") / F.col("n_days")
+    gmean = F.col("gs") / F.col("gn")
+    return monthly.crossJoin(F.broadcast(overall)).select(
+        F.col("month").cast("int").alias("month"),
+        "n_days",
+        F.expr("s DIV n_days").cast("long").alias("mean_daily_rev_cents"),
+        F.round(mean / gmean, 6).alias("seasonal_index"),
+    )
+
+
+ORACLES["rel_monthly_seasonality"] = (
+    "WITH daily AS (SELECT month(l_shipdate) AS month, "
+    "CAST(l_shipdate AS DATE) AS day, "
+    f"CAST(sum({_REV_SQL}) AS BIGINT) AS rev "
+    "FROM lineitem GROUP BY 1, 2), "
+    "m AS (SELECT month, CAST(sum(rev) AS BIGINT) AS s, "
+    "CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY month), "
+    "g AS (SELECT CAST(sum(rev) AS BIGINT) AS gs, "
+    "CAST(count(*) AS BIGINT) AS gn FROM daily) "
+    "SELECT CAST(month AS INTEGER) AS month, n_days, "
+    "CAST(s // n_days AS BIGINT) AS mean_daily_rev_cents, "
+    "round((s * 1.0 / n_days) / (gs * 1.0 / gn), 6) AS seasonal_index "
+    "FROM m CROSS JOIN g"
+)
+
+QUERIES["rel_monthly_seasonality"] = q_monthly_seasonality

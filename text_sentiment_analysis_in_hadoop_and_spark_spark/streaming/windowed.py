@@ -1122,6 +1122,60 @@ ORACLES_LATE["events_dow_hour_heatmap"] = (
 QUERIES_LATE["events_dow_hour_heatmap"] = q_events_dow_hour_heatmap
 
 
+def q_events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily acquisition split: events and users per day broken into
+    NEW (first-ever-seen that day) vs RETURNING — the companion the
+    retention matrix reads against.  First-seen day is one min-agg
+    per user joined back user_id-co-partitioned; the rollup is
+    days-bounded."""
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        (F.expr(f"epoch_sec DIV {DAY_SEC}")).cast("long").alias("day"),
+    )
+    first = base.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    tagged = base.join(first, "user_id").withColumn(
+        "is_new", F.col("day") == F.col("first_day")
+    )
+    return tagged.groupBy(
+        (F.col("day") * DAY_SEC).cast("long").alias("day_epoch")
+    ).agg(
+        F.countDistinct(F.when(F.col("is_new"), F.col("user_id")))
+        .cast("long")
+        .alias("new_users"),
+        F.countDistinct(F.when(~F.col("is_new"), F.col("user_id")))
+        .cast("long")
+        .alias("returning_users"),
+        F.sum(F.col("is_new").cast("long")).cast("long").alias("new_events"),
+        F.sum((~F.col("is_new")).cast("long"))
+        .cast("long")
+        .alias("returning_events"),
+    )
+
+
+ORACLES_LATE["events_new_vs_returning"] = (
+    "WITH base AS (SELECT user_id, "
+    f"CAST(epoch_ns(ts) // 1000000000 // {DAY_SEC} AS BIGINT) AS day "
+    "FROM events), "
+    "f AS (SELECT user_id, min(day) AS first_day FROM base "
+    "GROUP BY user_id), "
+    "t AS (SELECT b.user_id, b.day, b.day = f.first_day AS is_new "
+    "FROM base b JOIN f USING (user_id)) "
+    f"SELECT CAST(day * {DAY_SEC} AS BIGINT) AS day_epoch, "
+    "CAST(count(DISTINCT CASE WHEN is_new THEN user_id END) AS BIGINT) "
+    "AS new_users, "
+    "CAST(count(DISTINCT CASE WHEN NOT is_new THEN user_id END) AS BIGINT) "
+    "AS returning_users, "
+    "CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS new_events, "
+    "CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) "
+    "AS returning_events "
+    "FROM t GROUP BY day"
+)
+
+QUERIES_LATE["events_new_vs_returning"] = q_events_new_vs_returning
+
+
 QUERIES_LATE["events_retention"] = q_events_retention
 QUERIES_LATE["events_anomaly"] = q_events_anomaly
 
