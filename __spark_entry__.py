@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import csv as csv_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import jsonl as jsonl_source
+from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import sqlapi as sqlapi_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import enrich as streaming_enrich
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import joins as streaming_joins
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import sessions as streaming_sessions
@@ -142,6 +143,7 @@ _MODULE_ORDER = (
     layout,
     _similarity_late,
     _textstats_late,
+    sqlapi_source,
     dedup,
 )
 

@@ -187,3 +187,35 @@ def test_jsonl_corrupt_lines_are_tagged_not_dropped(spark):
     assert bad[0]["_corrupt_record"].startswith('{"doc_id"') or bad[
         1
     ]["_corrupt_record"].startswith('{"doc_id"')
+
+
+def test_sql_front_door_shares_the_optimizer(spark):
+    """spark.sql over registered views and the DataFrame API are ONE
+    engine: the literal-SQL Q1 produces the same rows as the
+    DataFrame pricing summary's core columns, and its physical plan
+    is the same shape (pushed filter + partial agg)."""
+    import __spark_entry__ as entrymod
+    from conftest import SF_DIR
+
+    sql_rows = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["sum_qty"], r["count_order"])
+        for r in entrymod.queries()["sql_pricing_summary"](
+            spark, SF_DIR
+        ).collect()
+    }
+    df_rows = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["sum_qty"], r["count_order"])
+        for r in entrymod.queries()["rel_pricing_summary"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert sql_rows == df_rows
+
+    plan = (
+        entrymod.queries()["sql_pricing_summary"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan
+    assert "partial_" in plan

@@ -350,3 +350,16 @@ def test_data_card_mass_and_rates(spark):
         sum(r["n_docs"] * (1 - r["exact_dup_rate"]) for r in rows)
     )
     assert implied_canon == q_dedup_keep_first(spark, sf).count()
+
+
+def test_manifest_diff_both_directions_nonzero(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        q_manifest_diff,
+    )
+
+    out = q_manifest_diff(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["docs_added"] for r in out) > 0
+    assert sum(r["docs_removed"] for r in out) > 0
+    # a doc can never be both: the residue classes are applied to
+    # disjoint snapshot sides, so totals stay within the corpus size
+    assert sum(r["docs_added"] + r["docs_removed"] for r in out) <= 500

@@ -887,3 +887,82 @@ ORACLES_LATE["pipe_data_card"] = (
 )
 
 QUERIES_LATE["pipe_data_card"] = q_data_card
+
+
+SNAP_MOD = 11   # docs new in the current snapshot (absent from prev)
+TOMB_MOD = 7    # docs deleted since prev (absent from current)
+TOMB_RES = 3
+
+
+def q_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — what changed between two corpus versions, per
+    export shard: docs/tokens added and removed, plus a net row.  The
+    'previous' snapshot is the deterministic hash-complement subset
+    (residue-11 docs play the fresh additions; a handful of synthetic
+    tombstones play removals), so the diff logic — two anti-joins on
+    the shard-keyed manifests — is oracle-checkable without a second
+    stored copy.  In production the two sides are yesterday's and
+    today's manifest tables; the plan is the same pair of
+    shard-co-partitioned anti-joins + a bounded rollup either way."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    shard = F.pmod(hex32(F.col("text")), N_SHARDS).alias("shard")
+    base = docs.select("doc_id", "n_tokens", shard)
+    # current drops the tombstoned residue; previous lacked the fresh one
+    cur = base.filter(F.pmod(F.col("doc_id"), TOMB_MOD) != TOMB_RES)
+    prev = base.filter(F.pmod(F.col("doc_id"), SNAP_MOD) != 0)
+    added = cur.join(prev.select("doc_id"), "doc_id", "left_anti")
+    removed = prev.join(cur.select("doc_id"), "doc_id", "left_anti")
+    a = added.groupBy("shard").agg(
+        F.count("*").cast("long").alias("docs_added"),
+        F.sum("n_tokens").cast("long").alias("tokens_added"),
+    )
+    r = removed.groupBy("shard").agg(
+        F.count("*").cast("long").alias("docs_removed"),
+        F.sum("n_tokens").cast("long").alias("tokens_removed"),
+    )
+    shards = base.select("shard").distinct()
+    return (
+        shards.join(a, "shard", "left")
+        .join(r, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("docs_added", F.lit(0)).cast("long").alias("docs_added"),
+            F.coalesce("tokens_added", F.lit(0))
+            .cast("long")
+            .alias("tokens_added"),
+            F.coalesce("docs_removed", F.lit(0))
+            .cast("long")
+            .alias("docs_removed"),
+            F.coalesce("tokens_removed", F.lit(0))
+            .cast("long")
+            .alias("tokens_removed"),
+        )
+    )
+
+
+ORACLES_LATE["pipe_manifest_diff"] = (
+    "WITH base AS (SELECT doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+    f"{hex32_sql('text')} % {N_SHARDS} AS shard FROM documents), "
+    f"cur AS (SELECT * FROM base WHERE doc_id % {TOMB_MOD} <> {TOMB_RES}), "
+    f"prev AS (SELECT * FROM base WHERE doc_id % {SNAP_MOD} <> 0), "
+    "a AS (SELECT shard, CAST(count(*) AS BIGINT) AS docs_added, "
+    "CAST(sum(n_tokens) AS BIGINT) AS tokens_added FROM cur "
+    "WHERE doc_id NOT IN (SELECT doc_id FROM prev) GROUP BY shard), "
+    "r AS (SELECT shard, CAST(count(*) AS BIGINT) AS docs_removed, "
+    "CAST(sum(n_tokens) AS BIGINT) AS tokens_removed FROM prev "
+    "WHERE doc_id NOT IN (SELECT doc_id FROM cur) GROUP BY shard) "
+    "SELECT s.shard, "
+    "CAST(coalesce(a.docs_added, 0) AS BIGINT) AS docs_added, "
+    "CAST(coalesce(a.tokens_added, 0) AS BIGINT) AS tokens_added, "
+    "CAST(coalesce(r.docs_removed, 0) AS BIGINT) AS docs_removed, "
+    "CAST(coalesce(r.tokens_removed, 0) AS BIGINT) AS tokens_removed "
+    "FROM (SELECT DISTINCT shard FROM base) s "
+    "LEFT JOIN a USING (shard) LEFT JOIN r USING (shard)"
+)
+
+QUERIES_LATE["pipe_manifest_diff"] = q_manifest_diff
