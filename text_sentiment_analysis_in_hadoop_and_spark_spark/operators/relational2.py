@@ -891,3 +891,49 @@ ORACLES["rel_monthly_seasonality"] = (
 )
 
 QUERIES["rel_monthly_seasonality"] = q_monthly_seasonality
+
+
+DISC_CAP = 0.05
+
+
+def q_discount_cap_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What-if scenario in one pass: revenue under the CURRENT
+    discount schedule vs a counterfactual 5%-cap, per order priority
+    — both measures are conditional expressions over the same scan
+    (never two passes or a self-join), the standard scenario-analysis
+    shape.  Exact integer cents throughout; the delta column is the
+    margin the cap would recover."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    disc_c = _cents(F.col("l_discount"))
+    capped_c = F.least(disc_c, F.lit(int(DISC_CAP * 100)))
+    price_c = _cents(F.col("l_extendedprice"))
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(price_c * (100 - disc_c)).cast("long").alias("rev_actual_cpct"),
+        F.sum(price_c * (100 - capped_c))
+        .cast("long")
+        .alias("rev_capped_cpct"),
+        F.sum(price_c * (disc_c - capped_c))
+        .cast("long")
+        .alias("delta_cpct"),
+    )
+
+
+ORACLES["rel_discount_cap_whatif"] = (
+    "SELECT o_orderpriority, "
+    f"CAST(sum({_cents_sql('l_extendedprice')} * "
+    f"(100 - {_cents_sql('l_discount')})) AS BIGINT) AS rev_actual_cpct, "
+    f"CAST(sum({_cents_sql('l_extendedprice')} * "
+    f"(100 - least({_cents_sql('l_discount')}, {int(DISC_CAP * 100)}))) "
+    "AS BIGINT) AS rev_capped_cpct, "
+    f"CAST(sum({_cents_sql('l_extendedprice')} * "
+    f"({_cents_sql('l_discount')} - least({_cents_sql('l_discount')}, "
+    f"{int(DISC_CAP * 100)}))) AS BIGINT) AS delta_cpct "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY o_orderpriority"
+)
+
+QUERIES["rel_discount_cap_whatif"] = q_discount_cap_whatif
