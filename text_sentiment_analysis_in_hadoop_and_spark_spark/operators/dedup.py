@@ -1555,3 +1555,58 @@ ORACLES["dedup_ngram_novelty"] = _with(
 )
 
 QUERIES["dedup_ngram_novelty"] = q_ngram_novelty
+
+
+SENS_GRID = [30, 40, 50, 60, 70, 80, 90]  # thresholds in percent
+
+
+def q_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-threshold tuning curve: how many verified pairs (and how
+    much doc mass) each candidate Jaccard threshold would keep — the
+    chart an operator reads before moving JACCARD_DUP_MIN, computed
+    in ONE pass over the memoized exact-jaccard pair table (a CASE
+    sum per grid point, never a re-scan per threshold)."""
+    jac = q_jaccard_pairs(spark, sf_dir)
+    aggs = []
+    for t in SENS_GRID:
+        thr = t / 100.0
+        aggs.append(
+            F.sum((F.col("jaccard") >= thr).cast("long"))
+            .cast("long")
+            .alias(f"pairs_ge_{t}")
+        )
+    wide = jac.agg(*aggs)
+    # unpivot to (threshold, n_pairs) — stack keeps it one row-narrow op
+    stack_expr = "stack({}, {}) AS (threshold_pct, n_pairs)".format(
+        len(SENS_GRID),
+        ", ".join(f"{t}, pairs_ge_{t}" for t in SENS_GRID),
+    )
+    return wide.select(F.expr(stack_expr)).select(
+        F.col("threshold_pct").cast("int").alias("threshold_pct"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+    )
+
+
+ORACLES["dedup_threshold_sensitivity"] = _with(
+    *_MINHASH_PRELUDE,
+    "dsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+    "FROM dsh GROUP BY doc_id)",
+    "dinter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter "
+    "FROM dpairs p JOIN dsh a ON a.doc_id = p.doc_a "
+    "JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle "
+    "GROUP BY p.doc_a, p.doc_b)",
+    "jac AS (SELECT round(coalesce(i.n_inter, 0) / "
+    "(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard "
+    "FROM dpairs p LEFT JOIN dinter i USING (doc_a, doc_b) "
+    "JOIN dsizes sa ON sa.doc_id = p.doc_a "
+    "JOIN dsizes sb ON sb.doc_id = p.doc_b)",
+) + (
+    "SELECT CAST(t.threshold_pct AS INTEGER) AS threshold_pct, "
+    "CAST((SELECT count(*) FROM jac WHERE jaccard >= t.threshold_pct / 100.0) "
+    "AS BIGINT) AS n_pairs "
+    "FROM (SELECT unnest(["
+    + ", ".join(str(t) for t in SENS_GRID)
+    + "]) AS threshold_pct) t"
+)
+
+QUERIES["dedup_threshold_sensitivity"] = q_threshold_sensitivity
