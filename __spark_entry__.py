@@ -213,6 +213,7 @@ _ROWS_ONLY = frozenset(
         "sim_topk_pq",
         "events_daily_uniques_approx",  # HLL — exact-twin bound test
         "events_stickiness_sketch",  # mergeable HLL union — twin test
+        "pipe_pack_ffd",  # data-dependent first-fit loop — dominance tests
     }
 )
 

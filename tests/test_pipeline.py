@@ -363,3 +363,63 @@ def test_manifest_diff_both_directions_nonzero(spark):
     # a doc can never be both: the residue classes are applied to
     # disjoint snapshot sides, so totals stay within the corpus size
     assert sum(r["docs_added"] + r["docs_removed"] for r in out) <= 500
+
+
+def test_ffd_dominates_nextfit_and_never_overflows(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        PACK_BUDGET,
+        q_pack_ffd,
+        q_pack_nextfit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ffd = q_pack_ffd(spark, sf).collect()
+    nf = q_pack_nextfit(spark, sf).collect()
+
+    def bin_loads(rows):
+        loads = {}
+        for r in rows:
+            loads[(r["bucket"], r["bin"])] = loads.get(
+                (r["bucket"], r["bin"]), 0
+            ) + r["n_tokens"]
+        return loads
+
+    f_loads = bin_loads(ffd)
+    # no-overflow: a bin over budget must be a single oversized doc
+    from collections import Counter
+
+    per_bin = Counter((r["bucket"], r["bin"]) for r in ffd)
+    for k, load in f_loads.items():
+        if load > PACK_BUDGET:
+            assert per_bin[k] == 1
+
+    # FFD uses <= bins than next-fit in EVERY bucket
+    def bins_per_bucket(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["bucket"], set()).add(r["bin"])
+        return {b: len(s) for b, s in out.items()}
+
+    fb, nb = bins_per_bucket(ffd), bins_per_bucket(nf)
+    assert set(fb) == set(nb)
+    assert all(fb[b] <= nb[b] for b in fb)
+    assert sum(fb.values()) < sum(nb.values())  # strictly better overall
+
+    # serial reference: python FFD over one bucket matches
+    import pandas as pd
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        _pack_bucket_ffd,
+    )
+
+    b0 = [r for r in ffd if r["bucket"] == ffd[0]["bucket"]]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r["doc_id"] for r in b0],
+            "n_tokens": [r["n_tokens"] for r in b0],
+            "bucket": [r["bucket"] for r in b0],
+        }
+    )
+    ref = _pack_bucket_ffd(pdf)
+    got = {r["doc_id"]: r["bin"] for r in b0}
+    assert got == dict(zip(ref["doc_id"], ref["bin"]))

@@ -219,6 +219,49 @@ def _pack_bucket_nextfit(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _pack_bucket_ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+    """First-fit-decreasing over one bucket: docs sorted by
+    (n_tokens DESC, doc_id) each enter the FIRST bin with room —
+    the classic 11/9·OPT+1 guarantee vs next-fit's 2·OPT, worth the
+    O(n log n) sort + per-doc bin probe at this (per-bucket,
+    bounded) scale.  Oversized docs still get solo bins.  Output is
+    keyed deterministic: bins are numbered in creation order under
+    the deterministic doc order."""
+    pdf = pdf.sort_values(
+        ["n_tokens", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    loads: list[int] = []
+    assigned = []
+    for t in pdf["n_tokens"]:
+        placed = None
+        for i, ld in enumerate(loads):
+            if ld + t <= PACK_BUDGET:
+                placed = i
+                break
+        if placed is None:
+            loads.append(0)
+            placed = len(loads) - 1
+        loads[placed] += t
+        assigned.append(placed)
+    pdf["bin"] = pd.Series(assigned, dtype="int64")
+    return pdf
+
+
+def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing — the quality upgrade over the
+    next-fit twin (same bucket-parallel applyInPandas shape, same
+    no-overflow contract, strictly fewer-or-equal bins on every
+    bucket — asserted in tests).  Rows-only: FFD's first-fit probe
+    over evolving bin loads is a data-dependent loop no SQL recursion
+    expresses tractably; pinned by the dominance + no-overflow +
+    serial-reference tests."""
+    docs = _sized_docs(spark, sf_dir)
+    return docs.groupBy("bucket").applyInPandas(
+        _pack_bucket_ffd,
+        schema="doc_id long, n_tokens long, bucket long, bin long",
+    )
+
+
 def q_pack_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True next-fit packing (no bin exceeds PACK_BUDGET unless it is
     one oversized doc).  The per-bucket recurrence runs in an
@@ -966,3 +1009,4 @@ ORACLES_LATE["pipe_manifest_diff"] = (
 )
 
 QUERIES_LATE["pipe_manifest_diff"] = q_manifest_diff
+QUERIES_LATE["pipe_pack_ffd"] = q_pack_ffd
