@@ -1610,3 +1610,97 @@ ORACLES["dedup_threshold_sensitivity"] = _with(
 )
 
 QUERIES["dedup_threshold_sensitivity"] = q_threshold_sensitivity
+
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executive dedup summary — what each family of the pipeline
+    actually saves, in one row: corpus doc/token mass, docs and
+    tokens removed by exact dedup, further docs removed by near-dup
+    clustering (cluster non-canonicals that exact dedup missed), and
+    span-scrub token savings on top — each derived from the SAME
+    memoized outputs the pipeline gates on, so the report can't
+    disagree with behavior."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("nt")
+    )
+    total = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    exact_keep = q_dedup_keep_first(spark, sf_dir).select("doc_id")
+    exact_kept = docs.join(exact_keep, "doc_id").agg(
+        F.count("*").cast("long").alias("exact_kept_docs"),
+        F.sum("nt").cast("long").alias("exact_kept_tokens"),
+    )
+    # near-dup: canonical = doc_id == cluster_id, beyond exact keeps
+    clusters = q_dedup_clusters(spark, sf_dir)
+    near_kept = (
+        docs.join(exact_keep, "doc_id")
+        .join(clusters, "doc_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .agg(
+            F.count("*").cast("long").alias("near_kept_docs"),
+            F.sum("nt").cast("long").alias("near_kept_tokens"),
+        )
+    )
+    scrub = q_span_scrub(spark, sf_dir).select(
+        F.size(F.split(F.col("scrubbed_text"), " ")).alias("st")
+    ).agg(F.sum("st").cast("long").alias("scrubbed_tokens"))
+    return (
+        total.crossJoin(F.broadcast(exact_kept))
+        .crossJoin(F.broadcast(near_kept))
+        .crossJoin(F.broadcast(scrub))
+        .select(
+            "n_docs",
+            "n_tokens",
+            (F.col("n_docs") - F.col("exact_kept_docs"))
+            .cast("long")
+            .alias("exact_removed_docs"),
+            (F.col("exact_kept_docs") - F.col("near_kept_docs"))
+            .cast("long")
+            .alias("near_dup_removed_docs"),
+            F.round(
+                F.col("near_kept_tokens") / F.col("n_tokens"), 6
+            ).alias("token_keep_frac"),
+            "scrubbed_tokens",
+        )
+    )
+
+
+ORACLES["dedup_savings"] = (
+    "WITH RECURSIVE "
+    + ",\n".join(
+        _CLUSTER_CTES
+        + (
+            "docs_nt AS (SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS nt "
+            "FROM documents)",
+            "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(nt) AS BIGINT) AS n_tokens FROM docs_nt)",
+            "ek AS (SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY md5(text))",
+            "eks AS (SELECT CAST(count(*) AS BIGINT) AS c, "
+            "CAST(sum(nt) AS BIGINT) AS s FROM docs_nt "
+            "JOIN ek USING (doc_id))",
+            "lab AS (SELECT d.doc_id, coalesce(m.label, d.doc_id) "
+            "AS cluster_id FROM documents d LEFT JOIN dlabels m "
+            "ON d.doc_id = m.node)",
+            "nk AS (SELECT CAST(count(*) AS BIGINT) AS c, "
+            "CAST(sum(nt) AS BIGINT) AS s FROM docs_nt "
+            "JOIN ek USING (doc_id) JOIN lab USING (doc_id) "
+            "WHERE doc_id = cluster_id)",
+            "scr AS (SELECT CAST(sum(len(string_split(scrubbed_text, ' '))) "
+            "AS BIGINT) AS scrubbed_tokens FROM ("
+            + ORACLES["dedup_span_scrub"]
+            + "))",
+        )
+    )
+    + "\nSELECT t.n_docs, t.n_tokens, "
+    "CAST(t.n_docs - e.c AS BIGINT) AS exact_removed_docs, "
+    "CAST(e.c - n.c AS BIGINT) AS near_dup_removed_docs, "
+    "round(n.s * 1.0 / t.n_tokens, 6) AS token_keep_frac, "
+    "s2.scrubbed_tokens "
+    "FROM tot t CROSS JOIN eks e CROSS JOIN nk n CROSS JOIN scr s2"
+)
+
+QUERIES["dedup_savings"] = q_dedup_savings
