@@ -80,9 +80,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   exception: every slot-15..49 occupant is r3-green (nothing
 #   never-checked can be evicted), the displaced text_token_stats has
 #   its r3 row, and the newcomer gains a driver row itself.  All other
-#   r5 additions (quality_late, jsonl, bpe, graph, relational2 tail,
-#   windowed/mm late entries) land past the cap;
-#   tests/test_registration.py pins the head either way.
+#   r5 additions (~60 queries across quality/windowed/mm/pipeline/
+#   similarity/textstats late namespaces, the relational2 tail, and
+#   the new jsonl/sqlapi/bpe/graph/retrieval/layout modules) land past
+#   the cap at slots 50+; tests/test_registration.py pins the head
+#   either way.  r6 rotation TODO: promote the r5 additions (all
+#   locally parity-green at sf0.001 AND sf0.01 — see tools/parity.py)
+#   into the window the way r5 promoted the r4 tail.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
