@@ -699,3 +699,42 @@ ORACLES_LATE["text_readability"] = (
 )
 
 QUERIES_LATE["text_readability"] = q_readability
+
+
+# --- encoding sanity (late, r5) --------------------------------------
+
+def q_encoding_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake/encoding QA per language: fraction of non-ASCII
+    characters, replacement-character (U+FFFD) count, and control-char
+    count — an English-labeled source suddenly full of high-codepoint
+    bytes is a charset bug upstream, and U+FFFD means a decoder
+    already ate data.  Three regexp_count densities, one lang rollup;
+    patterns in the Java∩RE2 subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    non_ascii = F.regexp_count(F.col("text"), F.lit(r"[^\x00-\x7F]"))
+    replacement = F.regexp_count(F.col("text"), F.lit("�"))
+    control = F.regexp_count(F.col("text"), F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F]"))
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(
+            F.sum(non_ascii) / F.sum(n_chars), 6
+        ).alias("frac_non_ascii"),
+        F.sum(replacement).cast("long").alias("n_replacement_chars"),
+        F.sum(control).cast("long").alias("n_control_chars"),
+    )
+
+
+ORACLES_LATE["text_encoding_sanity"] = (
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "round(sum(len(regexp_extract_all(text, '[^\\x00-\\x7F]'))) "
+    "* 1.0 / sum(len(text)), 6) AS frac_non_ascii, "
+    "CAST(sum(len(regexp_extract_all(text, '�'))) AS BIGINT) "
+    "AS n_replacement_chars, "
+    "CAST(sum(len(regexp_extract_all(text, "
+    "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'))) AS BIGINT) "
+    "AS n_control_chars "
+    "FROM documents GROUP BY lang"
+)
+
+QUERIES_LATE["text_encoding_sanity"] = q_encoding_sanity

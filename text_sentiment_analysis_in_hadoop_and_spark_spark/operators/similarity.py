@@ -1248,3 +1248,60 @@ ORACLES["sim_embedding_norm_outliers"] = (
 )
 
 QUERIES["sim_embedding_norm_outliers"] = q_embedding_norm_outliers
+
+
+def q_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does RANDOM similarity look like in this embedding space?
+    The calibration baseline every cosine threshold should be read
+    against (64-dim random vectors concentrate near 0 ± 1/√64;
+    planted near-dups live far outside).  Pairs are a deterministic
+    half-rotation (vec k ↔ vec k + N/2 — disjoint, unbiased by
+    content, one co-keyed join), and the summary is mean/std/p95/p99
+    plus the max — one bounded aggregate."""
+    emb = _emb_with_norm(spark, sf_dir)
+    n = emb.count()
+    half = n // 2
+    a = emb.filter(F.col("vec_id") < half).select(
+        F.col("vec_id").alias("k"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.filter(F.col("vec_id") >= half).select(
+        (F.col("vec_id") - half).alias("k"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "k")
+        .select(cos.alias("c"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg("c"), 6).alias("mean_cos"),
+            F.round(F.stddev_samp("c"), 6).alias("std_cos"),
+            F.round(F.expr("percentile(c, 0.95)"), 6).alias("p95_cos"),
+            F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99_cos"),
+            F.round(F.max("c"), 6).alias("max_cos"),
+        )
+    )
+
+
+ORACLES["sim_cosine_calibration"] = (
+    "WITH n AS (SELECT vec_id, embedding, "
+    "sqrt(list_sum(list_transform(embedding, "
+    "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nrm "
+    "FROM embeddings), "
+    "cnt AS (SELECT count(*) // 2 AS half FROM embeddings), "
+    "p AS (SELECT "
+    + _cos_sql("a.embedding", "b.embedding")
+    + " AS c FROM n a JOIN cnt ON a.vec_id < cnt.half "
+    "JOIN n b ON b.vec_id = a.vec_id + cnt.half) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+    "round(avg(c), 6) AS mean_cos, "
+    "round(stddev_samp(c), 6) AS std_cos, "
+    "round(quantile_cont(c, 0.95), 6) AS p95_cos, "
+    "round(quantile_cont(c, 0.99), 6) AS p99_cos, "
+    "round(max(c), 6) AS max_cos FROM p"
+)
+
+QUERIES["sim_cosine_calibration"] = q_cosine_calibration
