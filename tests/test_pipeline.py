@@ -423,3 +423,57 @@ def test_ffd_dominates_nextfit_and_never_overflows(spark):
     ref = _pack_bucket_ffd(pdf)
     got = {r["doc_id"]: r["bin"] for r in b0}
     assert got == dict(zip(ref["doc_id"], ref["bin"]))
+
+
+def test_water_filling_exhausts_budget_exactly(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        WF_BUDGET_FRAC,
+        q_water_filling,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_water_filling(spark, sf).collect()
+    total_demand = sum(r["demand"] for r in rows)
+    budget = total_demand // WF_BUDGET_FRAC
+    allocated = sum(r["allocation"] for r in rows)
+    # allocations sum to the budget (within rounding of the level)
+    assert abs(allocated - budget) < 1e-3 * budget
+    # capped sources all sit at the same water level (the synthetic
+    # corpus' near-uniform sources all cap — the full branch is
+    # exercised on the crafted corpus below)
+    capped = [r for r in rows if r["fill_frac"] < 1.0]
+    assert capped
+    assert len({r["allocation"] for r in capped}) == 1
+
+
+def test_water_filling_satisfies_small_sources_fully(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        q_water_filling,
+    )
+
+    # demands 4 / 4 / 40 tokens, budget = 24: smalls take 4 each,
+    # the big one caps at the 16-token water level
+    rows = [
+        (1, "a b c d", "tiny1"),
+        (2, "a b c d", "tiny2"),
+        (3, " ".join(["w"] * 40), "huge"),
+    ]
+    d = tmp_path / "wf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    out = {r["source"]: r for r in q_water_filling(spark, str(d)).collect()}
+    assert out["tiny1"]["fill_frac"] == 1.0 == out["tiny2"]["fill_frac"]
+    assert out["huge"]["allocation"] == 16.0
+    assert sum(r["allocation"] for r in out.values()) == 24.0

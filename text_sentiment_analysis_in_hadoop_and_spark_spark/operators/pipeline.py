@@ -1010,3 +1010,106 @@ ORACLES_LATE["pipe_manifest_diff"] = (
 
 QUERIES_LATE["pipe_manifest_diff"] = q_manifest_diff
 QUERIES_LATE["pipe_pack_ffd"] = q_pack_ffd
+
+
+WF_BUDGET_FRAC = 2  # global token budget = corpus tokens / 2
+
+
+def q_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling budget allocation — the fair-share optimizer a
+    mixture planner runs: give every source min(demand, T) tokens
+    where the water level T is chosen so allocations exactly exhaust
+    the global budget (small sources fully satisfied, large ones
+    capped at the common level — the max-min-fairness solution).
+
+    Solved EXACTLY with window functions, no iteration: sources sort
+    by demand ascending; for the k-th boundary the candidate level is
+    T_k = (B − prefix_{k−1})/(n−k+1), and the unique k where
+    d_{k−1} ≤ T_k ≤ d_k is the solution (if the budget covers total
+    demand, everyone gets their demand).  The windows run over the
+    SOURCES-sized aggregate (dozens of rows — the one place a
+    single-partition window is exactly right), and the selected level
+    broadcasts back.  T is a ratio of exact integers, so both engines
+    derive the identical double."""
+    docs = load_table(spark, sf_dir, "documents")
+    demands = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("demand")
+    )
+    tot = demands.agg(
+        F.sum("demand").cast("long").alias("td"),
+        F.count("*").cast("long").alias("n"),
+    )
+    w = Window.orderBy(F.asc("demand"), F.asc("source"))
+    ranked = (
+        demands.crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "prefix",
+            F.sum("demand").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    budget = F.expr(f"td DIV {WF_BUDGET_FRAC}")
+    t_cand = (budget - (F.col("prefix") - F.col("demand"))) / (
+        F.col("n") - F.col("rn") + 1
+    )
+    prev_d = F.lag("demand", 1, 0).over(w)
+    level_row = (
+        ranked.withColumn("t", t_cand)
+        .withColumn("prev_d", prev_d)
+        .filter((F.col("t") <= F.col("demand")) & (F.col("t") >= F.col("prev_d")))
+        .orderBy("rn")
+        .limit(1)
+        .select(F.col("t").alias("level"))
+    )
+    # budget ≥ total demand → no valid boundary → level = +inf cap
+    has_level = level_row.count() > 0
+    if has_level:
+        out = ranked.crossJoin(F.broadcast(level_row))
+    else:
+        out = ranked.withColumn("level", F.lit(float("inf")))
+    return out.select(
+        "source",
+        "demand",
+        F.round(F.least(F.col("demand").cast("double"), F.col("level")), 6)
+        .alias("allocation"),
+        F.round(
+            F.least(F.col("demand").cast("double"), F.col("level"))
+            / F.col("demand"),
+            6,
+        ).alias("fill_frac"),
+    )
+
+
+ORACLES_LATE["pipe_water_filling"] = (
+    "WITH demands AS (SELECT source, "
+    "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS demand "
+    "FROM documents GROUP BY source), "
+    "tot AS (SELECT CAST(sum(demand) AS BIGINT) AS td, "
+    "CAST(count(*) AS BIGINT) AS n FROM demands), "
+    "ranked AS (SELECT d.*, t.td, t.n, "
+    "row_number() OVER w AS rn, "
+    "sum(demand) OVER (ORDER BY demand, source "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix, "
+    "lag(demand, 1, 0) OVER w AS prev_d "
+    "FROM demands d CROSS JOIN tot t "
+    "WINDOW w AS (ORDER BY demand, source)), "
+    f"lvl AS (SELECT ((td // {WF_BUDGET_FRAC}) - (prefix - demand)) * 1.0 "
+    "/ (n - rn + 1) AS level FROM ranked "
+    f"WHERE ((td // {WF_BUDGET_FRAC}) - (prefix - demand)) * 1.0 "
+    "/ (n - rn + 1) <= demand "
+    f"AND ((td // {WF_BUDGET_FRAC}) - (prefix - demand)) * 1.0 "
+    "/ (n - rn + 1) >= prev_d "
+    "ORDER BY rn LIMIT 1) "
+    "SELECT r.source, r.demand, "
+    "round(least(CAST(r.demand AS DOUBLE), "
+    "coalesce(l.level, 1e308)), 6) AS allocation, "
+    "round(least(CAST(r.demand AS DOUBLE), coalesce(l.level, 1e308)) "
+    "/ r.demand, 6) AS fill_frac "
+    "FROM ranked r LEFT JOIN lvl l ON TRUE"
+)
+
+QUERIES_LATE["pipe_water_filling"] = q_water_filling
