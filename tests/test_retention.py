@@ -265,3 +265,24 @@ def test_stickiness_sketch_tracks_exact(spark):
         edau, ewau = est[day]
         assert abs(edau - dau) <= max(2, 0.05 * dau)
         assert abs(ewau - wau) <= max(2, 0.05 * wau)
+
+
+def test_autocorr_detects_trend_vs_noise(spark, tmp_path):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        q_events_autocorr,
+    )
+
+    rows = []
+    eid = 0
+    # type "trend": hourly volume ramps 1,2,...,24 → r1 near 1
+    for h in range(24):
+        for k in range(h + 1):
+            rows.append((eid := eid + 1, h * 3600 + k, 1, "trend", 0))
+    # type "alt": volumes alternate 1,9,1,9 → r1 strongly negative
+    for h in range(24):
+        for k in range(9 if h % 2 else 1):
+            rows.append((eid := eid + 1, h * 3600 + k, 2, "alt", 0))
+    sf = _write_events(tmp_path, rows)
+    out = {r["event_type"]: r["lag1_autocorr"] for r in q_events_autocorr(spark, sf).collect()}
+    assert out["trend"] > 0.9
+    assert out["alt"] < -0.9

@@ -1176,6 +1176,65 @@ ORACLES_LATE["events_new_vs_returning"] = (
 QUERIES_LATE["events_new_vs_returning"] = q_events_new_vs_returning
 
 
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly volumes per event type — the
+    stationarity gauge (r₁ ≈ 0: arrivals are memoryless hour to hour;
+    r₁ → 1: trending/bursty).  Pearson r over (x_t, x_{t−1}) pairs
+    from the hourly aggregate: one lag window over the HOURS-bounded
+    count table, then r computed from EXACT integer sums (Σx, Σy,
+    Σxy, Σx², Σy² — counts are integers, so both engines assemble r
+    from identical values in identical order; a built-in corr()
+    accumulates in engine-specific order)."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        (F.expr("epoch_sec DIV 3600")).cast("long").alias("h"),
+    ).agg(F.count("*").cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    pairs = hourly.withColumn("y", F.lag("x").over(w)).filter(
+        F.col("y").isNotNull()
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 6).alias("lag1_autocorr"),
+    )
+
+
+ORACLES_LATE["events_autocorr"] = (
+    "WITH hourly AS (SELECT event_type, "
+    "CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS h, "
+    "CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "
+    "pairs AS (SELECT event_type, x, lag(x) OVER "
+    "(PARTITION BY event_type ORDER BY h) AS y FROM hourly), "
+    "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+    "CAST(sum(x * y) AS BIGINT) AS sxy, "
+    "CAST(sum(x * x) AS BIGINT) AS sxx, "
+    "CAST(sum(y * y) AS BIGINT) AS syy "
+    "FROM pairs WHERE y IS NOT NULL GROUP BY event_type) "
+    "SELECT event_type, n AS n_pairs, "
+    "round((n * sxy - sx * sy) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+    "* CAST(n * syy - sy * sy AS DOUBLE)), 6) AS lag1_autocorr "
+    "FROM s"
+)
+
+QUERIES_LATE["events_autocorr"] = q_events_autocorr
+
+
 QUERIES_LATE["events_retention"] = q_events_retention
 QUERIES_LATE["events_anomaly"] = q_events_anomaly
 
