@@ -158,3 +158,31 @@ def test_heaps_curve_monotone_and_complete(spark):
     # sublinear growth on the word-salad corpus: the last decile adds
     # far fewer new tokens than the first
     assert rows[-1]["n_new_tokens"] < rows[0]["n_new_tokens"]
+
+
+def test_burstiness_separates_scattered_from_clumped(spark, tmp_path):
+    """A token spread one-per-doc has dispersion < 1 (under-dispersed);
+    the same total mass clumped into one doc is strongly
+    over-dispersed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.textstats import (
+        q_token_burstiness,
+    )
+
+    rows = [(i, "spread " + ("clump " * 20 if i == 0 else "filler")) for i in range(20)]
+    d = tmp_path / "burst"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1].strip() for r in rows], pa.string()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    out = {r["token"]: r["dispersion"] for r in q_token_burstiness(spark, str(d)).collect()}
+    assert out["spread"] < 1.0       # one per doc: sub-Poisson
+    assert out["clump"] > 10.0       # all 20 in one doc: heavily bursty

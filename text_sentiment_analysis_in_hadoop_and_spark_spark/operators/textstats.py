@@ -556,3 +556,59 @@ ORACLES_LATE["text_heaps_curve"] = (
 
 QUERIES_LATE["text_heaps_curve"] = q_heaps_curve
 
+
+
+BURST_TOP = 50
+
+
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale burstiness of the top tokens: dispersion index
+    D = var/mean of per-doc counts — D ≈ 1 is Poisson scatter
+    (function words), D ≫ 1 is bursty/topical (content words
+    clumping in few docs); a corpus whose common tokens are all
+    bursty is template-flooded.  The zero-count docs never
+    materialize: with S = Σc, SS = Σc² over docs CONTAINING the
+    token and N = corpus size, population var = (SS − S²/N)/N and
+    D = (SS − S²/N)/S — all from one (doc, token) count aggregate
+    and exact integer sums.  Top-K cut on the (count DESC, token)
+    total order BEFORE anything per-token."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    per = (
+        docs.select(
+            "doc_id", F.explode(_toks(F.col("text"))).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    stats = per.groupBy("token").agg(
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        F.count("*").cast("long").alias("df"),
+    )
+    top = stats.orderBy(F.desc("s"), F.asc("token")).limit(BURST_TOP)
+    disp = (F.col("ss") - F.col("s") * F.col("s") / F.lit(n_docs)) / F.col("s")
+    return top.select(
+        "token",
+        F.col("s").alias("n_occurrences"),
+        "df",
+        F.round(disp, 6).alias("dispersion"),
+    )
+
+
+ORACLES_LATE["text_token_burstiness"] = (
+    "WITH per AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c "
+    "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+    "FROM documents) WHERE token <> '' GROUP BY token, doc_id), "
+    "stats AS (SELECT token, CAST(sum(c) AS BIGINT) AS s, "
+    "CAST(sum(c * c) AS BIGINT) AS ss, CAST(count(*) AS BIGINT) AS df "
+    "FROM per GROUP BY token), "
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents), "
+    f"top AS (SELECT * FROM stats ORDER BY s DESC, token LIMIT {BURST_TOP}) "
+    "SELECT token, s AS n_occurrences, df, "
+    "round((ss - s * s * 1.0 / n.nd) / s, 6) AS dispersion "
+    "FROM top CROSS JOIN n"
+)
+
+QUERIES_LATE["text_token_burstiness"] = q_token_burstiness
