@@ -738,3 +738,54 @@ ORACLES_LATE["text_encoding_sanity"] = (
 )
 
 QUERIES_LATE["text_encoding_sanity"] = q_encoding_sanity
+
+
+# --- CCNet-style LM buckets (late, r5) -------------------------------
+
+def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: docs bucketed by in-corpus
+    bigram cross-entropy terciles within their LANGUAGE (each lang
+    judged against its own fluency distribution, the detail that
+    makes the split fair across languages).  Fences are per-lang
+    exact percentiles broadcast back onto the memoized LM scores —
+    the same fence discipline as winsorize/equi-depth; output is the
+    langs×3 census a mixture planner consumes."""
+    scores = q_lm_score(spark, sf_dir).select("doc_id", "cross_entropy")
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = scores.join(langs, "doc_id")
+    fences = scored.groupBy("lang").agg(
+        F.expr("percentile(cross_entropy, array(0.3333, 0.6667))").alias(
+            "bs"
+        )
+    )
+    bucket = (
+        F.when(F.col("cross_entropy") <= F.element_at("bs", 1), "head")
+        .when(F.col("cross_entropy") <= F.element_at("bs", 2), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(fences), "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("cross_entropy"), 6).alias("mean_ce"),
+        )
+    )
+
+
+ORACLES_LATE["text_lm_buckets"] = (
+    "WITH lm AS (" + ORACLES["text_lm_score"] + "), "
+    "scored AS (SELECT lm.doc_id, lm.cross_entropy, d.lang "
+    "FROM lm JOIN documents d USING (doc_id)), "
+    "fences AS (SELECT lang, "
+    "quantile_cont(cross_entropy, 0.3333) AS b1, "
+    "quantile_cont(cross_entropy, 0.6667) AS b2 "
+    "FROM scored GROUP BY lang) "
+    "SELECT s.lang, CASE WHEN s.cross_entropy <= f.b1 THEN 'head' "
+    "WHEN s.cross_entropy <= f.b2 THEN 'middle' ELSE 'tail' END AS bucket, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "round(avg(s.cross_entropy), 6) AS mean_ce "
+    "FROM scored s JOIN fences f USING (lang) GROUP BY 1, 2"
+)
+
+QUERIES_LATE["text_lm_buckets"] = q_lm_buckets

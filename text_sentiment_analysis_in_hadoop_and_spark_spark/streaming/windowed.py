@@ -1235,6 +1235,48 @@ ORACLES_LATE["events_autocorr"] = (
 QUERIES_LATE["events_autocorr"] = q_events_autocorr
 
 
+def q_events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative registered-user curve: users whose FIRST event falls
+    on each day, plus the running total — the growth chart.  The
+    first-seen trick again (one min-agg per user, never an ordered
+    scan); the cumulative window runs over the days-bounded rollup."""
+    ev = load_events(spark, sf_dir)
+    first = (
+        ev.select(
+            "user_id",
+            (F.expr(f"epoch_sec DIV {DAY_SEC}")).cast("long").alias("day"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    per_day = first.groupBy("first_day").agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        (F.col("first_day") * DAY_SEC).cast("long").alias("day_epoch"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+ORACLES_LATE["events_user_growth"] = (
+    "WITH f AS (SELECT user_id, "
+    f"min(CAST(epoch_ns(ts) // 1000000000 // {DAY_SEC} AS BIGINT)) "
+    "AS first_day FROM events GROUP BY user_id), "
+    "pd AS (SELECT first_day, CAST(count(*) AS BIGINT) AS new_users "
+    "FROM f GROUP BY first_day) "
+    f"SELECT CAST(first_day * {DAY_SEC} AS BIGINT) AS day_epoch, new_users, "
+    "CAST(sum(new_users) OVER (ORDER BY first_day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_users FROM pd"
+)
+
+QUERIES_LATE["events_user_growth"] = q_events_user_growth
+
+
 QUERIES_LATE["events_retention"] = q_events_retention
 QUERIES_LATE["events_anomaly"] = q_events_anomaly
 
