@@ -612,3 +612,42 @@ ORACLES_LATE["text_token_burstiness"] = (
 )
 
 QUERIES_LATE["text_token_burstiness"] = q_token_burstiness
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation — the confusion matrix + accuracy of
+    the stopword-lexicon classifier against the labeled ``lang``
+    column (the same model-eval shape as the NB confusion, applied
+    to a heuristic): (actual, predicted, n) cells plus each cell's
+    share of its actual-language row, so systematic confusions read
+    directly.  One langs²-bounded rollup over the lang-id
+    projection."""
+    preds = q_lang_id(spark, sf_dir).select("actual_lang", "pred_lang")
+    totals = preds.groupBy("actual_lang").agg(
+        F.count("*").alias("row_n")
+    )
+    return (
+        preds.groupBy("actual_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+        .join(F.broadcast(totals), "actual_lang")
+        .select(
+            "actual_lang",
+            "pred_lang",
+            "n",
+            F.round(F.col("n") / F.col("row_n"), 6).alias("row_frac"),
+        )
+    )
+
+
+ORACLES_LATE["text_lang_confusion"] = (
+    "WITH p AS (SELECT lang AS actual_lang, "
+    + _PRED
+    + " AS pred_lang FROM documents), "
+    "t AS (SELECT actual_lang, count(*) AS row_n FROM p "
+    "GROUP BY actual_lang) "
+    "SELECT p.actual_lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n, "
+    "round(count(*) * 1.0 / max(t.row_n), 6) AS row_frac "
+    "FROM p JOIN t USING (actual_lang) GROUP BY p.actual_lang, p.pred_lang"
+)
+
+QUERIES_LATE["text_lang_confusion"] = q_lang_confusion

@@ -1277,6 +1277,54 @@ ORACLES_LATE["events_user_growth"] = (
 QUERIES_LATE["events_user_growth"] = q_events_user_growth
 
 
+POWER_PCT = 0.99
+
+
+def q_events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration: the top-1%-by-event-count users and
+    the share of all events they generate (the abuse/whale gauge).
+    The p99 fence is a 1-row exact-percentile aggregate over the
+    per-user counts broadcast back — no global rank/ntile pass —
+    and the summary is one bounded row."""
+    ev = load_events(spark, sf_dir)
+    per = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    fence = per.agg(
+        F.expr(f"percentile(n, {POWER_PCT})").alias("p99"),
+        F.sum("n").cast("long").alias("total_events"),
+        F.count("*").cast("long").alias("total_users"),
+    )
+    return (
+        per.crossJoin(F.broadcast(fence))
+        .filter(F.col("n") > F.col("p99"))
+        .agg(
+            F.count("*").cast("long").alias("n_power_users"),
+            F.sum("n").cast("long").alias("power_events"),
+            F.first("total_users").cast("long").alias("total_users"),
+            F.round(
+                F.sum("n") / F.first("total_events"), 6
+            ).alias("event_share"),
+        )
+    )
+
+
+ORACLES_LATE["events_power_users"] = (
+    "WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n "
+    "FROM events GROUP BY user_id), "
+    f"f AS (SELECT quantile_cont(n, {0.99}) AS p99, "
+    "CAST(sum(n) AS BIGINT) AS total_events, "
+    "CAST(count(*) AS BIGINT) AS total_users FROM per) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_power_users, "
+    "CAST(sum(per.n) AS BIGINT) AS power_events, "
+    "CAST(max(f.total_users) AS BIGINT) AS total_users, "
+    "round(sum(per.n) * 1.0 / max(f.total_events), 6) AS event_share "
+    "FROM per CROSS JOIN f WHERE per.n > f.p99"
+)
+
+QUERIES_LATE["events_power_users"] = q_events_power_users
+
+
 QUERIES_LATE["events_retention"] = q_events_retention
 QUERIES_LATE["events_anomaly"] = q_events_anomaly
 
