@@ -651,3 +651,65 @@ ORACLES_LATE["text_lang_confusion"] = (
 )
 
 QUERIES_LATE["text_lang_confusion"] = q_lang_confusion
+
+
+def q_lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language vocabulary Jaccard — the code-switching /
+    mislabeled-source gauge: labeled languages whose vocabularies
+    overlap heavily share templates or mislabeled docs.  Distinct
+    (lang, token) postings build once; pairwise intersections come
+    from ONE token-keyed self-join (tokens shared by ≥2 langs only),
+    sizes join back — a langs²-bounded result, never a vocab×vocab
+    product."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("lang", F.explode(_toks(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("lang").agg(F.count("*").alias("v"))
+    a = vocab.withColumnRenamed("lang", "lang_a")
+    b = vocab.select(
+        F.col("lang").alias("lang_b"), F.col("token").alias("tb")
+    )
+    inter = (
+        a.join(b, (F.col("token") == F.col("tb")) & (F.col("lang_a") < F.col("lang_b")))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("v").alias("va"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("v").alias("vb"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("va") + F.col("vb") - F.col("n_shared")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+ORACLES_LATE["text_lang_vocab_overlap"] = (
+    "WITH vocab AS (SELECT DISTINCT lang, token FROM "
+    "(SELECT lang, unnest(string_split(text, ' ')) AS token "
+    "FROM documents) WHERE token <> ''), "
+    "sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS v FROM vocab "
+    "GROUP BY lang), "
+    "inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b, "
+    "CAST(count(*) AS BIGINT) AS n_shared FROM vocab a "
+    "JOIN vocab b ON a.token = b.token AND a.lang < b.lang "
+    "GROUP BY 1, 2) "
+    "SELECT i.lang_a, i.lang_b, i.n_shared, "
+    "round(i.n_shared * 1.0 / (sa.v + sb.v - i.n_shared), 6) "
+    "AS vocab_jaccard FROM inter i "
+    "JOIN sizes sa ON sa.lang = i.lang_a "
+    "JOIN sizes sb ON sb.lang = i.lang_b"
+)
+
+QUERIES_LATE["text_lang_vocab_overlap"] = q_lang_vocab_overlap

@@ -188,3 +188,53 @@ ORACLES["events_sessionized_funnel"] = (
 )
 
 QUERIES["events_sessionized_funnel"] = q_sessionized_funnel
+
+
+def q_session_length_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shape distribution — the summary read against the
+    inter-arrival gap profile when tuning GAP_SEC: percentiles of
+    session duration and event count, plus the single-event-session
+    fraction (a high bounce fraction with long p90 durations says
+    the gap is splitting real visits).  One bounded aggregate over
+    the sessionizer's output."""
+    s = sessions_batch(spark, sf_dir).select(
+        (F.col("end_epoch") - F.col("start_epoch")).alias("dur"),
+        "n_events",
+    )
+    return s.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.expr("percentile(dur, 0.5)").alias("p50_duration_sec"),
+        F.round(F.expr("percentile(dur, 0.9)"), 6).alias("p90_duration_sec"),
+        F.expr("percentile(n_events, 0.5)").alias("p50_events"),
+        F.round(
+            F.avg((F.col("n_events") == 1).cast("double")), 6
+        ).alias("bounce_frac"),
+    )
+
+
+ORACLES["events_session_length_dist"] = (
+    ORACLES["events_sessions"].replace(
+        "SELECT user_id, CAST(sid AS BIGINT) AS session_id, "
+        "CAST(min(es) AS BIGINT) AS start_epoch, "
+        "CAST(max(es) AS BIGINT) AS end_epoch, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM numbered GROUP BY user_id, sid",
+        "per AS (SELECT max(es) - min(es) AS dur, "
+        "count(*) AS n_events FROM numbered GROUP BY user_id, sid) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_sessions, "
+        "quantile_cont(dur, 0.5) AS p50_duration_sec, "
+        "round(quantile_cont(dur, 0.9), 6) AS p90_duration_sec, "
+        "quantile_cont(n_events, 0.5) AS p50_events, "
+        "round(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 6) "
+        "AS bounce_frac FROM per",
+    ).replace(
+        "numbered AS (SELECT *, sum(is_new) OVER "
+        "(PARTITION BY user_id ORDER BY es, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) ",
+        "numbered AS (SELECT *, sum(is_new) OVER "
+        "(PARTITION BY user_id ORDER BY es, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM flagged), ",
+    )
+)
+
+QUERIES["events_session_length_dist"] = q_session_length_dist
