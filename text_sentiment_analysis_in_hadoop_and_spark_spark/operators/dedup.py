@@ -1704,3 +1704,47 @@ ORACLES["dedup_savings"] = (
 )
 
 QUERIES["dedup_savings"] = q_dedup_savings
+
+
+def q_template_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural template detection — docs sharing the exact SHAPE
+    (the sequence of word lengths) even when every word differs: the
+    boilerplate class content dedup can't see (mad-lib spam, form
+    letters, generated listings all reuse a skeleton with swapped
+    fillers).  Fingerprint = md5 of the word-length sequence — a
+    narrow map — then one partial-agg groupBy keeps only shapes
+    shared by ≥2 docs, reporting family size and how many DISTINCT
+    texts each family holds (content dedup would catch a family only
+    when that number is 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shape = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.split(F.col("text"), " "), lambda w: F.length(w)
+            ),
+        )
+    )
+    return (
+        docs.select(shape.alias("shape_fp"), "text", "doc_id")
+        .groupBy("shape_fp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("text").cast("long").alias("n_distinct_texts"),
+            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+ORACLES["dedup_template_families"] = (
+    "WITH s AS (SELECT doc_id, text, "
+    "md5(array_to_string(list_transform(string_split(text, ' '), "
+    "w -> CAST(len(w) AS VARCHAR)), ',')) AS shape_fp FROM documents) "
+    "SELECT shape_fp, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts, "
+    "CAST(min(doc_id) AS BIGINT) AS canonical_doc_id "
+    "FROM s GROUP BY shape_fp HAVING count(*) > 1"
+)
+
+QUERIES["dedup_template_families"] = q_template_families

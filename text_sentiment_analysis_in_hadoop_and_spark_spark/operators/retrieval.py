@@ -128,3 +128,72 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "text_bm25_topk": q_bm25_topk,
 }
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — reciprocal rank fusion of the lexical and
+    dense rankers (the RAG-stack staple: BM25 catches exact terms,
+    embeddings catch paraphrase; RRF merges without score
+    calibration): RRF(d) = Σ_rankers 1/(K + rank_d), full-outer over
+    the two top-k lists per query (a doc ranked by only one ranker
+    still scores), re-ranked to top-10 on the ROUNDED score with
+    doc_id tie-break.  doc_id aligns with vec_id, so the query sets
+    coincide; both upstream lists are the memoized oracle-checked
+    top-k queries — fusion adds two bounded joins, nothing
+    corpus-sized."""
+    from .similarity import q_sim_topk_brute
+
+    bm = q_bm25_topk(spark, sf_dir).select(
+        "q_id", "doc_id", F.col("rk").alias("rk_lex")
+    )
+    dense = q_sim_topk_brute(spark, sf_dir).select(
+        "q_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("rk_dense"),
+    )
+    fused = bm.join(dense, ["q_id", "doc_id"], "full_outer").select(
+        "q_id",
+        "doc_id",
+        F.round(
+            F.when(
+                F.col("rk_lex").isNotNull(),
+                1.0 / (RRF_K + F.col("rk_lex")),
+            ).otherwise(0.0)
+            + F.when(
+                F.col("rk_dense").isNotNull(),
+                1.0 / (RRF_K + F.col("rk_dense")),
+            ).otherwise(0.0),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOP_K)
+        .select("q_id", "doc_id", "rrf_score", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+from .similarity import _BRUTE_SQL as _SIM_BRUTE_SQL  # noqa: E402
+
+ORACLES["text_hybrid_topk"] = (
+    "WITH bm AS (" + ORACLES["text_bm25_topk"] + "), "
+    "dense AS (" + _SIM_BRUTE_SQL + "), "
+    "fused AS (SELECT coalesce(bm.q_id, d.q_id) AS q_id, "
+    "coalesce(bm.doc_id, d.vec_id) AS doc_id, "
+    f"round(coalesce(1.0 / ({RRF_K} + bm.rk), 0) "
+    f"+ coalesce(1.0 / ({RRF_K} + d.rank), 0), 6) AS rrf_score "
+    "FROM bm FULL OUTER JOIN dense d "
+    "ON bm.q_id = d.q_id AND bm.doc_id = d.vec_id), "
+    "rk AS (SELECT q_id, doc_id, rrf_score, CAST(row_number() OVER "
+    "(PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rk "
+    "FROM fused) "
+    f"SELECT * FROM rk WHERE rk <= {BM25_TOP_K}"
+)
+
+QUERIES["text_hybrid_topk"] = q_hybrid_topk
