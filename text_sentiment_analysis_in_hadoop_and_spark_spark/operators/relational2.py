@@ -937,3 +937,71 @@ ORACLES["rel_discount_cap_whatif"] = (
 )
 
 QUERIES["rel_discount_cap_whatif"] = q_discount_cap_whatif
+
+
+BASKET_MIN_SUPPORT = 5   # pair must co-occur in ≥ this many orders
+BASKET_TOP_K = 50
+
+
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs bought together more often
+    than chance — lift = N·c(a,b)/(c(a)·c(b)) over order baskets,
+    support-floored and cut to the top-K on the ROUNDED lift total
+    order.  The pair explode is the within-order self-join (keyed on
+    orderkey, fan bounded by basket size², never catalog²); marginals
+    re-aggregate from the same distinct (order, part) postings; the
+    1-row order count broadcasts.  The double arithmetic runs in the
+    same operation order both engines (the PMI discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select("l_orderkey").distinct().count()
+    a = op.withColumnRenamed("l_partkey", "part_a")
+    b = op.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (a.l_orderkey == b.ok_b) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= BASKET_MIN_SUPPORT)
+    )
+    marg = op.groupBy("l_partkey").agg(F.count("*").cast("long").alias("c"))
+    ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
+    mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
+    lift = (
+        F.lit(float(n_orders)) * F.col("c_ab") / (F.col("c_a") * F.col("c_b"))
+    )
+    return (
+        pairs.join(ma, "part_a")
+        .join(mb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP_K)
+    )
+
+
+ORACLES["rel_basket_affinity"] = (
+    "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders "
+    "FROM op), "
+    "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+    "CAST(count(*) AS BIGINT) AS c_ab FROM op a "
+    "JOIN op b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey < b.l_partkey "
+    f"GROUP BY 1, 2 HAVING count(*) >= {BASKET_MIN_SUPPORT}), "
+    "marg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM op "
+    "GROUP BY l_partkey) "
+    "SELECT p.part_a, p.part_b, p.c_ab, "
+    "round(CAST(n.n_orders AS DOUBLE) * p.c_ab / (ma.c * mb.c), 6) AS lift "
+    "FROM pairs p CROSS JOIN n "
+    "JOIN marg ma ON ma.l_partkey = p.part_a "
+    "JOIN marg mb ON mb.l_partkey = p.part_b "
+    f"ORDER BY lift DESC, part_a, part_b LIMIT {BASKET_TOP_K}"
+)
+
+QUERIES["rel_basket_affinity"] = q_basket_affinity
