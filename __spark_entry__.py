@@ -218,6 +218,7 @@ _ROWS_ONLY = frozenset(
         "events_daily_uniques_approx",  # HLL — exact-twin bound test
         "events_stickiness_sketch",  # mergeable HLL union — twin test
         "pipe_pack_ffd",  # data-dependent first-fit loop — dominance tests
+        "text_compressibility",  # real zlib — ordering/determinism tests
     }
 )
 

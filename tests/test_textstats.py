@@ -186,3 +186,40 @@ def test_burstiness_separates_scattered_from_clumped(spark, tmp_path):
     out = {r["token"]: r["dispersion"] for r in q_token_burstiness(spark, str(d)).collect()}
     assert out["spread"] < 1.0       # one per doc: sub-Poisson
     assert out["clump"] > 10.0       # all 20 in one doc: heavily bursty
+
+
+def test_compressibility_orders_repetitive_below_random(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.textstats import (
+        q_compressibility,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (1, "spam " * 200),                                       # pure repetition
+        (2, " ".join(rng.choice("abcdefgh") * rng.randint(1, 8)
+                     for _ in range(200))),                       # semi-random
+        (3, "".join(chr(rng.randint(33, 126)) for _ in range(1000))),  # noise
+    ]
+    d = tmp_path / "cmp"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    out = {r["doc_id"]: r["ratio"] for r in q_compressibility(spark, str(d)).collect()}
+    assert out[1] < 0.05          # boilerplate collapses
+    assert out[1] < out[2] < out[3]
+    assert out[3] > 0.8           # noise barely compresses
+    # determinism
+    again = {r["doc_id"]: r["ratio"] for r in q_compressibility(spark, str(d)).collect()}
+    assert out == again

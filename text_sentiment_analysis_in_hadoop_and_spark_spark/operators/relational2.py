@@ -1005,3 +1005,50 @@ ORACLES["rel_basket_affinity"] = (
 )
 
 QUERIES["rel_basket_affinity"] = q_basket_affinity
+
+
+def q_returns_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate league table per part brand: returned-line fraction
+    and returned revenue share — the supplier-quality scoreboard.
+    One fact pass with conditional aggregates, the brand dimension
+    broadcast; rates from exact integer sums divided once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ret = (F.col("l_returnflag") == "R").cast("long")
+    rev = _revenue_cents(li)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(ret).cast("long").alias("n_returned"),
+            F.sum(rev * ret).cast("long").alias("returned_cents_pct"),
+            F.sum(rev).cast("long").alias("total_cents_pct"),
+        )
+        .select(
+            "p_brand",
+            "n_lines",
+            "n_returned",
+            F.round(F.col("n_returned") / F.col("n_lines"), 6).alias(
+                "return_rate"
+            ),
+            F.round(
+                F.col("returned_cents_pct") / F.col("total_cents_pct"), 6
+            ).alias("returned_rev_share"),
+        )
+    )
+
+
+ORACLES["rel_returns_by_brand"] = (
+    "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines, "
+    "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_returned, "
+    "round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1.0 "
+    "/ count(*), 6) AS return_rate, "
+    f"round(sum(CASE WHEN l_returnflag = 'R' THEN {_REV_SQL} ELSE 0 END) "
+    f"* 1.0 / sum({_REV_SQL}), 6) AS returned_rev_share "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "GROUP BY p_brand"
+)
+
+QUERIES["rel_returns_by_brand"] = q_returns_by_brand

@@ -713,3 +713,45 @@ ORACLES_LATE["text_lang_vocab_overlap"] = (
 )
 
 QUERIES_LATE["text_lang_vocab_overlap"] = q_lang_vocab_overlap
+
+
+# --- compressibility scoring (r5) ------------------------------------
+
+def compress_ratio_batches(batches):
+    """mapInPandas worker: REAL zlib (level 6) over utf-8 text —
+    stdlib-only, one Arrow batch at a time."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        raw = pdf["text"].str.encode("utf-8")
+        comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+        n = raw.map(len).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n,
+                "n_compressed": comp.astype("int64"),
+                "ratio": (comp / n.clip(lower=1)).round(6),
+            }
+        )
+
+
+def q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal — the oldest repetition
+    detector there is: zlib ratio ≪ 1 means the doc is its own
+    boilerplate (crawler traps, keyword stuffing); near-1 ratios are
+    high-entropy text.  REAL zlib via Arrow `mapInPandas` (this is a
+    legitimate must-be-Python operator: no Column expression
+    compresses), narrow, payloads batch-bounded.  Rows-only: the
+    oracle cannot run zlib — pinned by ordering tests (repetitive ≪
+    natural < random) and a determinism check."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        compress_ratio_batches,
+        schema="doc_id long, n_bytes long, n_compressed long, ratio double",
+    )
+
+
+QUERIES_LATE["text_compressibility"] = q_compressibility
