@@ -1052,3 +1052,107 @@ ORACLES["rel_returns_by_brand"] = (
 )
 
 QUERIES["rel_returns_by_brand"] = q_returns_by_brand
+
+
+def q_integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-style data-quality test suite as ONE query — the
+    checks a warehouse runs on every load, each an anti-join or
+    duplicate count over the star schema: lineitem orphans (no
+    order), order orphans (no customer), supplier/customer nation
+    references, duplicate primary keys, and negative-amount rows.
+    Every check is a left-anti or groupBy count; the result is one
+    bounded (check, n_violations) table a scheduler can alert on —
+    all zeros on healthy data, and the oracle proves the CHECKS
+    themselves (both engines agree on every violation count, so a
+    broken check would hash-fail even while reporting zero)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    def count_of(df) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_violations"))
+
+    checks = [
+        (
+            "lineitem_orphans",
+            count_of(
+                li.join(
+                    orders.select("o_orderkey"),
+                    li.l_orderkey == F.col("o_orderkey"),
+                    "left_anti",
+                )
+            ),
+        ),
+        (
+            "order_orphans",
+            count_of(
+                orders.join(
+                    cust.select("c_custkey"),
+                    orders.o_custkey == F.col("c_custkey"),
+                    "left_anti",
+                )
+            ),
+        ),
+        (
+            "supplier_bad_nation",
+            count_of(
+                sup.join(
+                    nat.select("n_nationkey"),
+                    sup.s_nationkey == F.col("n_nationkey"),
+                    "left_anti",
+                )
+            ),
+        ),
+        (
+            "customer_bad_nation",
+            count_of(
+                cust.join(
+                    nat.select("n_nationkey"),
+                    cust.c_nationkey == F.col("n_nationkey"),
+                    "left_anti",
+                )
+            ),
+        ),
+        (
+            "duplicate_orderkeys",
+            count_of(
+                orders.groupBy("o_orderkey")
+                .count()
+                .filter(F.col("count") > 1)
+            ),
+        ),
+        (
+            "negative_price_lines",
+            count_of(li.filter(F.col("l_extendedprice") < 0)),
+        ),
+    ]
+    out = None
+    for name, df in checks:
+        row = df.select(F.lit(name).alias("check"), "n_violations")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLES["rel_integrity_checks"] = (
+    "SELECT 'lineitem_orphans' AS check, CAST((SELECT count(*) "
+    "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_violations "
+    "UNION ALL SELECT 'order_orphans', CAST((SELECT count(*) "
+    "FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c "
+    "WHERE c.c_custkey = o.o_custkey)) AS BIGINT) "
+    "UNION ALL SELECT 'supplier_bad_nation', CAST((SELECT count(*) "
+    "FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n "
+    "WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT) "
+    "UNION ALL SELECT 'customer_bad_nation', CAST((SELECT count(*) "
+    "FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n "
+    "WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT) "
+    "UNION ALL SELECT 'duplicate_orderkeys', CAST((SELECT count(*) FROM "
+    "(SELECT o_orderkey FROM orders GROUP BY o_orderkey "
+    "HAVING count(*) > 1)) AS BIGINT) "
+    "UNION ALL SELECT 'negative_price_lines', CAST((SELECT count(*) "
+    "FROM lineitem WHERE l_extendedprice < 0) AS BIGINT)"
+)
+
+QUERIES["rel_integrity_checks"] = q_integrity_checks

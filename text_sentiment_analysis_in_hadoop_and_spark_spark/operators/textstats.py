@@ -755,3 +755,72 @@ def q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_LATE["text_compressibility"] = q_compressibility
+
+
+COVERAGE_GRID = [10, 50, 100, 500, 1000]
+
+
+def q_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size planning curve: what fraction of total token
+    MASS the top-k tokens cover, at planning grid ranks — the chart
+    that sizes a tokenizer vocab or a stopword list (coverage
+    saturating by k=100 says a tiny vocab suffices; a flat curve says
+    long-tail text).  Counts cut to the max grid rank via
+    TakeOrderedAndProject BEFORE the cumulative window (cut-invariant
+    prefix again); total mass rides a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_toks(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("tot"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(
+        max(COVERAGE_GRID)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = top.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cum",
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # the final row (rk = vocab size) always reports, so the curve
+    # closes at coverage 1.0 even when vocab < max grid rank; the
+    # window lands in a column first (window fns can't sit in WHERE)
+    grid = ranked.withColumn(
+        "max_rk", F.max("rk").over(Window.partitionBy())
+    ).filter(
+        F.col("rk").isin(COVERAGE_GRID) | (F.col("rk") == F.col("max_rk"))
+    )
+    return (
+        grid.crossJoin(F.broadcast(total))
+        .select(
+            F.col("rk").cast("int").alias("vocab_size"),
+            F.col("cum").cast("long").alias("covered_tokens"),
+            F.round(F.col("cum") / F.col("tot"), 6).alias("coverage"),
+        )
+    )
+
+
+ORACLES_LATE["text_token_coverage"] = (
+    "WITH counts AS (SELECT token, CAST(count(*) AS BIGINT) AS n "
+    "FROM (SELECT unnest(string_split(text, ' ')) AS token "
+    "FROM documents) WHERE token <> '' GROUP BY token), "
+    "tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts), "
+    f"top AS (SELECT * FROM counts ORDER BY n DESC, token "
+    f"LIMIT {max(COVERAGE_GRID)}), "
+    "ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) "
+    "AS rk, sum(n) OVER (ORDER BY n DESC, token "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM top), "
+    "mx AS (SELECT max(rk) AS m FROM ranked) "
+    "SELECT CAST(rk AS INTEGER) AS vocab_size, "
+    "CAST(cum AS BIGINT) AS covered_tokens, "
+    "round(cum * 1.0 / tot.tot, 6) AS coverage "
+    "FROM ranked CROSS JOIN tot CROSS JOIN mx "
+    "WHERE rk IN (" + ", ".join(str(k) for k in COVERAGE_GRID) + ") "
+    "OR rk = mx.m"
+)
+
+QUERIES_LATE["text_token_coverage"] = q_token_coverage
