@@ -1748,3 +1748,54 @@ ORACLES["dedup_template_families"] = (
 )
 
 QUERIES["dedup_template_families"] = q_template_families
+
+
+def q_crosslang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs that STRADDLE language labels — each one is
+    either a mislabeled document or copied/templated content leaking
+    across language splits (the cross-lingual contamination a
+    per-language dedup pass never sees, because it partitions by lang
+    first).  One lang join onto the memoized verified-pair table;
+    shingle-based, so it catches same-script copies — the honest
+    scope, stated."""
+    pairs = q_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_DUP_MIN
+    )
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    la = langs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
+    )
+    lb = langs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
+    )
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .select("doc_a", "doc_b", "lang_a", "lang_b", "jaccard")
+    )
+
+
+ORACLES["dedup_crosslang_pairs"] = _with(
+    *_MINHASH_PRELUDE,
+    "dsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+    "FROM dsh GROUP BY doc_id)",
+    "dinter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter "
+    "FROM dpairs p JOIN dsh a ON a.doc_id = p.doc_a "
+    "JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle "
+    "GROUP BY p.doc_a, p.doc_b)",
+    "vj AS (SELECT p.doc_a, p.doc_b, "
+    "round(coalesce(i.n_inter, 0) / "
+    "(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard "
+    "FROM dpairs p LEFT JOIN dinter i USING (doc_a, doc_b) "
+    "JOIN dsizes sa ON sa.doc_id = p.doc_a "
+    "JOIN dsizes sb ON sb.doc_id = p.doc_b)",
+) + (
+    "SELECT v.doc_a, v.doc_b, da.lang AS lang_a, db.lang AS lang_b, "
+    "v.jaccard FROM vj v "
+    "JOIN documents da ON da.doc_id = v.doc_a "
+    "JOIN documents db ON db.doc_id = v.doc_b "
+    f"WHERE v.jaccard >= {JACCARD_DUP_MIN} AND da.lang <> db.lang"
+)
+
+QUERIES["dedup_crosslang_pairs"] = q_crosslang_pairs
