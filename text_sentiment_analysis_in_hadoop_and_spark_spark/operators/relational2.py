@@ -1156,3 +1156,78 @@ ORACLES["rel_integrity_checks"] = (
 )
 
 QUERIES["rel_integrity_checks"] = q_integrity_checks
+
+
+MIG_Y1, MIG_Y2 = 1996, 1997
+
+
+def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value migration — the churn-analytics transition
+    matrix: each customer's spend tercile in one year vs the next
+    ('new' and 'churned' are first-class states, not dropped rows).
+    Per-year spend is one conditional aggregate over a single orders
+    pass; tercile fences are per-year 1-row percentile aggregates
+    broadcast back (strict-< ties, the RFM discipline); the matrix is
+    a 4×4-bounded rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_spend(y: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.sum(_cents(F.col("o_totalprice"))).cast("double").alias(alias))
+        )
+
+    s1 = year_spend(MIG_Y1, "v1")
+    s2 = year_spend(MIG_Y2, "v2")
+    f1 = s1.agg(F.expr("percentile(v1, array(0.3333, 0.6667))").alias("b1"))
+    f2 = s2.agg(F.expr("percentile(v2, array(0.3333, 0.6667))").alias("b2"))
+
+    def tercile(v, bounds):
+        return F.when(
+            v.isNull(), F.lit("none")
+        ).otherwise(
+            F.when(v <= F.element_at(bounds, 1), "low")
+            .when(v <= F.element_at(bounds, 2), "mid")
+            .otherwise("high")
+        )
+
+    joined = (
+        s1.join(s2, "o_custkey", "full_outer")
+        .crossJoin(F.broadcast(f1))
+        .crossJoin(F.broadcast(f2))
+    )
+    return joined.groupBy(
+        tercile(F.col("v1"), F.col("b1")).alias("seg_from"),
+        tercile(F.col("v2"), F.col("b2")).alias("seg_to"),
+    ).agg(F.count("*").cast("long").alias("n_customers"))
+
+
+ORACLES["rel_customer_migration"] = (
+    "WITH s1 AS (SELECT o_custkey, "
+    f"CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) AS v1 FROM orders "
+    f"WHERE o_orderdate >= TIMESTAMP '{MIG_Y1}-01-01' "
+    f"AND o_orderdate < TIMESTAMP '{MIG_Y1 + 1}-01-01' GROUP BY o_custkey), "
+    "s2 AS (SELECT o_custkey, "
+    f"CAST(sum({_cents_sql('o_totalprice')}) AS DOUBLE) AS v2 FROM orders "
+    f"WHERE o_orderdate >= TIMESTAMP '{MIG_Y2}-01-01' "
+    f"AND o_orderdate < TIMESTAMP '{MIG_Y2 + 1}-01-01' GROUP BY o_custkey), "
+    "f1 AS (SELECT quantile_cont(v1, 0.3333) AS a, "
+    "quantile_cont(v1, 0.6667) AS b FROM s1), "
+    "f2 AS (SELECT quantile_cont(v2, 0.3333) AS a, "
+    "quantile_cont(v2, 0.6667) AS b FROM s2) "
+    "SELECT CASE WHEN v1 IS NULL THEN 'none' "
+    "WHEN v1 <= f1.a THEN 'low' WHEN v1 <= f1.b THEN 'mid' "
+    "ELSE 'high' END AS seg_from, "
+    "CASE WHEN v2 IS NULL THEN 'none' "
+    "WHEN v2 <= f2.a THEN 'low' WHEN v2 <= f2.b THEN 'mid' "
+    "ELSE 'high' END AS seg_to, "
+    "CAST(count(*) AS BIGINT) AS n_customers "
+    "FROM s1 FULL OUTER JOIN s2 USING (o_custkey) "
+    "CROSS JOIN f1 CROSS JOIN f2 GROUP BY 1, 2"
+)
+
+QUERIES["rel_customer_migration"] = q_customer_migration
