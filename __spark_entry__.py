@@ -26,6 +26,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import windowed
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     asof,
     bpe,
+    experiments,
     graph,
     layout,
     retrieval,
@@ -149,6 +150,7 @@ _MODULE_ORDER = (
     _textstats_late,
     sqlapi_source,
     dedup,
+    experiments,
 )
 
 
