@@ -35,6 +35,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     multimodal,
     nb,
     pipeline,
+    privacy,
     quality,
     relational,
     relational2,
@@ -151,6 +152,7 @@ _MODULE_ORDER = (
     sqlapi_source,
     dedup,
     experiments,
+    privacy,
 )
 
 

@@ -1,0 +1,69 @@
+"""k-anonymity / l-diversity semantics on a crafted customer table
+(operators/privacy.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.privacy import (
+    q_k_anonymity,
+    q_l_diversity,
+    q_risk_by_nation,
+)
+
+
+def _write_customers(tmp_path, rows):
+    """rows: (custkey, nationkey, acctbal, segment)."""
+    d = tmp_path / "cust"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_name": pa.array([f"Customer#{r[0]:09d}" for r in rows]),
+            "c_nationkey": pa.array([r[1] for r in rows], pa.int32()),
+            "c_acctbal": pa.array([float(r[2]) for r in rows], pa.float64()),
+            "c_mktsegment": pa.array([r[3] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, f"{d}/customer.parquet")
+    return str(d)
+
+
+def test_k_anonymity_classes_and_risk(spark, tmp_path):
+    # nation 0: 5 identical-QI records (safe, k=5) + 1 singleton (risky)
+    # nation 1: 2 records in one class (risky, k=2)
+    rows = [(i, 0, 1500.0, "AUTO") for i in range(5)]
+    rows += [(5, 0, 2500.0, "AUTO")]
+    rows += [(6, 1, 500.0, "RAIL"), (7, 1, 500.0, "RAIL")]
+    sf = _write_customers(tmp_path, rows)
+
+    cls = {
+        (r["nationkey"], r["bal_bucket"]): r
+        for r in q_k_anonymity(spark, sf).collect()
+    }
+    assert cls[(0, 1)]["class_size"] == 5 and cls[(0, 1)]["is_risky"] == 0
+    assert cls[(0, 2)]["class_size"] == 1 and cls[(0, 2)]["is_risky"] == 1
+    assert cls[(1, 0)]["class_size"] == 2 and cls[(1, 0)]["is_risky"] == 1
+
+    risk = {r["nationkey"]: r for r in q_risk_by_nation(spark, sf).collect()}
+    assert risk[0]["n_customers"] == 6 and risk[0]["n_risky"] == 1
+    assert abs(risk[0]["risk_share"] - 1 / 6) < 1e-5
+    assert risk[1]["n_risky"] == 2 and risk[1]["risk_share"] == 1.0
+
+
+def test_l_diversity_min_and_share(spark, tmp_path):
+    # nation 0, bucket 1: segments {AUTO, RAIL, SHIP} → l=3 (diverse)
+    # nation 0, bucket 2: segments {AUTO} → l=1 (not diverse)
+    rows = [
+        (0, 0, 1100.0, "AUTO"),
+        (1, 0, 1200.0, "RAIL"),
+        (2, 0, 1300.0, "SHIP"),
+        (3, 0, 2100.0, "AUTO"),
+        (4, 0, 2200.0, "AUTO"),
+    ]
+    sf = _write_customers(tmp_path, rows)
+    out = {r["nationkey"]: r for r in q_l_diversity(spark, sf).collect()}
+    assert out[0]["n_classes"] == 2
+    assert out[0]["min_l"] == 1
+    assert abs(out[0]["diverse_share"] - 0.5) < 1e-9
