@@ -120,8 +120,159 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES: dict[str, str] = {}
+# --- Triangle counting / clustering coefficients --------------------------
+#
+# Third graph op over the same verified near-dup edges: triangles
+# measure how CLIQUE-LIKE a dup family is.  Chain-shaped families
+# (A~B~C but A≁C) are usually template drift — each hop shares
+# boilerplate with the next — while triangle-dense families are true
+# copy clusters; the clustering coefficient separates the two, which
+# picks the scrub strategy (span-level scrub for chains, whole-doc
+# drop for cliques).
+#
+# Scale shape: the edge set is the LSH-candidate→verified pair table
+# (bounded by banding + the hot-bucket cap — never all-pairs).  The
+# triangle join is the canonical a<b<c orientation: every triangle is
+# enumerated exactly once, and orienting edges low→high id bounds each
+# join's fan-out by the max ORIENTED out-degree (the standard
+# degree-orientation trick; with id-orientation the bound is looser
+# but the join stays a pure equi-join on the edge table — 2 shuffles
+# total, both on edge keys).
+
+from .dedup import _CLUSTER_CTES, _with  # noqa: E402  (oracle reuse)
+
+
+def _verified_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (a < b) verified near-dup edges — same memoized source
+    as dedup_clusters/pagerank."""
+    return (
+        q_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_DUP_MIN)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+
+
+def _triangles(edges: DataFrame) -> DataFrame:
+    """(a, b, c) with a < b < c, each triangle exactly once."""
+    e1 = edges.select(F.col("a"), F.col("b"))
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+
+
+def q_graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census: triangle count, wedge (open-triad)
+    count, and the global clustering coefficient 3·T / W."""
+    edges = _verified_edges(spark, sf_dir)
+    tri = _triangles(edges).agg(F.count("*").alias("n_triangles"))
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    wedges = deg.agg(
+        F.coalesce(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2), F.lit(0.0)
+        )
+        .cast("long")
+        .alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(wedges)
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    )
+
+
+def q_graph_node_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree, triangle membership, and local clustering
+    coefficient 2·T(v) / (deg·(deg−1)) over the connected subgraph."""
+    edges = _verified_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    tri = _triangles(edges)
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("local_clustering"),
+        )
+    )
+
+
+_TRI_CTES = _CLUSTER_CTES[:-2] + (
+    f"uedges AS (SELECT doc_a AS a, doc_b AS b FROM djac "
+    f"WHERE jaccard >= {JACCARD_DUP_MIN})",
+    "tri AS (SELECT e1.a, e1.b, e2.b AS c FROM uedges e1 "
+    "JOIN uedges e2 ON e2.a = e1.b "
+    "JOIN uedges e3 ON e3.a = e1.a AND e3.b = e2.b)",
+    "gdeg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM ("
+    "SELECT a AS node FROM uedges UNION ALL SELECT b FROM uedges"
+    ") GROUP BY node)",
+)
+
+ORACLES: dict[str, str] = {
+    "graph_triangle_stats": _with(*_TRI_CTES)
+    + "SELECT (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles, "
+    "(SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) "
+    "FROM gdeg) AS n_wedges, "
+    "CASE WHEN (SELECT sum(deg * (deg - 1) // 2) FROM gdeg) > 0 "
+    "THEN round(3.0 * (SELECT count(*) FROM tri) / "
+    "(SELECT sum(deg * (deg - 1) // 2) FROM gdeg), 6) ELSE 0.0 END "
+    "AS global_clustering",
+    "graph_node_clustering": _with(
+        *_TRI_CTES,
+        "ntri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles "
+        "FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri "
+        "UNION ALL SELECT c FROM tri) GROUP BY node)",
+    )
+    + "SELECT d.node, d.deg, "
+    "CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles, "
+    "CASE WHEN d.deg >= 2 THEN round(2.0 * coalesce(t.n_triangles, 0) / "
+    "(d.deg * (d.deg - 1)), 6) ELSE 0.0 END AS local_clustering "
+    "FROM gdeg d LEFT JOIN ntri t USING (node)",
+}
 
 QUERIES = {
     "dedup_pagerank": q_dedup_pagerank,
+    "graph_triangle_stats": q_graph_triangle_stats,
+    "graph_node_clustering": q_graph_node_clustering,
 }
