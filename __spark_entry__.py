@@ -40,6 +40,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     relational,
     relational2,
     similarity,
+    spectral,
     textstats,
     tfidf,
 )
@@ -153,6 +154,7 @@ _MODULE_ORDER = (
     dedup,
     experiments,
     privacy,
+    spectral,
 )
 
 
@@ -223,6 +225,8 @@ _ROWS_ONLY = frozenset(
         "events_stickiness_sketch",  # mergeable HLL union — twin test
         "pipe_pack_ffd",  # data-dependent first-fit loop — dominance tests
         "text_compressibility",  # real zlib — ordering/determinism tests
+        "sim_pca_components",  # power-iteration eigensolve — invariant tests
+        "sim_pca_project",  # consumes the learned axes — same fit
     }
 )
 
