@@ -26,6 +26,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import windowed
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     asof,
     bpe,
+    er,
     experiments,
     graph,
     layout,
@@ -155,6 +156,7 @@ _MODULE_ORDER = (
     experiments,
     privacy,
     spectral,
+    er,
 )
 
 

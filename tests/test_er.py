@@ -1,0 +1,72 @@
+"""Blocked fuzzy-join and curriculum-staging semantics on crafted
+documents (operators/er.py, operators/pipeline.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.er import (
+    q_er_blocks,
+    q_er_fuzzy_pairs,
+)
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+    q_curriculum,
+)
+
+
+def _write_docs(tmp_path, rows, name="docs"):
+    """rows: (doc_id, text, lang, source)."""
+    d = tmp_path / name
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_fuzzy_pairs_found_within_block_only(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    typo = "the quick brown fax jumps over the lazy dog again and again"
+    far = "completely different text that shares no prefix with the others"
+    other_block = base * 3  # same lang, different length bucket
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, base, "en", "s0"),
+            (2, typo, "en", "s0"),
+            (3, far, "en", "s0"),
+            (4, base, "de", "s0"),  # different lang → different block
+            (5, other_block, "en", "s0"),
+        ],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in q_er_fuzzy_pairs(spark, sf).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)]["lev"] == 1
+    assert (1, 4) not in pairs  # lang block boundary respected
+    assert (1, 5) not in pairs  # length block boundary respected
+    assert (1, 3) not in pairs  # beyond LEV_MAX
+
+    blocks = {
+        (r["b_lang"], r["b_len"]): r for r in q_er_blocks(spark, sf).collect()
+    }
+    assert blocks[("en", 0)]["n_docs"] == 3
+    assert blocks[("en", 0)]["n_cand_pairs"] == 3
+    assert blocks[("de", 0)]["n_docs"] == 1
+
+
+def test_curriculum_quartile_stages(spark, tmp_path):
+    # lengths 1..8 → quartile boundaries 2.75 / 4.5 / 6.25 →
+    # stages of exactly 2 docs each, ordered by length
+    rows = [(i, "x" * i, "en", "s0") for i in range(1, 9)]
+    sf = _write_docs(tmp_path, rows)
+    out = {r["stage"]: r for r in q_curriculum(spark, sf).collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    assert all(out[s]["n_docs"] == 2 for s in out)
+    assert out[1]["max_chars"] == 2 and out[4]["min_chars"] == 7

@@ -1799,3 +1799,61 @@ ORACLES["dedup_crosslang_pairs"] = _with(
 )
 
 QUERIES["dedup_crosslang_pairs"] = q_crosslang_pairs
+
+
+def q_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE leakage matrix: verified near-dup pair counts and
+    mean similarity per unordered (source, source) cell — the "how
+    much of crawl A is recycled in crawl B" readout that decides
+    whether two snapshots can both enter a training mix (the
+    cross-language twin above catches translations; this catches
+    re-crawls and mirrors within one language).
+
+    Scale: consumes the memoized verified-pair cache (candidates only,
+    never all-pairs); two doc_id-keyed dimension joins; the rollup
+    groups on a (sources²)-bounded key — tiny state."""
+    pairs = q_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= JACCARD_DUP_MIN
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        )
+    )
+
+
+ORACLES["dedup_source_leakage"] = _with(
+    *_MINHASH_PRELUDE,
+    "dsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+    "FROM dsh GROUP BY doc_id)",
+    "dinter AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter "
+    "FROM dpairs p JOIN dsh a ON a.doc_id = p.doc_a "
+    "JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle "
+    "GROUP BY p.doc_a, p.doc_b)",
+    "vj AS (SELECT p.doc_a, p.doc_b, "
+    "round(coalesce(i.n_inter, 0) / "
+    "(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard "
+    "FROM dpairs p LEFT JOIN dinter i USING (doc_a, doc_b) "
+    "JOIN dsizes sa ON sa.doc_id = p.doc_a "
+    "JOIN dsizes sb ON sb.doc_id = p.doc_b)",
+) + (
+    "SELECT least(da.source, db.source) AS source_lo, "
+    "greatest(da.source, db.source) AS source_hi, "
+    "CAST(count(*) AS BIGINT) AS n_pairs, "
+    "round(avg(v.jaccard), 6) AS mean_jaccard FROM vj v "
+    "JOIN documents da ON da.doc_id = v.doc_a "
+    "JOIN documents db ON db.doc_id = v.doc_b "
+    f"WHERE v.jaccard >= {JACCARD_DUP_MIN} GROUP BY 1, 2"
+)
+
+QUERIES["dedup_source_leakage"] = q_source_leakage

@@ -1,0 +1,120 @@
+"""Entity resolution: blocked fuzzy-similarity join over documents
+(engine extension — the classic record-linkage shape: BLOCK on cheap
+deterministic keys, then run an expensive edit-distance verify only
+within blocks; Fellegi–Sunter linkage and every dedupe system since).
+
+MinHash/SimHash (dedup.py) catch token-set overlap; edit distance
+catches CHARACTER-level near-misses those miss (typo variants, OCR
+noise, small in-place edits that keep length but shift many tokens).
+
+- ``er_blocks`` — the blocking-key audit: block sizes and the
+  candidate-pair count each block contributes (the quadratic cost the
+  cap bounds), plus how many blocks the cap drops.
+- ``er_fuzzy_pairs`` — within-block pairs (a < b) whose normalized
+  64-char prefixes are within ``LEV_MAX`` edits, with the distance.
+
+Scale shape: the block key (lang, length bucket) is an equi-join key,
+so candidates form by co-partitioned self-join — never a cross
+product.  Oversized blocks (> ``BLOCK_CAP`` docs) are dropped
+deterministically BEFORE the quadratic verify — same discipline as
+the LSH hot-bucket cap: a block that big is a boilerplate family, not
+a linkage candidate set, and at 100 TB one hot block would otherwise
+dominate the stage.  ``levenshtein`` is a JVM built-in (no UDF), and
+the O(L²) edit-distance DP is bounded by comparing fixed 64-char
+prefixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+LEN_BUCKET = 100  # n_chars DIV 100 → same-length-scale docs only
+BLOCK_CAP = 500  # quadratic-verify bound per block
+LEV_MAX = 20  # max edits over the 64-char prefix
+PREFIX_LEN = 64
+
+
+def _blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("b_lang"),
+        F.expr(f"n_chars DIV {LEN_BUCKET}").alias("b_len"),
+        F.substring(F.col("text"), 1, PREFIX_LEN).alias("prefix"),
+    )
+
+
+def q_er_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _blocked(spark, sf_dir)
+    return b.groupBy("b_lang", "b_len").agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") * (F.count("*") - 1) / 2).cast("long").alias(
+            "n_cand_pairs"
+        ),
+        (F.count("*") > BLOCK_CAP).cast("int").alias("capped"),
+    )
+
+
+def q_er_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _blocked(spark, sf_dir)
+    sizes = b.groupBy("b_lang", "b_len").agg(F.count("*").alias("n"))
+    small = b.join(
+        F.broadcast(sizes.filter(F.col("n") <= BLOCK_CAP)),
+        ["b_lang", "b_len"],
+    ).drop("n")
+    left = small.select(
+        "b_lang",
+        "b_len",
+        F.col("doc_id").alias("doc_a"),
+        F.col("prefix").alias("pref_a"),
+    )
+    right = small.select(
+        "b_lang",
+        "b_len",
+        F.col("doc_id").alias("doc_b"),
+        F.col("prefix").alias("pref_b"),
+    )
+    return (
+        left.join(right, ["b_lang", "b_len"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("lev", F.levenshtein("pref_a", "pref_b"))
+        .filter(F.col("lev") <= LEV_MAX)
+        .select("doc_a", "doc_b", "b_lang", "b_len", "lev")
+    )
+
+
+_BLK = (
+    "blk AS (SELECT doc_id, lang AS b_lang, "
+    f"n_chars // {LEN_BUCKET} AS b_len, "
+    f"substr(text, 1, {PREFIX_LEN}) AS prefix FROM documents)"
+)
+
+ORACLES: dict[str, str] = {
+    "er_blocks": (
+        f"WITH {_BLK} "
+        "SELECT b_lang, b_len, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_cand_pairs, "
+        f"CAST(count(*) > {BLOCK_CAP} AS INTEGER) AS capped "
+        "FROM blk GROUP BY 1, 2"
+    ),
+    "er_fuzzy_pairs": (
+        f"WITH {_BLK}, "
+        "sizes AS (SELECT b_lang, b_len, count(*) AS n FROM blk "
+        "GROUP BY 1, 2), "
+        "small AS (SELECT b.* FROM blk b JOIN sizes s USING (b_lang, b_len) "
+        f"WHERE s.n <= {BLOCK_CAP}) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.b_lang, a.b_len, "
+        "CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS lev "
+        "FROM small a JOIN small b USING (b_lang, b_len) "
+        "WHERE a.doc_id < b.doc_id "
+        f"AND levenshtein(a.prefix, b.prefix) <= {LEV_MAX}"
+    ),
+}
+
+QUERIES = {
+    "er_blocks": q_er_blocks,
+    "er_fuzzy_pairs": q_er_fuzzy_pairs,
+}

@@ -1113,3 +1113,58 @@ ORACLES_LATE["pipe_water_filling"] = (
 )
 
 QUERIES_LATE["pipe_water_filling"] = q_water_filling
+
+
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: quartile-bucket documents by length (the
+    simplest difficulty proxy) into 4 training stages and summarize
+    each stage — the easy→hard ordering curriculum-learning schedules
+    feed the trainer.
+
+    Scale shape: the quartile boundaries are ONE exact-percentile
+    aggregate broadcast back (S5 scalar side input); staging is then a
+    narrow comparison map and the rollup has 4 groups.  No global
+    ntile() window (which would move the whole corpus to one
+    partition) — that is the trap this query exists to demonstrate
+    avoiding."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    qs = docs.agg(
+        F.expr(
+            "percentile(n_chars, array(0.25, 0.5, 0.75))"
+        ).alias("qs")
+    ).select(
+        F.col("qs")[0].alias("q1"),
+        F.col("qs")[1].alias("q2"),
+        F.col("qs")[2].alias("q3"),
+    )
+    staged = docs.crossJoin(F.broadcast(qs)).select(
+        "doc_id",
+        "n_chars",
+        (
+            F.lit(1)
+            + (F.col("n_chars") > F.col("q1")).cast("int")
+            + (F.col("n_chars") > F.col("q2")).cast("int")
+            + (F.col("n_chars") > F.col("q3")).cast("int")
+        ).alias("stage"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+ORACLES_LATE["pipe_curriculum"] = (
+    "WITH qs AS (SELECT quantile_cont(n_chars, 0.25) AS q1, "
+    "quantile_cont(n_chars, 0.5) AS q2, "
+    "quantile_cont(n_chars, 0.75) AS q3 FROM documents), "
+    "staged AS (SELECT doc_id, n_chars, "
+    "1 + CAST(n_chars > q1 AS INTEGER) + CAST(n_chars > q2 AS INTEGER) "
+    "+ CAST(n_chars > q3 AS INTEGER) AS stage FROM documents, qs) "
+    "SELECT stage, CAST(count(*) AS BIGINT) AS n_docs, "
+    "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+    "round(avg(n_chars), 6) AS avg_chars FROM staged GROUP BY stage"
+)
+
+QUERIES_LATE["pipe_curriculum"] = q_curriculum
