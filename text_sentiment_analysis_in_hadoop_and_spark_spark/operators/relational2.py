@@ -1231,3 +1231,43 @@ ORACLES["rel_customer_migration"] = (
 )
 
 QUERIES["rel_customer_migration"] = q_customer_migration
+
+
+def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit for the orders⋈lineitem fact join: the
+    per-orderkey row-count distribution (avg / p99 / max / top-1-key
+    share).  This is the measurement that decides the join strategy at
+    scale — a top-1 share near uniform means plain shuffle-hash is
+    fine; a hot key means salting or AQE skew-split (functions/skew.py
+    implements the cure; this query is the diagnosis).
+
+    Scale: one partial-agg groupBy on the join key, then a 1-row
+    summary over the (keys-sized) count table with an exact
+    percentile — no sort of the fact table itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_rows").alias("n_rows_total"),
+        F.round(F.avg("n_rows"), 6).alias("avg_rows_per_key"),
+        F.round(F.expr("percentile(n_rows, 0.99)"), 6).alias("p99_rows"),
+        F.max("n_rows").alias("max_rows"),
+        F.round(F.max("n_rows") / F.sum("n_rows"), 6).alias("top1_share"),
+    )
+
+
+ORACLES["rel_join_skew_audit"] = (
+    "WITH pk AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_rows "
+    "FROM lineitem GROUP BY l_orderkey) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_keys, "
+    "CAST(sum(n_rows) AS BIGINT) AS n_rows_total, "
+    "round(avg(n_rows), 6) AS avg_rows_per_key, "
+    "round(quantile_cont(n_rows, 0.99), 6) AS p99_rows, "
+    "max(n_rows) AS max_rows, "
+    "round(max(n_rows) / CAST(sum(n_rows) AS DOUBLE), 6) AS top1_share "
+    "FROM pk"
+)
+
+QUERIES["rel_join_skew_audit"] = q_join_skew_audit

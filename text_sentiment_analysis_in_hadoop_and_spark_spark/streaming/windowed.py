@@ -1335,3 +1335,72 @@ QUERIES = {
     "events_hourly_pivot": q_events_hourly_pivot,
     "events_funnel": q_events_funnel,
 }
+
+
+MAD_K = 1.4826  # normal-consistency constant
+MAD_FENCE = 3.0
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier census: median / MAD (median absolute
+    deviation) fences instead of mean/stddev — a fat-tailed value
+    column shifts the mean-based fence until real anomalies pass, while
+    the median/MAD fence stays put (the robust-statistics twin of
+    events_anomaly's z-scores).
+
+    Scale: two grouped EXACT percentiles over the same event_type key
+    (bounded group count), each result broadcast back — never a global
+    sort; the outlier count is a narrow comparison map."""
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                (
+                    F.col("adev") > MAD_FENCE * MAD_K * F.col("mad")
+                ).cast("bigint")
+            ).alias("n_outliers"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("adev") > MAD_FENCE * MAD_K * F.col("mad")
+                    ).cast("bigint")
+                )
+                / F.count("*"),
+                6,
+            ).alias("outlier_share"),
+        )
+    )
+
+
+ORACLES_LATE["events_mad_outliers"] = (
+    "WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med "
+    "FROM events GROUP BY 1), "
+    "d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev "
+    "FROM events e JOIN m USING (event_type)), "
+    "md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad "
+    "FROM d GROUP BY 1) "
+    "SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    "round(max(d.med), 6) AS median_value, "
+    "round(max(md.mad), 6) AS mad, "
+    f"CAST(sum(CASE WHEN d.adev > {MAD_FENCE} * {MAD_K} * md.mad "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, "
+    f"round(sum(CASE WHEN d.adev > {MAD_FENCE} * {MAD_K} * md.mad "
+    "THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS outlier_share "
+    "FROM d JOIN md USING (event_type) GROUP BY d.event_type"
+)
+
+QUERIES_LATE["events_mad_outliers"] = q_events_mad_outliers
