@@ -1271,3 +1271,67 @@ ORACLES["rel_join_skew_audit"] = (
 )
 
 QUERIES["rel_join_skew_audit"] = q_join_skew_audit
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand QUANTITY-WEIGHTED median unit price — the robust
+    "typical selling price" (an unweighted median over line items
+    overweights small orders; weighting by quantity answers "the
+    median UNIT sold went for X").
+
+    Shape: broadcast dim join → (brand, price)-grouped partial agg →
+    ONE cumulative window PARTITIONED by brand over the price-distinct
+    rollup (thousands of independent partitions, bounded rows each —
+    never a global sort of the fact table) → min price crossing half
+    the total weight."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("price"),
+        F.col("l_quantity").alias("w"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(F.col("p_brand").alias("brand"), "price", "w")
+    pp = j.groupBy("brand", "price").agg(
+        F.sum("w").alias("w"), F.count("*").cast("long").alias("n")
+    )
+    win = (
+        Window.partitionBy("brand")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pp.withColumn("cumw", F.sum("w").over(win))
+    tot = pp.groupBy("brand").agg(
+        F.sum("w").alias("tot"), F.sum("n").alias("n_lineitems")
+    )
+    return (
+        cum.join(tot, "brand")
+        .filter(F.col("cumw") >= F.col("tot") / 2)
+        .groupBy("brand")
+        .agg(
+            F.round(F.min("price"), 6).alias("weighted_median_price"),
+            F.max("n_lineitems").alias("n_lineitems"),
+        )
+    )
+
+
+ORACLES["rel_weighted_median_price"] = (
+    "WITH j AS (SELECT p.p_brand AS brand, "
+    "l.l_extendedprice / l.l_quantity AS price, l.l_quantity AS w "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey), "
+    "pp AS (SELECT brand, price, sum(w) AS w, "
+    "CAST(count(*) AS BIGINT) AS n FROM j GROUP BY brand, price), "
+    "cum AS (SELECT brand, price, "
+    "sum(w) OVER (PARTITION BY brand ORDER BY price "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw "
+    "FROM pp), "
+    "tot AS (SELECT brand, sum(w) AS tot, "
+    "CAST(sum(n) AS BIGINT) AS n_lineitems FROM pp GROUP BY brand) "
+    "SELECT c.brand, round(min(c.price), 6) AS weighted_median_price, "
+    "max(t.n_lineitems) AS n_lineitems "
+    "FROM cum c JOIN tot t USING (brand) "
+    "WHERE c.cumw >= t.tot / 2 GROUP BY c.brand"
+)
+
+QUERIES["rel_weighted_median_price"] = q_weighted_median_price
