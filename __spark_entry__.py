@@ -121,6 +121,11 @@ _textstats_late = SimpleNamespace(
     QUERIES=textstats.QUERIES_LATE,
     ORACLES=textstats.ORACLES_LATE,
 )
+_tfidf_late = SimpleNamespace(
+    __name__="tfidf_late",
+    QUERIES=tfidf.QUERIES_LATE,
+    ORACLES=tfidf.ORACLES_LATE,
+)
 
 
 _MODULE_ORDER = (
@@ -157,6 +162,7 @@ _MODULE_ORDER = (
     privacy,
     spectral,
     er,
+    _tfidf_late,
 )
 
 

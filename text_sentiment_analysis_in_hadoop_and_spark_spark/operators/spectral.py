@@ -203,3 +203,54 @@ QUERIES = {
     "sim_pca_components": q_pca_components,
     "sim_pca_project": q_pca_project,
 }
+
+
+def q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std of the embedding column — the feature-
+    scaling audit (a dimension whose std collapses to ~0 is dead
+    weight in every distance computation; one drifting off-center
+    breaks dot-product ANN).  Reuses the covariance partials: the
+    diagonal cells carry exactly the Σx and Σx² each dimension needs,
+    so the scan stays ONE Arrow-batched pass with constant-size
+    partials — never a 64× posexplode row blow-up."""
+    partials = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .mapInPandas(_cov_partials, schema=_PARTIAL_SCHEMA)
+    )
+    diag = partials.filter(F.col("i") == F.col("j"))
+    return (
+        diag.groupBy("i")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s_i").alias("s"),
+            F.sum("q_ij").alias("q"),
+        )
+        .select(
+            "i",
+            (F.round(F.col("s") / F.col("n"), 6) + F.lit(0.0)).alias("mean"),
+            (
+                F.round(
+                    F.sqrt(
+                        F.col("q") / F.col("n")
+                        - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("std"),
+        )
+    )
+
+
+ORACLES["sim_dim_stats"] = (
+    "WITH ex AS (SELECT vec_id, "
+    "generate_subscripts(embedding, 1) - 1 AS i, "
+    "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) "
+    "SELECT CAST(i AS INTEGER) AS i, "
+    "round(avg(x), 6) + 0.0 AS mean, "
+    "round(stddev_pop(x), 6) + 0.0 AS std "
+    "FROM ex GROUP BY i"
+)
+
+QUERIES["sim_dim_stats"] = q_dim_stats

@@ -539,3 +539,51 @@ QUERIES = {
     "tfidf_nb_accuracy": q_accuracy,
     "tfidf_nb_f1_metrics": q_f1_metrics,
 }
+
+
+# --- late additions (registered past the driver window via the
+# _tfidf_late namespace in __spark_entry__.py, per the rotation
+# policy: never grow an in-window module's QUERIES mid-round) --------------
+
+TOP_KEYWORDS = 3
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keyword extraction — the document-
+    tagging readout built on the M10 score table (reference computes
+    the scores for feature selection, Spark/TFIDF/src/main/scala/
+    TFIDF.scala; keyword extraction is the other classic consumer).
+
+    Rank is over the ROUNDED score with the word as tie-break, so the
+    ordering is bit-stable across engines.  Scale: one doc-partitioned
+    row_number window over the already-aggregated score table — same
+    shape as W1 feature selection."""
+    docs = labeled_docs(spark, sf_dir)
+    n_tweets = docs.filter(train_filter()).count()
+    scored = tfidf_scored(spark, sf_dir, n_tweets).select(
+        "doc_id", "word", F.round("tfidf", 6).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_KEYWORDS)
+        .select("doc_id", "rank", "word", "tfidf")
+    )
+
+
+ORACLES_LATE: dict[str, str] = {
+    "tfidf_keywords": with_ctes(
+        *_BASE, _WC_CTE, _NTRAIN_CTE, _SCORED_TFIDF_CTE
+    )
+    + "SELECT doc_id, rank, word, tfidf FROM ("
+    "SELECT doc_id, word, round(tfidf, 6) AS tfidf, "
+    "row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY round(tfidf, 6) DESC, word) AS rank FROM tscore) "
+    f"WHERE rank <= {TOP_KEYWORDS}",
+}
+
+QUERIES_LATE = {
+    "tfidf_keywords": q_tfidf_keywords,
+}
