@@ -88,9 +88,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #   similarity/textstats late namespaces, the relational2 tail, and
 #   the new jsonl/sqlapi/bpe/graph/retrieval/layout modules) land past
 #   the cap at slots 50+; tests/test_registration.py pins the head
-#   either way.  r6 rotation TODO: promote the r5 additions (all
-#   locally parity-green at sf0.001 AND sf0.01 — see tools/parity.py)
-#   into the window the way r5 promoted the r4 tail.
+#   either way.  The r5 continuation session added 20 more queries
+#   (experiments/privacy/spectral/er modules + graph triangles,
+#   dedup_source_leakage, pipe_curriculum, events_mad_outliers,
+#   rel_join_skew_audit, rel_weighted_median_price, tfidf_keywords via
+#   its late namespace) — all registered past the cap, all
+#   parity-green at sf0.001 AND sf0.01.  r6 rotation TODO: promote the
+#   r5 additions (everything never driver-checked, ~80 queries — more
+#   than one window; lead with the oldest-added) into the window the
+#   way r5 promoted the r4 tail.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
