@@ -110,9 +110,26 @@ def streaming_bench_entries(
             q.stop()
         assert emitted and emitted[0] > 0
 
+    def scd2_builder() -> None:
+        from .scd2 import scd2_stream
+
+        closed: list[int] = []
+        q = (
+            scd2_stream(spark, events_land)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: closed.append(df.count()))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert closed and closed[0] > 0
+
     return {
         "stream_ingest_probe": ingest_probe,
         "stream_interval_join": interval_join,
         "stream_exactly_once_sink": exactly_once_sink,
         "stream_upsert_view": upsert_view,
+        "stream_scd2_builder": scd2_builder,
     }

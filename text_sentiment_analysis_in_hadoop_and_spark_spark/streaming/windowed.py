@@ -1404,3 +1404,78 @@ ORACLES_LATE["events_mad_outliers"] = (
 )
 
 QUERIES_LATE["events_mad_outliers"] = q_events_mad_outliers
+
+
+SLO_BUDGET = 0.25  # error-share budget (the corpus runs ~20% errors)
+BURN_ALERT = 1.2  # multiplier: page when BOTH windows burn this fast
+
+
+def q_events_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE multi-window burn-rate monitor: per-hour error share over
+    the short (1 bucket) and long (trailing 6 observed buckets)
+    windows, burn = share / budget, and the page-worthy flag only when
+    BOTH windows burn > BURN_ALERT× (the Google SRE workbook rule —
+    the short window catches onset, the long window filters blips).
+
+    Scale: the trailing window runs over the HOURLY ROLLUP (bounded:
+    hours, not events) — the same tiny-aggregate global window shape
+    as the user-growth curve; the fact scan aggregates once.  The
+    trailing frame is ROWS-based over observed buckets (zero-event
+    hours don't materialize), identical on both engines."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        (F.expr("epoch_sec DIV 3600") * 3600).cast("long").alias("hour_epoch")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias(
+            "n_errors"
+        ),
+    )
+    w6 = Window.orderBy("hour_epoch").rowsBetween(-5, 0)
+    rated = hourly.select(
+        "hour_epoch",
+        "n_events",
+        "n_errors",
+        (F.col("n_errors") / F.col("n_events")).alias("short_rate"),
+        (F.sum("n_errors").over(w6) / F.sum("n_events").over(w6)).alias(
+            "long_rate"
+        ),
+    )
+    return rated.select(
+        "hour_epoch",
+        "n_events",
+        "n_errors",
+        F.round("short_rate", 6).alias("short_rate"),
+        F.round("long_rate", 6).alias("long_rate"),
+        F.round(F.col("short_rate") / SLO_BUDGET, 6).alias("short_burn"),
+        (
+            (F.col("short_rate") / SLO_BUDGET > BURN_ALERT)
+            & (F.col("long_rate") / SLO_BUDGET > BURN_ALERT)
+        )
+        .cast("int")
+        .alias("page"),
+    )
+
+
+ORACLES_LATE["events_burn_rate"] = (
+    "WITH hourly AS (SELECT "
+    "CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT) AS hour_epoch, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_errors FROM events GROUP BY 1), "
+    "rated AS (SELECT hour_epoch, n_events, n_errors, "
+    "n_errors / CAST(n_events AS DOUBLE) AS short_rate, "
+    "sum(n_errors) OVER w / CAST(sum(n_events) OVER w AS DOUBLE) "
+    "AS long_rate FROM hourly "
+    "WINDOW w AS (ORDER BY hour_epoch "
+    "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)) "
+    "SELECT hour_epoch, n_events, n_errors, "
+    "round(short_rate, 6) AS short_rate, "
+    "round(long_rate, 6) AS long_rate, "
+    f"round(short_rate / {SLO_BUDGET}, 6) AS short_burn, "
+    f"CAST(short_rate / {SLO_BUDGET} > {BURN_ALERT} "
+    f"AND long_rate / {SLO_BUDGET} > {BURN_ALERT} AS INTEGER) AS page "
+    "FROM rated"
+)
+
+QUERIES_LATE["events_burn_rate"] = q_events_burn_rate
