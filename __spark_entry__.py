@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import csv as csv_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import jsonl as jsonl_source
+from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import orc as orc_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import sqlapi as sqlapi_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import enrich as streaming_enrich
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import joins as streaming_joins
@@ -169,6 +170,7 @@ _MODULE_ORDER = (
     spectral,
     er,
     _tfidf_late,
+    orc_source,
 )
 
 
