@@ -31,6 +31,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     experiments,
     graph,
     layout,
+    merge,
     retrieval,
     dedup,
     ml,
@@ -171,6 +172,7 @@ _MODULE_ORDER = (
     er,
     _tfidf_late,
     orc_source,
+    merge,
 )
 
 

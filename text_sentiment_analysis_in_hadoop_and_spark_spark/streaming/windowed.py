@@ -1479,3 +1479,84 @@ ORACLES_LATE["events_burn_rate"] = (
 )
 
 QUERIES_LATE["events_burn_rate"] = q_events_burn_rate
+
+
+ACTIVITY_WINDOW_SEC = 1800
+
+
+def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency per event type: each event opens a
+    30-minute activity interval; the answer is the max number of
+    simultaneously open intervals (capacity planning's "how many
+    concurrent is peak load").
+
+    The textbook sweep is ONE global running sum over ±1 deltas — a
+    single-partition window at scale.  This decomposes it exactly:
+    running sums restart per (type, DAY) partition (thousands of
+    bounded partitions), and each day adds the cumulative sum of all
+    PRIOR days' deltas — a days-sized rollup window — as a broadcast
+    offset.  partial + offset ≡ the global running sum, and the
+    per-type MAX is invariant to tie order among equal (t, delta)
+    rows, so only the peak is exposed.
+
+    Intervals straddling midnight stay correct: a start counted on
+    day d carries into day d+1 through the offset (its −1 lands at
+    its true end time, not at the boundary)."""
+    ev = load_events(spark, sf_dir).select("event_type", "epoch_sec")
+    starts = ev.select(
+        "event_type", F.col("epoch_sec").alias("s"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("epoch_sec") + ACTIVITY_WINDOW_SEC).alias("s"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = starts.unionByName(ends).withColumn(
+        "day", F.expr(f"s DIV {DAY_SEC}")
+    )
+    w_in = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("s", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partial = deltas.withColumn("run_in_day", F.sum("delta").over(w_in))
+    day_tot = deltas.groupBy("event_type", "day").agg(
+        F.sum("delta").alias("day_sum")
+    )
+    w_days = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = day_tot.select(
+        "event_type",
+        "day",
+        F.coalesce(F.sum("day_sum").over(w_days), F.lit(0)).alias("offset"),
+    )
+    run = partial.join(offsets, ["event_type", "day"]).select(
+        "event_type",
+        (F.col("run_in_day") + F.col("offset")).alias("concurrency"),
+        "delta",
+    )
+    return run.groupBy("event_type").agg(
+        F.max("concurrency").cast("long").alias("peak_concurrency"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_intervals"),
+    )
+
+
+ORACLES_LATE["events_peak_concurrency"] = (
+    "WITH b AS (SELECT event_type, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s FROM events), "
+    "d AS (SELECT event_type, s, 1 AS delta FROM b "
+    f"UNION ALL SELECT event_type, s + {ACTIVITY_WINDOW_SEC}, -1 FROM b), "
+    "r AS (SELECT event_type, delta, sum(delta) OVER ("
+    "PARTITION BY event_type ORDER BY s, delta "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM d) "
+    "SELECT event_type, CAST(max(c) AS BIGINT) AS peak_concurrency, "
+    "CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_intervals FROM r GROUP BY event_type"
+)
+
+QUERIES_LATE["events_peak_concurrency"] = q_events_peak_concurrency
