@@ -1305,3 +1305,101 @@ ORACLES["sim_cosine_calibration"] = (
 )
 
 QUERIES["sim_cosine_calibration"] = q_cosine_calibration
+
+
+# --- kNN leave-one-out label evaluation -----------------------------------
+
+KNN_K = 5
+KNN_QUERY_MOD = 5  # deterministic 20% evaluation sample
+
+
+def q_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality as a LABEL metric: leave-one-out 5-NN
+    majority-vote accuracy per class over a deterministic 20% query
+    sample — the "are these embeddings worth indexing" eval that runs
+    before any ANN index is built (chance accuracy = labels are noise;
+    high accuracy = the space separates classes).
+
+    Exactness contract: EXACT brute-force neighbors (query side
+    broadcast — BroadcastNestedLoopJoin, never a shuffled cartesian),
+    rank on the ROUNDED cosine with vec_id tie-break so both engines
+    pick identical neighbor sets.  At production scale the identical
+    vote/accuracy rollup runs over sim_topk_lsh/ivf candidates
+    instead — this query is also the ground-truth the recall reports
+    compare those against."""
+    emb = _emb_with_norm(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    corpus = emb.join(labels, "vec_id").select(
+        "vec_id", "embedding", "nrm", F.col("label").alias("n_label")
+    )
+    queries = (
+        corpus.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("n_label").alias("q_label"),
+        )
+    )
+    pairs = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "q_label",
+            "vec_id",
+            "n_label",
+            F.round(
+                dot(F.col("embedding"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    nn = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KNN_K
+    )
+    votes = nn.groupBy("qid", "q_label", "n_label").agg(
+        F.count("*").alias("c")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("qid", "q_label", F.col("n_label").alias("pred"))
+    )
+    return pred.groupBy(F.col("q_label").alias("label")).agg(
+        F.count("*").alias("n_queries"),
+        F.sum((F.col("pred") == F.col("q_label")).cast("bigint")).alias(
+            "n_correct"
+        ),
+        F.round(
+            F.sum((F.col("pred") == F.col("q_label")).cast("bigint"))
+            / F.count("*"),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+ORACLES_LATE["sim_knn_loo_accuracy"] = (
+    "WITH q AS (SELECT vec_id AS qid, embedding AS q_emb, label AS q_label "
+    f"FROM embeddings WHERE vec_id % {KNN_QUERY_MOD} = 0), "
+    "p AS (SELECT q.qid, q.q_label, c.vec_id, c.label AS n_label, "
+    f"round({_cos_sql('c.embedding', 'q.q_emb')}, 6) AS cos "
+    "FROM embeddings c JOIN q ON c.vec_id <> q.qid), "
+    "r AS (SELECT qid, q_label, n_label, row_number() OVER ("
+    "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM p), "
+    f"v AS (SELECT qid, q_label, n_label, count(*) AS c FROM r "
+    f"WHERE rn <= {KNN_K} GROUP BY 1, 2, 3), "
+    "m AS (SELECT qid, q_label, n_label AS pred FROM ("
+    "SELECT qid, q_label, n_label, c, row_number() OVER ("
+    "PARTITION BY qid ORDER BY c DESC, n_label) AS vr FROM v) WHERE vr = 1) "
+    "SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_queries, "
+    "CAST(sum(CASE WHEN pred = q_label THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_correct, "
+    "round(sum(CASE WHEN pred = q_label THEN 1 ELSE 0 END) "
+    "/ CAST(count(*) AS DOUBLE), 6) AS accuracy FROM m GROUP BY q_label"
+)
+
+QUERIES_LATE["sim_knn_loo_accuracy"] = q_knn_loo_accuracy

@@ -824,3 +824,48 @@ ORACLES_LATE["text_token_coverage"] = (
 )
 
 QUERIES_LATE["text_token_coverage"] = q_token_coverage
+
+
+def q_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE-ish tokens per
+    whitespace word and characters per token.  The multilingual
+    tokenizer-budget chart — a language whose fertility runs far above
+    the corpus mean pays proportionally more sequence length for the
+    same content, which skews both training mixture mass and serving
+    cost.  Shuffle shape: narrow per-doc counts, one langs-bounded
+    rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(BPE_RE))
+        .cast("long")
+        .alias("n_tok"),
+        F.size(_toks(F.col("text"))).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.sum("n_tok") / F.sum("n_words"), 6).alias(
+            "tokens_per_word"
+        ),
+        F.round(F.sum("n_chars") / F.sum("n_tok"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+ORACLES_LATE["text_fertility_by_lang"] = (
+    "WITH p AS (SELECT lang, "
+    f"CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_tok, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+    "CAST(length(text) AS BIGINT) AS n_chars FROM documents) "
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
+    "round(sum(n_tok) / CAST(sum(n_words) AS DOUBLE), 6) "
+    "AS tokens_per_word, "
+    "round(sum(n_chars) / CAST(sum(n_tok) AS DOUBLE), 6) "
+    "AS chars_per_token FROM p GROUP BY lang"
+)
+
+QUERIES_LATE["text_fertility_by_lang"] = q_fertility_by_lang

@@ -1560,3 +1560,56 @@ ORACLES_LATE["events_peak_concurrency"] = (
 )
 
 QUERIES_LATE["events_peak_concurrency"] = q_events_peak_concurrency
+
+
+PATH_GAP_SEC = 1800
+TOP_PATHS_K = 20
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral paths: consecutive event-type trigrams
+    per user where each hop happens within the session gap — the
+    "what do users actually do" complement to the fixed-stage funnel
+    (funnels test a hypothesis; path mining discovers them).
+
+    Scale: lead() windows partition BY USER (bounded rows each), the
+    trigram rollup collapses to the |types|³-bounded path space
+    map-side, and the top-K is a TakeOrderedAndProject over that tiny
+    table — no global sort anywhere."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "epoch_sec", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_sec", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("t1"),
+        F.col("epoch_sec").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("epoch_sec", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+        F.lead("epoch_sec", 2).over(w).alias("s3"),
+    ).filter(
+        F.col("t3").isNotNull()
+        & (F.col("s2") - F.col("s1") <= PATH_GAP_SEC)
+        & (F.col("s3") - F.col("s2") <= PATH_GAP_SEC)
+    )
+    paths = tri.groupBy(
+        F.concat_ws(">", "t1", "t2", "t3").alias("path")
+    ).agg(F.count("*").alias("n"))
+    return paths.orderBy(F.desc("n"), F.asc("path")).limit(TOP_PATHS_K)
+
+
+ORACLES_LATE["events_top_paths"] = (
+    "WITH b AS (SELECT user_id, event_type, event_id, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s FROM events), "
+    "tri AS (SELECT event_type AS t1, s AS s1, "
+    "lead(event_type, 1) OVER w AS t2, lead(s, 1) OVER w AS s2, "
+    "lead(event_type, 2) OVER w AS t3, lead(s, 2) OVER w AS s3 "
+    "FROM b WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)) "
+    "SELECT t1 || '>' || t2 || '>' || t3 AS path, "
+    "CAST(count(*) AS BIGINT) AS n FROM tri "
+    f"WHERE t3 IS NOT NULL AND s2 - s1 <= {PATH_GAP_SEC} "
+    f"AND s3 - s2 <= {PATH_GAP_SEC} "
+    f"GROUP BY 1 ORDER BY n DESC, path LIMIT {TOP_PATHS_K}"
+)
+
+QUERIES_LATE["events_top_paths"] = q_events_top_paths
