@@ -1168,3 +1168,37 @@ ORACLES_LATE["pipe_curriculum"] = (
 )
 
 QUERIES_LATE["pipe_curriculum"] = q_curriculum
+
+
+KFOLDS = 5
+
+
+def q_kfold_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation manifest: content-hash fold assignment
+    (engine/retry-stable, duplicate-consistent — byte-identical docs
+    always land in the same fold, so no fold ever evaluates on
+    another's duplicates) plus the per-fold census a CV harness
+    verifies before training: doc count, char mass, label balance.
+    One narrow hash map + a K-bounded rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    folds = docs.select(
+        (hex32(F.col("text")) % KFOLDS).cast("int").alias("fold"),
+        "n_chars",
+        (F.col("doc_id") % 2).alias("label"),
+    )
+    return folds.groupBy("fold").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.avg("label"), 6).alias("label1_share"),
+    )
+
+
+ORACLES_LATE["pipe_kfold_manifest"] = (
+    f"WITH f AS (SELECT CAST({hex32_sql('text')} % {KFOLDS} AS INTEGER) "
+    "AS fold, n_chars, doc_id % 2 AS label FROM documents) "
+    "SELECT fold, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+    "round(avg(label), 6) AS label1_share FROM f GROUP BY fold"
+)
+
+QUERIES_LATE["pipe_kfold_manifest"] = q_kfold_manifest

@@ -1335,3 +1335,86 @@ ORACLES["rel_weighted_median_price"] = (
 )
 
 QUERIES["rel_weighted_median_price"] = q_weighted_median_price
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of customers WITHIN each nation:
+    A = the top spenders covering 80% of the nation's revenue mass,
+    B = the next 15%, C = the tail — the classic BI treatment-tiering
+    rollup.  The cumulative-share window is PARTITIONED by nation over
+    the per-customer AGGREGATE (bounded rows per partition, never the
+    fact table); class boundaries compare the share of revenue
+    STRICTLY BEFORE each customer so the customer that crosses 80%
+    still belongs to A on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    rev = (
+        li.select("l_orderkey", _revenue_cents(li).alias("rev"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev").alias("rev"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+        .join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+            "rev",
+        )
+    )
+    w = (
+        Window.partitionBy("nationkey")
+        .orderBy(F.desc("rev"), F.asc("custkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = Window.partitionBy("nationkey")
+    classed = rev.select(
+        "nationkey",
+        F.when(
+            F.coalesce(F.sum("rev").over(w), F.lit(0))
+            < F.lit(0.8) * F.sum("rev").over(tot),
+            "A",
+        )
+        .when(
+            F.coalesce(F.sum("rev").over(w), F.lit(0))
+            < F.lit(0.95) * F.sum("rev").over(tot),
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc"),
+        "rev",
+    )
+    return classed.groupBy("nationkey", "abc").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev").alias("rev_cents"),
+    )
+
+
+ORACLES["rel_abc_classification"] = (
+    "WITH orev AS (SELECT l_orderkey, "
+    f"CAST(sum({_REV_SQL}) AS BIGINT) AS rev FROM lineitem "
+    "GROUP BY l_orderkey), "
+    "crev AS (SELECT o.o_custkey AS custkey, sum(orev.rev) AS rev "
+    "FROM orev JOIN orders o ON o.o_orderkey = orev.l_orderkey "
+    "GROUP BY 1), "
+    "n AS (SELECT c.c_nationkey AS nationkey, crev.custkey, crev.rev "
+    "FROM crev JOIN customer c ON c.c_custkey = crev.custkey), "
+    "cls AS (SELECT nationkey, rev, "
+    "CASE WHEN coalesce(sum(rev) OVER w, 0) < 0.8 * sum(rev) OVER t "
+    "THEN 'A' WHEN coalesce(sum(rev) OVER w, 0) < 0.95 * sum(rev) OVER t "
+    "THEN 'B' ELSE 'C' END AS abc FROM n "
+    "WINDOW w AS (PARTITION BY nationkey ORDER BY rev DESC, custkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+    "t AS (PARTITION BY nationkey)) "
+    "SELECT nationkey, abc, CAST(count(*) AS BIGINT) AS n_customers, "
+    "CAST(sum(rev) AS BIGINT) AS rev_cents FROM cls GROUP BY 1, 2"
+)
+
+QUERIES["rel_abc_classification"] = q_abc_classification

@@ -1613,3 +1613,59 @@ ORACLES_LATE["events_top_paths"] = (
 )
 
 QUERIES_LATE["events_top_paths"] = q_events_top_paths
+
+
+DEBOUNCE_SEC = 60
+
+
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce audit: an event is a DUPLICATE FIRING if the
+    same user emitted the same type within the preceding minute (held
+    buttons, retry storms, double-clicks).  Per type: total, kept,
+    dropped, drop share — the dashboard that says which instrumentation
+    needs client-side debouncing.
+
+    Scale: one lag() window per (user, type) — bounded independent
+    partitions — then a types-bounded rollup."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "epoch_sec", "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "epoch_sec", "event_id"
+    )
+    flagged = ev.select(
+        "event_type",
+        (
+            F.col("epoch_sec") - F.lag("epoch_sec").over(w) <= DEBOUNCE_SEC
+        ).alias("dropped"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("dropped"), 0).otherwise(1)
+        ).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.round(
+            F.sum(F.when(F.col("dropped"), 1).otherwise(0)) / F.count("*"),
+            6,
+        ).alias("drop_share"),
+    )
+
+
+ORACLES_LATE["events_debounce"] = (
+    "WITH b AS (SELECT user_id, event_type, event_id, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s FROM events), "
+    "f AS (SELECT event_type, "
+    f"(s - lag(s) OVER w) <= {DEBOUNCE_SEC} AS dropped FROM b "
+    "WINDOW w AS (PARTITION BY user_id, event_type ORDER BY s, event_id)) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept, "
+    "CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped, "
+    "round(sum(CASE WHEN dropped THEN 1 ELSE 0 END) "
+    "/ CAST(count(*) AS DOUBLE), 6) AS drop_share "
+    "FROM f GROUP BY event_type"
+)
+
+QUERIES_LATE["events_debounce"] = q_events_debounce
