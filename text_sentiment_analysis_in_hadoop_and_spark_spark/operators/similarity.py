@@ -1329,8 +1329,16 @@ def q_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare those against."""
     emb = _emb_with_norm(spark, sf_dir)
     labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    corpus = emb.join(labels, "vec_id").select(
-        "vec_id", "embedding", "nrm", F.col("label").alias("n_label")
+    # spread the N×Q dot-product loop: the cached emb table is one
+    # partition at bench scale, which would run the whole NL join on a
+    # single core (measured 5.8 s → 1.3 s at sf0.1); the exchange
+    # moves only N corpus rows once
+    corpus = (
+        emb.join(labels, "vec_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id", "embedding", "nrm", F.col("label").alias("n_label")
+        )
     )
     queries = (
         corpus.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
