@@ -1669,3 +1669,177 @@ ORACLES_LATE["events_debounce"] = (
 )
 
 QUERIES_LATE["events_debounce"] = q_events_debounce
+
+
+PSI_EPS = 0.5  # Laplace smoothing count per bucket
+
+
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor over the value column:
+    decile fences learned on the FIRST half of the time range, both
+    halves bucketed against those same fences, per-bucket PSI
+    contribution (p2−p1)·ln(p2/p1) with Laplace smoothing — the
+    standard ML-ops "did the feature distribution move" gauge
+    (PSI > 0.2 = retrain).
+
+    Scale: fences are ONE 9-quantile aggregate over period 1
+    broadcast back (never a global rank), bucketing is a narrow
+    compare chain, and the rollup is 10 rows."""
+    ev = load_events(spark, sf_dir).select("epoch_sec", "value")
+    cut = ev.agg(
+        F.expr("(min(epoch_sec) + max(epoch_sec)) DIV 2").alias("cut")
+    )
+    tagged = ev.crossJoin(F.broadcast(cut)).select(
+        (F.col("epoch_sec") >= F.col("cut")).cast("int").alias("period"),
+        "value",
+    )
+    fences = (
+        tagged.filter(F.col("period") == 0)
+        .agg(
+            F.expr(
+                "percentile(value, array(0.1,0.2,0.3,0.4,0.5,"
+                "0.6,0.7,0.8,0.9))"
+            ).alias("f")
+        )
+    )
+    bucket = F.lit(1)
+    for i in range(9):
+        bucket = bucket + (F.col("value") > F.col("f")[i]).cast("int")
+    counts = (
+        tagged.crossJoin(F.broadcast(fences))
+        .select("period", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n1",
+            "n2",
+            F.round(
+                (F.col("n1") + PSI_EPS) / (F.col("t1") + 10 * PSI_EPS), 6
+            ).alias("p1"),
+            F.round(
+                (F.col("n2") + PSI_EPS) / (F.col("t2") + 10 * PSI_EPS), 6
+            ).alias("p2"),
+            F.round(
+                (
+                    (F.col("n2") + PSI_EPS) / (F.col("t2") + 10 * PSI_EPS)
+                    - (F.col("n1") + PSI_EPS) / (F.col("t1") + 10 * PSI_EPS)
+                )
+                * F.log(
+                    ((F.col("n2") + PSI_EPS) / (F.col("t2") + 10 * PSI_EPS))
+                    / ((F.col("n1") + PSI_EPS) / (F.col("t1") + 10 * PSI_EPS))
+                ),
+                6,
+            ).alias("psi_contrib"),
+        )
+    )
+
+
+ORACLES_LATE["events_psi_drift"] = (
+    "WITH b AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s, "
+    "value FROM events), "
+    "cut AS (SELECT (min(s) + max(s)) // 2 AS cut FROM b), "
+    "tagged AS (SELECT CAST(s >= cut AS INTEGER) AS period, value "
+    "FROM b, cut), "
+    "f AS (SELECT quantile_cont(value, "
+    "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS f "
+    "FROM tagged WHERE period = 0), "
+    "cnt AS (SELECT 1 "
+    + " ".join(
+        f"+ CAST(value > f[{i + 1}] AS INTEGER)" for i in range(9)
+    )
+    + " AS bucket, period FROM tagged, f), "
+    "counts AS (SELECT bucket, "
+    "CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+    "CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2 "
+    "FROM cnt GROUP BY bucket), "
+    "tot AS (SELECT sum(n1) AS t1, sum(n2) AS t2 FROM counts) "
+    "SELECT bucket, n1, n2, "
+    f"round((n1 + {PSI_EPS}) / (t1 + {10 * PSI_EPS}), 6) AS p1, "
+    f"round((n2 + {PSI_EPS}) / (t2 + {10 * PSI_EPS}), 6) AS p2, "
+    f"round(((n2 + {PSI_EPS}) / (t2 + {10 * PSI_EPS}) "
+    f"- (n1 + {PSI_EPS}) / (t1 + {10 * PSI_EPS})) "
+    f"* ln(((n2 + {PSI_EPS}) / (t2 + {10 * PSI_EPS})) "
+    f"/ ((n1 + {PSI_EPS}) / (t1 + {10 * PSI_EPS}))), 6) AS psi_contrib "
+    "FROM counts, tot"
+)
+
+QUERIES_LATE["events_psi_drift"] = q_events_psi_drift
+
+
+SEASONAL_TOP_K = 20
+
+
+def q_events_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted volume anomalies: hourly event counts
+    compared against the mean/std OF THE SAME WEEK-PHASE (dow×hour
+    slot) — Monday-9am compares to other Monday-9ams, so weekly
+    rhythm doesn't read as anomaly the way it does in a global
+    z-score (events_anomaly is the unconditioned twin).  Top-20
+    |z| buckets on a rounded total order.
+
+    Scale: hourly rollup (bounded), 168-slot phase aggregate broadcast
+    back, TakeOrderedAndProject for the cut."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.expr("epoch_sec DIV 3600").cast("long").alias("hour_idx")
+    ).agg(F.count("*").cast("long").alias("vol"))
+    hourly = hourly.withColumn(
+        "phase", (F.col("hour_idx") % 168).cast("int")
+    )
+    stats = hourly.groupBy("phase").agg(
+        F.avg("vol").alias("mu"),
+        F.stddev_pop("vol").alias("sigma"),
+        F.count("*").alias("n_weeks"),
+    )
+    z = (
+        hourly.join(F.broadcast(stats), "phase")
+        .filter(F.col("sigma") > 0)
+        .select(
+            (F.col("hour_idx") * 3600).cast("long").alias("hour_epoch"),
+            "phase",
+            "vol",
+            F.round("mu", 6).alias("mu"),
+            F.round(
+                (F.col("vol") - F.col("mu")) / F.col("sigma"), 6
+            ).alias("z"),
+        )
+    )
+    return (
+        z.withColumn("abs_z", F.abs(F.col("z")))
+        .orderBy(F.desc("abs_z"), F.asc("hour_epoch"))
+        .limit(SEASONAL_TOP_K)
+        .drop("abs_z")
+    )
+
+
+ORACLES_LATE["events_seasonal_residuals"] = (
+    "WITH h AS (SELECT "
+    "CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS hour_idx, "
+    "CAST(count(*) AS BIGINT) AS vol FROM events GROUP BY 1), "
+    "p AS (SELECT hour_idx, vol, "
+    "CAST(hour_idx % 168 AS INTEGER) AS phase FROM h), "
+    "s AS (SELECT phase, avg(vol) AS mu, stddev_pop(vol) AS sigma "
+    "FROM p GROUP BY phase) "
+    "SELECT CAST(p.hour_idx * 3600 AS BIGINT) AS hour_epoch, p.phase, "
+    "p.vol, round(s.mu, 6) AS mu, "
+    "round((p.vol - s.mu) / s.sigma, 6) AS z "
+    "FROM p JOIN s USING (phase) WHERE s.sigma > 0 "
+    f"ORDER BY abs(round((p.vol - s.mu) / s.sigma, 6)) DESC, hour_epoch "
+    f"LIMIT {SEASONAL_TOP_K}"
+)
+
+QUERIES_LATE["events_seasonal_residuals"] = q_events_seasonal_residuals
