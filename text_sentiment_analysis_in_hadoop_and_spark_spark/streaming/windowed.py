@@ -1843,3 +1843,76 @@ ORACLES_LATE["events_seasonal_residuals"] = (
 )
 
 QUERIES_LATE["events_seasonal_residuals"] = q_events_seasonal_residuals
+
+
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users grouped by first-active
+    WEEK, value mass at each week of age, cumulative LTV per user —
+    the growth-accounting twin of the retention matrix (retention
+    counts who came back; this prices what they were worth).
+
+    Scale: first-active is one min-agg per user (the retention
+    trick), the value mass joins that user-keyed aggregate once, and
+    the cumulative window runs over the weeks×weeks-bounded rollup."""
+    ev = load_events(spark, sf_dir)
+    days = ev.select(
+        "user_id",
+        F.expr(f"epoch_sec DIV {DAY_SEC}").cast("long").alias("day"),
+        "value",
+    )
+    first = days.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    aged = days.join(first, "user_id").select(
+        F.expr("first_day DIV 7").cast("long").alias("cohort_week"),
+        F.expr("(day - first_day) DIV 7").cast("long").alias("age_week"),
+        "user_id",
+        "value",
+    )
+    sizes = first.groupBy(
+        F.expr("first_day DIV 7").cast("long").alias("cohort_week")
+    ).agg(F.count("*").cast("long").alias("n_users"))
+    cell = aged.groupBy("cohort_week", "age_week").agg(
+        F.round(F.sum("value"), 6).alias("sum_value")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "n_users",
+            "sum_value",
+            F.round(F.sum("sum_value").over(w), 6).alias("cum_value"),
+            F.round(
+                F.sum("sum_value").over(w) / F.col("n_users"), 6
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+ORACLES_LATE["events_cohort_ltv"] = (
+    "WITH d AS (SELECT user_id, "
+    f"CAST(epoch_ns(ts) // 1000000000 // {DAY_SEC} AS BIGINT) AS day, "
+    "value FROM events), "
+    "f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id), "
+    "sizes AS (SELECT CAST(first_day // 7 AS BIGINT) AS cohort_week, "
+    "CAST(count(*) AS BIGINT) AS n_users FROM f GROUP BY 1), "
+    "aged AS (SELECT CAST(f.first_day // 7 AS BIGINT) AS cohort_week, "
+    "CAST((d.day - f.first_day) // 7 AS BIGINT) AS age_week, d.value "
+    "FROM d JOIN f USING (user_id)), "
+    "cell AS (SELECT cohort_week, age_week, round(sum(value), 6) "
+    "AS sum_value FROM aged GROUP BY 1, 2) "
+    "SELECT c.cohort_week, c.age_week, s.n_users, c.sum_value, "
+    "round(sum(c.sum_value) OVER w, 6) AS cum_value, "
+    "round(sum(c.sum_value) OVER w / s.n_users, 6) AS ltv_per_user "
+    "FROM cell c JOIN sizes s USING (cohort_week) "
+    "WINDOW w AS (PARTITION BY c.cohort_week ORDER BY c.age_week "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+QUERIES_LATE["events_cohort_ltv"] = q_events_cohort_ltv
