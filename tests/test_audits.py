@@ -1,0 +1,88 @@
+"""Benford / functional-dependency audit semantics on crafted tables
+(operators/relational2.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.relational2 import (
+    q_benford_audit,
+    q_fd_audit,
+)
+
+
+def _write(tmp_path, orders, customers, lineitems):
+    d = tmp_path / "rel"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+                "o_totalprice": pa.array(
+                    [float(r[2]) for r in orders], pa.float64()
+                ),
+                "o_orderpriority": pa.array([r[3] for r in orders]),
+            }
+        ),
+        f"{d}/orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in customers], pa.int64()),
+                "c_nationkey": pa.array(
+                    [r[1] for r in customers], pa.int32()
+                ),
+            }
+        ),
+        f"{d}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lineitems], pa.int64()),
+                "l_returnflag": pa.array([r[1] for r in lineitems]),
+            }
+        ),
+        f"{d}/lineitem.parquet",
+    )
+    return str(d)
+
+
+def test_benford_digit_extraction_and_shares(spark, tmp_path):
+    # totals 1.00, 19.99, 250.00, 2.50 → cents 100, 1999, 25000, 250
+    # → first digits 1, 1, 2, 2
+    orders = [
+        (1, 1, 1.00, "P"),
+        (2, 1, 19.99, "P"),
+        (3, 1, 250.00, "P"),
+        (4, 1, 2.50, "P"),
+    ]
+    sf = _write(tmp_path, orders, [(1, 0)], [(1, "N")])
+    out = {r["digit"]: r for r in q_benford_audit(spark, sf).collect()}
+    assert out[1]["n"] == 2 and out[2]["n"] == 2
+    assert abs(out[1]["observed_share"] - 0.5) < 1e-9
+    assert abs(out[1]["benford_share"] - round(math.log10(2), 6)) < 1e-9
+
+
+def test_fd_audit_holds_and_violations(spark, tmp_path):
+    # o_orderkey→o_custkey holds (unique keys);
+    # o_custkey→o_orderpriority violated by cust 1 (P then Q)
+    orders = [
+        (1, 1, 10.0, "P"),
+        (2, 1, 10.0, "Q"),
+        (3, 2, 10.0, "P"),
+    ]
+    # l_orderkey→l_returnflag violated for order 1 (A and R)
+    lineitems = [(1, "A"), (1, "R"), (2, "A")]
+    sf = _write(tmp_path, orders, [(1, 0), (2, 0)], lineitems)
+    out = {r["fd"]: r for r in q_fd_audit(spark, sf).collect()}
+    assert out["orders.o_orderkey->o_custkey"]["holds"] == 1
+    fd2 = out["orders.o_custkey->o_orderpriority"]
+    assert fd2["holds"] == 0 and fd2["n_violating_keys"] == 1
+    fd3 = out["lineitem.l_orderkey->l_returnflag"]
+    assert fd3["n_keys"] == 2 and fd3["n_violating_keys"] == 1

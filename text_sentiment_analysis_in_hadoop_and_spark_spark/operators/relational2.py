@@ -1418,3 +1418,129 @@ ORACLES["rel_abc_classification"] = (
 )
 
 QUERIES["rel_abc_classification"] = q_abc_classification
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    classic fabricated-numbers screen: organic monetary amounts follow
+    P(d) = log10(1 + 1/d); uniform or hand-entered data does not.
+    Output per digit: count, observed share, Benford share, absolute
+    deviation (auditors flag sustained deviation, not single digits).
+
+    First digit via integer math on exact cents (never string
+    formatting, which is locale/engine-shaped): d = c DIV 10^(len-1).
+    One narrow map + 9-row rollup."""
+    ords = load_table(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    digit = F.expr(
+        f"CAST({_cents_sql('o_totalprice')} DIV "
+        f"CAST(power(10, length(CAST({_cents_sql('o_totalprice')} "
+        "AS STRING)) - 1) AS BIGINT) AS INT)"
+    )
+    counts = (
+        ords.filter(cents > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    import math
+
+    benford = F.lit(None).cast("double")
+    expr = None
+    for d in range(1, 10):
+        share = math.log10(1 + 1 / d)
+        expr = (
+            F.when(F.col("digit") == d, F.lit(share))
+            if expr is None
+            else expr.when(F.col("digit") == d, F.lit(share))
+        )
+    benford = expr.otherwise(F.lit(0.0))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("observed_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(F.abs(F.col("n") / F.col("t") - benford), 6).alias(
+                "abs_dev"
+            ),
+        )
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN digit = {d} THEN {__import__('math').log10(1 + 1 / d)!r}"
+    for d in range(1, 10)
+)
+
+ORACLES["rel_benford_audit"] = (
+    f"WITH c AS (SELECT {_cents_sql('o_totalprice')} AS cents FROM orders), "
+    # CAST the power to BIGINT first: DuckDB's // with a DOUBLE
+    # divisor is plain division and CAST(DOUBLE AS INT) ROUNDS
+    "d AS (SELECT CAST(cents // CAST(power(10, "
+    "length(CAST(cents AS VARCHAR)) - 1) AS BIGINT) "
+    "AS INTEGER) AS digit FROM c WHERE cents > 0), "
+    "counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d "
+    "GROUP BY digit), "
+    "tot AS (SELECT sum(n) AS t FROM counts) "
+    "SELECT digit, n, round(n / CAST(t AS DOUBLE), 6) AS observed_share, "
+    f"round(CAST(CASE {_BENFORD_CASE} ELSE 0.0 END AS DOUBLE), 6) "
+    "AS benford_share, "
+    f"round(abs(n / CAST(t AS DOUBLE) - "
+    f"CAST(CASE {_BENFORD_CASE} ELSE 0.0 END AS DOUBLE)), "
+    "6) AS abs_dev FROM counts, tot"
+)
+
+QUERIES["rel_benford_audit"] = q_benford_audit
+
+
+FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+)
+
+
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiler: for each candidate det → dep,
+    how many determinant values map to MORE than one dependent value
+    (0 violations = the FD holds; a holding FD is a normalization /
+    join-key contract worth enforcing, a near-holding one is usually
+    dirty data).  One distinct-pair aggregate per candidate over its
+    determinant key — the same partial-agg shape as a groupBy
+    countDistinct — unioned into a bounded report."""
+    out = None
+    for table, det, dep in FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        per = t.groupBy(F.col(det)).agg(
+            F.countDistinct(F.col(dep)).alias("n_dep")
+        )
+        row = per.agg(
+            F.lit(f"{table}.{det}->{dep}").alias("fd"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum((F.col("n_dep") > 1).cast("bigint")).alias(
+                "n_violating_keys"
+            ),
+            (F.sum((F.col("n_dep") > 1).cast("bigint")) == 0)
+            .cast("int")
+            .alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLES["rel_fd_audit"] = " UNION ALL ".join(
+    f"(WITH per AS (SELECT {det}, count(DISTINCT {dep}) AS n_dep "
+    f"FROM {table} GROUP BY {det}) "
+    f"SELECT '{table}.{det}->{dep}' AS fd, "
+    "CAST(count(*) AS BIGINT) AS n_keys, "
+    "CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_violating_keys, "
+    "CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) = 0 AS INTEGER) "
+    "AS holds FROM per)"
+    for table, det, dep in FD_CANDIDATES
+)
+
+QUERIES["rel_fd_audit"] = q_fd_audit
