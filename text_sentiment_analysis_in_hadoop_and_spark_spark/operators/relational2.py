@@ -1544,3 +1544,66 @@ ORACLES["rel_fd_audit"] = " UNION ALL ".join(
 )
 
 QUERIES["rel_fd_audit"] = q_fd_audit
+
+
+def q_nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent rollup: each nation's revenue share WITHIN its
+    region (the hierarchy drill BI tools render as a treemap).  Facts
+    aggregate once to the nations-bounded level; the region total is
+    a window over that tiny rollup — never a second fact scan; share
+    is a ratio of exact integer cents divided once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    rev = (
+        li.select("l_orderkey", _revenue_cents(li).alias("rev"))
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum("rev").alias("rev_cents"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "rev_cents",
+        F.round(F.col("rev_cents") / F.sum("rev_cents").over(w), 6).alias(
+            "share_of_region"
+        ),
+    )
+
+
+ORACLES["rel_nation_share_of_region"] = (
+    "WITH rev AS (SELECT r.r_name AS region, n.n_name AS nation, "
+    f"CAST(sum({_REV_SQL}) AS BIGINT) AS rev_cents "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY 1, 2) "
+    "SELECT region, nation, rev_cents, "
+    "round(rev_cents / CAST(sum(rev_cents) OVER "
+    "(PARTITION BY region) AS DOUBLE), 6) AS share_of_region FROM rev"
+)
+
+QUERIES["rel_nation_share_of_region"] = q_nation_share_of_region

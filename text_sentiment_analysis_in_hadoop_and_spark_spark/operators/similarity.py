@@ -1411,3 +1411,63 @@ ORACLES_LATE["sim_knn_loo_accuracy"] = (
 )
 
 QUERIES_LATE["sim_knn_loo_accuracy"] = q_knn_loo_accuracy
+
+
+def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label centroids — the embedding-
+    space confusion matrix (two labels whose centroids nearly coincide
+    will confuse every downstream classifier and ANN filter; the
+    labels×labels map says which).  Computed FROM the rounded per-
+    (label, pos) means, so both engines derive identical doubles; the
+    pair join runs on the |labels|·DIM aggregate, never on vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    means = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+    )
+    norms = means.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nrm")
+    )
+    a = means.select(
+        F.col("label").alias("label_a"), "pos", F.col("m").alias("ma")
+    )
+    b = means.select(
+        F.col("label").alias("label_b"), "pos", F.col("m").alias("mb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("dotab"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dotab") / (F.col("na") * F.col("nb")), 6).alias(
+                "centroid_cosine"
+            ),
+        )
+    )
+
+
+ORACLES_LATE["sim_centroid_separation"] = (
+    "WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos, "
+    "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), "
+    "m AS (SELECT label, pos, round(avg(v), 6) AS m FROM ex GROUP BY 1, 2), "
+    "n AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM m GROUP BY label), "
+    "d AS (SELECT a.label AS label_a, b.label AS label_b, "
+    "sum(a.m * b.m) AS dotab FROM m a "
+    "JOIN m b ON a.pos = b.pos AND a.label < b.label GROUP BY 1, 2) "
+    "SELECT d.label_a, d.label_b, "
+    "round(d.dotab / (na.nrm * nb.nrm), 6) AS centroid_cosine "
+    "FROM d JOIN n na ON na.label = d.label_a "
+    "JOIN n nb ON nb.label = d.label_b"
+)
+
+QUERIES_LATE["sim_centroid_separation"] = q_centroid_separation
