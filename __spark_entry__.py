@@ -245,6 +245,7 @@ _ROWS_ONLY = frozenset(
         "text_compressibility",  # real zlib — ordering/determinism tests
         "sim_pca_components",  # power-iteration eigensolve — invariant tests
         "sim_pca_project",  # consumes the learned axes — same fit
+        "mm_ahash_dedup",  # pixel-space perceptual hash — invariance tests
     }
 )
 

@@ -23,6 +23,7 @@ metadata-only query never reads payload bytes from parquet.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -784,3 +785,85 @@ ORACLES_LATE["mm_pair_manifest"] = (
 )
 
 QUERIES_LATE["mm_pair_manifest"] = q_mm_pair_manifest
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash (aHash) image near-dup (r5)
+# --------------------------------------------------------------------------
+
+AHASH_GRID = 8  # 8×8 block means → 64-bit hash
+
+
+def ahash_bits(rgb) -> int:
+    """Average-hash of a decoded RGB array: grayscale → 8×8 block
+    means → each bit = (block mean > global mean of the block grid).
+    Brightness-shift invariant BY DESIGN (thresholding against the
+    image's own mean) — a re-encode that bumps exposure keeps its
+    hash, which is exactly what byte-level dedup (md5) cannot see."""
+    import numpy as np
+
+    gray = rgb.astype(np.float64).mean(axis=2)
+    blocks = np.array(
+        [
+            [b.mean() for b in np.array_split(row_band, AHASH_GRID, axis=1)]
+            for row_band in np.array_split(gray, AHASH_GRID, axis=0)
+        ]
+    )
+    bits = (blocks > blocks.mean()).ravel()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out
+
+
+def ahash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        hashes, md5s = [], []
+        for payload in pdf["payload"]:
+            rgb = decode_bmp_pixels(bytes(payload))
+            hashes.append(ahash_bits(rgb))
+            md5s.append(hashlib.md5(bytes(payload)).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "ahash": pd.Series(hashes, dtype="int64"),
+                "payload_md5": md5s,
+            }
+        )
+
+
+def q_mm_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: aHash families over the decoded
+    payloads — groups visually-equivalent images that byte dedup
+    misses (brightness-shifted gradients in the synthetic corpus all
+    share a hash ON PURPOSE: the signal is structure, not exposure;
+    ``n_distinct_payloads`` counts how many byte-distinct files each
+    visual family absorbed).
+
+    Rows-only BY DESIGN (the hash is a pixel-space reduction no SQL
+    recomputes without the decoder); pinned by invariance tests —
+    identical params collide, brightness shift collides, structural
+    change separates, one aspect per family.  Scale: two chained
+    narrow Arrow stages (synthesize→hash), one hash-keyed partial-agg
+    groupBy; at 100 TB the hash column is what you'd band-join for
+    Hamming-near matches, exactly like dedup_simhash_pairs."""
+    docs = rebalance_scan(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    payloads = docs.mapInPandas(
+        bmp_payload_batches, schema="doc_id long, payload binary"
+    )
+    hashed = payloads.mapInPandas(
+        ahash_batches, schema="doc_id long, ahash long, payload_md5 string"
+    )
+    return hashed.groupBy("ahash").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.countDistinct("payload_md5").alias("n_distinct_payloads"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+QUERIES_LATE["mm_ahash_dedup"] = q_mm_ahash_dedup
