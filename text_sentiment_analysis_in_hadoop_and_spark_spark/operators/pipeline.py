@@ -1202,3 +1202,71 @@ ORACLES_LATE["pipe_kfold_manifest"] = (
 )
 
 QUERIES_LATE["pipe_kfold_manifest"] = q_kfold_manifest
+
+
+TARGET_SPLIT_MB = 128
+
+
+def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle/scan sizing advisor: per table, estimated uncompressed
+    payload mass and the partition count a 128 MB split target implies
+    — the number an operator should feed `repartition`/`
+    spark.sql.shuffle.partitions` instead of guessing (the "measure,
+    don't guess" rule applied to layout).  Estimates come from ONE
+    narrow aggregate per table (documents/events measure their
+    variable-width columns; fixed-width tables use row counts ×
+    schema width)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = docs.agg(
+        F.count("*").alias("n"),
+        (F.sum(F.length("text")) + F.sum(F.length("lang"))
+         + F.sum(F.length("source")) + F.count("*") * 16).alias("bytes"),
+    ).select(F.lit("documents").alias("table"), "n", "bytes")
+    e = ev.agg(
+        F.count("*").alias("n"),
+        (F.sum(F.length("props")) + F.sum(F.length("event_type"))
+         + F.count("*") * 36).alias("bytes"),
+    ).select(F.lit("events").alias("table"), "n", "bytes")
+    l = li.agg(
+        F.count("*").alias("n"),
+        (F.count("*") * 92).alias("bytes"),
+    ).select(F.lit("lineitem").alias("table"), "n", "bytes")
+    out = d.unionByName(e).unionByName(l)
+    return out.select(
+        "table",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.col("bytes") / 1048576.0, 6).alias("est_mb"),
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("bytes") / (TARGET_SPLIT_MB * 1048576.0)),
+        )
+        .cast("long")
+        .alias("recommended_partitions"),
+    )
+
+
+ORACLES_LATE["pipe_partition_advisor"] = (
+    "SELECT 'documents' AS table, CAST(count(*) AS BIGINT) AS n_rows, "
+    "round((sum(length(text)) + sum(length(lang)) + sum(length(source)) "
+    "+ count(*) * 16) / 1048576.0, 6) AS est_mb, "
+    "CAST(greatest(1, ceil((sum(length(text)) + sum(length(lang)) "
+    "+ sum(length(source)) + count(*) * 16) "
+    f"/ ({TARGET_SPLIT_MB} * 1048576.0))) AS BIGINT) "
+    "AS recommended_partitions FROM documents "
+    "UNION ALL "
+    "SELECT 'events', CAST(count(*) AS BIGINT), "
+    "round((sum(length(props)) + sum(length(event_type)) "
+    "+ count(*) * 36) / 1048576.0, 6), "
+    "CAST(greatest(1, ceil((sum(length(props)) + sum(length(event_type)) "
+    f"+ count(*) * 36) / ({TARGET_SPLIT_MB} * 1048576.0))) AS BIGINT) "
+    "FROM events "
+    "UNION ALL "
+    "SELECT 'lineitem', CAST(count(*) AS BIGINT), "
+    "round(count(*) * 92 / 1048576.0, 6), "
+    "CAST(greatest(1, ceil(count(*) * 92 "
+    f"/ ({TARGET_SPLIT_MB} * 1048576.0))) AS BIGINT) FROM lineitem"
+)
+
+QUERIES_LATE["pipe_partition_advisor"] = q_partition_advisor

@@ -1607,3 +1607,47 @@ ORACLES["rel_nation_share_of_region"] = (
 )
 
 QUERIES["rel_nation_share_of_region"] = q_nation_share_of_region
+
+
+def q_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall in ONE fact pass: gross → discount given →
+    net → tax collected → total billed, each stage an exact-integer
+    conditional aggregate over the same scan (never one self-join per
+    stage).  The bridge chart finance reads first; also the canonical
+    example of turning N scenario scans into N expressions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gross = F.sum(_cents(F.col("l_extendedprice")) * 100)
+    disc = F.sum(
+        _cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))
+    )
+    net = F.sum(_revenue_cents(li))
+    # exact integer sum; divide ONCE at the end (a per-row /100 would
+    # sum doubles in engine-specific order)
+    tax_units = F.sum(_revenue_cents(li) * _cents(F.col("l_tax")))
+    return li.agg(
+        F.count("*").alias("n_lines"),
+        gross.alias("gross_cents"),
+        disc.alias("discount_cents"),
+        net.alias("net_cents"),
+        F.round(tax_units / 10000.0, 6).alias("tax_cents"),
+        F.round(
+            (net + tax_units / 10000.0) / 100.0, 6
+        ).alias("billed_dollars_x100"),
+    )
+
+
+ORACLES["rel_margin_waterfall"] = (
+    "SELECT CAST(count(*) AS BIGINT) AS n_lines, "
+    f"CAST(sum({_cents_sql('l_extendedprice')} * 100) AS BIGINT) "
+    "AS gross_cents, "
+    f"CAST(sum({_cents_sql('l_extendedprice')} * {_cents_sql('l_discount')}) "
+    "AS BIGINT) AS discount_cents, "
+    f"CAST(sum({_REV_SQL}) AS BIGINT) AS net_cents, "
+    f"round(sum({_REV_SQL} * {_cents_sql('l_tax')}) / 10000.0, 6) "
+    "AS tax_cents, "
+    f"round((sum({_REV_SQL}) + sum({_REV_SQL} * {_cents_sql('l_tax')}) "
+    "/ 10000.0) / 100.0, 6) AS billed_dollars_x100 "
+    "FROM lineitem"
+)
+
+QUERIES["rel_margin_waterfall"] = q_margin_waterfall
