@@ -1651,3 +1651,32 @@ ORACLES["rel_margin_waterfall"] = (
 )
 
 QUERIES["rel_margin_waterfall"] = q_margin_waterfall
+
+
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band demand readout: mean quantity and revenue per
+    discount band (integer cents bands — the Q6 predicate turned into
+    a full elasticity curve).  One fact pass, bands-bounded rollup;
+    the merchandising question "do deeper discounts actually move
+    volume" answered without a self-join per band."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = _cents(F.col("l_discount"))
+    return (
+        li.groupBy(band.alias("discount_pct"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_quantity"),
+            F.sum(_revenue_cents(li)).alias("rev_cents"),
+        )
+    )
+
+
+ORACLES["rel_discount_elasticity"] = (
+    f"SELECT {_cents_sql('l_discount')} AS discount_pct, "
+    "CAST(count(*) AS BIGINT) AS n_lines, "
+    "round(avg(l_quantity), 6) AS avg_quantity, "
+    f"CAST(sum({_REV_SQL}) AS BIGINT) AS rev_cents "
+    "FROM lineitem GROUP BY 1"
+)
+
+QUERIES["rel_discount_elasticity"] = q_discount_elasticity

@@ -869,3 +869,58 @@ ORACLES_LATE["text_fertility_by_lang"] = (
 )
 
 QUERIES_LATE["text_fertility_by_lang"] = q_fertility_by_lang
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit over the engine's train/test split
+    (doc_id % 8, the reference's fixed 75/25 protocol): share of TEST
+    token occurrences absent from the TRAIN vocabulary, per language —
+    the eval-realism check run before any vocabulary-dependent model
+    (an OOV-heavy split under-reports every metric).
+
+    Scale: train vocab is one distinct aggregate (vocab-bounded)
+    joined broadcast onto the exploded test tokens; rollup is
+    langs-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        (F.col("doc_id") % 8 >= 2).alias("is_train"),
+        F.explode(_toks(F.col("text"))).alias("token"),
+    )
+    vocab = (
+        toks.filter(F.col("is_train"))
+        .select("token")
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    test = toks.filter(~F.col("is_train")).join(
+        F.broadcast(vocab), "token", "left"
+    )
+    return test.groupBy("lang").agg(
+        F.count("*").alias("n_test_tokens"),
+        F.sum(F.when(F.col("known").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("known").isNull(), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+ORACLES_LATE["text_oov_rate"] = (
+    "WITH t AS (SELECT lang, doc_id % 8 >= 2 AS is_train, "
+    "unnest(string_split(text, ' ')) AS token FROM documents), "
+    "v AS (SELECT DISTINCT token FROM t WHERE is_train), "
+    "te AS (SELECT t.lang, v.token AS known FROM t "
+    "LEFT JOIN v USING (token) WHERE NOT t.is_train) "
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_test_tokens, "
+    "CAST(sum(CASE WHEN known IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_oov, "
+    "round(sum(CASE WHEN known IS NULL THEN 1 ELSE 0 END) "
+    "/ CAST(count(*) AS DOUBLE), 6) AS oov_rate "
+    "FROM te GROUP BY lang"
+)
+
+QUERIES_LATE["text_oov_rate"] = q_oov_rate

@@ -1916,3 +1916,55 @@ ORACLES_LATE["events_cohort_ltv"] = (
 )
 
 QUERIES_LATE["events_cohort_ltv"] = q_events_cohort_ltv
+
+
+CHURN_IDLE_DAYS = 7
+
+
+def q_events_churn_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn by signup cohort: a user is CHURNED if their last event
+    precedes the corpus horizon by more than the idle window — the
+    survival complement of the retention matrix, per first-active
+    week.  Two min/max aggregates per user (one shuffle), horizon as
+    a 1-row broadcast scalar, weeks-bounded rollup."""
+    ev = load_events(spark, sf_dir)
+    span = ev.agg(F.max("epoch_sec").alias("horizon"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min("epoch_sec").alias("first_s"),
+        F.max("epoch_sec").alias("last_s"),
+    )
+    flagged = per_user.crossJoin(F.broadcast(span)).select(
+        F.expr(f"first_s DIV {DAY_SEC} DIV 7").cast("long").alias(
+            "cohort_week"
+        ),
+        (
+            F.col("last_s")
+            < F.col("horizon") - CHURN_IDLE_DAYS * DAY_SEC
+        )
+        .cast("int")
+        .alias("churned"),
+    )
+    return flagged.groupBy("cohort_week").agg(
+        F.count("*").alias("n_users"),
+        F.sum("churned").cast("long").alias("n_churned"),
+        F.round(F.sum("churned") / F.count("*"), 6).alias("churn_rate"),
+    )
+
+
+ORACLES_LATE["events_churn_by_cohort"] = (
+    "WITH b AS (SELECT user_id, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s FROM events), "
+    "h AS (SELECT max(s) AS horizon FROM b), "
+    "pu AS (SELECT user_id, min(s) AS first_s, max(s) AS last_s "
+    "FROM b GROUP BY user_id), "
+    f"f AS (SELECT CAST(first_s // {DAY_SEC} // 7 AS BIGINT) "
+    "AS cohort_week, "
+    f"CAST(last_s < horizon - {CHURN_IDLE_DAYS * DAY_SEC} AS INTEGER) "
+    "AS churned FROM pu, h) "
+    "SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users, "
+    "CAST(sum(churned) AS BIGINT) AS n_churned, "
+    "round(sum(churned) / CAST(count(*) AS DOUBLE), 6) AS churn_rate "
+    "FROM f GROUP BY cohort_week"
+)
+
+QUERIES_LATE["events_churn_by_cohort"] = q_events_churn_by_cohort
