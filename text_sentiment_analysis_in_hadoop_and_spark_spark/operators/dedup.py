@@ -1857,3 +1857,41 @@ ORACLES["dedup_source_leakage"] = _with(
 )
 
 QUERIES["dedup_source_leakage"] = q_source_leakage
+
+
+def q_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency histogram: how many distinct
+    shingles appear in exactly-1, 2, 3-10, 11-100, >100 docs — the
+    boilerplate-density gauge that TUNES this family (the hot-bucket
+    cap, the banding budget, and the prefix-filter df ordering all
+    key off exactly this distribution; 'measure, don't guess' applied
+    to the dedup operators themselves).  Two bounded aggregations
+    over the memoized shingle postings."""
+    sh = _shingles_cached(spark, sf_dir)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    band = (
+        F.when(F.col("df") == 1, "1")
+        .when(F.col("df") == 2, "2")
+        .when(F.col("df") <= 10, "3-10")
+        .when(F.col("df") <= 100, "11-100")
+        .otherwise(">100")
+    )
+    return df.groupBy(band.alias("df_band")).agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+
+
+ORACLES["dedup_shingle_df_profile"] = _with(*_DSH_CTES) + (
+    "SELECT CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2' "
+    "WHEN df <= 10 THEN '3-10' WHEN df <= 100 THEN '11-100' "
+    "ELSE '>100' END AS df_band, "
+    "CAST(count(*) AS BIGINT) AS n_shingles, "
+    "CAST(sum(df) AS BIGINT) AS n_postings, "
+    "CAST(max(df) AS BIGINT) AS max_df FROM ("
+    "SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle) "
+    "GROUP BY 1"
+)
+
+QUERIES["dedup_shingle_df_profile"] = q_shingle_df_profile

@@ -1680,3 +1680,54 @@ ORACLES["rel_discount_elasticity"] = (
 )
 
 QUERIES["rel_discount_elasticity"] = q_discount_elasticity
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration HHI per part type: the Herfindahl index
+    Σ share² of supplier revenue within each part type (≈1/n for
+    balanced supply, →1 for a single-supplier chokepoint — the
+    procurement-risk scan).  Shares derive from exact integer cents;
+    the squared-share sum runs over the (type, supplier)-bounded
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        li.select("l_partkey", "l_suppkey", _revenue_cents(li).alias("rev"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("ptype"), "l_suppkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    tot = rev.groupBy("ptype").agg(
+        F.sum("rev").alias("tot"),
+        F.count("*").cast("long").alias("n_suppliers"),
+    )
+    return (
+        rev.join(F.broadcast(tot), "ptype")
+        .groupBy("ptype", "n_suppliers")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("rev") / F.col("tot"))
+                    * (F.col("rev") / F.col("tot"))
+                ),
+                6,
+            ).alias("hhi")
+        )
+        .select("ptype", "n_suppliers", "hhi")
+    )
+
+
+ORACLES["rel_supplier_hhi"] = (
+    "WITH rev AS (SELECT p.p_type AS ptype, l.l_suppkey, "
+    f"CAST(sum({_REV_SQL}) AS BIGINT) AS rev "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "GROUP BY 1, 2), "
+    "tot AS (SELECT ptype, sum(rev) AS tot, "
+    "CAST(count(*) AS BIGINT) AS n_suppliers FROM rev GROUP BY ptype) "
+    "SELECT r.ptype, t.n_suppliers, "
+    "round(sum((r.rev / CAST(t.tot AS DOUBLE)) "
+    "* (r.rev / CAST(t.tot AS DOUBLE))), 6) AS hhi "
+    "FROM rev r JOIN tot t USING (ptype) GROUP BY 1, 2"
+)
+
+QUERIES["rel_supplier_hhi"] = q_supplier_hhi
