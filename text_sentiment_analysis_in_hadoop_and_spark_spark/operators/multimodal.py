@@ -867,3 +867,104 @@ def q_mm_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_LATE["mm_ahash_dedup"] = q_mm_ahash_dedup
+
+
+# --------------------------------------------------------------------------
+# Audio quality gates over REAL decoded PCM (r5)
+# --------------------------------------------------------------------------
+
+SILENCE_ABS = 3277   # |sample| < 10% full-scale counts as silence
+CLIP_ABS = 32700     # |sample| ≥ this counts as clipped
+
+
+def wav_payload_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Synthesize the per-doc WAV payloads (the audio twin of
+    bmp_payload_batches — in production this stage IS the blob
+    column)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(lambda d: make_wav(int(d))),
+            }
+        )
+
+
+def audio_quality_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _, _, _, _, data = probe_wav_meta(bytes(payload))
+            smp = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            n = len(smp)
+            rms = float(np.sqrt((smp.astype(np.float64) ** 2).mean()))
+            out.append(
+                (
+                    int(doc_id),
+                    n,
+                    round(rms, 6),
+                    round(float((np.abs(smp) < SILENCE_ABS).mean()), 6),
+                    round(float((np.abs(smp) >= CLIP_ABS).mean()), 6),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id",
+                "n_samples",
+                "rms",
+                "silence_frac",
+                "clip_frac",
+            ],
+        )
+
+
+def q_mm_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio ingest quality gates off the REAL decoded PCM: RMS level,
+    silence fraction (dead-air/failed-capture detector) and clipping
+    fraction (gain-staging damage) per clip — the three numbers an
+    audio-corpus pipeline filters on before feature extraction.
+
+    The clips are closed forms of doc_id, so the DuckDB oracle
+    REGENERATES every sample arithmetically and recomputes all three
+    gates without touching bytes — any chunk-walk, signedness, or
+    channel-interleave bug in the decode path hash-fails.  Narrow
+    Arrow stages, per-clip state only."""
+    docs = rebalance_scan(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    payloads = docs.mapInPandas(
+        wav_payload_batches, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        audio_quality_batches,
+        schema=(
+            "doc_id long, n_samples long, rms double, "
+            "silence_frac double, clip_frac double"
+        ),
+    )
+
+
+_WAV_N_SAMPLES_SQL = f"((1 + doc_id % {WAV_FRAMES_MOD}) * (1 + doc_id % 2))"
+
+ORACLES_LATE["mm_audio_quality"] = (
+    f"WITH p AS (SELECT doc_id, {_WAV_N_SAMPLES_SQL} AS n FROM documents), "
+    "s AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM p), "
+    "v AS (SELECT doc_id, n, "
+    "((doc_id * 31 + k * 17) % 65536) - 32768 AS smp FROM s) "
+    "SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples, "
+    "round(sqrt(avg(CAST(smp AS DOUBLE) * smp)), 6) AS rms, "
+    f"round(sum(CASE WHEN abs(smp) < {SILENCE_ABS} THEN 1 ELSE 0 END) "
+    "/ CAST(count(*) AS DOUBLE), 6) AS silence_frac, "
+    f"round(sum(CASE WHEN abs(smp) >= {CLIP_ABS} THEN 1 ELSE 0 END) "
+    "/ CAST(count(*) AS DOUBLE), 6) AS clip_frac "
+    "FROM v GROUP BY doc_id"
+)
+
+QUERIES_LATE["mm_audio_quality"] = q_mm_audio_quality
