@@ -246,6 +246,7 @@ _ROWS_ONLY = frozenset(
         "sim_pca_components",  # power-iteration eigensolve — invariant tests
         "sim_pca_project",  # consumes the learned axes — same fit
         "mm_ahash_dedup",  # pixel-space perceptual hash — invariance tests
+        "sim_topk_mmr",  # greedy MMR recursion — diversity tests
     }
 )
 

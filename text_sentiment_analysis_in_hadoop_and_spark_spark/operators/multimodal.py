@@ -968,3 +968,63 @@ ORACLES_LATE["mm_audio_quality"] = (
 )
 
 QUERIES_LATE["mm_audio_quality"] = q_mm_audio_quality
+
+
+def image_quality_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rgb = decode_bmp_pixels(bytes(payload)).astype(np.float64)
+            gray = rgb.mean(axis=2)
+            out.append(
+                (
+                    int(doc_id),
+                    round(float(gray.mean()), 6),
+                    round(float(gray.std()), 6),
+                    round(float(gray.max() - gray.min()), 6),
+                )
+            )
+        yield pd.DataFrame(
+            out, columns=["doc_id", "gray_mean", "gray_std", "dyn_range"]
+        )
+
+
+def q_mm_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality gates off the REAL decoded pixels: grayscale
+    mean (exposure), std (contrast — a near-zero std is a blank/
+    failed capture) and dynamic range per image.
+
+    The synthetic gradient has closed forms — gray = base +
+    (2x + 2y)/3, so mean = base + (w + h − 2)/3, var = (4/9)·
+    ((w²−1) + (h²−1))/12, range = (2/3)·(w + h − 2) — and the DuckDB
+    oracle recomputes all three ARITHMETICALLY: any padding,
+    orientation, channel-order or float-promotion bug in the decode
+    path hash-fails.  Narrow Arrow stages, per-image state only."""
+    docs = rebalance_scan(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    payloads = docs.mapInPandas(
+        bmp_payload_batches, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        image_quality_batches,
+        schema="doc_id long, gray_mean double, gray_std double, dyn_range double",
+    )
+
+
+ORACLES_LATE["mm_image_quality"] = (
+    "SELECT doc_id, "
+    f"round({_BMP_BASE_SQL} + ({_BMP_W_SQL} + {_BMP_H_SQL} - 2) / 3.0, 6) "
+    "AS gray_mean, "
+    f"round(sqrt((4.0 / 9.0) * (({_BMP_W_SQL} * {_BMP_W_SQL} - 1) "
+    f"+ ({_BMP_H_SQL} * {_BMP_H_SQL} - 1)) / 12.0), 6) AS gray_std, "
+    f"round((2.0 / 3.0) * ({_BMP_W_SQL} + {_BMP_H_SQL} - 2), 6) "
+    "AS dyn_range "
+    "FROM documents"
+)
+
+QUERIES_LATE["mm_image_quality"] = q_mm_image_quality

@@ -1471,3 +1471,91 @@ ORACLES_LATE["sim_centroid_separation"] = (
 )
 
 QUERIES_LATE["sim_centroid_separation"] = q_centroid_separation
+
+
+# --- MMR diversified re-rank ----------------------------------------------
+
+MMR_POOL = 50
+MMR_K = 10
+# λ = 0.5 (the common default): at λ much higher, a near-duplicate
+# clique with ~1.0 internal similarity still outranks moderately
+# relevant diverse candidates, defeating the operator's purpose
+MMR_LAMBDA = 0.5
+
+
+def _mmr_rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy maximal-marginal-relevance over ONE query's candidate
+    pool: pick argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)."""
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(vecs, axis=1)
+    nrm[nrm == 0] = 1.0
+    unit = vecs / nrm[:, None]
+    qsim = pdf["cos"].to_numpy()
+    pair = unit @ unit.T
+    n = len(pdf)
+    chosen: list[int] = []
+    penal = np.full(n, -1.0)
+    for _ in range(min(MMR_K, n)):
+        score = MMR_LAMBDA * qsim - (1 - MMR_LAMBDA) * np.where(
+            penal < 0, 0.0, penal
+        )
+        score[chosen] = -np.inf
+        # deterministic: ties resolve to the smallest vec_id (rows
+        # are vec_id-sorted, argmax takes the first max)
+        pick = int(score.argmax())
+        chosen.append(pick)
+        penal = np.maximum(penal, pair[:, pick])
+    out = pdf.iloc[chosen][["q_id", "vec_id"]].copy()
+    out["mmr_rank"] = range(1, len(chosen) + 1)
+    out["cosine"] = [round(float(qsim[i]), 6) for i in chosen]
+    return out
+
+
+def q_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware serving re-rank: greedy MMR (Carbonell &
+    Goldstein) over each query's top-``MMR_POOL`` exact candidates —
+    relevance alone returns near-duplicate neighbors; MMR penalizes a
+    candidate by its similarity to what is ALREADY selected, the
+    standard RAG/search result diversifier.
+
+    Rows-only BY DESIGN (a greedy argmax recursion over a growing
+    selected-set is not one SQL statement); pinned by first-pick,
+    diversity-dominance and determinism tests.  Scale shape: the pool
+    build is the distributed part (candidates-only, broadcast query
+    side, same as topk_brute); the greedy runs per query GROUP in
+    ``applyInPandas`` over pool-sized data — k·pool work per query,
+    never corpus-sized, and queries parallelize across the cluster."""
+    emb = _emb_with_norm(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "embedding",
+            F.round(
+                dot(F.col("embedding"), F.col("q_vec"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    pool = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= MMR_POOL
+    )
+    return pool.groupBy("q_id").applyInPandas(
+        lambda pdf: _mmr_rerank(pdf),
+        schema="q_id long, vec_id long, mmr_rank int, cosine double",
+    )
+
+
+QUERIES_LATE["sim_topk_mmr"] = q_topk_mmr
