@@ -1,0 +1,62 @@
+"""Physical-plan assertions for the late-session operators (merge,
+concurrency, audio/image gates, interleave, MMR pool) — same 100 TB
+posture checks as test_plans.py / test_plans2.py."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+from conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _q(spark, name):
+    return entrymod.queries()[name](spark, SF_DIR)
+
+
+def test_merge_sides_preaggregate_before_join(spark):
+    """Both MERGE sides must reduce to one row per key (partial-agg
+    max_by) BEFORE the full-outer join — no window, no sort of raw
+    events."""
+    plan = _plan(_q(spark, "events_merge_upsert"))
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_peak_concurrency_windows_are_day_partitioned(spark):
+    """The sweep's running sums must partition by (type, day) — the
+    whole point of the decomposition is avoiding one global window."""
+    plan = _plan(_q(spark, "events_peak_concurrency"))
+    assert "hashpartitioning(event_type" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_audio_and_image_gates_are_narrow_arrow(spark):
+    """The decode gates are chained MapInPandas stages over a pruned
+    doc_id scan — no shuffle before the bounded rollup, no row UDF."""
+    for name in ("mm_audio_quality", "mm_image_quality"):
+        plan = _plan(_q(spark, name))
+        assert "MapInPandas" in plan, name
+        assert "BatchEvalPython" not in plan, name
+        read_schema = plan[plan.index("ReadSchema") :].splitlines()[0]
+        assert "doc_id" in read_schema and "text" not in read_schema, name
+
+
+def test_interleave_rank_is_source_partitioned_with_topk_cut(spark):
+    plan = _plan(_q(spark, "pipe_interleave_schedule"))
+    assert "hashpartitioning(source" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mmr_pool_is_query_partitioned_pandas(spark):
+    """The greedy runs per query group in FlatMapGroupsInPandas over
+    the pooled candidates — bounded per group, parallel across
+    queries."""
+    plan = _plan(_q(spark, "sim_topk_mmr"))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(q_id" in plan
+    assert "CartesianProduct" not in plan

@@ -1270,3 +1270,67 @@ ORACLES_LATE["pipe_partition_advisor"] = (
 )
 
 QUERIES_LATE["pipe_partition_advisor"] = q_partition_advisor
+
+
+INTERLEAVE_HEAD = 100
+
+
+def q_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved training order: docs rank
+    within their source by content hash (reproducible), and global
+    position = rank · n_sources + source_index — a round-robin weave
+    so no contiguous training window is single-source (the
+    order-level counterpart of pipe_mixture's mass-level resampling;
+    gradient noise stays decorrelated from source boundaries).
+
+    Exposes the first ``INTERLEAVE_HEAD`` positions (the schedule
+    head a trainer would consume first).  Scale: per-source rank
+    windows partition BY SOURCE (bounded independent partitions), the
+    source index is a sources-sized broadcast, and the head cut is a
+    TakeOrderedAndProject — no global sort of the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", hex32(F.col("text")).alias("h")
+    )
+    sources = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.dense_rank().over(Window.orderBy("source")) - 1).alias(
+                "src_idx"
+            ),
+        )
+    )
+    n_src = F.lit(sources.count())
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(w) - 1)
+    return (
+        ranked.join(F.broadcast(sources), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("rk") * n_src + F.col("src_idx"))
+            .cast("long")
+            .alias("position"),
+        )
+        .orderBy("position")
+        .limit(INTERLEAVE_HEAD)
+    )
+
+
+ORACLES_LATE["pipe_interleave_schedule"] = (
+    f"WITH d AS (SELECT doc_id, source, {hex32_sql('text')} AS h "
+    "FROM documents), "
+    "s AS (SELECT source, dense_rank() OVER (ORDER BY source) - 1 "
+    "AS src_idx FROM (SELECT DISTINCT source FROM documents)), "
+    "n AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM s), "
+    "r AS (SELECT doc_id, source, "
+    "row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1 "
+    "AS rk FROM d) "
+    "SELECT r.doc_id, r.source, "
+    "CAST(r.rk * n.n_src + s.src_idx AS BIGINT) AS position "
+    "FROM r JOIN s USING (source) CROSS JOIN n "
+    f"ORDER BY position LIMIT {INTERLEAVE_HEAD}"
+)
+
+QUERIES_LATE["pipe_interleave_schedule"] = q_interleave_schedule
