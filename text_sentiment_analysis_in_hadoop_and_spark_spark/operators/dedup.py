@@ -1895,3 +1895,68 @@ ORACLES["dedup_shingle_df_profile"] = _with(*_DSH_CTES) + (
 )
 
 QUERIES["dedup_shingle_df_profile"] = q_shingle_df_profile
+
+
+def q_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does duplication skew by document length?  Exact-dup rate per
+    length quartile (short-doc boilerplate floods vs long-doc
+    re-crawls call for different scrub strategies — this tells you
+    which corpus you have).  Quartile fences are one broadcast
+    percentile aggregate; dup flags come from the same md5 canonical
+    the exact-dedup family gates on."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("canonical")
+    )
+    flagged = (
+        docs.select("doc_id", "n_chars", F.md5("text").alias("fp"))
+        .join(canon, "fp")
+        .select(
+            "n_chars",
+            (F.col("doc_id") != F.col("canonical")).cast("int").alias(
+                "is_dup"
+            ),
+        )
+    )
+    qs = docs.agg(
+        F.expr("percentile(n_chars, array(0.25, 0.5, 0.75))").alias("qs")
+    ).select(
+        F.col("qs")[0].alias("q1"),
+        F.col("qs")[1].alias("q2"),
+        F.col("qs")[2].alias("q3"),
+    )
+    staged = flagged.crossJoin(F.broadcast(qs)).select(
+        (
+            F.lit(1)
+            + (F.col("n_chars") > F.col("q1")).cast("int")
+            + (F.col("n_chars") > F.col("q2")).cast("int")
+            + (F.col("n_chars") > F.col("q3")).cast("int")
+        ).alias("length_quartile"),
+        "is_dup",
+    )
+    return staged.groupBy("length_quartile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dups"),
+        F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_rate"),
+    )
+
+
+ORACLES["dedup_rate_by_length"] = (
+    "WITH canon AS (SELECT md5(text) AS fp, min(doc_id) AS canonical "
+    "FROM documents GROUP BY 1), "
+    "f AS (SELECT d.n_chars, "
+    "CAST(d.doc_id <> c.canonical AS INTEGER) AS is_dup "
+    "FROM documents d JOIN canon c ON md5(d.text) = c.fp), "
+    "qs AS (SELECT quantile_cont(n_chars, 0.25) AS q1, "
+    "quantile_cont(n_chars, 0.5) AS q2, "
+    "quantile_cont(n_chars, 0.75) AS q3 FROM documents), "
+    "s AS (SELECT 1 + CAST(n_chars > q1 AS INTEGER) "
+    "+ CAST(n_chars > q2 AS INTEGER) + CAST(n_chars > q3 AS INTEGER) "
+    "AS length_quartile, is_dup FROM f, qs) "
+    "SELECT length_quartile, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(is_dup) AS BIGINT) AS n_dups, "
+    "round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6) AS dup_rate "
+    "FROM s GROUP BY 1"
+)
+
+QUERIES["dedup_rate_by_length"] = q_dup_rate_by_length

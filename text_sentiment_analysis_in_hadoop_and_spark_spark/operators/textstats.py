@@ -924,3 +924,47 @@ ORACLES_LATE["text_oov_rate"] = (
 )
 
 QUERIES_LATE["text_oov_rate"] = q_oov_rate
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-mixing detector: per-doc Latin vs CJK character counts
+    and a mixed-script flag, rolled up per labeled language — the
+    code-switching / wrong-lang-label screen a multilingual corpus
+    runs next to the stopword language-ID (a 'zh' doc that is 90%
+    Latin script is mislabeled or templated).  Two regexp_count
+    densities in a shuffle-free narrow map (Java∩RE2 subset), one
+    langs-bounded rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    latin = F.regexp_count(F.col("text"), F.lit("[a-zA-Z]"))
+    cjk = F.regexp_count(F.col("text"), F.lit("[\\x{4e00}-\\x{9fff}]"))
+    per_doc = docs.select(
+        "lang",
+        latin.alias("n_latin"),
+        cjk.alias("n_cjk"),
+        ((latin > 0) & (cjk > 0)).cast("int").alias("mixed"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_latin").cast("long").alias("n_latin_chars"),
+        F.sum("n_cjk").cast("long").alias("n_cjk_chars"),
+        F.sum("mixed").cast("long").alias("n_mixed_docs"),
+        F.round(F.sum("mixed") / F.count("*"), 6).alias("mixed_share"),
+    )
+
+
+ORACLES_LATE["text_script_mix"] = (
+    "WITH p AS (SELECT lang, "
+    "CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS n_latin, "
+    "CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) "
+    "AS n_cjk FROM documents) "
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_latin) AS BIGINT) AS n_latin_chars, "
+    "CAST(sum(n_cjk) AS BIGINT) AS n_cjk_chars, "
+    "CAST(sum(CASE WHEN n_latin > 0 AND n_cjk > 0 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_mixed_docs, "
+    "round(sum(CASE WHEN n_latin > 0 AND n_cjk > 0 THEN 1 ELSE 0 END) "
+    "/ CAST(count(*) AS DOUBLE), 6) AS mixed_share "
+    "FROM p GROUP BY lang"
+)
+
+QUERIES_LATE["text_script_mix"] = q_script_mix
