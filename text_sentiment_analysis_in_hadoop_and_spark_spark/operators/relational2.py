@@ -1731,3 +1731,64 @@ ORACLES["rel_supplier_hhi"] = (
 )
 
 QUERIES["rel_supplier_hhi"] = q_supplier_hhi
+
+
+def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per market segment: exact median /
+    p90 days between a customer's consecutive orders — the
+    replenishment-cycle metric behind every reorder-nudge campaign.
+
+    Shape: gaps come from one lag() window PARTITIONED BY CUSTOMER
+    over integer epoch days (bounded independent partitions), the
+    segment dimension joins broadcast, and the rollup runs an exact
+    percentile per segment (bounded group count)."""
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"
+        ).alias("day"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    gaps = (
+        ords.withColumn("prev_day", F.lag("day").over(w))
+        .filter(F.col("prev_day").isNotNull())
+        .select(
+            "o_custkey", (F.col("day") - F.col("prev_day")).alias("gap_days")
+        )
+    )
+    return (
+        gaps.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias(
+                "median_gap_days"
+            ),
+            F.round(F.expr("percentile(gap_days, 0.9)"), 6).alias(
+                "p90_gap_days"
+            ),
+        )
+    )
+
+
+ORACLES["rel_repeat_purchase_interval"] = (
+    "WITH o AS (SELECT o_custkey, o_orderkey, "
+    "CAST(epoch_ns(o_orderdate) // 1000000000 // 86400 AS BIGINT) AS day "
+    "FROM orders), "
+    "g AS (SELECT o_custkey, day - lag(day) OVER w AS gap_days FROM o "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)) "
+    "SELECT c.c_mktsegment AS segment, "
+    "CAST(count(*) AS BIGINT) AS n_gaps, "
+    "round(quantile_cont(g.gap_days, 0.5), 6) AS median_gap_days, "
+    "round(quantile_cont(g.gap_days, 0.9), 6) AS p90_gap_days "
+    "FROM g JOIN customer c ON g.o_custkey = c.c_custkey "
+    "WHERE g.gap_days IS NOT NULL GROUP BY 1"
+)
+
+QUERIES["rel_repeat_purchase_interval"] = q_repeat_purchase_interval

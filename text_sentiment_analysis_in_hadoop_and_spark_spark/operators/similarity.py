@@ -1559,3 +1559,37 @@ def q_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_LATE["sim_topk_mmr"] = q_topk_mmr
+
+
+def q_query_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN difficulty gauge per query: the top1−top2 cosine margin
+    and the top1−top10 spread from the exact neighbor table — a thin
+    margin means ANN recall for that query is fragile (the per-query
+    explanation behind an aggregate recall dip).  One pass over the
+    memoized brute top-k output."""
+    topk = q_sim_topk_brute(spark, sf_dir)
+    return topk.groupBy("q_id").agg(
+        F.round(
+            F.max(F.when(F.col("rank") == 1, F.col("cosine")))
+            - F.max(F.when(F.col("rank") == 2, F.col("cosine"))),
+            6,
+        ).alias("top1_top2_margin"),
+        F.round(
+            F.max(F.when(F.col("rank") == 1, F.col("cosine")))
+            - F.min("cosine"),
+            6,
+        ).alias("top1_top10_spread"),
+    )
+
+
+ORACLES_LATE["sim_query_margin"] = (
+    "WITH topk AS (" + _BRUTE_SQL + ") "
+    "SELECT q_id, "
+    "round(max(CASE WHEN rank = 1 THEN cosine END) "
+    "- max(CASE WHEN rank = 2 THEN cosine END), 6) AS top1_top2_margin, "
+    "round(max(CASE WHEN rank = 1 THEN cosine END) "
+    "- min(cosine), 6) AS top1_top10_spread "
+    "FROM topk GROUP BY q_id"
+)
+
+QUERIES_LATE["sim_query_margin"] = q_query_margin
