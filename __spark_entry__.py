@@ -46,6 +46,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     spectral,
     textstats,
     tfidf,
+    timeseries,
 )
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -173,6 +174,7 @@ _MODULE_ORDER = (
     _tfidf_late,
     orc_source,
     merge,
+    timeseries,
 )
 
 

@@ -1,0 +1,212 @@
+"""Calendar-spine time-series operators (timeseries.py) and the
+two-phase epoch shuffle (pipeline.py): semantic invariants the DuckDB
+oracle hash alone wouldn't localize, plus 100 TB plan-shape pins."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+    pipeline,
+    timeseries,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- events_gap_fill -------------------------------------------------
+
+
+def test_gap_fill_spine_is_dense_and_complete(spark):
+    out = timeseries.q_gap_fill(spark, SF_DIR).cache()
+    try:
+        per_type = (
+            out.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("hr").alias("mn"),
+                F.max("hr").alias("mx"),
+                F.countDistinct("hr").alias("nd"),
+            )
+            .collect()
+        )
+        assert per_type, "no event types"
+        spans = {(r["mn"], r["mx"], r["n"]) for r in per_type}
+        assert len({(r["mn"], r["mx"]) for r in per_type}) == 1, (
+            "all types must share the one global spine"
+        )
+        for r in per_type:
+            expected = (r["mx"] - r["mn"]) // timeseries.HOUR_SEC + 1
+            assert r["n"] == expected, (r["event_type"], r["n"], expected)
+            assert r["nd"] == r["n"], "duplicate hours in spine"
+        del spans
+    finally:
+        out.unpersist()
+
+
+def test_gap_fill_gap_rows_are_zero_and_ffilled(spark):
+    out = timeseries.q_gap_fill(spark, SF_DIR).cache()
+    try:
+        gaps = out.filter(F.col("gap") == 1)
+        assert gaps.count() > 0, (
+            "fixture has no empty hours — gap semantics untested"
+        )
+        assert gaps.filter(
+            (F.col("n_events") != 0) | (F.col("volume") != 0.0)
+        ).count() == 0
+        # a gap row's ffill must equal the last preceding non-gap volume
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("hr")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        chk = out.withColumn(
+            "expect",
+            F.coalesce(
+                F.last(
+                    F.when(F.col("gap") == 0, F.col("volume")),
+                    ignorenulls=True,
+                ).over(w),
+                F.lit(0.0),
+            ),
+        )
+        assert chk.filter(F.col("ffill_vol") != F.col("expect")).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_gap_fill_agrees_with_windowed_batch_on_nonempty_hours(spark):
+    """Non-gap rows must be exactly the events_windowed aggregation —
+    the spine adds rows, never changes observed ones."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        windowed_batch,
+    )
+
+    out = timeseries.q_gap_fill(spark, SF_DIR)
+    observed = out.filter(F.col("gap") == 0).select(
+        F.col("hr").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        F.col("volume").alias("sum_value"),
+    )
+    base = windowed_batch(spark, SF_DIR)
+    assert observed.exceptAll(base).count() == 0
+    assert base.exceptAll(observed).count() == 0
+
+
+# --- events_rolling_corr ---------------------------------------------
+
+
+def test_rolling_corr_nulls_exactly_on_partial_windows(spark):
+    rows = (
+        timeseries.q_rolling_corr(spark, SF_DIR)
+        .orderBy("day")
+        .collect()
+    )
+    assert len(rows) >= timeseries.CORR_DAYS, "fixture shorter than window"
+    for i, r in enumerate(rows):
+        if i < timeseries.CORR_DAYS - 1:
+            assert r["corr7"] is None, f"partial window at day index {i}"
+        elif r["corr7"] is not None:
+            assert -1.0 <= r["corr7"] <= 1.0
+
+
+def test_rolling_corr_matches_numpy_on_full_windows(spark):
+    import numpy as np
+
+    rows = (
+        timeseries.q_rolling_corr(spark, SF_DIR)
+        .orderBy("day")
+        .collect()
+    )
+    xs = [r["n_click"] for r in rows]
+    ys = [r["n_purchase"] for r in rows]
+    k = timeseries.CORR_DAYS
+    for i in range(k - 1, len(rows)):
+        wx, wy = xs[i - k + 1 : i + 1], ys[i - k + 1 : i + 1]
+        if np.std(wx) == 0 or np.std(wy) == 0:
+            assert rows[i]["corr7"] is None
+            continue
+        expect = float(np.corrcoef(wx, wy)[0, 1])
+        assert rows[i]["corr7"] is not None
+        assert abs(rows[i]["corr7"] - expect) < 1e-6, (i, expect)
+
+
+# --- pipe_epoch_shuffle ----------------------------------------------
+
+
+def test_epoch_shuffle_is_a_permutation_per_epoch(spark):
+    out = pipeline.q_epoch_shuffle(spark, SF_DIR).cache()
+    try:
+        n_docs = (
+            out.select("doc_id").distinct().count()
+        )
+        per_epoch = (
+            out.groupBy("epoch")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("pos").alias("npos"),
+                F.min("pos").alias("mn"),
+                F.max("pos").alias("mx"),
+            )
+            .collect()
+        )
+        assert len(per_epoch) == pipeline.N_EPOCHS
+        for r in per_epoch:
+            assert r["n"] == n_docs
+            assert r["npos"] == n_docs, "pos must be collision-free"
+            assert (r["mn"], r["mx"]) == (1, n_docs), "pos must be dense 1..N"
+    finally:
+        out.unpersist()
+
+
+def test_epoch_shuffle_epochs_are_different_orders(spark):
+    out = pipeline.q_epoch_shuffle(spark, SF_DIR)
+    e0 = out.filter(F.col("epoch") == 0).select("doc_id", "pos")
+    e1 = out.filter(F.col("epoch") == 1).select(
+        "doc_id", F.col("pos").alias("pos1")
+    )
+    moved = e0.join(e1, "doc_id").filter(F.col("pos") != F.col("pos1"))
+    assert moved.count() > 0, "epochs replayed the identical order"
+
+
+def test_epoch_shuffle_two_phase_equals_global_rank(spark):
+    """The bucketed prefix-sum rank must equal the flat global
+    row_number over the same (key, doc_id) order — computed here the
+    slow single-window way as the test oracle."""
+    out = pipeline.q_epoch_shuffle(spark, SF_DIR)
+    key = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("epoch").orderBy(key.asc(), F.col("doc_id").asc())
+    chk = out.withColumn("flat", F.row_number().over(w).cast("long"))
+    assert chk.filter(F.col("pos") != F.col("flat")).count() == 0
+
+
+def test_epoch_shuffle_plan_has_no_global_window(spark):
+    """Phase-1 window must partition by (epoch, bucket) — a
+    partition-less row_number (one-task global sort) is the
+    anti-pattern this operator exists to avoid."""
+    plan = _plan(pipeline.q_epoch_shuffle(spark, SF_DIR))
+    assert "hashpartitioning(epoch" in plan and "bucket" in plan
+    # the only SinglePartition exchange allowed is the 512-row offsets
+    # side (windowed prefix-sum over bucket counts), which broadcasts
+    assert "BroadcastExchange" in plan
+
+
+def test_gap_fill_plan_prunes_and_partial_aggs(spark):
+    """events scan must read only the consumed columns, and the hourly
+    rollup must partial-aggregate before its shuffle."""
+    plan = _plan(timeseries.q_gap_fill(spark, SF_DIR))
+    read_schema = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "props" not in read_schema and "user_id" not in read_schema
+    assert "partial" in plan.lower()

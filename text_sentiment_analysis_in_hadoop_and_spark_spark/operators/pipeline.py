@@ -1334,3 +1334,99 @@ ORACLES_LATE["pipe_interleave_schedule"] = (
 )
 
 QUERIES_LATE["pipe_interleave_schedule"] = q_interleave_schedule
+
+
+# --- per-epoch global shuffle via two-phase ranking (r5) -------------
+
+N_EPOCHS = 2        # epochs materialized in the schedule
+SHUF_BUCKETS = 256  # phase-1 range buckets (first md5 byte)
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL training-order positions, one independent permutation
+    per epoch — the complement of ``pipe_global_shuffle`` (whose
+    positions are per-shard): here every (epoch, doc) gets a single
+    dense 1..N rank over the whole corpus, keyed by
+    ``md5(epoch:doc_id)`` so each epoch replays a different but fully
+    reproducible order (seeded-shuffle-per-epoch, the data-loader
+    contract for multi-epoch training).
+
+    The rank is computed WITHOUT a global window (a partition-less
+    ``row_number`` is a one-task bottleneck — the anti-pattern the
+    plan test pins away).  Two-phase distributed ranking instead, the
+    classic zipWithIndex decomposition:
+
+    1. bucket each row by its first md5 byte (256 range buckets —
+       the hash is uniform, so buckets are balanced by construction);
+       ``row_number`` within (epoch, bucket) is an ordinary
+       partitioned window, shuffle-bounded at corpus/256 rows per
+       group;
+    2. a 2×256-row bucket-count aggregate turns into exclusive
+       prefix-sum offsets (tiny window over 256 rows), broadcast back,
+       and ``pos = offset + local rank``.
+
+    Because md5 hex orders identically to its first-byte bucket, the
+    concatenation of bucket-local orders IS the global md5 order — the
+    oracle recomputes it as one flat ``row_number`` and the hashes
+    must agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias(
+                "epoch"
+            ),
+        )
+        .withColumn(
+            "key",
+            F.md5(
+                F.concat(
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+        .withColumn(
+            "bucket", F.conv(F.substring("key", 1, 2), 16, 10).cast("int")
+        )
+    )
+    wb = Window.partitionBy("epoch", "bucket").orderBy("key", "doc_id")
+    local = keyed.withColumn("rk", F.row_number().over(wb).cast("long"))
+    counts = keyed.groupBy("epoch", "bucket").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wo = (
+        Window.partitionBy("epoch")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "epoch",
+        "bucket",
+        F.coalesce(F.sum("cnt").over(wo), F.lit(0))
+        .cast("long")
+        .alias("off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["epoch", "bucket"])
+        .select(
+            "epoch",
+            "doc_id",
+            (F.col("off") + F.col("rk")).cast("long").alias("pos"),
+        )
+    )
+
+
+ORACLES_LATE["pipe_epoch_shuffle"] = (
+    "WITH e AS (SELECT doc_id, CAST(ep.epoch AS INTEGER) AS epoch "
+    "FROM documents CROSS JOIN (SELECT unnest(generate_series(0, "
+    f"{N_EPOCHS - 1})) AS epoch) ep), "
+    "k AS (SELECT epoch, doc_id, "
+    "md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) "
+    "AS key FROM e) "
+    "SELECT epoch, doc_id, CAST(row_number() OVER ("
+    "PARTITION BY epoch ORDER BY key, doc_id) AS BIGINT) AS pos FROM k"
+)
+
+QUERIES_LATE["pipe_epoch_shuffle"] = q_epoch_shuffle

@@ -1,0 +1,205 @@
+"""Calendar-spine time-series operators over ``events`` (engine
+extension — the reference computes no time series at all; its only
+temporal structure is job ordering, SURVEY §2).
+
+Two classic warehouse shapes the event suite did not cover yet:
+
+- ``events_gap_fill`` — a DENSE hourly series per event type: every
+  hour between the corpus's first and last event appears exactly once
+  per type, absent hours carry zero counts and a ``gap`` flag, and a
+  forward-fill column carries the last observed hourly volume across
+  the gap (the `LOCF` imputation every monitoring/feature pipeline
+  needs before a model sees the series).
+- ``events_rolling_corr`` — 7-day rolling Pearson correlation between
+  the daily ``click`` and ``purchase`` counts, computed from EXACT
+  integer window sums (n, Σx, Σy, Σxy, Σx², Σy²) so both engines
+  derive the identical double: correlation enters only at the final
+  division, never inside the accumulation.  NULL until a full 7-day
+  window exists or when either series is constant in the window
+  (zero variance has no defined correlation — returning NULL beats
+  an engine-specific NaN).
+
+Scale shape — why the windows here are fine at 100 TB: both queries
+aggregate events down to a CALENDAR-bounded table first (hours × 5
+types, or days), via an ordinary partial-agg ``groupBy`` that scales
+with the data.  The windows then run over rows bounded by elapsed
+time (8 760 hours/year), not by event volume, so the partition-less
+day window is a constant-sized tail, not a bottleneck.  The hour
+spine is generated with ``sequence``/``explode`` from a 1-row bounds
+aggregate — no driver collect, no Python.
+
+Integer-exactness note (``events_rolling_corr``): the window sums are
+LONGs over daily counts — exact, engine-independent.  At planetary
+volumes (≥ ~2³¹ events/day) Σxy would need the built-in
+``covar_pop``/``stddev_pop`` instead; the docstring trade is exactness
+of the oracle comparison at test scale vs headroom, and the constants
+make the switch point explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..streaming.windowed import load_events
+
+HOUR_SEC = 3600
+DAY_SEC = 86400
+CORR_DAYS = 7
+CORR_X = "click"
+CORR_Y = "purchase"
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        (F.expr(f"epoch_sec DIV {HOUR_SEC}") * HOUR_SEC)
+        .cast("long")
+        .alias("hr"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("vol"),
+    )
+    bounds = ev.agg(
+        (F.min(F.expr(f"epoch_sec DIV {HOUR_SEC}")) * HOUR_SEC)
+        .cast("long")
+        .alias("mn"),
+        (F.max(F.expr(f"epoch_sec DIV {HOUR_SEC}")) * HOUR_SEC)
+        .cast("long")
+        .alias("mx"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("mn", "mx", F.lit(HOUR_SEC).cast("long"))
+            ).alias("hr")
+        )
+        .crossJoin(F.broadcast(ev.select("event_type").distinct()))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            (F.coalesce("vol", F.lit(0.0)) + 0.0).alias("volume"),
+            F.col("n").isNull().cast("int").alias("gap"),
+            (
+                F.coalesce(
+                    F.last("vol", ignorenulls=True).over(w), F.lit(0.0)
+                )
+                + 0.0
+            ).alias("ffill_vol"),
+        )
+    )
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("event_type").isin(CORR_X, CORR_Y))
+        .groupBy(
+            F.expr(f"epoch_sec DIV {DAY_SEC}").cast("long").alias("day")
+        )
+        .agg(
+            F.sum((F.col("event_type") == CORR_X).cast("long"))
+            .cast("long")
+            .alias("x"),
+            F.sum((F.col("event_type") == CORR_Y).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-(CORR_DAYS - 1), 0)
+    n = F.count("*").over(w).cast("long")
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    # exact integer moments; doubles appear only in the final ratio
+    num = (n * sxy - sx * sy).cast("double")
+    dx = (n * sxx - sx * sx).cast("double")
+    dy = (n * syy - sy * sy).cast("double")
+    moments = daily.select(
+        "day",
+        "x",
+        "y",
+        n.alias("n_w"),
+        num.alias("num"),
+        dx.alias("dx"),
+        dy.alias("dy"),
+    )
+    corr = F.when(
+        (F.col("n_w") == CORR_DAYS)
+        & (F.col("dx") > 0)
+        & (F.col("dy") > 0),
+        F.round(F.col("num") / (F.sqrt("dx") * F.sqrt("dy")), 6),
+    )
+    return moments.select(
+        "day",
+        F.col("x").alias("n_click"),
+        F.col("y").alias("n_purchase"),
+        corr.alias("corr7"),
+    )
+
+
+_HR = f"epoch_ns(ts) // 1000000000 // {HOUR_SEC} * {HOUR_SEC}"
+
+ORACLES: dict[str, str] = {
+    "events_gap_fill": (
+        f"WITH b AS (SELECT event_type, CAST({_HR} AS BIGINT) AS hr, "
+        "CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS vol "
+        "FROM events GROUP BY 1, 2), "
+        "bounds AS (SELECT min(hr) AS mn, max(hr) AS mx FROM b), "
+        "spine AS (SELECT et.event_type, g.hr FROM "
+        "(SELECT DISTINCT event_type FROM events) et CROSS JOIN "
+        f"(SELECT unnest(generate_series(mn, mx, {HOUR_SEC})) AS hr "
+        "FROM bounds) g) "
+        "SELECT s.event_type, s.hr, "
+        "CAST(coalesce(b.n, 0) AS BIGINT) AS n_events, "
+        "coalesce(b.vol, 0.0) + 0.0 AS volume, "
+        "CAST(b.n IS NULL AS INTEGER) AS gap, "
+        "coalesce(last_value(b.vol IGNORE NULLS) OVER ("
+        "PARTITION BY s.event_type ORDER BY s.hr "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) + 0.0 "
+        "AS ffill_vol "
+        "FROM spine s LEFT JOIN b "
+        "ON s.event_type = b.event_type AND s.hr = b.hr"
+    ),
+    "events_rolling_corr": (
+        "WITH d AS (SELECT "
+        f"CAST(epoch_ns(ts) // 1000000000 // {DAY_SEC} AS BIGINT) AS day, "
+        f"CAST(sum(CASE WHEN event_type = '{CORR_X}' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS x, "
+        f"CAST(sum(CASE WHEN event_type = '{CORR_Y}' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS y "
+        "FROM events "
+        f"WHERE event_type IN ('{CORR_X}', '{CORR_Y}') GROUP BY 1), "
+        "m AS (SELECT day, x, y, "
+        "CAST(count(*) OVER w AS BIGINT) AS n, "
+        "sum(x) OVER w AS sx, sum(y) OVER w AS sy, "
+        "sum(x * y) OVER w AS sxy, "
+        "sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy "
+        "FROM d WINDOW w AS (ORDER BY day "
+        f"ROWS BETWEEN {CORR_DAYS - 1} PRECEDING AND CURRENT ROW)) "
+        "SELECT day, x AS n_click, y AS n_purchase, "
+        f"CASE WHEN n = {CORR_DAYS} "
+        "AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 "
+        "THEN round(CAST(n * sxy - sx * sy AS DOUBLE) / "
+        "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
+        "sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) END AS corr7 "
+        "FROM m"
+    ),
+}
+
+QUERIES = {
+    "events_gap_fill": q_gap_fill,
+    "events_rolling_corr": q_rolling_corr,
+}
