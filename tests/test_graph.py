@@ -42,3 +42,69 @@ def test_singletons_hold_base_rank_and_mass_conserves(spark):
     assert sum(out.values()) == pytest.approx(3.0, abs=1e-6)
     assert out[1] == pytest.approx(out[2])
     assert out[9] < out[1]
+
+
+# --- Adamic-Adar link prediction -------------------------------------
+
+import math
+
+from pyspark.sql import functions as F
+
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.graph import (
+    link_prediction,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a BIGINT, b BIGINT")
+
+
+def test_path_predicts_the_closing_edge(spark):
+    # 1-2-3: the one non-edge (1,3) shares neighbor 2 (deg 2)
+    out = link_prediction(_edges(spark, [(1, 2), (2, 3)])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"], r["common_neighbors"]) == (1, 3, 1)
+    assert r["adamic_adar"] == pytest.approx(1 / math.log(2), abs=1e-6)
+
+
+def test_clique_has_no_candidates(spark):
+    out = link_prediction(
+        _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    ).collect()
+    assert out == []
+
+
+def test_star_scores_spoke_pairs_by_hub_degree(spark):
+    # hub 1, spokes 2..4: every spoke pair shares only the hub (deg 3)
+    rows = link_prediction(
+        _edges(spark, [(1, 2), (1, 3), (1, 4)])
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert got == {(2, 3), (2, 4), (3, 4)}
+    for r in rows:
+        assert r["common_neighbors"] == 1
+        assert r["adamic_adar"] == pytest.approx(1 / math.log(3), abs=1e-6)
+
+
+def test_two_paths_sum_neighbor_evidence(spark):
+    # 1 and 4 connected through BOTH 2 and 3 (each deg 2):
+    # AA = 2/ln 2; (1,4) must outrank every single-wedge pair
+    rows = link_prediction(
+        _edges(spark, [(1, 2), (2, 4), (1, 3), (3, 4)])
+    ).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    r14 = by_pair[(1, 4)]
+    assert r14["common_neighbors"] == 2
+    assert r14["adamic_adar"] == pytest.approx(2 / math.log(2), abs=1e-6)
+    assert all(
+        r14["adamic_adar"] >= r["adamic_adar"] for r in rows
+    )
+
+
+def test_link_prediction_plan_is_equi_join_only(spark):
+    plan = link_prediction(
+        _edges(spark, [(1, 2), (2, 3)])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan

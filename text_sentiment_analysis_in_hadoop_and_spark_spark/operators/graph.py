@@ -271,8 +271,76 @@ ORACLES: dict[str, str] = {
     "FROM gdeg d LEFT JOIN ntri t USING (node)",
 }
 
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-edge recovery over the verified near-dup graph: for
+    every NON-edge pair (a < b) with at least one common verified
+    neighbor, the common-neighbor count and Adamic–Adar score
+    Σ 1/ln(deg(m)) over shared neighbors m.  A high-scoring non-edge
+    is a near-dup pair the LSH banding + Jaccard threshold missed but
+    for which the graph carries strong transitive evidence — the
+    candidate-recovery pass a dedup pipeline runs before trusting
+    cluster boundaries (re-verify exactly these pairs, not all pairs).
+
+    Scale shape: wedges come from the adjacency self-join on the
+    MIDDLE node — the same equi-join key family as the triangle
+    census, bounded by the verified edge set (banding + hot-bucket
+    cap), never the corpus.  Degrees join co-partitioned on that same
+    middle key BEFORE the wedge join (one shuffle family); known
+    edges are removed by a left-anti equi-join.  Every neighbor m of
+    a wedge has deg(m) ≥ 2, so ln(deg) is never zero."""
+    return link_prediction(_verified_edges(spark, sf_dir))
+
+
+def link_prediction(edges: DataFrame) -> DataFrame:
+    """Canonical (a < b) undirected edges → non-edge pairs with
+    ≥1 common neighbor, scored (common_neighbors, adamic_adar)."""
+    adj = edges.select(
+        F.col("a").alias("m"), F.col("b").alias("x")
+    ).unionAll(edges.select(F.col("b").alias("m"), F.col("a").alias("x")))
+    deg = adj.groupBy("m").agg(F.count("*").cast("long").alias("deg"))
+    adjd = adj.join(deg, "m")
+    w2 = adjd.select(
+        F.col("m"), F.col("x").alias("y")
+    )
+    wedges = (
+        adjd.join(w2, "m")
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            "deg",
+        )
+    )
+    non_edges = wedges.join(
+        edges,
+        (wedges.doc_a == edges.a) & (wedges.doc_b == edges.b),
+        "left_anti",
+    )
+    return non_edges.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("long").alias("common_neighbors"),
+        F.round(F.sum(F.lit(1.0) / F.log("deg")), 6).alias("adamic_adar"),
+    )
+
+
+ORACLES["graph_link_prediction"] = (
+    _with(
+        *_TRI_CTES,
+        "adj AS (SELECT a AS m, b AS x FROM uedges "
+        "UNION ALL SELECT b AS m, a AS x FROM uedges)",
+    )
+    + "SELECT w1.x AS doc_a, w2.x AS doc_b, "
+    "CAST(count(*) AS BIGINT) AS common_neighbors, "
+    "round(sum(1.0 / ln(d.deg)), 6) AS adamic_adar "
+    "FROM adj w1 JOIN adj w2 ON w1.m = w2.m AND w1.x < w2.x "
+    "JOIN gdeg d ON d.node = w1.m "
+    "LEFT JOIN uedges e ON e.a = w1.x AND e.b = w2.x "
+    "WHERE e.a IS NULL GROUP BY 1, 2"
+)
+
+
 QUERIES = {
     "dedup_pagerank": q_dedup_pagerank,
     "graph_triangle_stats": q_graph_triangle_stats,
     "graph_node_clustering": q_graph_node_clustering,
+    "graph_link_prediction": q_graph_link_prediction,
 }
