@@ -1430,3 +1430,69 @@ ORACLES_LATE["pipe_epoch_shuffle"] = (
 )
 
 QUERIES_LATE["pipe_epoch_shuffle"] = q_epoch_shuffle
+
+
+# --- token-budget planner (r5) ---------------------------------------
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-run planning table for a weighted pretraining mix: per
+    source, its token mass, mixture weight (same 1..3 weight map as
+    ``pipe_mixture``), the token target its weighted share of the
+    GLOBAL token budget implies (budget = total corpus tokens, so the
+    plan is a pure reallocation), and the number of epochs over the
+    source needed to fill that target (>1 ⇒ the source must be
+    oversampled/repeated — the decision this table exists to surface
+    BEFORE a run, since repeating a small high-weight source too many
+    times is the classic mixture failure).
+
+    Exactness: targets use integer arithmetic (Σtokens·w) DIV Σw —
+    no float shares, so both engines plan identical budgets; the only
+    double is the final epochs ratio, rounded once.  Scale shape: one
+    corpus scan partial-aggregated to |sources| rows, a 1-row totals
+    broadcast, arithmetic on the tiny rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    ).withColumn(
+        "w", _mix_weight(F.substring("source", 4, 10).cast("long"))
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("t_total"),
+        F.sum("w").cast("long").alias("w_total"),
+    )
+    target = F.expr("t_total * w DIV w_total").cast("long")
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "w",
+            "n_docs",
+            "n_tokens",
+            target.alias("target_tokens"),
+            F.round(target / F.col("n_tokens"), 6).alias("epochs"),
+            (target > F.col("n_tokens")).cast("int").alias("oversampled"),
+        )
+    )
+
+
+ORACLES_LATE["pipe_token_budget"] = (
+    "WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, "
+    "CAST(CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS BIGINT) AS w "
+    "FROM documents GROUP BY source), "
+    "t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total, "
+    "CAST(sum(w) AS BIGINT) AS w_total FROM s) "
+    "SELECT s.source, s.w, s.n_docs, s.n_tokens, "
+    "CAST(t.t_total * s.w // t.w_total AS BIGINT) AS target_tokens, "
+    "round((t.t_total * s.w // t.w_total) / CAST(s.n_tokens AS DOUBLE), 6) "
+    "AS epochs, "
+    "CAST(t.t_total * s.w // t.w_total > s.n_tokens AS INTEGER) "
+    "AS oversampled "
+    "FROM s CROSS JOIN t"
+)
+
+QUERIES_LATE["pipe_token_budget"] = q_token_budget

@@ -1593,3 +1593,140 @@ ORACLES_LATE["sim_query_margin"] = (
 )
 
 QUERIES_LATE["sim_query_margin"] = q_query_margin
+
+
+# --- Matryoshka truncation evaluation (r5) ---------------------------
+
+MRL_DIMS = (8, 16, 32, 64)  # prefix lengths evaluated against full-D
+
+
+def _topk_at_dim(spark: SparkSession, sf_dir: str, d: int) -> DataFrame:
+    """Exact top-K neighbors using only the first ``d`` embedding
+    dimensions — same query set, ranking, and tie-break as the
+    full-dimension brute pass."""
+    emb = _emb_with_norm(spark, sf_dir)
+    base = emb.select(
+        "vec_id", F.slice("embedding", 1, d).alias("v")
+    ).withColumn("nrm_d", norm(F.col("v")))
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("q_vec"),
+        F.col("nrm_d").alias("q_nrm"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                dot(F.col("v"), F.col("q_vec"))
+                / (F.col("nrm_d") * F.col("q_nrm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "rank")
+    )
+
+
+def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many leading embedding dimensions retrieval actually
+    needs — the Matryoshka/truncation curve: for each prefix length
+    d, top-1 agreement with the full-dimension exact neighbors and
+    mean top-10 overlap across the query set.  This is the
+    storage-planning readout for 100 TB vector corpora: if d=16
+    already reproduces the full-D ranking, the ANN index and the hot
+    vector tier can store a quarter of the bytes and re-rank the
+    short candidate list at full precision (the standard
+    truncate-then-rerank deployment).
+
+    The d=DIM row is the self-check anchor (agreement 1.0 by
+    construction).  Scale shape: one broadcast-query brute pass per
+    evaluated d over the shared cached embedding table — the same
+    O(N·Q) floor as sim_topk_brute, times a 4-entry constant; the
+    overlap join keys on (q_id, vec_id) against the memoized full-D
+    top-k, and each d's verdict is a 2-number aggregate."""
+    full = q_sim_topk_brute(spark, sf_dir).select(
+        "q_id", "vec_id", F.col("rank").alias("full_rank")
+    )
+    out = None
+    for d in MRL_DIMS:
+        td = _topk_at_dim(spark, sf_dir, d)
+        overlap = td.join(full, ["q_id", "vec_id"]).agg(
+            F.count("*").cast("long").alias("n_overlap")
+        )
+        top1 = (
+            td.filter(F.col("rank") == 1)
+            .join(
+                full.filter(F.col("full_rank") == 1),
+                ["q_id", "vec_id"],
+            )
+            .agg(F.count("*").cast("long").alias("top1_agree"))
+        )
+        row = overlap.crossJoin(top1).select(
+            F.lit(d).cast("int").alias("dims"),
+            "top1_agree",
+            F.round(
+                F.col("n_overlap") / F.lit(float(N_QUERIES * TOP_K)), 6
+            ).alias("mean_overlap10"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _dot_d_sql(a: str, b: str, d: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {d + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cos_d_sql(a: str, b: str, d: int) -> str:
+    return (
+        f"{_dot_d_sql(a, b, d)} / "
+        f"(sqrt({_dot_d_sql(a, a, d)}) * sqrt({_dot_d_sql(b, b, d)}))"
+    )
+
+
+def _mrl_row_sql(d: int) -> str:
+    return (
+        f"SELECT CAST({d} AS INTEGER) AS dims, "
+        "(SELECT CAST(count(*) AS BIGINT) "
+        f"FROM tk{d} t JOIN fulltk f ON t.q_id = f.q_id "
+        "AND t.vec_id = f.vec_id WHERE t.rank = 1 AND f.rank = 1) "
+        "AS top1_agree, "
+        "round((SELECT count(*) "
+        f"FROM tk{d} t JOIN fulltk f ON t.q_id = f.q_id "
+        f"AND t.vec_id = f.vec_id) / {float(N_QUERIES * TOP_K)}, 6) "
+        "AS mean_overlap10"
+    )
+
+
+def _mrl_topk_cte(d: int) -> str:
+    return (
+        f"tk{d} AS (SELECT q_id, vec_id, rank FROM ("
+        "SELECT q.q_id, c.vec_id, row_number() OVER ("
+        f"PARTITION BY q.q_id ORDER BY "
+        f"{_cos_d_sql('c.embedding', 'q.q_vec', d)} DESC, c.vec_id ASC"
+        ") AS rank FROM embeddings c, "
+        "(SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings "
+        f"WHERE vec_id < {N_QUERIES}) q "
+        "WHERE c.vec_id <> q.q_id) "
+        f"WHERE rank <= {TOP_K})"
+    )
+
+
+ORACLES_LATE["sim_matryoshka_eval"] = (
+    "WITH fulltk AS (SELECT q_id, vec_id, rank FROM ("
+    + _BRUTE_SQL
+    + ")), "
+    + ", ".join(_mrl_topk_cte(d) for d in MRL_DIMS)
+    + " "
+    + " UNION ALL ".join(_mrl_row_sql(d) for d in MRL_DIMS)
+)
+
+QUERIES_LATE["sim_matryoshka_eval"] = q_matryoshka_eval
