@@ -1496,3 +1496,90 @@ ORACLES_LATE["pipe_token_budget"] = (
 )
 
 QUERIES_LATE["pipe_token_budget"] = q_token_budget
+
+
+# --- Neyman-allocation stratified sample (r5) ------------------------
+
+NEYMAN_N = 100  # total annotation budget across strata
+
+
+def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal stratified sampling for an annotation/eval budget:
+    allocate NEYMAN_N draws across sources proportionally to
+    N_h·σ_h (Neyman allocation — high-variance strata get more
+    budget, uniform boilerplate strata get less; minimizes the
+    variance of the estimated corpus mean under a fixed budget), then
+    draw each stratum's quota deterministically by content-hash rank.
+
+    Engine-portability of the float boundary: σ_h comes from exact
+    integer sums (so both engines derive the identical double), the
+    allocation FRACTION is rounded to 6 decimals FIRST, and the quota
+    is ``floor(NEYMAN_N · rounded_frac)`` — both engines floor the
+    same IEEE product of the same two values, so quotas agree
+    everywhere (the same pre-round-then-derive discipline as the
+    parity sort keys).  Scale shape: stats are one partial-agg rollup
+    broadcast back; the draw is a per-source rank window bounded by
+    the stratum, cut at the quota."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_avail"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("ss"),
+    )
+    sigma = F.round(
+        F.sqrt(
+            F.greatest(
+                F.col("ss") / F.col("n_avail")
+                - (F.col("s") / F.col("n_avail"))
+                * (F.col("s") / F.col("n_avail")),
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    weighted = stats.select(
+        "source", "n_avail", (F.col("n_avail") * sigma).alias("mass")
+    )
+    totals = weighted.agg(
+        F.round(F.sum("mass"), 6).alias("mass_total")
+    )
+    alloc = weighted.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_avail",
+        F.round(F.col("mass") / F.col("mass_total"), 6).alias(
+            "alloc_frac"
+        ),
+    )
+    quota = F.floor(F.lit(NEYMAN_N) * F.col("alloc_frac")).cast("long")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("text")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "text")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(alloc), "source")
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "source", "rk", "alloc_frac")
+    )
+
+
+ORACLES_LATE["pipe_neyman_sample"] = (
+    "WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_avail, "
+    "CAST(sum(n_chars) AS BIGINT) AS s, "
+    "CAST(sum(n_chars * n_chars) AS BIGINT) AS ss "
+    "FROM documents GROUP BY source), "
+    "wgt AS (SELECT source, n_avail, n_avail * round(sqrt(greatest("
+    "ss * 1.0 / n_avail - (s * 1.0 / n_avail) * (s * 1.0 / n_avail), "
+    "0.0)), 6) AS mass FROM st), "
+    "t AS (SELECT round(sum(mass), 6) AS mass_total FROM wgt), "
+    "alloc AS (SELECT source, round(mass / mass_total, 6) AS alloc_frac "
+    "FROM wgt CROSS JOIN t), "
+    "ranked AS (SELECT doc_id, source, CAST(row_number() OVER ("
+    "PARTITION BY source ORDER BY md5(text), doc_id) AS BIGINT) AS rk "
+    "FROM documents) "
+    "SELECT r.doc_id, r.source, r.rk, a.alloc_frac "
+    "FROM ranked r JOIN alloc a USING (source) "
+    f"WHERE r.rk <= CAST(floor({NEYMAN_N} * a.alloc_frac) AS BIGINT)"
+)
+
+QUERIES_LATE["pipe_neyman_sample"] = q_neyman_sample

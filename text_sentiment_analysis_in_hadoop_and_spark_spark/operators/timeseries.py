@@ -199,7 +199,60 @@ ORACLES: dict[str, str] = {
     ),
 }
 
+BACKTEST_H = 168  # seasonal-naive horizon AND backtest window (hours)
+
+
+def q_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality floor per event type: the seasonal-naive
+    forecast (this hour = same hour last week) backtested over the
+    final week, scored with WAPE (Σ|f−a| / Σa — defined even when
+    single hours are zero, unlike MAPE) and signed bias.  Every
+    fancier forecaster must beat this number; shipping the baseline
+    as a query is what makes "the model helps" a measurable claim.
+
+    Built on the DENSE gap-filled series — on the raw hourly rollup a
+    ``lag(168)`` would silently misalign across missing hours; the
+    spine makes the lag a true calendar week.  All sums are integer
+    counts (exact, engine-independent); the two ratios round once."""
+    gf = q_gap_fill(spark, sf_dir).select("event_type", "hr", "n_events")
+    w_asc = Window.partitionBy("event_type").orderBy("hr")
+    w_desc = Window.partitionBy("event_type").orderBy(F.desc("hr"))
+    scored = gf.select(
+        "event_type",
+        "n_events",
+        F.lag("n_events", BACKTEST_H).over(w_asc).alias("fc"),
+        F.row_number().over(w_desc).alias("rn"),
+    ).filter((F.col("rn") <= BACKTEST_H) & F.col("fc").isNotNull())
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.round(
+            F.sum(F.abs(F.col("fc") - F.col("n_events")))
+            / F.sum("n_events"),
+            6,
+        ).alias("wape"),
+        F.round(
+            F.sum(F.col("fc") - F.col("n_events")) / F.sum("n_events"), 6
+        ).alias("bias"),
+    )
+
+
+ORACLES["events_snaive_backtest"] = (
+    "WITH gf AS ("
+    + ORACLES["events_gap_fill"]
+    + "), l AS (SELECT event_type, n_events, "
+    f"lag(n_events, {BACKTEST_H}) OVER "
+    "(PARTITION BY event_type ORDER BY hr) AS fc, "
+    "row_number() OVER (PARTITION BY event_type ORDER BY hr DESC) AS rn "
+    "FROM gf) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours, "
+    "round(sum(abs(fc - n_events)) * 1.0 / sum(n_events), 6) AS wape, "
+    "round(sum(fc - n_events) * 1.0 / sum(n_events), 6) AS bias "
+    f"FROM l WHERE rn <= {BACKTEST_H} AND fc IS NOT NULL "
+    "GROUP BY event_type"
+)
+
 QUERIES = {
     "events_gap_fill": q_gap_fill,
     "events_rolling_corr": q_rolling_corr,
+    "events_snaive_backtest": q_snaive_backtest,
 }
