@@ -17,6 +17,7 @@ from types import SimpleNamespace
 from pyspark.sql import DataFrame, SparkSession
 
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import csv as csv_source
+from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import evolution as evolution_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import jsonl as jsonl_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import orc as orc_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import sqlapi as sqlapi_source
@@ -175,6 +176,7 @@ _MODULE_ORDER = (
     orc_source,
     merge,
     timeseries,
+    evolution_source,
 )
 
 
