@@ -1583,3 +1583,97 @@ ORACLES_LATE["pipe_neyman_sample"] = (
 )
 
 QUERIES_LATE["pipe_neyman_sample"] = q_neyman_sample
+
+
+# --- per-gate keep attribution (r5) ----------------------------------
+
+
+def q_keep_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "why was my document removed" table — the debugging
+    counterpart of the ``pipe_training_corpus`` capstone: every corpus
+    doc with its pass/fail flag for EACH independent gate
+    (dedup/quality keep-list, benchmark contamination, mixture
+    thinning) and a verdict naming the first failing gate in pipeline
+    order.  The capstone answers "what ships"; this answers "what got
+    cut, by which stage" — the first question every corpus triage
+    session asks, and the distribution a gate-tuning loop watches
+    (one gate suddenly eating 40% of a source is a bug signal).
+
+    Same memoized gate inputs as the capstone; the composition flips
+    from left-semi joins (intersection) to flag-carrying left joins
+    (full attribution) — still doc_id-keyed, still O(corpus) with
+    three co-partitioned probes."""
+    from .dedup import q_corpus_keep
+    from .quality import q_contamination
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    keep = q_corpus_keep(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("pk")
+    )
+    clean = (
+        q_contamination(spark, sf_dir)
+        .filter(F.col("contam_frac") <= CONTAM_MAX)
+        .select("doc_id", F.lit(1).alias("pc"))
+    )
+    mixed = _mixture_kept_docs(docs, _mixture_rates(docs)).select(
+        "doc_id", F.lit(1).alias("pm")
+    )
+    flagged = (
+        docs.select("doc_id", "source")
+        .join(keep, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .join(mixed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("pk", F.lit(0)).cast("int").alias("pass_keep"),
+            F.coalesce("pc", F.lit(0)).cast("int").alias("pass_contam"),
+            F.coalesce("pm", F.lit(0)).cast("int").alias("pass_mixture"),
+        )
+    )
+    verdict = (
+        F.when(F.col("pass_keep") == 0, F.lit("dedup_quality"))
+        .when(F.col("pass_contam") == 0, F.lit("contamination"))
+        .when(F.col("pass_mixture") == 0, F.lit("mixture"))
+        .otherwise(F.lit("kept"))
+    )
+    return flagged.withColumn("verdict", verdict)
+
+
+def _keep_attribution_sql() -> str:
+    from .dedup import ORACLES as _dedup_oracles
+    from .quality import ORACLES as _quality_oracles
+
+    keep = _dedup_oracles["dedup_corpus_keep"]
+    contam = _quality_oracles["text_contamination"]
+    mix = (
+        "WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_avail, "
+        "CAST(CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS BIGINT) AS w "
+        "FROM documents GROUP BY source), "
+        "t AS (SELECT CAST(sum(n_avail) AS BIGINT) AS n_total, "
+        "CAST(sum(w) AS BIGINT) AS w_total FROM cnt) "
+        "SELECT dd.doc_id FROM documents dd JOIN cnt USING (source) "
+        "CROSS JOIN t "
+        f"WHERE ({hex32_sql('dd.text')} % {MIX_DENOM}) * cnt.n_avail "
+        f"* t.w_total * {MIX_BUDGET_FRAC} < t.n_total * cnt.w * {MIX_DENOM}"
+    )
+    return (
+        "SELECT d.doc_id, d.source, "
+        "CAST(k.doc_id IS NOT NULL AS INTEGER) AS pass_keep, "
+        "CAST(c.doc_id IS NOT NULL AS INTEGER) AS pass_contam, "
+        "CAST(m.doc_id IS NOT NULL AS INTEGER) AS pass_mixture, "
+        "CASE WHEN k.doc_id IS NULL THEN 'dedup_quality' "
+        "WHEN c.doc_id IS NULL THEN 'contamination' "
+        "WHEN m.doc_id IS NULL THEN 'mixture' ELSE 'kept' END AS verdict "
+        "FROM documents d "
+        f"LEFT JOIN ({keep}) k ON d.doc_id = k.doc_id "
+        f"LEFT JOIN (SELECT doc_id FROM ({contam}) "
+        f"WHERE contam_frac <= {CONTAM_MAX}) c ON d.doc_id = c.doc_id "
+        f"LEFT JOIN ({mix}) m ON d.doc_id = m.doc_id"
+    )
+
+
+ORACLES_LATE["pipe_keep_attribution"] = _keep_attribution_sql()
+QUERIES_LATE["pipe_keep_attribution"] = q_keep_attribution

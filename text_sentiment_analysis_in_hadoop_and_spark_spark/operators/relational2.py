@@ -1792,3 +1792,47 @@ ORACLES["rel_repeat_purchase_interval"] = (
 )
 
 QUERIES["rel_repeat_purchase_interval"] = q_repeat_purchase_interval
+
+
+# --- UNPIVOT / melt (r5) ---------------------------------------------
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping through the engine's NATIVE unpivot (melt)
+    operator — the inverse surface of events_hourly_pivot's PIVOT: the
+    per-returnflag pricing rollup (3 measure columns) melts into one
+    (flag, metric, value) row per measure, the shape metric stores
+    and chart layers ingest.  All measures round to 6 BEFORE the melt
+    so the long table carries engine-identical doubles.
+
+    Scale shape: the melt runs on the post-aggregation rollup (groups
+    × 3 rows), not the fact table — pivot/unpivot on bounded rollups
+    is free; the fact scan partial-aggregates exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "avg_disc"],
+        "metric",
+        "value",
+    )
+
+
+ORACLES["rel_unpivot_metrics"] = (
+    "WITH w AS (SELECT l_returnflag, "
+    "round(sum(l_quantity), 6) AS sum_qty, "
+    "round(sum(l_extendedprice), 6) AS sum_price, "
+    "round(avg(l_discount), 6) AS avg_disc "
+    "FROM lineitem GROUP BY l_returnflag) "
+    "SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w "
+    "UNION ALL "
+    "SELECT l_returnflag, 'sum_price', sum_price FROM w "
+    "UNION ALL "
+    "SELECT l_returnflag, 'avg_disc', avg_disc FROM w"
+)
+
+QUERIES["rel_unpivot_metrics"] = q_unpivot_metrics
