@@ -70,3 +70,72 @@ def test_curriculum_quartile_stages(spark, tmp_path):
     assert sorted(out) == [1, 2, 3, 4]
     assert all(out[s]["n_docs"] == 2 for s in out)
     assert out[1]["max_chars"] == 2 and out[4]["min_chars"] == 7
+
+
+# --- er_entities -----------------------------------------------------
+
+from pyspark.sql import functions as F
+
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.er import (
+    q_er_entities,
+)
+
+
+def test_entities_cover_every_doc_once_with_one_canon_each(spark):
+    from conftest import SF_DIR
+
+    ent = q_er_entities(spark, SF_DIR).cache()
+    try:
+        docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+        assert ent.count() == docs.count()
+        assert ent.select("doc_id").distinct().count() == docs.count()
+        per = ent.groupBy("entity_id").agg(
+            F.sum("is_canon").alias("n_canon")
+        )
+        assert per.filter(F.col("n_canon") != 1).count() == 0
+    finally:
+        ent.unpersist()
+
+
+def test_entities_absorb_every_matched_pair(spark):
+    from conftest import SF_DIR
+
+    ent = q_er_entities(spark, SF_DIR).select("doc_id", "entity_id")
+    pairs = q_er_fuzzy_pairs(spark, SF_DIR).select("doc_a", "doc_b")
+    a = ent.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "entity_id", "ea"
+    )
+    b = ent.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "entity_id", "eb"
+    )
+    split = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.col("ea") != F.col("eb"))
+    )
+    assert split.count() == 0, "a matched pair landed in two entities"
+
+
+def test_entity_canonical_is_longest_then_lowest_id(spark):
+    from conftest import SF_DIR
+
+    ent = q_er_entities(spark, SF_DIR)
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    j = ent.join(docs, "doc_id")
+    canon = j.filter(F.col("is_canon") == 1).select(
+        F.col("entity_id").alias("eid"),
+        F.col("n_chars").alias("canon_chars"),
+        F.col("doc_id").alias("cid"),
+    )
+    viol = (
+        j.join(canon, j.entity_id == canon.eid)
+        .filter(
+            (F.col("n_chars") > F.col("canon_chars"))
+            | (
+                (F.col("n_chars") == F.col("canon_chars"))
+                & (F.col("doc_id") < F.col("cid"))
+            )
+        )
+    )
+    assert viol.count() == 0

@@ -316,3 +316,58 @@ def test_neyman_ranks_are_dense_within_stratum(spark):
     )
     for r in per:
         assert r["mx"] == r["n"] == r["nd"], r["source"]
+
+
+# --- events_watermark_audit ------------------------------------------
+
+
+def test_watermark_decomposed_equals_flat_running_max(spark):
+    """The bucketed prefix-max lateness must equal the plain global
+    running max — computed here the slow single-window way."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        load_events,
+    )
+
+    ev = load_events(spark, SF_DIR).select(
+        "event_id", "event_type", "epoch_sec"
+    )
+    w = (
+        Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flat = ev.select(
+        "event_type",
+        (F.max("epoch_sec").over(w) - F.col("epoch_sec"))
+        .cast("long")
+        .alias("late"),
+    )
+    expect = flat.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.expr("percentile(late, 0.5)"), 6).alias("p50_late"),
+        F.round(F.expr("percentile(late, 0.95)"), 6).alias("p95_late"),
+        F.round(F.expr("percentile(late, 0.99)"), 6).alias("p99_late"),
+        F.max("late").cast("long").alias("max_late"),
+        F.round(
+            F.avg(
+                (F.col("late") > timeseries.LATE_FENCE).cast("double")
+            ),
+            6,
+        ).alias("frac_late_1h"),
+    )
+    got = timeseries.q_watermark_audit(spark, SF_DIR)
+    cols = sorted(got.columns)
+    assert got.select(cols).exceptAll(expect.select(cols)).count() == 0
+    assert expect.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_watermark_quantiles_are_ordered_and_nonnegative(spark):
+    for r in timeseries.q_watermark_audit(spark, SF_DIR).collect():
+        assert 0 <= r["p50_late"] <= r["p95_late"] <= r["p99_late"]
+        assert r["p99_late"] <= r["max_late"]
+        assert 0.0 <= r["frac_late_1h"] <= 1.0
+
+
+def test_watermark_plan_windows_are_bucket_partitioned(spark):
+    plan = _plan(timeseries.q_watermark_audit(spark, SF_DIR))
+    assert "hashpartitioning(bk" in plan
+    assert "BroadcastExchange" in plan

@@ -26,7 +26,7 @@ prefixes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -126,3 +126,80 @@ QUERIES = {
     "er_blocks": q_er_blocks,
     "er_fuzzy_pairs": q_er_fuzzy_pairs,
 }
+
+
+# --- transitive entity consolidation (r5) ----------------------------
+
+
+def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution completed: the fuzzy pair matches close
+    transitively into entities (A~B, B~C ⇒ one entity even when A–C
+    exceeds the edit budget — the linkage-graph semantics every
+    dedupe/master-data system uses), and each entity elects ONE
+    canonical record (longest text wins, doc_id tie-break) — the
+    survivorship rule of MDM golden-record consolidation.
+
+    Composition: the SAME generic connected-components loop the
+    near-dup clusters use (operators/dedup.py:connected_components —
+    iterates only the matched subgraph), fed by the blocked
+    edit-distance pairs instead of Jaccard pairs; singletons label
+    themselves.  Canonical election is one entity-partitioned window
+    over the labeled corpus."""
+    from .dedup import connected_components
+
+    pairs = q_er_fuzzy_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    ent = docs.join(
+        labels, docs.doc_id == labels.node, "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("label", "doc_id").cast("long").alias("entity_id"),
+    )
+    w = (
+        Window.partitionBy("entity_id")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ent.select(
+        "doc_id",
+        "entity_id",
+        F.first("doc_id").over(w).cast("long").alias("canon_doc_id"),
+    ).withColumn(
+        "is_canon",
+        (F.col("doc_id") == F.col("canon_doc_id")).cast("int"),
+    )
+
+
+def _er_entities_sql() -> str:
+    pairs = ORACLES["er_fuzzy_pairs"]
+    return (
+        "WITH RECURSIVE "
+        f"epairs AS (SELECT doc_a, doc_b FROM ({pairs})), "
+        "eedges AS (SELECT doc_a AS src, doc_b AS dst FROM epairs "
+        "UNION ALL SELECT doc_b, doc_a FROM epairs), "
+        "ecc(node, label) AS (SELECT src, src FROM eedges "
+        "UNION "
+        "SELECT e.dst, ecc.label FROM ecc JOIN eedges e "
+        "ON ecc.node = e.src), "
+        "elab AS (SELECT node, min(label) AS label FROM ecc "
+        "GROUP BY node), "
+        "ent AS (SELECT d.doc_id, d.n_chars, "
+        "CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS entity_id "
+        "FROM documents d LEFT JOIN elab l ON d.doc_id = l.node), "
+        "can AS (SELECT entity_id, doc_id AS canon_doc_id, "
+        "row_number() OVER (PARTITION BY entity_id "
+        "ORDER BY n_chars DESC, doc_id) AS rn FROM ent) "
+        "SELECT e.doc_id, e.entity_id, "
+        "CAST(c.canon_doc_id AS BIGINT) AS canon_doc_id, "
+        "CAST(e.doc_id = c.canon_doc_id AS INTEGER) AS is_canon "
+        "FROM ent e JOIN can c ON e.entity_id = c.entity_id "
+        "AND c.rn = 1"
+    )
+
+
+ORACLES["er_entities"] = _er_entities_sql()
+QUERIES["er_entities"] = q_er_entities

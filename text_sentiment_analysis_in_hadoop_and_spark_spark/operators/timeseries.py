@@ -251,8 +251,87 @@ ORACLES["events_snaive_backtest"] = (
     "GROUP BY event_type"
 )
 
+WM_BUCKET = 1024     # arrival-order bucket width for the prefix max
+LATE_FENCE = 3600    # "badly late" fence (seconds) for the rate column
+
+
+def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark-tuning statistic: per event type, the lateness
+    distribution of the stream — how far each event's timestamp lags
+    the maximum timestamp already seen at its ARRIVAL position
+    (arrival order = event_id, the ingest sequence).  p99 lateness is
+    the number a streaming job's ``withWatermark`` should be set to;
+    frac_late_1h is the data loss a 1-hour watermark would accept.
+    Shipping this as a batch query is how the delay is chosen from
+    evidence instead of folklore.
+
+    The running max over arrival order is inherently sequential, so
+    it decomposes exactly like the epoch-shuffle ranks: within-bucket
+    running max (ordinary partitioned window over event_id DIV 1024
+    buckets) + an exclusive prefix max over the bucket-max rollup
+    (bounded: N/1024 rows) broadcast back — global running max =
+    max(prior buckets' max, within-bucket running max).  At extreme
+    N the bucket rollup itself re-buckets (the same two-level escape
+    as the IVF quantizer); lateness values are integer seconds, so
+    every aggregate below the quantiles is exact."""
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "event_type", "epoch_sec"
+    )
+    b = ev.withColumn(
+        "bk", F.expr(f"event_id DIV {WM_BUCKET}").cast("long")
+    )
+    w_in = (
+        Window.partitionBy("bk")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_in = F.max("epoch_sec").over(w_in)
+    bmax = b.groupBy("bk").agg(F.max("epoch_sec").alias("m"))
+    w_pre = (
+        Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = bmax.select(
+        "bk", F.max("m").over(w_pre).alias("pm")
+    )
+    late = (
+        F.greatest(run_in, F.coalesce(F.col("pm"), run_in))
+        - F.col("epoch_sec")
+    ).cast("long")
+    scored = b.join(F.broadcast(pre), "bk").select(
+        "event_type", late.alias("late")
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.expr("percentile(late, 0.5)"), 6).alias("p50_late"),
+        F.round(F.expr("percentile(late, 0.95)"), 6).alias("p95_late"),
+        F.round(F.expr("percentile(late, 0.99)"), 6).alias("p99_late"),
+        F.max("late").cast("long").alias("max_late"),
+        F.round(
+            F.avg((F.col("late") > LATE_FENCE).cast("double")), 6
+        ).alias("frac_late_1h"),
+    )
+
+
+ORACLES["events_watermark_audit"] = (
+    "WITH b AS (SELECT event_id, event_type, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s FROM events), "
+    "r AS (SELECT event_type, "
+    "max(s) OVER (ORDER BY event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - s AS late "
+    "FROM b) "
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    "round(quantile_cont(late, 0.5), 6) AS p50_late, "
+    "round(quantile_cont(late, 0.95), 6) AS p95_late, "
+    "round(quantile_cont(late, 0.99), 6) AS p99_late, "
+    "CAST(max(late) AS BIGINT) AS max_late, "
+    f"round(avg(CASE WHEN late > {LATE_FENCE} THEN 1.0 ELSE 0.0 END), 6) "
+    "AS frac_late_1h "
+    "FROM r GROUP BY event_type"
+)
+
 QUERIES = {
     "events_gap_fill": q_gap_fill,
     "events_rolling_corr": q_rolling_corr,
     "events_snaive_backtest": q_snaive_backtest,
+    "events_watermark_audit": q_watermark_audit,
 }
