@@ -89,3 +89,86 @@ def test_token_budget_weights_drive_targets(spark):
     out = pipeline.q_token_budget(spark, SF_DIR).collect()
     bases = {r["target_tokens"] // r["w"] for r in out}
     assert len(bases) == 1
+
+
+# --- sim_quantized_recall --------------------------------------------
+
+
+def test_quantized_recall_bounds_and_high_fidelity(spark):
+    """int8 with per-vector scale loses < 0.4% of dynamic range per
+    component — on 64-dim vectors the ranking should be near-exact
+    and the cosine distortion tiny."""
+    row = similarity.q_quantized_recall(spark, SF_DIR).collect()[0]
+    assert 0 <= row["top1_agree"] <= similarity.N_QUERIES
+    assert 0.0 <= row["mean_overlap10"] <= 1.0
+    assert row["mean_abs_cos_err"] is not None
+    assert row["mean_abs_cos_err"] < 0.01
+    assert row["mean_overlap10"] >= 0.9
+
+
+def test_quantized_ranking_is_scale_invariant(spark):
+    """Cosine of the integer codes must equal cosine of the
+    dequantized floats — the per-vector scale cancels; spot-check by
+    dequantizing and comparing rankings for one query."""
+    qv = similarity.q_embedding_quantize(spark, SF_DIR)
+    deq = qv.select(
+        "vec_id",
+        F.transform(
+            "qvec", lambda x: x.cast("double") * F.col("scale")
+        ).alias("dv"),
+    )
+    base = deq.withColumn("nrm", similarity.norm(F.col("dv"))).filter(
+        F.col("nrm") > 0
+    )
+    q0 = base.filter(F.col("vec_id") == 0).select(
+        F.col("dv").alias("qv0"), F.col("nrm").alias("qn0")
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        base.crossJoin(q0)
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            (
+                similarity.dot(F.col("dv"), F.col("qv0"))
+                / (F.col("nrm") * F.col("qn0"))
+            ).alias("c"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.desc("c"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rank") <= similarity.TOP_K)
+        .select("vec_id", "rank")
+    )
+    # integer-code ranking for the same query, straight from qvec
+    iq = qv.select("vec_id", "qvec").withColumn(
+        "inrm", similarity.norm(F.col("qvec"))
+    ).filter(F.col("inrm") > 0)
+    iq0 = iq.filter(F.col("vec_id") == 0).select(
+        F.col("qvec").alias("iq0"), F.col("inrm").alias("in0")
+    )
+    int_ranked = (
+        iq.crossJoin(iq0)
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            (
+                similarity.dot(F.col("qvec"), F.col("iq0"))
+                / (F.col("inrm") * F.col("in0"))
+            ).alias("c"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.desc("c"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rank") <= similarity.TOP_K)
+        .select("vec_id", "rank")
+    )
+    assert scored.exceptAll(int_ranked).count() == 0
+    assert int_ranked.exceptAll(scored).count() == 0

@@ -1730,3 +1730,120 @@ ORACLES_LATE["sim_matryoshka_eval"] = (
 )
 
 QUERIES_LATE["sim_matryoshka_eval"] = q_matryoshka_eval
+
+
+# --- int8 ranking-fidelity evaluation (r5) ---------------------------
+
+
+def q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What int8 storage costs retrieval — the evaluation twin of
+    ``sim_embedding_quantize``: rank neighbors with the QUANTIZED
+    vectors and score the damage against the exact float ranking
+    (top-1 agreement, mean top-10 overlap) plus the mean absolute
+    cosine distortion over the true top-10 pairs (rank fidelity and
+    score fidelity are different failure modes — re-rank thresholds
+    care about the second).
+
+    Per-vector scale cancels inside cosine (both scales are
+    positive), so the quantized ranking is the cosine of the raw
+    INTEGER code vectors — every dot product below is exact integer
+    arithmetic in doubles (|q|≤127, D=64 ⇒ products ≪ 2^53), making
+    the comparison engine-exact before the single rounding.  Same
+    O(N·Q) broadcast-query shape as the brute baseline."""
+    qv = q_embedding_quantize(spark, sf_dir).select("vec_id", "qvec")
+    qn = qv.withColumn("qnrm", norm(F.col("qvec"))).filter(
+        F.col("qnrm") > 0
+    )
+    qside = qn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qvec").alias("q_q"),
+        F.col("qnrm").alias("q_qnrm"),
+    )
+    scored = (
+        qn.crossJoin(F.broadcast(qside))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                dot(F.col("qvec"), F.col("q_q"))
+                / (F.col("qnrm") * F.col("q_qnrm"))
+            ).alias("qcos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("qcos"), F.asc("vec_id")
+    )
+    topq = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "rank")
+    )
+    full = q_sim_topk_brute(spark, sf_dir).select(
+        "q_id", "vec_id", F.col("rank").alias("frank"), "cosine"
+    )
+    overlap = topq.join(full, ["q_id", "vec_id"]).agg(
+        F.count("*").cast("long").alias("n_overlap")
+    )
+    top1 = (
+        topq.filter(F.col("rank") == 1)
+        .join(full.filter(F.col("frank") == 1), ["q_id", "vec_id"])
+        .agg(F.count("*").cast("long").alias("top1_agree"))
+    )
+    distortion = (
+        full.join(scored, ["q_id", "vec_id"])
+        .agg(
+            F.round(F.avg(F.abs(F.col("qcos") - F.col("cosine"))), 6)
+            .alias("mean_abs_cos_err")
+        )
+    )
+    return (
+        overlap.crossJoin(top1)
+        .crossJoin(distortion)
+        .select(
+            "top1_agree",
+            F.round(
+                F.col("n_overlap") / F.lit(float(N_QUERIES * TOP_K)), 6
+            ).alias("mean_overlap10"),
+            "mean_abs_cos_err",
+        )
+    )
+
+
+def _qdot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+ORACLES_LATE["sim_quantized_recall"] = (
+    "WITH qv AS (SELECT vec_id, qvec FROM ("
+    + _QUANT_SQL
+    + ")), "
+    "qn AS (SELECT vec_id, qvec, "
+    f"sqrt({_qdot_sql('qvec', 'qvec')}) AS qnrm FROM qv "
+    f"WHERE sqrt({_qdot_sql('qvec', 'qvec')}) > 0), "
+    "sc AS (SELECT q.vec_id AS q_id, c.vec_id, "
+    f"{_qdot_sql('c.qvec', 'q.qvec')} / (c.qnrm * q.qnrm) AS qcos "
+    f"FROM qn c, qn q WHERE q.vec_id < {N_QUERIES} "
+    "AND c.vec_id <> q.vec_id), "
+    "topq AS (SELECT q_id, vec_id, rank FROM (SELECT q_id, vec_id, "
+    "row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, "
+    f"vec_id ASC) AS rank FROM sc) WHERE rank <= {TOP_K}), "
+    "fulltk AS (SELECT q_id, vec_id, rank AS frank, cosine FROM ("
+    + _BRUTE_SQL
+    + ")) "
+    "SELECT "
+    "(SELECT CAST(count(*) AS BIGINT) FROM topq t JOIN fulltk f "
+    "ON t.q_id = f.q_id AND t.vec_id = f.vec_id "
+    "WHERE t.rank = 1 AND f.frank = 1) AS top1_agree, "
+    "round((SELECT count(*) FROM topq t JOIN fulltk f "
+    "ON t.q_id = f.q_id AND t.vec_id = f.vec_id) / "
+    f"{float(N_QUERIES * TOP_K)}, 6) AS mean_overlap10, "
+    "(SELECT round(avg(abs(s.qcos - f.cosine)), 6) FROM fulltk f "
+    "JOIN sc s ON s.q_id = f.q_id AND s.vec_id = f.vec_id) "
+    "AS mean_abs_cos_err"
+)
+
+QUERIES_LATE["sim_quantized_recall"] = q_quantized_recall
