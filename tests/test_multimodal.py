@@ -262,3 +262,50 @@ def test_wav_rejects_non_riff():
 
     with pytest.raises(ValueError):
         probe_wav_meta(b"not a wav at all")
+
+
+# --- mm_scene_cuts ---------------------------------------------------
+
+def test_scene_cut_census_matches_direct_arithmetic(spark):
+    from conftest import SF_DIR as _SF
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        multimodal as mm,
+    )
+
+    rows = {
+        r["doc_id"]: r for r in mm.q_mm_scene_cuts(spark, _SF).collect()
+    }
+    docs = spark.read.parquet(_SF + "/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        nb = len(d["text"].encode("utf-8"))
+        nf = 1 + nb % 10
+        lums = [nb * (i + 1) * (i + 3) % 256 for i in range(nf)]
+        jumps = [abs(b - a) for a, b in zip(lums, lums[1:])]
+        cuts = [i + 1 for i, j in enumerate(jumps) if j >= mm.CUT_THRESH]
+        r = rows[d["doc_id"]]
+        assert r["n_frames"] == nf
+        assert r["n_cuts"] == len(cuts)
+        assert r["max_jump"] == (max(jumps) if jumps else 0)
+        expect_first = cuts[0] if cuts else None
+        assert r["first_cut_idx"] == expect_first
+        assert r["n_cuts"] <= r["n_frames"] - 1 or r["n_frames"] == 1
+
+
+def test_scene_cut_plan_is_arrow_then_doc_partitioned_window(spark):
+    from conftest import SF_DIR as _SF
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        multimodal as mm,
+    )
+
+    plan = (
+        mm.q_mm_scene_cuts(spark, _SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(doc_id" in plan

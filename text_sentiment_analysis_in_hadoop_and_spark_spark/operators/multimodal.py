@@ -1028,3 +1028,98 @@ ORACLES_LATE["mm_image_quality"] = (
 )
 
 QUERIES_LATE["mm_image_quality"] = q_mm_image_quality
+
+
+# --- video scene-cut detection (r5) ----------------------------------
+
+CUT_THRESH = 64  # luminance jump that counts as a hard cut
+
+
+def scene_lum_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one row per CONSECUTIVE frame (cut
+    detection needs every frame, unlike the strided sampler) with the
+    frame's mean luminance.  The luminance is the deterministic fake
+    decode of this module's convention — a pure function of payload
+    size and frame index (quadratic in the index so consecutive
+    diffs vary), arithmetic the oracle regenerates exactly; a real
+    build swaps ONLY this function body for a codec call, the Spark
+    plumbing (Arrow batches, schema, downstream lag window) is the
+    production shape."""
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        n_frames = (1 + n % 10).astype("int64")
+        out = {"doc_id": [], "frame_idx": [], "lum": []}
+        for doc_id, nb, nf in zip(pdf["doc_id"], n, n_frames):
+            for idx in range(int(nf)):
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["lum"].append(
+                    int(nb) * (idx + 1) * (idx + 3) % 256
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "lum": pd.Series(out["lum"], dtype="int32"),
+            }
+        )
+
+
+def q_mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video hard-cut census: decode per-frame luminance (Arrow
+    stage), then flag frames whose luminance jumps ≥ CUT_THRESH from
+    the previous frame — the shot-boundary heuristic every video
+    curation pipeline runs before frame dedup (sample around cuts,
+    not inside static shots).  Scale shape: the lag window partitions
+    by doc_id over ≤10 frames per group; the rollup is one partial
+    agg."""
+    from pyspark.sql import Window
+
+    docs = rebalance_scan(spark, load_table(spark, sf_dir, "documents"))
+    frames = with_payload(docs).mapInPandas(
+        scene_lum_batches, schema="doc_id long, frame_idx int, lum int"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    jump = F.abs(F.col("lum") - F.lag("lum").over(w))
+    flagged = frames.withColumn("jump", jump)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.coalesce(
+            F.sum((F.col("jump") >= CUT_THRESH).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_cuts"),
+        F.coalesce(F.max("jump"), F.lit(0)).cast("long").alias(
+            "max_jump"
+        ),
+        F.min(
+            F.when(F.col("jump") >= CUT_THRESH, F.col("frame_idx"))
+        )
+        .cast("long")
+        .alias("first_cut_idx"),
+    )
+
+
+ORACLES_LATE["mm_scene_cuts"] = (
+    "WITH meta AS (SELECT doc_id, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS nb, "
+    "CAST(1 + octet_length(encode(text)) % 10 AS INTEGER) AS n_frames "
+    "FROM documents), "
+    "fr AS (SELECT doc_id, CAST(idx AS INTEGER) AS frame_idx, "
+    "CAST(nb * (idx + 1) * (idx + 3) % 256 AS INTEGER) AS lum "
+    "FROM meta, unnest(range(0, n_frames)) AS t(idx)), "
+    "j AS (SELECT doc_id, frame_idx, "
+    "abs(lum - lag(lum) OVER (PARTITION BY doc_id ORDER BY frame_idx)) "
+    "AS jump FROM fr) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames, "
+    f"CAST(coalesce(sum(CASE WHEN jump >= {CUT_THRESH} THEN 1 END), 0) "
+    "AS BIGINT) AS n_cuts, "
+    "CAST(coalesce(max(jump), 0) AS BIGINT) AS max_jump, "
+    f"CAST(min(CASE WHEN jump >= {CUT_THRESH} THEN frame_idx END) "
+    "AS BIGINT) AS first_cut_idx "
+    "FROM j GROUP BY doc_id"
+)
+
+QUERIES_LATE["mm_scene_cuts"] = q_mm_scene_cuts
