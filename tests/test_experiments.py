@@ -83,3 +83,102 @@ def test_scd2_intervals_and_sample(spark, tmp_path):
     assert out[0]["is_current"] == 0
     assert out[1]["state"] == "click" and out[1]["valid_to"] is None
     assert out[1]["is_current"] == 1
+
+
+# --- events_srm_check / events_attribution_models --------------------
+
+from pyspark.sql import functions as F
+
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.experiments import (
+    SRM_CHI2_CRIT,
+    q_events_attribution_models,
+    q_events_srm_check,
+)
+
+
+def test_srm_statistic_and_flag_are_consistent(spark):
+    from conftest import SF_DIR
+
+    r = q_events_srm_check(spark, SF_DIR).collect()[0]
+    a, b = r["n_a"], r["n_b"]
+    assert a > 0 and b > 0
+    expect = round((a - b) ** 2 / (a + b), 6)
+    assert abs(r["chi2"] - expect) < 1e-9
+    assert r["srm_flag"] == int(r["chi2"] > SRM_CHI2_CRIT)
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    assert a + b == ev.select("user_id").distinct().count()
+
+
+def test_attribution_models_conserve_total_credit(spark):
+    from conftest import SF_DIR
+
+    rows = q_events_attribution_models(spark, SF_DIR).collect()
+    by_model = {}
+    for r in rows:
+        by_model.setdefault(r["model"], 0.0)
+        by_model[r["model"]] += r["credit"]
+    assert set(by_model) == {"first_touch", "last_touch", "linear"}
+    totals = list(by_model.values())
+    # each model allocates exactly one credit per attributed purchase
+    assert abs(totals[0] - totals[1]) < 1e-3
+    assert abs(totals[0] - totals[2]) < 1e-3
+    for r in rows:
+        if r["model"] in ("first_touch", "last_touch"):
+            assert abs(r["credit"] - round(r["credit"])) < 1e-9, r
+        assert r["channel"] in ("view", "click", "signup")
+
+
+def test_attribution_models_match_python_recomputation(spark):
+    """All three models recomputed journey-by-journey in plain Python
+    from the raw events must equal the distributed result."""
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.experiments import (
+        TOUCH_TYPES,
+        TOUCH_WINDOW_SEC,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        load_events,
+    )
+
+    ev = load_events(spark, SF_DIR).select(
+        "event_id", "user_id", "event_type", "epoch_sec"
+    ).collect()
+    purchases = [r for r in ev if r["event_type"] == "purchase"]
+    touches = [r for r in ev if r["event_type"] in TOUCH_TYPES]
+    by_user = {}
+    for t in touches:
+        by_user.setdefault(t["user_id"], []).append(t)
+    first, last, linear = {}, {}, {}
+    for p in purchases:
+        js = [
+            t
+            for t in by_user.get(p["user_id"], [])
+            if p["epoch_sec"] - TOUCH_WINDOW_SEC
+            <= t["epoch_sec"]
+            <= p["epoch_sec"]
+        ]
+        if not js:
+            continue
+        fk = min(js, key=lambda t: (t["epoch_sec"], t["event_id"]))
+        lk = max(js, key=lambda t: (t["epoch_sec"], t["event_id"]))
+        first[fk["event_type"]] = first.get(fk["event_type"], 0.0) + 1
+        last[lk["event_type"]] = last.get(lk["event_type"], 0.0) + 1
+        for t in js:
+            linear[t["event_type"]] = linear.get(
+                t["event_type"], 0.0
+            ) + 1.0 / len(js)
+    expect = {
+        ("first_touch", c): v for c, v in first.items()
+    }
+    expect.update({("last_touch", c): v for c, v in last.items()})
+    expect.update(
+        {("linear", c): round(v, 6) for c, v in linear.items()}
+    )
+    got = {
+        (r["model"], r["channel"]): r["credit"]
+        for r in q_events_attribution_models(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-5, k

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hex32_sql
 from ..streaming.windowed import load_events
 
 HALF_LIFE_SEC = 7 * 86400
@@ -185,3 +186,179 @@ QUERIES = {
     "events_time_decay": q_events_time_decay,
     "events_scd2": q_events_scd2,
 }
+
+
+# --- sample-ratio-mismatch check (r5) --------------------------------
+
+SRM_CHI2_CRIT = 3.841459  # chi-square 95% critical value, 1 dof
+
+
+def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The #1 experiment health alarm: sample-ratio mismatch.  Users
+    hash 50/50 into arms (the same deterministic hex32 assignment an
+    engine-side bucketing service uses); if the observed split's
+    chi-square statistic exceeds the 95% critical value, the
+    assignment or logging pipeline is biased and every downstream
+    readout (CUPED included) is suspect.  One user-distinct
+    aggregate; the statistic is exact integer arithmetic over the two
+    counts divided once."""
+    from ..functions.hashing import hex32
+
+    users = (
+        load_events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .select(
+            F.pmod(hex32(F.col("user_id").cast("string")), 2).alias("arm")
+        )
+    )
+    counts = users.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    # chi2 vs 50/50: (a-e)^2/e + (b-e)^2/e with e=(a+b)/2
+    #             = (a-b)^2 / (a+b)  — exact integers until one division
+    chi2 = F.round(
+        ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b")))
+        / (F.col("n_a") + F.col("n_b")).cast("double"),
+        6,
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        (chi2 > SRM_CHI2_CRIT).cast("int").alias("srm_flag"),
+    )
+
+
+ORACLES["events_srm_check"] = (
+    "WITH u AS (SELECT DISTINCT user_id FROM events), "
+    "arms AS (SELECT "
+    + hex32_sql("CAST(user_id AS VARCHAR)")
+    + " % 2 AS arm FROM u), "
+    "c AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_a, "
+    "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b "
+    "FROM arms) "
+    "SELECT n_a, n_b, "
+    "round((n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE), 6) "
+    "AS chi2, "
+    "CAST(round((n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE), 6) "
+    f"> {SRM_CHI2_CRIT} AS INTEGER) AS srm_flag FROM c"
+)
+
+QUERIES["events_srm_check"] = q_events_srm_check
+
+
+# --- multi-touch attribution model comparison (r5) -------------------
+
+TOUCH_TYPES = ("view", "click", "signup")
+TOUCH_WINDOW_SEC = 1800  # same lookback as the stream-stream join
+
+
+def q_events_attribution_models(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-touch vs last-touch vs linear credit, side by side: every
+    purchase's same-user touches in the 30-minute lookback form its
+    journey; each model allocates one conversion of credit across the
+    journey's channels (touch event types).  The three models sum to
+    the same attributed-conversion total — disagreement BETWEEN them
+    is the point: channels that open journeys (first-heavy) vs close
+    them (last-heavy) get different budgets under different models,
+    and this table is the comparison marketing runs before picking
+    one.
+
+    Shape: purchases ⋈ touches is a user-keyed equi-join with a range
+    predicate (the batch twin of the stream-stream interval join);
+    first/last election is one journey-partitioned window; credits
+    aggregate to |models|×|channels| rows.  Linear credit (1/n) is
+    the only non-integer and rounds once at the end."""
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "epoch_sec"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("epoch_sec").alias("ps"),
+    )
+    touches = ev.filter(F.col("event_type").isin(*TOUCH_TYPES)).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.col("epoch_sec").alias("ts"),
+    )
+    journeys = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("ts") <= F.col("ps"))
+        & (F.col("ts") >= F.col("ps") - TOUCH_WINDOW_SEC),
+    )
+    w = Window.partitionBy("p_id")
+    w_first = w.orderBy(F.asc("ts"), F.asc("t_id"))
+    w_last = w.orderBy(F.desc("ts"), F.desc("t_id"))
+    scored = journeys.select(
+        "p_id",
+        "channel",
+        F.count("*").over(w).alias("n_touch"),
+        F.row_number().over(w_first).alias("rk_first"),
+        F.row_number().over(w_last).alias("rk_last"),
+    )
+    first = (
+        scored.filter(F.col("rk_first") == 1)
+        .groupBy("channel")
+        .agg(F.count("*").cast("double").alias("credit"))
+        .withColumn("model", F.lit("first_touch"))
+    )
+    last = (
+        scored.filter(F.col("rk_last") == 1)
+        .groupBy("channel")
+        .agg(F.count("*").cast("double").alias("credit"))
+        .withColumn("model", F.lit("last_touch"))
+    )
+    linear = (
+        scored.groupBy("channel")
+        .agg(F.sum(F.lit(1.0) / F.col("n_touch")).alias("credit"))
+        .withColumn("model", F.lit("linear"))
+    )
+    return (
+        first.unionByName(last)
+        .unionByName(linear)
+        .select("model", "channel", F.round("credit", 6).alias("credit"))
+    )
+
+
+ORACLES["events_attribution_models"] = (
+    "WITH b AS (SELECT event_id, user_id, event_type, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s FROM events), "
+    "p AS (SELECT event_id AS p_id, user_id, s AS ps FROM b "
+    "WHERE event_type = 'purchase'), "
+    "t AS (SELECT event_id AS t_id, user_id, event_type AS channel, "
+    "s AS ts FROM b WHERE event_type IN ("
+    + ", ".join(f"'{c}'" for c in TOUCH_TYPES)
+    + ")), "
+    "j AS (SELECT p.p_id, t.channel, t.ts, t.t_id FROM p JOIN t "
+    "ON p.user_id = t.user_id AND t.ts <= p.ps "
+    f"AND t.ts >= p.ps - {TOUCH_WINDOW_SEC}), "
+    "sc AS (SELECT p_id, channel, "
+    "count(*) OVER (PARTITION BY p_id) AS n_touch, "
+    "row_number() OVER (PARTITION BY p_id ORDER BY ts, t_id) "
+    "AS rk_first, "
+    "row_number() OVER (PARTITION BY p_id ORDER BY ts DESC, t_id DESC) "
+    "AS rk_last FROM j) "
+    "SELECT 'first_touch' AS model, channel, "
+    "round(CAST(count(*) AS DOUBLE), 6) AS credit FROM sc "
+    "WHERE rk_first = 1 GROUP BY channel "
+    "UNION ALL "
+    "SELECT 'last_touch', channel, round(CAST(count(*) AS DOUBLE), 6) "
+    "FROM sc WHERE rk_last = 1 GROUP BY channel "
+    "UNION ALL "
+    "SELECT 'linear', channel, round(sum(1.0 / n_touch), 6) "
+    "FROM sc GROUP BY channel"
+)
+
+QUERIES["events_attribution_models"] = q_events_attribution_models
