@@ -172,3 +172,45 @@ def test_quantized_ranking_is_scale_invariant(spark):
     )
     assert scored.exceptAll(int_ranked).count() == 0
     assert int_ranked.exceptAll(scored).count() == 0
+
+
+# --- sim_embedding_drift ---------------------------------------------
+
+
+def test_embedding_drift_bounds_and_counts(spark):
+    rows = similarity.q_embedding_drift(spark, SF_DIR).collect()
+    assert rows
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet").collect()
+    from collections import Counter
+
+    counts = Counter((r["label"], r["vec_id"] % 2) for r in emb)
+    for r in rows:
+        assert -1.0 <= r["centroid_cos"] <= 1.0
+        assert r["l2_shift"] >= 0.0
+        assert r["n_a"] == counts[(r["label"], 0)]
+        assert r["n_b"] == counts[(r["label"], 1)]
+
+
+def test_embedding_drift_is_zero_against_itself(spark):
+    """Identical halves must read as zero drift: recompute with both
+    'halves' being the full corpus and assert cos=1, shift=0."""
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    means = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+    )
+    self_drift = means.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("m") * F.col("m"))
+            / (
+                F.sqrt(F.sum(F.col("m") * F.col("m")))
+                * F.sqrt(F.sum(F.col("m") * F.col("m")))
+            ),
+            6,
+        ).alias("cos"),
+    )
+    for r in self_drift.collect():
+        assert r["cos"] == 1.0

@@ -1847,3 +1847,87 @@ ORACLES_LATE["sim_quantized_recall"] = (
 )
 
 QUERIES_LATE["sim_quantized_recall"] = q_quantized_recall
+
+
+# --- embedding drift monitor (r5) ------------------------------------
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label: split the corpus into two
+    deterministic halves (vec_id parity — stands in for
+    before/after a re-embed or two ingest windows) and compare the
+    per-label centroids across halves — centroid cosine (≈1 means the
+    space is stable) and L2 shift.  This is the monitor a vector
+    platform runs after swapping the embedding model or upgrading a
+    codec: classifier thresholds and IVF centroids silently rot when
+    this number moves.
+
+    Same engine-exactness discipline as sim_centroid_separation: the
+    per-(label, half, pos) means pre-round to 6, so every downstream
+    double derives from identical inputs on both engines; everything
+    runs on |labels|·2·DIM aggregates, never on raw vectors after the
+    one partial-agg pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    means = (
+        emb.select(
+            "label",
+            F.pmod(F.col("vec_id"), 2).alias("half"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .groupBy("label", "half", "pos")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("m"),
+            # one exploded row per vector per pos, so the group count
+            # IS the half's vector count
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    a = means.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("m").alias("ma"), F.col("n").alias("n_a")
+    )
+    b = means.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("m").alias("mb"), F.col("n").alias("n_b")
+    )
+    j = a.join(b, ["label", "pos"])
+    return j.groupBy("label").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            ),
+            6,
+        ).alias("centroid_cos"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (F.col("ma") - F.col("mb"))
+                    * (F.col("ma") - F.col("mb"))
+                )
+            ),
+            6,
+        ).alias("l2_shift"),
+    )
+
+
+ORACLES_LATE["sim_embedding_drift"] = (
+    "WITH ex AS (SELECT label, vec_id % 2 AS half, "
+    "generate_subscripts(embedding, 1) - 1 AS pos, "
+    "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings), "
+    "m AS (SELECT label, half, pos, round(avg(v), 6) AS m, "
+    "CAST(count(*) AS BIGINT) AS n "
+    "FROM (SELECT label, half, pos, v FROM ex) GROUP BY 1, 2, 3), "
+    "a AS (SELECT label, pos, m AS ma, n AS n_a FROM m WHERE half = 0), "
+    "b AS (SELECT label, pos, m AS mb, n AS n_b FROM m WHERE half = 1) "
+    "SELECT a.label, CAST(max(n_a) AS BIGINT) AS n_a, "
+    "CAST(max(n_b) AS BIGINT) AS n_b, "
+    "round(sum(ma * mb) / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 6) "
+    "AS centroid_cos, "
+    "round(sqrt(sum((ma - mb) * (ma - mb))), 6) AS l2_shift "
+    "FROM a JOIN b ON a.label = b.label AND a.pos = b.pos "
+    "GROUP BY a.label"
+)
+
+QUERIES_LATE["sim_embedding_drift"] = q_embedding_drift
