@@ -136,6 +136,11 @@ _tfidf_late = SimpleNamespace(
     QUERIES=tfidf.QUERIES_LATE,
     ORACLES=tfidf.ORACLES_LATE,
 )
+_nb_late = SimpleNamespace(
+    __name__="nb_late",
+    QUERIES=nb.QUERIES_LATE,
+    ORACLES=nb.ORACLES_LATE,
+)
 
 
 _MODULE_ORDER = (
@@ -177,6 +182,7 @@ _MODULE_ORDER = (
     merge,
     timeseries,
     evolution_source,
+    _nb_late,
 )
 
 

@@ -239,3 +239,54 @@ def test_source_divergence_detects_planted_drift(spark, tmp_path):
     # scoring well clear of the shared-distribution sources
     assert out["spam"] > 2 * max(out["web"], out["books"])
     assert out["web"] == out["books"]  # identical distributions tie
+
+
+# --- nb_calibration / text_lexicon_sentiment (r5) --------------------
+
+from pyspark.sql import functions as F
+
+
+def test_nb_calibration_covers_test_split_and_monotone_tendency(spark):
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import nb
+
+    rows = {
+        r["margin_bucket"]: r
+        for r in nb.q_nb_calibration(spark, SF_DIR).collect()
+    }
+    n_total = sum(r["n"] for r in rows.values())
+    n_test = nb.q_nb_scores(spark, SF_DIR).count()
+    assert n_total == n_test
+    for r in rows.values():
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["mean_abs_margin"] >= 0.0
+    order = ["0-1", "1-2", "2-4", "4-8", "8+"]
+    # mean margins must respect the bucket fences by construction
+    means = [rows[b]["mean_abs_margin"] for b in order if b in rows]
+    assert means == sorted(means)
+
+
+def test_lexicon_sentiment_scores_match_python(spark):
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        textstats,
+    )
+
+    got = {
+        r["doc_id"]: r
+        for r in textstats.q_lexicon_sentiment(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet").collect()
+    assert len(got) == len(docs)
+    covered = 0
+    for d in docs:
+        toks = d["text"].split(" ")
+        score = sum(textstats.LEXICON.get(t, 0) for t in toks)
+        n_scored = sum(1 for t in toks if t in textstats.LEXICON)
+        r = got[d["doc_id"]]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_scored"] == n_scored
+        assert r["score"] == score
+        assert r["polarity"] == (score > 0) - (score < 0)
+        covered += n_scored > 0
+    assert covered > 0, "lexicon matched nothing — dead fixture"

@@ -622,3 +622,79 @@ QUERIES = {
     "nb_accuracy": q_nb_accuracy,
     "nb_f1_metrics": q_nb_f1_metrics,
 }
+
+
+# --- score calibration (r5, late namespace) ---------------------------
+
+CALIB_FENCES = (1.0, 2.0, 4.0, 8.0)  # |log-odds margin| bucket edges
+
+
+def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability of the hand-rolled NB: accuracy per |log-odds
+    margin| bucket.  A calibrated scorer's accuracy should rise with
+    the margin; a flat curve means the log-odds carry no confidence
+    signal and downstream abstention thresholds are meaningless.
+    This is the model-eval twin of sim_cosine_calibration, applied to
+    the flagship classifier.
+
+    Determinism: buckets and predictions BOTH derive from the
+    6-rounded scores (the same pre-round-then-derive discipline as
+    the parity sort keys), so bucket membership cannot straddle an
+    engine-specific float edge.  One pass over the memoized scores;
+    the rollup is bucket-bounded."""
+    s = q_nb_scores(spark, sf_dir)
+    margin = F.col("pos_score") - F.col("neg_score")
+    absm = F.abs(margin)
+    bucket = (
+        F.when(absm < CALIB_FENCES[0], F.lit("0-1"))
+        .when(absm < CALIB_FENCES[1], F.lit("1-2"))
+        .when(absm < CALIB_FENCES[2], F.lit("2-4"))
+        .when(absm < CALIB_FENCES[3], F.lit("4-8"))
+        .otherwise(F.lit("8+"))
+    )
+    pred = (margin > 0).cast("int")
+    return (
+        s.select(
+            bucket.alias("margin_bucket"),
+            (pred == F.col("label")).cast("double").alias("hit"),
+            absm.alias("absm"),
+            pred.cast("double").alias("p"),
+        )
+        .groupBy("margin_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("hit"), 6).alias("accuracy"),
+            F.round(F.avg("absm"), 6).alias("mean_abs_margin"),
+            F.round(F.avg("p"), 6).alias("frac_pos_pred"),
+        )
+    )
+
+
+def _calibration_sql() -> str:
+    fences = CALIB_FENCES
+    return (
+        "WITH sc AS (" + ORACLES["nb_scores"] + "), "
+        "m AS (SELECT label, pos_score - neg_score AS margin, "
+        "abs(pos_score - neg_score) AS absm FROM sc), "
+        "bk AS (SELECT CASE "
+        f"WHEN absm < {fences[0]} THEN '0-1' "
+        f"WHEN absm < {fences[1]} THEN '1-2' "
+        f"WHEN absm < {fences[2]} THEN '2-4' "
+        f"WHEN absm < {fences[3]} THEN '4-8' "
+        "ELSE '8+' END AS margin_bucket, "
+        "CASE WHEN margin > 0 THEN 1 ELSE 0 END AS pred, label, absm "
+        "FROM m) "
+        "SELECT margin_bucket, CAST(count(*) AS BIGINT) AS n, "
+        "round(avg(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6) "
+        "AS accuracy, "
+        "round(avg(absm), 6) AS mean_abs_margin, "
+        "round(avg(CAST(pred AS DOUBLE)), 6) AS frac_pos_pred "
+        "FROM bk GROUP BY margin_bucket"
+    )
+
+
+# registered via the _nb_late namespace in __spark_entry__ (the
+# window policy: mid-round additions to early modules must land past
+# the driver's 50-query cap)
+QUERIES_LATE = {"nb_calibration": q_nb_calibration}
+ORACLES_LATE = {"nb_calibration": _calibration_sql()}

@@ -968,3 +968,82 @@ ORACLES_LATE["text_script_mix"] = (
 )
 
 QUERIES_LATE["text_script_mix"] = q_script_mix
+
+
+# --- lexicon sentiment baseline (r5) ----------------------------------
+
+# polarity lexicon over the corpus's actual (systems-flavored)
+# vocabulary — the AFINN shape: word → integer valence
+LEXICON: dict[str, int] = {
+    "fast": 2,
+    "slow": -2,
+    "big": 1,
+    "small": -1,
+    "dup": -2,
+}
+
+
+def q_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based sentiment baseline next to the NB/SVM models — the
+    AFINN/VADER shape: per-doc valence = Σ lexicon scores of its
+    tokens, polarity = sign, plus lexicon coverage (scored tokens /
+    all tokens — a low-coverage doc's polarity is noise and every
+    lexicon deployment reports it).  Model-free baselines like this
+    are what the trained classifiers must beat to justify their cost.
+
+    Shape: the lexicon joins as a broadcast side input onto the
+    exploded token stream (the S4 model-side-input pattern with a
+    5-row model), one partial-agg rollup back to docs.  Integer
+    valences sum exactly; the single ratio rounds once."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        list(LEXICON.items()), "word string, valence int"
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    scored = toks.join(F.broadcast(lex), "word", "left")
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum((F.col("valence").isNotNull()).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_scored"),
+        F.coalesce(F.sum("valence"), F.lit(0)).cast("long").alias("score"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_scored",
+        "score",
+        F.signum(F.col("score").cast("double")).cast("int").alias(
+            "polarity"
+        ),
+        F.round(F.col("n_scored") / F.col("n_tokens"), 6).alias(
+            "coverage"
+        ),
+    )
+
+
+_LEX_CASE = (
+    "CASE word "
+    + " ".join(
+        f"WHEN '{w}' THEN {v}" for w, v in sorted(LEXICON.items())
+    )
+    + " END"
+)
+
+ORACLES_LATE["text_lexicon_sentiment"] = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+    "AS word FROM documents), "
+    f"sc AS (SELECT doc_id, {_LEX_CASE} AS valence FROM toks) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(coalesce(sum(CASE WHEN valence IS NOT NULL THEN 1 ELSE 0 END), 0) "
+    "AS BIGINT) AS n_scored, "
+    "CAST(coalesce(sum(valence), 0) AS BIGINT) AS score, "
+    "CAST(sign(coalesce(sum(valence), 0)) AS INTEGER) AS polarity, "
+    "round(coalesce(sum(CASE WHEN valence IS NOT NULL THEN 1 ELSE 0 END), 0) "
+    "* 1.0 / count(*), 6) AS coverage "
+    "FROM sc GROUP BY doc_id"
+)
+
+QUERIES_LATE["text_lexicon_sentiment"] = q_lexicon_sentiment
