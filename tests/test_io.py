@@ -219,3 +219,48 @@ def test_sql_front_door_shares_the_optimizer(spark):
     )
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan
     assert "partial_" in plan
+
+
+# --- jsonl nested array<struct> round trip (r5) ----------------------
+
+def test_jsonl_nested_roundtrip_preserves_every_item(spark):
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import (
+        jsonl,
+    )
+
+    out = jsonl.q_jsonl_nested_flatten(spark, SF_DIR)
+    li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
+    totals = out.agg(
+        F.sum("n_items").alias("items"), F.sum("pk_checksum").alias("ck")
+    ).collect()[0]
+    expect = li.agg(
+        F.count("*").alias("items"), F.sum("l_partkey").alias("ck")
+    ).collect()[0]
+    assert (totals["items"], totals["ck"]) == (
+        expect["items"],
+        expect["ck"],
+    ), "items lost or duplicated through the nested round trip"
+
+
+def test_jsonl_nested_parse_is_typed_not_inferred(spark):
+    """The parse must go through the EXPLICIT array<struct> schema —
+    a missing field comes back NULL-typed, never a schema error."""
+    from pyspark.sql import functions as F
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.jsonl import (
+        _NESTED_SCHEMA,
+    )
+
+    df = spark.createDataFrame(
+        [('{"o": 7, "items": [{"pk": 1, "qty": 2.0}]}',)], "line string"
+    ).select(F.from_json("line", _NESTED_SCHEMA).alias("j")).select("j.*")
+    row = df.select(
+        "o", F.explode("items").alias("it")
+    ).select("o", "it.pk", "it.qty", "it.price").collect()[0]
+    assert (row["o"], row["pk"], row["qty"], row["price"]) == (
+        7,
+        1,
+        2.0,
+        None,
+    )

@@ -96,3 +96,76 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "jsonl_ingest": q_jsonl_ingest,
 }
+
+
+# --- nested documents: array<struct> round-trip + flatten (r5) --------
+
+_NESTED_SCHEMA = (
+    "o BIGINT, items ARRAY<STRUCT<pk BIGINT, qty DOUBLE, price DOUBLE>>"
+)
+
+
+def q_jsonl_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semi-structured shape JSONL actually ships in production:
+    one document per ORDER with its line items nested as an array of
+    structs — serialized with ``to_json``, parsed back through an
+    explicit ``ARRAY<STRUCT>`` schema, flattened with ``explode`` +
+    dot-path access, and rolled up.  This is the missing third leg of
+    the JSON surface next to flat-object parsing (jsonl_ingest) and
+    scalar extraction (events_json_extract): real event/order payloads
+    nest, and an engine that can only flatten flat JSON can't ingest
+    them.
+
+    Determinism: items sort by (pk, qty, price) before serialization
+    so even the intermediate document bytes are reproducible; the
+    rollup itself is order-insensitive.  Scale shape: one groupBy to
+    nest, narrow serialize/parse/explode maps, one bucket rollup —
+    the explode multiplies rows back to lineitem cardinality, never
+    beyond."""
+    from ..sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        li.groupBy(F.col("l_orderkey").alias("o"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_partkey").alias("pk"),
+                        F.col("l_quantity").alias("qty"),
+                        F.col("l_extendedprice").alias("price"),
+                    )
+                )
+            ).alias("items")
+        )
+    )
+    lines = nested.select(F.to_json(F.struct("o", "items")).alias("line"))
+    parsed = lines.select(
+        F.from_json(F.col("line"), _NESTED_SCHEMA).alias("j")
+    ).select("j.*")
+    flat = parsed.select(
+        "o", F.explode("items").alias("it")
+    ).select(
+        (F.col("o") % 10).alias("bucket"),
+        "o",
+        F.col("it.pk").alias("pk"),
+        F.col("it.qty").alias("qty"),
+    )
+    return flat.groupBy("bucket").agg(
+        F.countDistinct("o").cast("long").alias("n_orders"),
+        F.count("*").cast("long").alias("n_items"),
+        F.round(F.sum("qty"), 6).alias("sum_qty"),
+        F.sum("pk").cast("long").alias("pk_checksum"),
+    )
+
+
+ORACLES["jsonl_nested_flatten"] = (
+    "SELECT CAST(l_orderkey % 10 AS BIGINT) AS bucket, "
+    "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders, "
+    "CAST(count(*) AS BIGINT) AS n_items, "
+    "round(sum(l_quantity), 6) AS sum_qty, "
+    "CAST(sum(l_partkey) AS BIGINT) AS pk_checksum "
+    "FROM lineitem GROUP BY 1"
+)
+
+QUERIES["jsonl_nested_flatten"] = q_jsonl_nested_flatten
