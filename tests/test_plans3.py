@@ -60,3 +60,44 @@ def test_mmr_pool_is_query_partitioned_pandas(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "hashpartitioning(q_id" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Engine capability pin: with a selective dimension filter and a
+    shuffle join, Spark injects a runtime Bloom filter on the fact
+    scan (`might_contain`) — at 100 TB this is the difference between
+    scanning the whole fact table and skipping most of it before the
+    exchange.  Thresholds are scoped to this test and restored."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 - unset conf
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
+        orders = spark.read.parquet(SF_DIR + "/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
