@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import csv as csv_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import evolution as evolution_source
+from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import fixedwidth as fixedwidth_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import jsonl as jsonl_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import orc as orc_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import sqlapi as sqlapi_source
@@ -183,6 +184,7 @@ _MODULE_ORDER = (
     timeseries,
     evolution_source,
     _nb_late,
+    fixedwidth_source,
 )
 
 
