@@ -131,3 +131,37 @@ def test_asof_nearest_is_single_shuffle(spark):
     df = entrymod.queries()["events_asof_nearest"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- events_variant_extract (r5) -------------------------------------
+
+def test_variant_and_schemad_extraction_agree(spark):
+    """The schema-less variant path and the declared-struct path must
+    produce the identical rollup — drift between them means one side
+    is misparsing the payload."""
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.asof import (
+        q_events_json_extract,
+        q_events_variant_extract,
+    )
+
+    a = q_events_json_extract(spark, SF_DIR)
+    b = q_events_variant_extract(spark, SF_DIR)
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_variant_path_handles_missing_keys_as_null(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"other": 1}',), ('{"k": 3}',), ("not json",)], "props string"
+    )
+    out = df.select(
+        F.variant_get(
+            F.try_parse_json(F.col("props")), "$.k", "int"
+        ).alias("k")
+    ).collect()
+    assert [r["k"] for r in out] == [None, 3, None]

@@ -292,3 +292,44 @@ ORACLES["events_asof_nearest"] = (
 )
 
 QUERIES["events_asof_nearest"] = q_events_asof_nearest
+
+
+# --- VariantType extraction twin (r5) --------------------------------
+
+
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCHEMA-LESS twin of events_json_extract: ``props`` parses
+    into Spark 4's VariantType (a binary semi-structured encoding —
+    the open-format answer to ragged payloads whose shape drifts
+    faster than any declared struct), and ``variant_get`` extracts by
+    JSON path at query time.  Same rollup, so drift between the two
+    paths (schema'd vs variant) is itself a red flag a test pins;
+    deployments pick variant when producers add fields weekly and
+    declared structs would silently null them.
+
+    Scale: parse + path-extract are narrow JVM expressions (no
+    Python), one langs-bounded rollup; variant's binary encoding is
+    decoded once per row, not per extracted path."""
+    ev = load_events(spark, sf_dir)
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+ORACLES["events_variant_extract"] = (
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+    "AS BIGINT) AS sum_k, "
+    "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) "
+    "AS avg_k "
+    "FROM events GROUP BY event_type"
+)
+
+QUERIES["events_variant_extract"] = q_events_variant_extract
