@@ -67,3 +67,47 @@ def test_md5_fingerprint_matches_duckdb(spark):
     )
     want = sorted(_duck_vals(lambda e: f"md5({e})", SAMPLES))
     assert got == want
+
+
+# --- native recursive CTE traversal (r5) -----------------------------
+
+def test_khop_recursion_matches_iterative_expansion(spark):
+    """The native recursive CTE must agree with a hand-iterated
+    frontier expansion over the same edges."""
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.graph import (
+        _verified_edges,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.sqlapi import (
+        KHOP_MAX,
+        KHOP_SEED_MOD,
+        q_sql_khop_reach,
+    )
+
+    edges = [
+        (r["a"], r["b"])
+        for r in _verified_edges(spark, SF_DIR).collect()
+    ]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = {n for n in adj if n % KHOP_SEED_MOD == 0}
+    reached = {(0, s, s) for s in seeds}
+    frontier = {(s, s) for s in seeds}
+    for hop in range(1, KHOP_MAX + 1):
+        nxt = set()
+        for seed, node in frontier:
+            for m in adj.get(node, ()):
+                nxt.add((seed, m))
+        reached |= {(hop, s, n) for s, n in nxt}
+        frontier = nxt
+    from collections import Counter
+
+    expect = Counter(h for h, _, _ in reached)
+    got = {
+        r["hop"]: r["n_reached"]
+        for r in q_sql_khop_reach(spark, SF_DIR).collect()
+    }
+    assert got == dict(expect)

@@ -69,3 +69,71 @@ QUERIES = {
     "sql_pricing_summary": q_sql_pricing_summary,
     "sql_nation_customers": q_sql_nation_customers,
 }
+
+
+# --- native recursive CTE: k-hop reachability (r5) -------------------
+
+KHOP_MAX = 3       # traversal depth bound (terminates UNION ALL
+                   # recursion even on cyclic dup graphs)
+KHOP_SEED_MOD = 50  # deterministic seed set: doc_id % 50 == 0
+
+# the recursive body is ONE shared string — Spark executes it over the
+# registered dup_edges view, DuckDB over the inlined verified-pair
+# CTEs — so the traversal semantics cannot drift between engines.
+_KHOP_CORE = (
+    "bi AS (SELECT a AS src, b AS dst FROM dup_edges "
+    "UNION ALL SELECT b AS src, a AS dst FROM dup_edges), "
+    "seeds AS (SELECT DISTINCT src AS seed FROM bi "
+    f"WHERE src % {KHOP_SEED_MOD} = 0), "
+    "reach(seed, node, hop) AS ("
+    "SELECT seed, seed, 0 FROM seeds "
+    "UNION ALL "
+    "SELECT r.seed, e.dst, r.hop + 1 FROM reach r "
+    f"JOIN bi e ON r.node = e.src WHERE r.hop < {KHOP_MAX}) "
+)
+
+_KHOP_SELECT = (
+    "SELECT hop, CAST(count(*) AS BIGINT) AS n_reached "
+    "FROM (SELECT DISTINCT hop, seed, node FROM reach) "
+    "GROUP BY hop"
+)
+
+
+def q_sql_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast-radius traversal through the engine's NATIVE recursive
+    CTE (Spark 4): from every seed doc, the distinct (seed, node)
+    pairs reachable within 1..KHOP_MAX hops of the verified near-dup
+    graph — the "if this doc is contaminated, what else is suspect"
+    query, expressed as the SQL a warehouse user would actually
+    write instead of the hand-looped CC driver.
+
+    Depth-bounded UNION ALL recursion terminates on cyclic graphs by
+    the hop fence (Spark's recursive CTEs don't yet support UNION
+    distinct); the final DISTINCT collapses the path multiplicity.
+    The edge table is the SAME memoized banded→verified pair cache
+    every graph operator shares — recursion never touches the
+    corpus."""
+    from ..operators.graph import _verified_edges
+
+    _verified_edges(spark, sf_dir).createOrReplaceTempView("dup_edges")
+    return spark.sql("WITH RECURSIVE " + _KHOP_CORE + _KHOP_SELECT)
+
+
+def _khop_oracle() -> str:
+    from ..operators.dedup import JACCARD_DUP_MIN, _CLUSTER_CTES
+
+    prelude = _CLUSTER_CTES[:-2] + (
+        "dup_edges AS (SELECT doc_a AS a, doc_b AS b FROM djac "
+        f"WHERE jaccard >= {JACCARD_DUP_MIN})",
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(prelude)
+        + ", "
+        + _KHOP_CORE
+        + _KHOP_SELECT
+    )
+
+
+ORACLES["sql_khop_reach"] = _khop_oracle()
+QUERIES["sql_khop_reach"] = q_sql_khop_reach
