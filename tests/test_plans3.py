@@ -101,3 +101,26 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observation_metrics_ride_the_main_scan(spark):
+    """Engine capability pin: `df.observe` accumulates audit metrics
+    DURING the action — at 100 TB this is how a write job reports row
+    counts and sums without a second scan.  Metrics must equal a
+    direct aggregation."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(SF_DIR + "/lineitem.parquet")
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("q"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    ).collect()[0]
+    assert obs.get["n"] == direct["n"]
+    assert abs(obs.get["q"] - direct["q"]) < 1e-6
