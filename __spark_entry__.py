@@ -98,10 +98,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #   dedup_source_leakage, pipe_curriculum, events_mad_outliers,
 #   rel_join_skew_audit, rel_weighted_median_price, tfidf_keywords via
 #   its late namespace) — all registered past the cap, all
-#   parity-green at sf0.001 AND sf0.01.  r6 rotation TODO: promote the
-#   r5 additions (everything never driver-checked, ~80 queries — more
-#   than one window; lead with the oldest-added) into the window the
-#   way r5 promoted the r4 tail.
+#   parity-green at sf0.001 AND sf0.01.  The r5 third session added
+#   ~36 more (timeseries/evolution/fixedwidth modules, graph link
+#   prediction, er_entities, MRL/quantized/drift evals, token budget,
+#   Neyman sampler, keep attribution, watermark audit, SRM,
+#   attribution models, scene cuts, nested JSONL, variant extract,
+#   recursive k-hop, nb_calibration + lexicon via late namespaces) —
+#   all registered past the cap, all parity-green at BOTH sf0.001 and
+#   sf0.01 before their commits; full-surface sweeps re-verified
+#   274/274 mid-session.  r6 rotation TODO: promote the never-driver-
+#   checked r5 additions (~115 queries — multiple windows; lead with
+#   the oldest-added) into the window the way r5 promoted the r4 tail.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
