@@ -94,10 +94,11 @@ def main() -> int:
     #   warm at sf0.1
     _SHARED_GROUPS = {
         "nb": ("tfidf", "csv"),
-        # graph consumes dedup's verified-pair cache (pagerank edges):
-        # in its own group it re-pays the cold shingle→minhash→verify
-        # chain (~3 s of a 7.9 s bill at sf0.1)
-        "dedup": ("similarity", "pipeline_late", "graph"),
+        # graph and sqlapi consume dedup's verified-pair cache (the
+        # pagerank/link-prediction edges and the recursive k-hop
+        # traversal): in their own groups they re-pay the cold
+        # shingle→minhash→verify chain (~3 s each at sf0.1)
+        "dedup": ("similarity", "pipeline_late", "graph", "sqlapi"),
     }
     mods = {m.__name__.rsplit(".", 1)[-1]: m for m in entrymod._MODULE_ORDER}
     member_names = {n for ms in _SHARED_GROUPS.values() for n in ms}

@@ -141,3 +141,12 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "fixedwidth_census": q_fixedwidth_census,
 }
+
+# one-off text materialization billed as its own bench entry (the
+# offline conversion job), so the census entry measures the actual
+# DataSource read path — same split as sim_ivf_fit
+BENCH_PREPARE = {
+    "fixedwidth_materialize": lambda spark, sf_dir: fixedwidth_path(
+        spark, sf_dir
+    )
+}
