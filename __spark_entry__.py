@@ -46,6 +46,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     relational2,
     similarity,
     spectral,
+    sqlfn,
     textstats,
     tfidf,
     timeseries,
@@ -192,6 +193,7 @@ _MODULE_ORDER = (
     evolution_source,
     _nb_late,
     fixedwidth_source,
+    sqlfn,
 )
 
 

@@ -1,0 +1,170 @@
+"""SQL function surface — the three declarative extension points a
+warehouse user reaches for before writing a custom operator.
+
+* **SQL scalar UDFs** (``CREATE TEMPORARY FUNCTION … RETURN expr``,
+  Spark 4): named, reusable business logic that Catalyst INLINES into
+  the calling plan.  Unlike a Python UDF there is no serialization
+  boundary and no black box — the inlined expression participates in
+  whole-stage codegen, column pruning, and partial aggregation exactly
+  as if it had been written inline (``tests/test_sqlfn.py`` pins the
+  plan: no Python eval node, 3-column pruned scan).  At 100 TB this is
+  the difference between a UDF library that scales and one that
+  serializes every row through Python.
+* **LATERAL correlated subqueries**: top-k-per-group as the user
+  writes it (``FROM nation, LATERAL (… ORDER BY … LIMIT 3)``), not as
+  a window-function rewrite.  The query string here is executed
+  CHARACTER-IDENTICAL by Spark and by the DuckDB oracle — one
+  dialect, two engines, like `sources/sqlapi.py`.
+* **Python UDTFs** (arrow-optimized) via LATERAL: the row-EXPANDING
+  escape hatch when per-row expansion logic genuinely needs Python.
+  The chunker UDTF here deliberately twins the pure-Column
+  ``textstats.q_chunk_windows`` (same oracle), so the test suite can
+  assert the two APIs agree row-for-row — and the bench shows what
+  the Python boundary costs vs the higher-order-function plan.
+
+The reference exposes its computation only as hard-coded driver
+programs (`Spark/NB/src/main/scala/NB.scala`); named reusable SQL
+functions are the extension surface its users lack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.sqlapi import register_views
+from ..sources.tables import load_table
+from .textstats import CHUNK_SIZE, CHUNK_STRIDE
+from .textstats import ORACLES as _TEXTSTATS_ORACLES
+
+# --- SQL scalar UDFs -------------------------------------------------
+
+# exact-integer money helpers as named functions; `rev_cents` composes
+# `cents` (SQL UDFs may call SQL UDFs — both inline transitively)
+_UDF_DDL = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION cents(x DOUBLE) "
+    "RETURNS BIGINT RETURN CAST(round(x * 100, 0) AS BIGINT)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION rev_cents(p DOUBLE, d DOUBLE) "
+    "RETURNS BIGINT RETURN cents(p) * (100 - cents(d))",
+)
+
+_UDF_REVENUE_SQL = (
+    "SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, "
+    "CAST(sum(rev_cents(l_extendedprice, l_discount)) AS BIGINT) "
+    "AS revenue_cents, "
+    "CAST(count(*) AS BIGINT) AS n_items "
+    "FROM lineitem GROUP BY year(l_shipdate)"
+)
+
+# the oracle is the UDF bodies inlined by hand — bit-identical to what
+# Catalyst's inlining produces (the plan test proves the equivalence)
+_UDF_REVENUE_ORACLE = (
+    "SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, "
+    "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) "
+    "* (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) "
+    "AS revenue_cents, "
+    "CAST(count(*) AS BIGINT) AS n_items "
+    "FROM lineitem GROUP BY year(l_shipdate)"
+)
+
+
+def register_sql_udfs(spark: SparkSession) -> None:
+    for ddl in _UDF_DDL:
+        spark.sql(ddl)
+
+
+def q_sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per ship-year through named SQL UDFs.  The plan after
+    inlining is indistinguishable from the hand-written expression:
+    pruned 3-column scan → codegen'd partial agg → exchange → final
+    agg.  Zero UDF overhead at any scale."""
+    register_views(spark, sf_dir)
+    register_sql_udfs(spark)
+    return spark.sql(_UDF_REVENUE_SQL)
+
+
+# --- LATERAL correlated subquery ------------------------------------
+
+# ONE string both engines run unchanged (modulo nothing): per-nation
+# top-3 customers by balance.  `ORDER BY c_acctbal DESC, c_custkey`
+# makes the LIMIT-3 cut deterministic across engines even when
+# balances tie at the boundary.
+_LATERAL_TOPK_SQL = (
+    "SELECT n_name AS nation, c.c_custkey, c.c_name AS customer, "
+    "c.bal_cents "
+    "FROM nation, LATERAL ("
+    "SELECT c_custkey, c_name, "
+    "CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents "
+    "FROM customer WHERE c_nationkey = n_nationkey "
+    "ORDER BY c_acctbal DESC, c_custkey LIMIT 3) AS c"
+)
+
+
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers per nation via a correlated LATERAL subquery
+    with ORDER BY + LIMIT — the shape users write naturally.  Catalyst
+    decorrelates it to a ranked-window plan (no nested-loop re-scan of
+    `customer` per nation), so it scales exactly like the explicit
+    row_number rewrite while staying declarative."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+# --- Python UDTF (arrow-optimized) via LATERAL ----------------------
+
+
+def _make_chunk_udtf():
+    """Built lazily so importing this module needs no Spark session."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "chunk_idx: bigint, chunk_text: string, n_chunk_tokens: bigint"
+        ),
+        useArrow=True,
+    )
+    class ChunkWindows:
+        """Overlapping token-window expansion, one doc → many chunks.
+
+        Mirrors ``textstats.q_chunk_windows`` exactly (same
+        CHUNK_SIZE/CHUNK_STRIDE, same short-doc floor of one chunk) so
+        the two registrations share one oracle and the twin test can
+        diff them row-for-row."""
+
+        def eval(self, text):  # noqa: ANN001 - UDTF signature
+            tk = (text or "").split(" ")
+            last = max(len(tk) - 1, 0)
+            for i, s in enumerate(range(0, last + 1, CHUNK_STRIDE)):
+                seg = tk[s : s + CHUNK_SIZE]
+                yield i, " ".join(seg), len(seg)
+
+    return ChunkWindows
+
+
+def q_sql_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunker as a LATERAL-joined Python UDTF — the escape hatch
+    for row-expanding logic that genuinely needs Python (this one
+    doesn't, which is the point: its pure-Column twin
+    `text_chunk_windows` exists, shares the oracle, and the bench
+    quantifies the Arrow-boundary cost).  Arrow-optimized: rows cross
+    the Python boundary as columnar batches, not pickled tuples."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    spark.udtf.register("chunk_windows", _make_chunk_udtf())
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_chunk_tokens "
+        "FROM documents d, LATERAL chunk_windows(d.text) c"
+    )
+
+
+ORACLES: dict[str, str] = {
+    "sql_udf_revenue": _UDF_REVENUE_ORACLE,
+    "sql_lateral_topk": _LATERAL_TOPK_SQL,  # identical string
+    "sql_udtf_chunks": _TEXTSTATS_ORACLES["text_chunk_windows"],
+}
+
+QUERIES = {
+    "sql_udf_revenue": q_sql_udf_revenue,
+    "sql_lateral_topk": q_sql_lateral_topk,
+    "sql_udtf_chunks": q_sql_udtf_chunks,
+}

@@ -1047,3 +1047,47 @@ ORACLES_LATE["text_lexicon_sentiment"] = (
 )
 
 QUERIES_LATE["text_lexicon_sentiment"] = q_lexicon_sentiment
+
+
+# --- mapInArrow token count (zero-copy Arrow twin) -------------------
+
+
+def _arrow_token_batches(batches):
+    """Arrow-native per-batch transform: split on space, count list
+    lengths — all in pyarrow.compute kernels, no pandas
+    materialization and no per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        tk = pc.split_pattern(b.column(b.schema.get_field_index("text")), " ")
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column(b.schema.get_field_index("doc_id")),
+                pc.cast(pc.list_value_length(tk), pa.int64()),
+            ],
+            ["doc_id", "n_tokens"],
+        )
+
+
+def q_arrow_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token count via ``mapInArrow`` — the lowest-overhead
+    Python boundary Spark offers: columnar RecordBatches in, columnar
+    RecordBatches out, zero-copy on both sides, vectorized
+    pyarrow.compute kernels in between (vs mapInPandas paying an
+    Arrow→pandas→Arrow conversion per batch).  A narrow map: no
+    shuffle, output partitioning = input partitioning.  The JVM twin
+    is `size(split(text,' '))` inside text_token_stats — the twin test
+    diffs them row-for-row; this registration exists to pin the
+    mapInArrow surface itself (binary/tensor batch processing at
+    100 TB runs through exactly this API)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(_arrow_token_batches, "doc_id long, n_tokens long")
+
+
+ORACLES_LATE["text_arrow_token_count"] = (
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+    "AS n_tokens FROM documents"
+)
+
+QUERIES_LATE["text_arrow_token_count"] = q_arrow_token_count
