@@ -1,0 +1,64 @@
+"""transformWithState twin (streaming/tws.py): env-gated equivalence
+with the applyInPandasWithState operator whose semantics
+tests/test_stateful.py pins."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.tws import (
+    running_totals_stream_tws,
+    tws_available,
+)
+
+
+def test_gate_reports_protobuf_reality():
+    """The gate must agree with an actual import attempt — a gate that
+    drifts from reality would silently skip the equivalence test in
+    environments where it could run."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        assert tws_available()
+    except ImportError:
+        assert not tws_available()
+
+
+@pytest.mark.skipif(
+    not tws_available(),
+    reason="google.protobuf not installed (transformWithState worker)",
+)
+def test_tws_totals_accumulate_across_batches(spark, tmp_path):
+    land = str(tmp_path / "events_land_tws")
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "event_type STRING, value DOUBLE"
+        ).coalesce(1).write.mode("append").parquet(land)
+
+    write([("click", 1.0), ("click", 2.0), ("view", 10.0)])
+    batches: list[list] = []
+    q = (
+        running_totals_stream_tws(spark, land)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: batches.append(df.collect()))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write([("click", 4.0), ("signup", 7.0)])
+        deadline = time.time() + 60
+        while len([b for b in batches if b]) < 2 and time.time() < deadline:
+            q.processAllAvailable()
+            time.sleep(0.2)
+    finally:
+        q.stop()
+
+    emitted = [b for b in batches if b]
+    assert len(emitted) >= 2
+    last = {r["event_type"]: r for r in emitted[-1]}
+    assert last["click"]["n_events"] == 3
+    assert last["click"]["sum_value"] == 7.0
+    assert last["signup"]["n_events"] == 1
