@@ -22,6 +22,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import fixedwidth
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import jsonl as jsonl_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import orc as orc_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import sqlapi as sqlapi_source
+from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import xmlsrc as xml_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import enrich as streaming_enrich
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import joins as streaming_joins
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import sessions as streaming_sessions
@@ -194,6 +195,7 @@ _MODULE_ORDER = (
     _nb_late,
     fixedwidth_source,
     sqlfn,
+    xml_source,
 )
 
 
@@ -262,6 +264,7 @@ _ROWS_ONLY = frozenset(
         "sim_topk_pq",
         "events_daily_uniques_approx",  # HLL — exact-twin bound test
         "events_stickiness_sketch",  # mergeable HLL union — twin test
+        "events_uniques_sketch_rollup",  # Datasketches HLL — bound test
         "pipe_pack_ffd",  # data-dependent first-fit loop — dominance tests
         "text_compressibility",  # real zlib — ordering/determinism tests
         "sim_pca_components",  # power-iteration eigensolve — invariant tests

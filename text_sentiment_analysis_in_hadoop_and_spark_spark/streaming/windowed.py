@@ -1968,3 +1968,52 @@ ORACLES_LATE["events_churn_by_cohort"] = (
 )
 
 QUERIES_LATE["events_churn_by_cohort"] = q_events_churn_by_cohort
+
+
+# --- mergeable HLL sketch rollup (incremental distinct at scale) -----
+
+
+def q_events_uniques_sketch_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily DAU as MERGEABLE HLL sketches (Datasketches
+    ``hll_sketch_agg``), then the period total by UNIONING the daily
+    sketches — never re-touching the raw events.  This is the pattern
+    that makes distinct-counting incremental at 100 TB: each ingest
+    day persists an O(KB) binary sketch; weekly/monthly/all-time
+    uniques are `hll_union_agg` over the stored sketches instead of a
+    full re-scan + distinct shuffle of the corpus.  The day rows carry
+    their own estimates; the `day_epoch = -1` row is the merged
+    period total (NOT the sum of dailies — overlap dedups through the
+    union, which a sum would double-count).
+
+    Rows-only (sketch estimates are engine-specific; DuckDB's HLL
+    differs); tests/test_sketch_rollup.py pins (a) estimate-vs-exact
+    relative error for every day and the total, and (b) that the
+    merged total is well below the sum of dailies (the union really
+    dedups)."""
+    ev = load_events(spark, sf_dir)
+    day = (
+        (F.expr(f"epoch_sec DIV {DAY_SEC}") * DAY_SEC)
+        .cast("long")
+        .alias("day_epoch")
+    )
+    daily_sk = ev.groupBy(day).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    daily = daily_sk.select(
+        "day_epoch",
+        F.hll_sketch_estimate("sk").cast("long").alias("n_users_sketch"),
+    )
+    total = daily_sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("n_users_sketch")
+    ).select(F.lit(-1).cast("long").alias("day_epoch"), "n_users_sketch")
+    return daily.unionByName(total)
+
+
+# rows-only: no ORACLES_LATE entry (engine-specific sketch bytes)
+QUERIES_LATE["events_uniques_sketch_rollup"] = (
+    q_events_uniques_sketch_rollup
+)
