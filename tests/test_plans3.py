@@ -124,3 +124,25 @@ def test_observation_metrics_ride_the_main_scan(spark):
     ).collect()[0]
     assert obs.get["n"] == direct["n"]
     assert abs(obs.get["q"] - direct["q"]) < 1e-6
+
+
+def test_dynamic_partition_pruning_on_partitioned_docs(spark):
+    """A join between the lang-partitioned table and a filtered tiny
+    dim must inject a dynamicpruning expression into the scan's
+    PartitionFilters — at 100 TB this is what turns a full-corpus scan
+    into reading only the partitions the dim side admits, decided at
+    RUNTIME from the broadcast side (no static literal needed)."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.orc import (
+        orc_table_path,
+    )
+
+    docs = spark.read.orc(orc_table_path(spark, SF_DIR))
+    dim = spark.createDataFrame(
+        [("en", 1), ("de", 0), ("fr", 0), ("es", 0), ("zh", 0)],
+        "lang STRING, keep INT",
+    )
+    j = docs.join(dim.filter("keep = 1"), "lang").groupBy("lang").count()
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower()
+    pf = plan[plan.lower().index("partitionfilters") :].splitlines()[0]
+    assert "lang" in pf

@@ -85,6 +85,28 @@ def streaming_bench_entries(
             q.stop()
         assert n >= 0
 
+    def outer_join() -> None:
+        from .joins import unconverted_stream
+
+        q = (
+            unconverted_stream(spark, events_land)
+            .writeStream.format("memory")
+            .queryName("bench_unconv")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) AS n FROM bench_unconv").first()[
+                "n"
+            ]
+        finally:
+            q.stop()
+        # only watermark-expired views flush in one pass — the probe
+        # times the join+state machinery, not full drain semantics
+        # (tests/test_stream_join.py proves those)
+        assert n >= 0
+
     def exactly_once_sink() -> None:
         out = os.path.join(workdir, "sink_out")
         ckpt = os.path.join(workdir, "sink_ckpt")
@@ -129,6 +151,7 @@ def streaming_bench_entries(
     return {
         "stream_ingest_probe": ingest_probe,
         "stream_interval_join": interval_join,
+        "stream_outer_join": outer_join,
         "stream_exactly_once_sink": exactly_once_sink,
         "stream_upsert_view": upsert_view,
         "stream_scd2_builder": scd2_builder,
