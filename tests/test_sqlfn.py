@@ -119,3 +119,61 @@ def test_arrow_token_count_twin_and_plan(spark):
     }
     arrow = {r["doc_id"]: r["n_tokens"] for r in df.collect()}
     assert arrow == jvm
+
+
+def test_script_bisection_brackets_the_weighted_median(spark):
+    """After 20 bisection steps the scripted cap must (a) cover at
+    least half the rows and (b) sit within one bisection-resolution
+    step above the true minimal such price — the script converges, it
+    doesn't just terminate."""
+    row = sqlfn.q_sql_script_median_search(spark, SF_DIR).collect()[0]
+    assert row["covered_rows"] * 2 >= row["total_rows"]
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import (
+        load_table,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias(
+            "price_cents"
+        )
+    )
+    from pyspark.sql.window import Window
+
+    total = li.count()
+    true_min = (
+        li.groupBy("price_cents")
+        .count()
+        .withColumn(
+            "cum",
+            F.sum("count").over(
+                Window.orderBy("price_cents").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .filter(F.col("cum") * 2 >= total)
+        .agg(F.min("price_cents"))
+        .collect()[0][0]
+    )
+    max_price = li.agg(F.max("price_cents")).collect()[0][0]
+    resolution = max_price // (1 << 20) + 1
+    assert true_min <= row["median_cap_cents"] <= true_min + resolution
+
+
+def test_parameterized_binding_matches_literal(spark):
+    """The named-parameter plan must equal the literal-spliced plan's
+    results, and the bound cutoff must reach the scan as a pushed
+    filter."""
+    df = sqlfn.q_sql_parameterized_pricing(spark, SF_DIR)
+    plan = _plan(df)
+    pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
+    assert "l_shipdate" in pushed
+    via_param = {tuple(r) for r in df.collect()}
+    via_literal = {
+        tuple(r)
+        for r in spark.sql(
+            sqlfn.ORACLES["sql_parameterized_pricing"]
+        ).collect()
+    }
+    assert via_param == via_literal

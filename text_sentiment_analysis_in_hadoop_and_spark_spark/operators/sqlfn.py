@@ -168,3 +168,129 @@ QUERIES = {
     "sql_lateral_topk": q_sql_lateral_topk,
     "sql_udtf_chunks": q_sql_udtf_chunks,
 }
+
+
+# --- SQL scripting (BEGIN…END control flow, Spark 4) -----------------
+
+_SCRIPT_ITERS = 20
+
+# the iterative statement runs against a PRE-AGGREGATED histogram
+# view, never the raw table: one corpus-sized groupBy up front, then
+# 20 probes of a distinct-prices-sized artifact.  Scripted control
+# flow over raw 100 TB data would re-scan per iteration — the
+# histogram hoist is the pattern that makes driver-side loops
+# scale-safe (same discipline as the IVF quantizer's sampled fit).
+_SCRIPT_HIST_DDL = (
+    "CREATE OR REPLACE TEMPORARY VIEW price_hist AS "
+    "SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) "
+    "AS price_cents, count(*) AS n FROM lineitem GROUP BY 1"
+)
+
+_SCRIPT_SQL = f"""
+BEGIN
+  DECLARE lo BIGINT DEFAULT 0;
+  DECLARE hi BIGINT;
+  DECLARE total BIGINT;
+  DECLARE mid BIGINT;
+  DECLARE covered BIGINT;
+  DECLARE i INT DEFAULT 0;
+  SET hi = (SELECT max(price_cents) FROM price_hist);
+  SET total = (SELECT sum(n) FROM price_hist);
+  WHILE i < {_SCRIPT_ITERS} DO
+    SET mid = (lo + hi) DIV 2;
+    SET covered = (SELECT coalesce(sum(n), 0) FROM price_hist
+                   WHERE price_cents <= mid);
+    IF covered * 2 >= total THEN
+      SET hi = mid;
+    ELSE
+      SET lo = mid;
+    END IF;
+    SET i = i + 1;
+  END WHILE;
+  SELECT hi AS median_cap_cents,
+         (SELECT coalesce(sum(n), 0) FROM price_hist
+          WHERE price_cents <= hi) AS covered_rows,
+         total AS total_rows;
+END
+"""
+
+# the oracle replays the same 20 bisection steps as a DuckDB
+# recursive CTE — imperative scripting and recursive SQL are the same
+# fixed-point computation, so the verdicts must agree bit-for-bit
+_SCRIPT_ORACLE = f"""
+WITH RECURSIVE hist AS (
+  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+         count(*) AS n
+  FROM lineitem GROUP BY 1
+),
+bounds AS (
+  SELECT CAST(0 AS BIGINT) AS lo, max(price_cents) AS hi, sum(n) AS total
+  FROM hist
+),
+steps(i, lo, hi, total) AS (
+  SELECT 0, lo, hi, total FROM bounds
+  UNION ALL
+  SELECT i + 1,
+    CASE WHEN (SELECT coalesce(sum(n), 0) FROM hist
+               WHERE price_cents <= (lo + hi) // 2) * 2 >= total
+         THEN lo ELSE (lo + hi) // 2 END,
+    CASE WHEN (SELECT coalesce(sum(n), 0) FROM hist
+               WHERE price_cents <= (lo + hi) // 2) * 2 >= total
+         THEN (lo + hi) // 2 ELSE hi END,
+    total
+  FROM steps WHERE i < {_SCRIPT_ITERS}
+)
+SELECT hi AS median_cap_cents,
+  (SELECT coalesce(sum(n), 0) FROM hist WHERE price_cents <= s.hi)
+    AS covered_rows,
+  total AS total_rows
+FROM steps s WHERE i = {_SCRIPT_ITERS}
+"""
+
+
+def q_sql_script_median_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-weighted median price via SQL scripting (Spark 4's
+    BEGIN…END): session variables + a WHILE/IF bisection, _SCRIPT_ITERS
+    fixed iterations over the pre-aggregated price histogram.  The
+    scripted form is what a warehouse user writes for iterative logic
+    without leaving SQL; the fixed iteration count keeps it
+    deterministic and lets the DuckDB oracle replay the identical
+    bisection as a recursive CTE."""
+    register_views(spark, sf_dir)
+    spark.sql(_SCRIPT_HIST_DDL)
+    return spark.sql(_SCRIPT_SQL)
+
+
+# --- parameterized SQL (named parameter markers) ---------------------
+
+_PARAM_PRICING_SQL = (
+    "SELECT l_returnflag, "
+    "CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) "
+    "AS base_cents "
+    "FROM lineitem WHERE l_shipdate <= :cutoff "
+    "GROUP BY l_returnflag"
+)
+_PARAM_CUTOFF = "1997-06-30"
+
+
+def q_sql_parameterized_pricing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Named-parameter SQL (``spark.sql(sql, args=...)``): the cutoff
+    binds as a typed literal through the parser — injection-safe and
+    plan-cache-friendly (the parameter marker, not string splicing,
+    is how a 100 TB warehouse templates its hot queries).  The bound
+    literal reaches the parquet scan as a pushed filter like any
+    inline constant."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PARAM_PRICING_SQL, args={"cutoff": _PARAM_CUTOFF})
+
+
+ORACLES["sql_script_median_search"] = _SCRIPT_ORACLE
+ORACLES["sql_parameterized_pricing"] = _PARAM_PRICING_SQL.replace(
+    ":cutoff", f"TIMESTAMP '{_PARAM_CUTOFF}'"
+)
+
+QUERIES["sql_script_median_search"] = q_sql_script_median_search
+QUERIES["sql_parameterized_pricing"] = q_sql_parameterized_pricing
