@@ -477,3 +477,38 @@ def test_water_filling_satisfies_small_sources_fully(spark, tmp_path):
     assert out["tiny1"]["fill_frac"] == 1.0 == out["tiny2"]["fill_frac"]
     assert out["huge"]["allocation"] == 16.0
     assert sum(r["allocation"] for r in out.values()) == 24.0
+
+
+def test_dsir_weights_favor_target_language(spark):
+    """DSIR log-weights are the log-likelihood ratio toward the target
+    distribution (the en subcorpus): the mean per-bigram weight of en
+    docs must exceed that of every other language, and every doc must
+    get exactly one row."""
+    import pyspark.sql.functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        q_dsir_weights,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import (
+        load_table,
+    )
+
+    from conftest import SF_DIR
+
+    w = q_dsir_weights(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    assert w.count() == docs.count()
+
+    per_lang = {
+        r["lang"]: r["m"]
+        for r in w.join(docs, "doc_id")
+        .filter(F.col("n_bigrams") > 0)
+        .groupBy("lang")
+        .agg(
+            F.avg(F.col("log_weight") / F.col("n_bigrams")).alias("m")
+        )
+        .collect()
+    }
+    for lang, m in per_lang.items():
+        if lang != "en":
+            assert per_lang["en"] > m, (lang, per_lang)

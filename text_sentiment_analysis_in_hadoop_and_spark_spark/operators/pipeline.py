@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hex32, hex32_sql
 from ..sources.tables import load_table
+from .common import register_cache
 
 SAMPLE_MOD = 10        # keep hash % 10 == 0  →  ~10% sample
 PACK_BUDGET = 512      # token budget per packed sequence
@@ -1677,3 +1678,133 @@ def _keep_attribution_sql() -> str:
 
 ORACLES_LATE["pipe_keep_attribution"] = _keep_attribution_sql()
 QUERIES_LATE["pipe_keep_attribution"] = q_keep_attribution
+
+
+# --- DSIR importance weights (data selection, Xie et al. 2023) -------
+
+DSIR_BUCKETS = 4096       # hashed bigram feature space
+DSIR_TARGET_LANG = "en"   # target-distribution proxy: the en subcorpus
+
+_DSIR_BG_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+def _dsir_bigram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, bucket) per bigram INSTANCE — hashed-bigram
+    features of every document, memoized and storage-cached because
+    the weight computation takes four passes over it (raw counts,
+    target counts, totals, per-doc sum).  The bucket hash is the
+    engine-portable hex32, so the DuckDB oracle replays it exactly."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _DSIR_BG_CACHE.get(key)
+    if df is None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", F.split("text", " ").alias("tk")
+        )
+        df = (
+            docs.select(
+                "doc_id",
+                "lang",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 1), "
+                        "i -> concat(tk[i-1], ' ', tk[i]))"
+                    )
+                ).alias("bg"),
+            )
+            .withColumn(
+                "bucket", F.pmod(hex32(F.col("bg")), F.lit(DSIR_BUCKETS))
+            )
+            .drop("bg")
+            .persist()
+        )
+        _DSIR_BG_CACHE[key] = df
+    return df
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance log-weight (Data Selection via
+    Importance Resampling, Xie et al. 2023): score every raw document
+    by how much more likely its hashed-bigram features are under the
+    TARGET distribution (here the `en` subcorpus as proxy) than under
+    the RAW distribution — ``sum_b log(p_target(b) / p_raw(b))`` with
+    add-one smoothing over DSIR_BUCKETS buckets.  Selecting/sampling
+    by this weight tilts a 100 TB crawl toward the target domain
+    without training a classifier.
+
+    Scale shape: the feature space is FIXED (4096 buckets), so both
+    distribution estimates are bucket-sized aggregates (broadcastable
+    by AQE), the totals are one scalar row, and the per-doc sum is one
+    partial-agg groupBy over the bigram instances — no pairwise
+    anything, no Python.  The bigram explode is the only corpus-sized
+    intermediate and is shared across all four passes via the memo."""
+    bg = _dsir_bigram_buckets(spark, sf_dir)
+    raw = bg.groupBy("bucket").agg(F.count("*").alias("c_r"))
+    tgt = (
+        bg.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c_t"))
+    )
+    tot = bg.agg(
+        F.count("*").alias("T_r"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("T_t"),
+    )
+    probs = (
+        raw.join(tgt, "bucket", "left")
+        .na.fill({"c_t": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.col("c_t") + 1.0) / (F.col("T_t") + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("c_r") + 1.0) / (F.col("T_r") + DSIR_BUCKETS)
+                )
+            ).alias("lw"),
+        )
+    )
+    doc_w = (
+        bg.join(probs, "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lw").alias("s"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(doc_w, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.round(F.coalesce("s", F.lit(0.0)), 6).alias("log_weight"),
+    )
+
+
+def _dsir_sql() -> str:
+    h = hex32_sql("bg")
+    return f"""
+WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+            FROM documents),
+bg AS (SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS bg
+       FROM tk, unnest(range(1, greatest(len(t), 1))) AS u(i)),
+bk AS (SELECT doc_id, lang, {h} % {DSIR_BUCKETS} AS bucket FROM bg),
+raw AS (SELECT bucket, count(*) AS c_r FROM bk GROUP BY bucket),
+tgt AS (SELECT bucket, count(*) AS c_t FROM bk
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+tot AS (SELECT count(*) AS T_r,
+               sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                 AS T_t FROM bk),
+probs AS (SELECT bucket,
+          ln((coalesce(c_t, 0) + 1.0) / (T_t + {DSIR_BUCKETS}))
+          - ln((c_r + 1.0) / (T_r + {DSIR_BUCKETS})) AS lw
+          FROM raw LEFT JOIN tgt USING (bucket), tot),
+dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              sum(lw) AS s
+       FROM bk JOIN probs USING (bucket) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(dw.n_bigrams, 0) AS n_bigrams,
+       round(coalesce(dw.s, 0.0), 6) AS log_weight
+FROM (SELECT doc_id FROM documents) d LEFT JOIN dw USING (doc_id)
+"""
+
+
+ORACLES_LATE["pipe_dsir_weights"] = _dsir_sql()
+QUERIES_LATE["pipe_dsir_weights"] = q_dsir_weights
