@@ -151,6 +151,11 @@ _nb_late = SimpleNamespace(
     QUERIES=nb.QUERIES_LATE,
     ORACLES=nb.ORACLES_LATE,
 )
+_asof_late = SimpleNamespace(
+    __name__="asof_late",
+    QUERIES=asof.QUERIES_LATE,
+    ORACLES=asof.ORACLES_LATE,
+)
 
 
 _MODULE_ORDER = (
@@ -196,6 +201,7 @@ _MODULE_ORDER = (
     fixedwidth_source,
     sqlfn,
     xml_source,
+    _asof_late,
 )
 
 

@@ -165,3 +165,24 @@ def test_variant_path_handles_missing_keys_as_null(spark):
         ).alias("k")
     ).collect()
     assert [r["k"] for r in out] == [None, 3, None]
+
+
+def test_cogroup_asof_twin_matches_jvm_plan(spark):
+    """The pandas merge_asof cogroup and the JVM window composition
+    must produce the identical match set; the cogroup plan must be a
+    FlatMapCoGroupsInPandas over one exchange per side."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.asof import (
+        q_events_asof,
+        q_events_asof_cogroup,
+    )
+
+    from conftest import SF_DIR
+
+    jvm = {tuple(r) for r in q_events_asof(spark, SF_DIR).collect()}
+    cg_df = q_events_asof_cogroup(spark, SF_DIR)
+    cg = {tuple(r) for r in cg_df.collect()}
+    assert cg == jvm and jvm
+
+    plan = cg_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan

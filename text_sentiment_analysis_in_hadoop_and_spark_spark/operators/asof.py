@@ -333,3 +333,81 @@ ORACLES["events_variant_extract"] = (
 )
 
 QUERIES["events_variant_extract"] = q_events_variant_extract
+
+
+# --- cogroup twin (two-sided Pandas escape hatch) --------------------
+
+_COGROUP_SCHEMA = (
+    "event_id LONG, user_id LONG, left_ts_us LONG, right_ts_us LONG"
+)
+
+
+def _asof_cogroup_merge(left, right):
+    """Per-user pandas merge_asof: latest right_ts_us <= left_ts_us
+    (backward, inclusive) — pd.merge_asof IS a reference as-of
+    implementation, which makes the twin a meaningful check."""
+    import pandas as pd
+
+    if left.empty:
+        return pd.DataFrame(
+            columns=["event_id", "user_id", "left_ts_us", "right_ts_us"]
+        )
+    left = left.sort_values("left_ts_us", kind="mergesort")
+    if right.empty:
+        merged = left.assign(right_ts_us=pd.NA)
+    else:
+        right = right[["right_ts_us"]].sort_values(
+            "right_ts_us", kind="mergesort"
+        )
+        merged = pd.merge_asof(
+            left,
+            right,
+            left_on="left_ts_us",
+            right_on="right_ts_us",
+            direction="backward",
+        )
+    merged = merged.dropna(subset=["right_ts_us"])
+    merged["right_ts_us"] = merged["right_ts_us"].astype("int64")
+    return merged[["event_id", "user_id", "left_ts_us", "right_ts_us"]]
+
+
+def q_events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join through ``cogroup().applyInPandas`` — Spark's
+    TWO-sided Python escape hatch: both inputs shuffle on user_id once
+    and arrive at the same task as per-key pandas frames, where
+    ``pd.merge_asof`` does the backward match.  This query twins
+    :func:`q_events_asof` deliberately (same oracle, DuckDB's native
+    ASOF JOIN): the JVM window composition is the production plan, the
+    cogroup is the template for two-sided per-key logic that outgrows
+    SQL (custom alignment, per-key model state, bitemporal merges) —
+    and the bench prices the boundary.
+
+    Scale shape: identical shuffle to the JVM plan (one exchange per
+    side on the key); per-key groups are bounded by per-user activity;
+    Arrow moves each group across the boundary in one batch."""
+    ev = load_events(spark, sf_dir)
+    ts_us = epoch_us_col(ev)
+    left = ev.filter(F.col("event_type") == LEFT_TYPE).select(
+        F.col("event_id").cast("long"),
+        "user_id",
+        ts_us.alias("left_ts_us"),
+    )
+    right = ev.filter(F.col("event_type") == RIGHT_TYPE).select(
+        "user_id", ts_us.alias("right_ts_us")
+    )
+    return (
+        left.groupBy("user_id")
+        .cogroup(right.groupBy("user_id"))
+        .applyInPandas(_asof_cogroup_merge, _COGROUP_SCHEMA)
+    )
+
+
+# same oracle as the JVM composition — one contract, three
+# implementations (window plan, DuckDB native ASOF, pandas merge_asof)
+ORACLES_LATE: dict[str, str] = {
+    "events_asof_cogroup": ORACLES["events_asof"],
+}
+
+QUERIES_LATE = {
+    "events_asof_cogroup": q_events_asof_cogroup,
+}
