@@ -46,6 +46,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
     relational,
     relational2,
     similarity,
+    sketches,
     spectral,
     sqlfn,
     textstats,
@@ -202,6 +203,7 @@ _MODULE_ORDER = (
     sqlfn,
     xml_source,
     _asof_late,
+    sketches,
 )
 
 
@@ -277,6 +279,9 @@ _ROWS_ONLY = frozenset(
         "sim_pca_project",  # consumes the learned axes — same fit
         "mm_ahash_dedup",  # pixel-space perceptual hash — invariance tests
         "sim_topk_mmr",  # greedy MMR recursion — diversity tests
+        "text_lang_overlap_theta",  # theta set algebra — bound tests
+        "text_source_novelty_theta",  # theta difference — bound tests
+        "events_value_quantiles_kll",  # KLL rollup — rank-error tests
     }
 )
 

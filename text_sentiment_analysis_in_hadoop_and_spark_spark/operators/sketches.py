@@ -1,0 +1,190 @@
+"""Mergeable Datasketches set-algebra and quantile surfaces.
+
+Extends the HLL rollup (streaming/windowed.py,
+``events_uniques_sketch_rollup``) with the two other sketch families a
+100 TB corpus pipeline leans on:
+
+- **Theta sketches** support set ALGEBRA, not just cardinality:
+  intersection / difference / union estimates over compact O(KB)
+  binaries.  That turns "how much does corpus A overlap corpus B"
+  (cross-language contamination, source novelty, audience overlap)
+  from a shingle-level equi-join over the full corpus into an
+  aggregate-once-then-combine-sketches problem — each partition emits
+  one sketch, set arithmetic happens on the tiny sketch table.
+- **KLL quantile sketches** are the mergeable twin of the GK
+  percentile query (``events_percentiles_approx``): per-day sketches
+  persist at ingest time; weekly/monthly/all-time quantiles are a
+  merge over stored sketches instead of a re-scan + sort of the raw
+  history.  Unlike GK, KLL binaries union losslessly across days.
+
+All three queries are rows-only by SURVEY §5's split (sketch
+estimates are engine-specific; DuckDB's approximation families differ
+bit-for-bit), pinned instead by estimate-vs-exact error-bound tests in
+``tests/test_sketches.py``.
+
+The reference has no sketch surface — its distinct counts are exact
+groupBys (/root/reference/Spark/TFIDF/src/main/scala/TFIDF.scala's
+document-frequency pass); these are the scale path for the same
+questions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .dedup import doc_shingles
+
+# lgNomEntries for theta sketches: 2^12 = 4096 retained hashes →
+# ~1.6% relative standard error on unions; intersection error scales
+# with the UNION size (Datasketches docs), which the tests bound.
+THETA_LGK = 12
+
+# KLL k=200 → ~1.65% one-sided normalized rank error (the library's
+# default accuracy class); the test asserts a 3% two-sided bound.
+KLL_K = 200
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+DAY_SEC = 86400
+
+
+def _lang_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One theta sketch of the distinct word-3-gram shingle set per
+    language.  The only corpus-sized pass: shingle → partial sketch
+    per task → one tiny (lang, sketch) row per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs.select("doc_id", "text")).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return sh.groupBy("lang").agg(
+        F.theta_sketch_agg("shingle", F.lit(THETA_LGK)).alias("sk")
+    )
+
+
+def q_lang_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language shingle overlap via theta set algebra: for every
+    unordered language pair, estimated |A|, |B|, |A∩B|, |A∪B| and the
+    Jaccard estimate — the "is my zh split contaminated with en
+    boilerplate" dashboard.
+
+    Scale shape: the corpus is touched ONCE (the per-lang sketch
+    aggregate, partial+final like any groupBy); the pairwise algebra
+    runs on a ~5-row sketch table, so adding languages or re-running
+    with different pairings never re-scans documents.  Rows-only:
+    estimate-vs-exact bounds pinned in tests/test_sketches.py."""
+    sks = _lang_sketches(spark, sf_dir)
+    a = sks.select(
+        F.col("lang").alias("lang_a"), F.col("sk").alias("sk_a")
+    )
+    b = sks.select(
+        F.col("lang").alias("lang_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(b, F.col("lang_a") < F.col("lang_b"))
+    inter = F.theta_sketch_estimate(
+        F.theta_intersection("sk_a", "sk_b")
+    )
+    union = F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b"))
+    return pairs.select(
+        "lang_a",
+        "lang_b",
+        F.theta_sketch_estimate("sk_a").cast("long").alias("est_a"),
+        F.theta_sketch_estimate("sk_b").cast("long").alias("est_b"),
+        inter.cast("long").alias("est_intersection"),
+        union.cast("long").alias("est_union"),
+        F.round(inter / union, 6).alias("jaccard_est"),
+    )
+
+
+def q_source_novelty_theta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source NOVEL content share via theta difference: for each
+    ``source``, the estimated count of shingles appearing in that
+    source and in NO other source (``theta_difference`` of the
+    source's sketch against the union of the rest) — the "which feed
+    is actually adding new text vs mirroring the others" audit that
+    drives crawl budget.
+
+    Same one-scan shape as the language overlap: per-source sketches
+    once, then an all-pairs union of the (tiny) other-source sketch
+    rows per source.  Rows-only; bounds in tests/test_sketches.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs.select("doc_id", "text")).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    sks = sh.groupBy("source").agg(
+        F.theta_sketch_agg("shingle", F.lit(THETA_LGK)).alias("sk")
+    )
+    others = sks.select(
+        F.col("source").alias("other"), F.col("sk").alias("sk_other")
+    )
+    rest = (
+        sks.join(others, F.col("source") != F.col("other"))
+        .groupBy("source", "sk")
+        .agg(F.theta_union_agg("sk_other", F.lit(THETA_LGK)).alias("sk_rest"))
+    )
+    est_total = F.theta_sketch_estimate("sk")
+    est_unique = F.theta_sketch_estimate(
+        F.theta_difference("sk", "sk_rest")
+    )
+    return rest.select(
+        "source",
+        est_total.cast("long").alias("est_total"),
+        est_unique.cast("long").alias("est_unique"),
+        F.round(est_unique / est_total, 6).alias("unique_share"),
+    )
+
+
+def q_value_quantiles_kll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Purchase-value quantiles as a MERGEABLE KLL rollup: one KLL
+    sketch per day (the artifact an ingest job would persist), daily
+    p50/p90/p99 read from each day's sketch, and the period total
+    (``day_epoch = -1``) from ``kll_merge_agg_double`` over the daily
+    sketches — never re-scanning raw events.  The GK twin
+    (``events_percentiles_approx``) answers one ad-hoc query cheaply;
+    THIS is the shape for a quantile dashboard that must extend
+    incrementally day over day at 100 TB.
+
+    Rows-only (sketch quantile positions are library-specific);
+    tests/test_sketches.py bounds the normalized rank error of every
+    emitted quantile against the exact distribution."""
+    from ..streaming.windowed import load_events
+
+    ev = load_events(spark, sf_dir)
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        ((F.expr(f"epoch_sec DIV {DAY_SEC}")) * DAY_SEC)
+        .cast("long")
+        .alias("day_epoch"),
+        F.col("value"),
+    )
+    daily_sk = pur.groupBy("day_epoch").agg(
+        F.kll_sketch_agg_double("value", F.lit(KLL_K)).alias("sk")
+    )
+    qcols = [
+        F.round(
+            F.kll_sketch_get_quantile_double("sk", F.lit(q)), 6
+        ).alias(f"p{int(q * 100)}")
+        for q in QUANTILES
+    ]
+    daily = daily_sk.select("day_epoch", *qcols)
+    merged = daily_sk.agg(
+        F.kll_merge_agg_double("sk", F.lit(KLL_K)).alias("sk")
+    )
+    total = merged.select(
+        F.lit(-1).cast("long").alias("day_epoch"), *qcols
+    )
+    return daily.unionByName(total)
+
+
+QUERIES = {
+    "text_lang_overlap_theta": q_lang_overlap_theta,
+    "text_source_novelty_theta": q_source_novelty_theta,
+    "events_value_quantiles_kll": q_value_quantiles_kll,
+}
+
+# all rows-only: engine-specific sketch estimates (SURVEY §5 split)
+ORACLES: dict[str, str] = {}
