@@ -789,3 +789,82 @@ ORACLES_LATE["text_lm_buckets"] = (
 )
 
 QUERIES_LATE["text_lm_buckets"] = q_lm_buckets
+
+
+# --- C4-style heuristic filter battery (Raffel et al. 2020) ----------
+
+
+def q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning", §2.2) adapted doc-level, with
+    PER-RULE attribution: curly brace (code), "lorem ipsum"
+    (placeholder), "javascript" (enable-JS boilerplate), minimum word
+    count, and terminal punctuation.  Complements the Gopher
+    repetition gate (:func:`q_repetition`) — C4 targets boilerplate
+    and non-prose, Gopher targets degenerate repetition; production
+    pipelines run both.
+
+    Per-rule flags (1 = violation) rather than a bare keep bit: at
+    100 TB you tune filters from the ATTRIBUTION distribution (which
+    rule fires, how often, how correlated) before committing to a
+    drop — re-running the corpus per candidate threshold is the thing
+    you cannot afford.  All five rules are single-pass string
+    expressions — shuffle-free, whole-stage-codegen'd, evaluated in
+    one scan.
+
+    Reference contrast: the reference's only text gate is the empty-
+    string filter after cleaning
+    (/root/reference/Spark/NB/src/main/scala/NB.scala:55); this is
+    the corpus-curation battery the rebuild adds."""
+    return c4_flags(load_table(spark, sf_dir, "documents"))
+
+
+def c4_flags(docs: DataFrame) -> DataFrame:
+    """The rule battery as a reusable transform over any (doc_id,
+    text) frame — tests drive it with hostile fixtures."""
+    low = F.lower(F.col("text"))
+    trimmed = F.trim(F.col("text"))
+    n_words = F.size(F.split(F.col("text"), " "))
+    has_brace = (F.instr(F.col("text"), "{") > 0).cast("int")
+    has_lorem = (F.instr(low, "lorem ipsum") > 0).cast("int")
+    has_js = (F.instr(low, "javascript") > 0).cast("int")
+    too_short = (n_words < 5).cast("int")
+    no_term = (
+        ~F.substring(trimmed, -1, 1).isin(".", "!", "?", '"', "'")
+    ).cast("int")
+    flags = {
+        "has_brace": has_brace,
+        "has_lorem": has_lorem,
+        "has_js": has_js,
+        "too_short": too_short,
+        "no_terminal_punct": no_term,
+    }
+    keep = F.lit(1)
+    for c in flags.values():
+        keep = keep * (1 - c)
+    return docs.select(
+        "doc_id",
+        *[c.alias(n) for n, c in flags.items()],
+        keep.cast("int").alias("keep"),
+    )
+
+
+ORACLES_LATE["text_c4_filters"] = (
+    "SELECT doc_id, "
+    "CAST(instr(text, '{') > 0 AS INTEGER) AS has_brace, "
+    "CAST(instr(lower(text), 'lorem ipsum') > 0 AS INTEGER) "
+    "AS has_lorem, "
+    "CAST(instr(lower(text), 'javascript') > 0 AS INTEGER) AS has_js, "
+    "CAST(len(string_split(text, ' ')) < 5 AS INTEGER) AS too_short, "
+    "CAST(NOT (right(trim(text), 1) IN ('.', '!', '?', '\"', '''')) "
+    "AS INTEGER) AS no_terminal_punct, "
+    "CAST((instr(text, '{') = 0) AND "
+    "(instr(lower(text), 'lorem ipsum') = 0) AND "
+    "(instr(lower(text), 'javascript') = 0) AND "
+    "(len(string_split(text, ' ')) >= 5) AND "
+    "(right(trim(text), 1) IN ('.', '!', '?', '\"', '''')) "
+    "AS INTEGER) AS keep "
+    "FROM documents"
+)
+
+QUERIES_LATE["text_c4_filters"] = q_c4_filters
