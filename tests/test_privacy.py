@@ -7,6 +7,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.privacy import (
+    q_t_closeness,
     q_k_anonymity,
     q_l_diversity,
     q_risk_by_nation,
@@ -67,3 +68,51 @@ def test_l_diversity_min_and_share(spark, tmp_path):
     assert out[0]["n_classes"] == 2
     assert out[0]["min_l"] == 1
     assert abs(out[0]["diverse_share"] - 0.5) < 1e-9
+
+
+def test_t_closeness_fixture(spark, tmp_path):
+    """Expected distances recomputed exactly in-test from the raw
+    rows (total-variation against the GLOBAL marginal, absent
+    segments contributing their full global mass)."""
+    rows = [
+        (0, 0, 1100.0, "AUTO"),
+        (1, 0, 1200.0, "AUTO"),
+        (2, 0, 1300.0, "RAIL"),
+        (3, 0, 1400.0, "SHIP"),
+        (4, 1, 1100.0, "RAIL"),
+        (5, 1, 1200.0, "RAIL"),
+        (6, 1, 1300.0, "AUTO"),
+        (7, 1, 1400.0, "SHIP"),
+        (8, 2, 1100.0, "BLDG"),
+        (9, 2, 1200.0, "BLDG"),
+    ]
+    from collections import Counter
+
+    glob = Counter(r[3] for r in rows)
+    n = len(rows)
+    expected = {}
+    for nat in {r[1] for r in rows}:
+        cls = Counter(r[3] for r in rows if r[1] == nat)
+        cn = sum(cls.values())
+        expected[nat] = 0.5 * sum(
+            abs(cls.get(s_, 0) / cn - glob[s_] / n) for s_ in glob
+        )
+    sf = _write_customers(tmp_path, rows)
+    out = {
+        (r["nationkey"], r["bal_bucket"]): r
+        for r in q_t_closeness(spark, sf).collect()
+    }
+    assert set(out) == {(0, 1), (1, 1), (2, 1)}
+    for nat, exp in expected.items():
+        assert abs(out[(nat, 1)]["t_distance"] - exp) < 1e-6, (nat, exp)
+    # the single-segment class must be the farthest from global
+    assert out[(2, 1)]["t_distance"] == max(
+        r["t_distance"] for r in out.values()
+    )
+
+
+def test_t_closeness_bounds(spark):
+    from conftest import SF_DIR
+
+    for r in q_t_closeness(spark, SF_DIR).collect():
+        assert -1e-9 <= r["t_distance"] <= 1.0 + 1e-9

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 from ..sources.tables import load_table
 
@@ -127,3 +128,74 @@ QUERIES = {
     "priv_risk_by_nation": q_risk_by_nation,
     "priv_l_diversity": q_l_diversity,
 }
+
+
+# --- t-closeness (Li, Li & Venkatasubramanian, 2007) -----------------
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the release-audit triad: k-anonymity bounds class
+    SIZE, l-diversity bounds sensitive-value VARIETY, t-closeness
+    bounds how much a class's sensitive-value DISTRIBUTION deviates
+    from the global one (an attacker who knows the QI learns little
+    beyond the public marginal).  Sensitive attribute = market
+    segment (categorical), QI = (nation, balance bucket); distance =
+    total variation (the EMD instance for categorical ground
+    distance): t = ½ Σ_s |p_s − q_s|, with segments ABSENT from a
+    class contributing their full global mass q_s — computed as
+    ½·(Σ_{s∈class}(|p_s − q_s| − q_s) + 1) so only observed
+    (class, segment) rows are ever materialized.
+
+    Scale: one (QI, segment)-keyed partial agg over the table, one
+    QI-keyed re-agg, and a broadcast of the |segments|-row global
+    marginal — state is O(|QI|·|segments|), never O(rows)."""
+    cust = load_table(spark, sf_dir, "customer")
+    cs = cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.expr(_BAL_BUCKET).alias("bal_bucket"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count("*").alias("cnt"))
+    glob = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("seg_n")
+    )
+    n_total = cust.groupBy().agg(F.count("*").alias("n_total"))
+    p = F.col("cnt") / F.col("class_size")
+    q = F.col("seg_n") / F.col("n_total")
+    return (
+        cs.withColumn(
+            "class_size",
+            F.sum("cnt").over(
+                Window.partitionBy("nationkey", "bal_bucket")
+            ),
+        )
+        .join(F.broadcast(glob), "segment")
+        .join(F.broadcast(n_total))
+        .groupBy("nationkey", "bal_bucket")
+        .agg(
+            F.max("class_size").cast("long").alias("class_size"),
+            F.round(
+                (F.sum(F.abs(p - q) - q) + 1) / 2, 6
+            ).alias("t_distance"),
+        )
+    )
+
+
+ORACLES["priv_t_closeness"] = (
+    "WITH cs AS (SELECT c_nationkey AS nationkey, "
+    f"{_BAL_BUCKET} AS bal_bucket, c_mktsegment AS segment, "
+    "CAST(count(*) AS BIGINT) AS cnt FROM customer GROUP BY 1, 2, 3), "
+    "sized AS (SELECT *, sum(cnt) OVER "
+    "(PARTITION BY nationkey, bal_bucket) AS class_size FROM cs), "
+    "gm AS (SELECT c_mktsegment AS segment, "
+    "CAST(count(*) AS BIGINT) AS seg_n FROM customer GROUP BY 1), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM customer) "
+    "SELECT s.nationkey, s.bal_bucket, "
+    "CAST(max(s.class_size) AS BIGINT) AS class_size, "
+    "round((sum(abs(CAST(s.cnt AS DOUBLE) / s.class_size - "
+    "CAST(g.seg_n AS DOUBLE) / t.n_total) - "
+    "CAST(g.seg_n AS DOUBLE) / t.n_total) + 1) / 2, 6) AS t_distance "
+    "FROM sized s JOIN gm g USING (segment) CROSS JOIN tot t "
+    "GROUP BY 1, 2"
+)
+
+QUERIES["priv_t_closeness"] = q_t_closeness
