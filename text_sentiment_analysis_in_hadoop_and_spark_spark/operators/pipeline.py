@@ -1808,3 +1808,106 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN dw USING (doc_id)
 
 ORACLES_LATE["pipe_dsir_weights"] = _dsir_sql()
 QUERIES_LATE["pipe_dsir_weights"] = q_dsir_weights
+
+
+# --- contrastive negative sampling (near-dup-safe) -------------------
+
+CONTRASTIVE_K = 4
+
+
+def q_contrastive_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic negative pairs for contrastive training
+    (SimCLR/CLIP-style): K candidate negatives per anchor via the
+    portable hash, with the near-dup anti-join that makes them SAFE —
+    a "negative" that is actually a near-duplicate of its anchor is a
+    false negative that actively degrades the embedding space, so
+    candidates colliding with the verified near-dup pair set (either
+    orientation) or the anchor itself are dropped (slots shrink
+    rather than re-probe: re-probing would make slot j's identity
+    depend on the dup graph, breaking oracle determinism).
+
+    Scale shape: candidate generation is a narrow map (hash mod N —
+    no shuffle, no RNG state); the anchor-count scalar and the
+    verified dup pairs (memoized, corpus-sublinear by construction)
+    broadcast; the only data-sized operation is the existence
+    semi-join on neg_id.  At 100 TB: N anchors × K candidates with no
+    candidate materialization wider than one row each."""
+    from .dedup import JACCARD_DUP_MIN, q_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n1 = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    cands = (
+        docs.join(F.broadcast(n1))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(CONTRASTIVE_K))
+            ).alias("j"),
+            "n_docs",
+        )
+        .withColumn(
+            "neg_id",
+            hex32(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                )
+            )
+            % F.col("n_docs"),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+    )
+    dup = (
+        q_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_DUP_MIN)
+        .select("doc_a", "doc_b")
+    )
+    sym = dup.union(
+        dup.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    return (
+        cands.join(
+            F.broadcast(sym),
+            (F.col("doc_id") == F.col("doc_a"))
+            & (F.col("neg_id") == F.col("doc_b")),
+            "left_anti",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("neg_id")),
+            "neg_id",
+            "left_semi",
+        )
+        .select("doc_id", F.col("j").cast("long").alias("j"), "neg_id")
+    )
+
+
+def _contrastive_sql() -> str:
+    from .dedup import JACCARD_DUP_MIN, ORACLES as _DEDUP_ORACLES
+
+    h = hex32_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+    return (
+        "WITH jp AS (" + _DEDUP_ORACLES["dedup_jaccard_pairs"] + "), "
+        f"dup AS (SELECT doc_a, doc_b FROM jp WHERE jaccard >= {JACCARD_DUP_MIN} "
+        f"UNION ALL SELECT doc_b, doc_a FROM jp WHERE jaccard >= {JACCARD_DUP_MIN}), "
+        "n AS (SELECT count(*) AS n_docs FROM documents), "
+        "cand AS (SELECT doc_id, j, "
+        + h
+        + " % n_docs AS neg_id "
+        "FROM (SELECT doc_id FROM documents), "
+        "(SELECT unnest(generate_series(1, "
+        f"{CONTRASTIVE_K})) AS j), n) "
+        "SELECT c.doc_id, CAST(c.j AS BIGINT) AS j, c.neg_id FROM cand c "
+        "WHERE c.neg_id <> c.doc_id "
+        "AND c.neg_id IN (SELECT doc_id FROM documents) "
+        "AND NOT EXISTS (SELECT 1 FROM dup d "
+        "WHERE d.doc_a = c.doc_id AND d.doc_b = c.neg_id)"
+    )
+
+
+ORACLES_LATE["pipe_contrastive_negatives"] = _contrastive_sql()
+QUERIES_LATE["pipe_contrastive_negatives"] = q_contrastive_negatives
