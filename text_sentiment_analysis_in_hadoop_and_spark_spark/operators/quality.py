@@ -196,6 +196,34 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, member, gram) with the ``explode(array(tokens))``
+    Generate barrier: without it ProjectCollapsing inlines the token
+    ``split`` at every lambda reference inside the K-gram transform
+    and re-splits the text once PER GRAM (measured 2.6x slower at
+    sf0.1 — the same Catalyst pitfall dedup.doc_shingles documents).
+    Both contamination queries derive their bench and corpus gram
+    sets from this one shape."""
+    member = F.pmod(hex32(F.col("text")), BENCH_MOD) == BENCH_RESIDUE
+    tok_df = docs.select(
+        "doc_id",
+        member.alias("member"),
+        F.explode(F.array(_toks(F.col("text")))).alias("tk"),
+    )
+    toks = F.col("tk")
+    sh = F.when(
+        F.size(toks) < CONTAM_K, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - CONTAM_K),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, CONTAM_K)),
+        )
+    )
+    return tok_df.select(
+        "doc_id", "member", F.explode(sh).alias("gram")
+    )
+
+
 def _shingles(text: Column) -> Column:
     """Token CONTAM_K-grams; docs shorter than K yield the whole text
     as one gram (same convention as the winnowing fingerprints)."""
@@ -214,17 +242,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc overlap with the benchmark gram set: n_grams, n_hits,
     contam_frac for every NON-benchmark doc (benchmark members are
     excluded — they would trivially score 1.0)."""
-    docs = load_table(spark, sf_dir, "documents")
-    member = F.pmod(hex32(F.col("text")), BENCH_MOD) == BENCH_RESIDUE
+    grams = _gram_rows(load_table(spark, sf_dir, "documents"))
     bench_grams = (
-        docs.filter(member)
-        .select(F.explode(_shingles(F.col("text"))).alias("gram"))
+        grams.filter(F.col("member"))
+        .select("gram")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    corpus = docs.filter(~member).select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("gram")
-    )
+    corpus = grams.filter(~F.col("member")).select("doc_id", "gram")
     return (
         corpus.join(F.broadcast(bench_grams), "gram", "left")
         .groupBy("doc_id")
@@ -528,13 +553,8 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bitset collect is a bounded model-sized aggregate (S5 shape,
     16 KiB), never O(corpus).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    member = F.pmod(hex32(F.col("text")), BENCH_MOD) == BENCH_RESIDUE
-    bench_grams = (
-        docs.filter(member)
-        .select(F.explode(_shingles(F.col("text"))).alias("gram"))
-        .distinct()
-    )
+    grams = _gram_rows(load_table(spark, sf_dir, "documents"))
+    bench_grams = grams.filter(F.col("member")).select("gram").distinct()
     p1, p2 = _bloom_positions(F.col("gram"))
     word_rows = (
         bench_grams.select(F.explode(F.array(p1, p2)).alias("p"))
@@ -553,8 +573,8 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits_df = spark.createDataFrame([(bitset,)], "bloom array<long>")
 
     corpus = (
-        docs.filter(~member)
-        .select("doc_id", F.explode(_shingles(F.col("text"))).alias("gram"))
+        grams.filter(~F.col("member"))
+        .select("doc_id", "gram")
         .crossJoin(F.broadcast(bits_df))
         .withColumn("cand", _bloom_member(F.col("gram"), F.col("bloom")))
     )
