@@ -182,3 +182,56 @@ def test_attribution_models_match_python_recomputation(spark):
     assert set(got) == set(expect)
     for k in expect:
         assert abs(got[k] - expect[k]) < 1e-5, k
+
+
+def test_mwu_test_matches_numpy_ranks(spark):
+    """Independent recomputation: numpy midranks over the raw collected
+    values (a different algorithm than the histogram-window plan)."""
+    import numpy as np
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.functions.hashing import hex32
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.experiments import (
+        q_events_mwu_test,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import load_events
+    from conftest import SF_DIR
+
+    row = q_events_mwu_test(spark, SF_DIR).collect()[0]
+    ev = (
+        load_events(spark, SF_DIR)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.pmod(hex32(F.col("user_id").cast("string")), 2).alias("arm"),
+            "value",
+        )
+        .collect()
+    )
+    vals = np.array([r["value"] for r in ev])
+    arms = np.array([r["arm"] for r in ev])
+    order = np.argsort(vals, kind="mergesort")
+    ranks = np.empty(len(vals))
+    sv = vals[order]
+    i = 0
+    pos = 1
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (pos + (pos + (j - i) - 1)) / 2.0
+        pos += j - i
+        i = j
+    n_a = int((arms == 0).sum())
+    n_b = int((arms == 1).sum())
+    r_b = ranks[arms == 1].sum()
+    u_b = r_b - n_b * (n_b + 1) / 2.0
+    assert row["n_a"] == n_a and row["n_b"] == n_b
+    assert abs(row["u_stat"] - u_b) < 1e-6
+    # z recomputed with tie correction
+    _, counts = np.unique(vals, return_counts=True)
+    tie3 = float((counts**3 - counts).sum())
+    n = n_a + n_b
+    sigma = np.sqrt(
+        n_a * n_b / 12.0 * ((n + 1) - tie3 / (n * (n - 1.0)))
+    )
+    z = (u_b - n_a * n_b / 2.0) / sigma
+    assert abs(row["z_score"] - z) < 1e-5

@@ -362,3 +362,112 @@ ORACLES["events_attribution_models"] = (
 )
 
 QUERIES["events_attribution_models"] = q_events_attribution_models
+
+
+# --- Mann-Whitney U (nonparametric A/B readout) ----------------------
+
+
+def q_events_mwu_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test on purchase VALUES between the two hash
+    arms — the nonparametric companion to the CUPED mean readout:
+    heavy-tailed revenue distributions routinely break t-test
+    normality assumptions, so experiment platforms report the
+    rank-sum verdict next to the mean lift.
+
+    Scale shape: ranking 100 TB of raw rows needs a global sort, so
+    the ranks are computed over the VALUE HISTOGRAM instead — one
+    (value)-keyed partial agg with per-arm counts, then midranks via
+    a cumulative window over the histogram, whose size is bounded by
+    the value DOMAIN (distinct prices), not the data (the same
+    bounded-artifact argument as the scripted bisection's price
+    histogram; the single-partition window is over that bounded
+    artifact only).  Tie correction uses the same histogram.
+
+    Determinism: doubled midranks (``2·cum_before + t + 1``) keep
+    every rank-sum INTEGER until the final z formula, so engines
+    cannot diverge on float summation order; the z expression is
+    written identically on both sides and rounded to 6."""
+    from ..functions.hashing import hex32
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.pmod(hex32(F.col("user_id").cast("string")), 2)
+    hist = (
+        ev.select(arm.alias("arm"), "value")
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.count("*").cast("long").alias("t"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = hist.withColumn(
+        "rank2",
+        2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1,
+    )
+    agg = ranked.agg(
+        F.sum("c0").cast("long").alias("n_a"),
+        F.sum("c1").cast("long").alias("n_b"),
+        F.sum(F.col("c1") * F.col("rank2")).cast("long").alias("r2_b"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("long")
+        .alias("tie3"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u2 = F.col("r2_b") - nb * (nb + 1)  # doubled U statistic
+    sigma2 = (
+        (na * nb).cast("double")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tie3").cast("double")
+            / (n.cast("double") * (n.cast("double") - 1.0))
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(u2.cast("double") / 2.0, 6).alias("u_stat"),
+        F.round(
+            (u2 - na * nb).cast("double") / (2.0 * F.sqrt(sigma2)),
+            6,
+        ).alias("z_score"),
+    )
+
+
+ORACLES["events_mwu_test"] = (
+    "WITH pv AS (SELECT "
+    + hex32_sql("CAST(user_id AS VARCHAR)")
+    + " % 2 AS arm, value FROM events WHERE event_type = 'purchase'), "
+    "hist AS (SELECT value, "
+    "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0, "
+    "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
+    "CAST(count(*) AS BIGINT) AS t FROM pv GROUP BY value), "
+    "ranked AS (SELECT *, 2 * coalesce(sum(t) OVER "
+    "(ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "+ t + 1 AS rank2 FROM hist), "
+    "agg AS (SELECT CAST(sum(c0) AS BIGINT) AS n_a, "
+    "CAST(sum(c1) AS BIGINT) AS n_b, "
+    "CAST(sum(c1 * rank2) AS BIGINT) AS r2_b, "
+    "CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM ranked) "
+    "SELECT n_a, n_b, "
+    "round(CAST(r2_b - n_b * (n_b + 1) AS DOUBLE) / 2.0, 6) AS u_stat, "
+    "round(CAST((r2_b - n_b * (n_b + 1)) - n_a * n_b AS DOUBLE) / "
+    "(2.0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0 * "
+    "(CAST(n_a + n_b + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) / "
+    "(CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))))), 6) "
+    "AS z_score FROM agg"
+)
+
+QUERIES["events_mwu_test"] = q_events_mwu_test
