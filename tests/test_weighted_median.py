@@ -73,3 +73,31 @@ def test_weighted_median_exact_half_boundary(spark, tmp_path):
     )
     row = q_weighted_median_price(spark, str(d)).collect()[0]
     assert abs(row["weighted_median_price"] - 10.0) < 1e-9
+
+
+def test_pandas_twin_matches_jvm_plan(spark):
+    """GROUPED_AGG pandas twin must agree row-for-row with the JVM
+    window plan, and its physical plan must show AggregateInPandas
+    with ONE exchange keyed on the group."""
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import relational2
+
+    jvm = {
+        r["brand"]: (r["weighted_median_price"], r["n_lineitems"])
+        for r in relational2.q_weighted_median_price(
+            spark, SF_DIR
+        ).collect()
+    }
+    pdf = relational2.q_weighted_median_pandas(spark, SF_DIR)
+    got = {
+        r["brand"]: (r["weighted_median_price"], r["n_lineitems"])
+        for r in pdf.collect()
+    }
+    assert got == jvm
+    plan = pdf._jdf.queryExecution().executedPlan().toString()
+    # Spark 4.1 names the grouped-agg pandas node ArrowAggregatePython
+    assert ("ArrowAggregatePython" in plan) or ("AggregateInPandas" in plan)
+    # AQE's toString prints Final AND Initial plan sections — count
+    # within the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning(brand") == 1

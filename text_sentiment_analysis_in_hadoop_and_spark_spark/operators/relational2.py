@@ -25,6 +25,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1836,3 +1837,59 @@ ORACLES["rel_unpivot_metrics"] = (
 )
 
 QUERIES["rel_unpivot_metrics"] = q_unpivot_metrics
+
+
+# --- GROUPED_AGG pandas twin of the weighted median ------------------
+
+
+def q_weighted_median_pandas(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The quantity-weighted median through a GROUPED_AGG
+    ``pandas_udf`` — the last Python-boundary API the engine had not
+    priced (mapInPandas, applyInPandas[WithState],
+    cogroup.applyInPandas, mapInArrow and UDTF all have twins).  Same
+    oracle as :func:`q_weighted_median_price`: the JVM
+    partitioned-window plan is the production path; THIS form is the
+    template for group-reductions that outgrow SQL expressions, and
+    the bench prices the Arrow transfer + per-group pandas eval.
+
+    Boundary caveat (why the JVM plan wins at 100 TB): a grouped-agg
+    UDF materializes each group's columns in executor memory, so cost
+    is O(largest group); the window plan streams sorted runs.  Shuffle
+    shape is identical — ONE exchange keyed on the group."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _wmedian(price: pd.Series, w: pd.Series) -> float:
+        d = pd.DataFrame({"p": price, "w": w}).sort_values("p")
+        cum = d["w"].cumsum()
+        return round(float(d["p"][cum >= d["w"].sum() / 2].iloc[0]), 6)
+
+    # Catalyst forbids mixing GROUPED_AGG pandas UDFs with JVM
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count is a second tiny pandas aggregate
+    @pandas_udf("long")
+    def _n(price: pd.Series) -> int:
+        return int(price.size)
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("price"),
+        F.col("l_quantity").alias("w"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(F.col("p_brand").alias("brand"), "price", "w")
+    return j.groupBy("brand").agg(
+        _wmedian("price", "w").alias("weighted_median_price"),
+        _n("price").alias("n_lineitems"),
+    )
+
+
+# identical contract, second physical strategy — one oracle, two plans
+ORACLES["rel_weighted_median_pandas"] = ORACLES[
+    "rel_weighted_median_price"
+]
+QUERIES["rel_weighted_median_pandas"] = q_weighted_median_pandas
