@@ -21,6 +21,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import evolution 
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import fixedwidth as fixedwidth_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import jsonl as jsonl_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import orc as orc_source
+from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import pystream as pystream_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import sqlapi as sqlapi_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import xmlsrc as xml_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import enrich as streaming_enrich
@@ -204,6 +205,7 @@ _MODULE_ORDER = (
     xml_source,
     _asof_late,
     sketches,
+    pystream_source,
 )
 
 
