@@ -235,3 +235,38 @@ def test_mwu_test_matches_numpy_ranks(spark):
     )
     z = (u_b - n_a * n_b / 2.0) / sigma
     assert abs(row["z_score"] - z) < 1e-5
+
+
+def test_ks_drift_matches_numpy_cdfs(spark):
+    import numpy as np
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.experiments import (
+        q_events_ks_drift,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import load_events
+    from conftest import SF_DIR
+
+    row = q_events_ks_drift(spark, SF_DIR).collect()[0]
+    ev = (
+        load_events(spark, SF_DIR)
+        .filter(F.col("event_type") == "purchase")
+        .select("epoch_sec", "value")
+        .collect()
+    )
+    es = np.array([r["epoch_sec"] for r in ev])
+    vals = np.array([r["value"] for r in ev])
+    t_mid = (es.min() + es.max()) // 2
+    a = np.sort(vals[es < t_mid])
+    b = np.sort(vals[es >= t_mid])
+    grid = np.unique(vals)
+    cdf_a = np.searchsorted(a, grid, side="right") / len(a)
+    cdf_b = np.searchsorted(b, grid, side="right") / len(b)
+    d = np.abs(cdf_a - cdf_b)
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["ks_stat"] - d.max()) < 1e-6
+    assert abs(
+        np.abs(
+            (a <= row["ks_value"]).mean() - (b <= row["ks_value"]).mean()
+        )
+        - d.max()
+    ) < 1e-9

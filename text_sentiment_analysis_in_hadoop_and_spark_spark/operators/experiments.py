@@ -471,3 +471,99 @@ ORACLES["events_mwu_test"] = (
 )
 
 QUERIES["events_mwu_test"] = q_events_mwu_test
+
+
+# --- two-sample Kolmogorov-Smirnov drift test ------------------------
+
+
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between EARLY and LATE purchase values
+    (split at the integer epoch midpoint): the distribution-SHAPE
+    drift monitor that catches what the Mann-Whitney location test
+    misses (variance widening, emerging bimodality) — the pair a
+    platform runs before trusting week-over-week revenue comparisons.
+
+    Same scale shape as :func:`q_events_mwu_test`: CDFs come from the
+    value-domain-bounded histogram (one partial agg + one cumulative
+    window over the bounded artifact), never a global sort of rows.
+
+    Determinism: D is maximized in the INTEGER cross-multiplied form
+    |cumA·n_b − cumB·n_a| (floats appear only in the final rounded
+    division), and the reported crossing value is the MIN value among
+    argmax rows — no float argmax ties between engines."""
+    from ..functions.hashing import hex32  # noqa: F401  (module convention)
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    mid = ev.agg(
+        ((F.min("epoch_sec") + F.max("epoch_sec")) / 2)
+        .cast("long")
+        .alias("t_mid")
+    )
+    tagged = ev.join(F.broadcast(mid)).select(
+        (F.col("epoch_sec") < F.col("t_mid")).cast("int").alias("early"),
+        "value",
+    )
+    hist = tagged.groupBy("value").agg(
+        F.sum("early").cast("long").alias("ca"),
+        F.sum(1 - F.col("early")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "value",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = hist.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    scored = cum.join(F.broadcast(tot)).select(
+        "value",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("d2"),
+    )
+    return scored.groupBy("n_a", "n_b").agg(
+        F.round(
+            F.max("d2").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            6,
+        ).alias("ks_stat"),
+        F.min_by("value", F.struct(-F.col("d2"), F.col("value"))).alias(
+            "ks_value"
+        ),
+    )
+
+
+ORACLES["events_ks_drift"] = (
+    "WITH pv AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es, "
+    "value FROM events WHERE event_type = 'purchase'), "
+    "mid AS (SELECT CAST((min(es) + max(es)) // 2 AS BIGINT) AS t_mid "
+    "FROM pv), "
+    "tagged AS (SELECT CAST(es < t_mid AS INTEGER) AS early, value "
+    "FROM pv, mid), "
+    "hist AS (SELECT value, CAST(sum(early) AS BIGINT) AS ca, "
+    "CAST(sum(1 - early) AS BIGINT) AS cb FROM tagged GROUP BY value), "
+    "cum AS (SELECT value, sum(ca) OVER (ORDER BY value "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a, "
+    "sum(cb) OVER (ORDER BY value "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b "
+    "FROM hist), "
+    "tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, "
+    "CAST(sum(cb) AS BIGINT) AS n_b FROM hist), "
+    "scored AS (SELECT value, n_a, n_b, "
+    "abs(cum_a * n_b - cum_b * n_a) AS d2 FROM cum, tot) "
+    "SELECT n_a, n_b, "
+    "round(CAST(max(d2) AS DOUBLE) / "
+    "(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_stat, "
+    "min(value) FILTER (WHERE d2 = (SELECT max(d2) FROM scored)) "
+    "AS ks_value FROM scored GROUP BY n_a, n_b"
+)
+
+QUERIES["events_ks_drift"] = q_events_ks_drift
