@@ -371,3 +371,42 @@ def test_watermark_plan_windows_are_bucket_partitioned(spark):
     plan = _plan(timeseries.q_watermark_audit(spark, SF_DIR))
     assert "hashpartitioning(bk" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_changepoint_detects_planted_level_shift(spark, tmp_path):
+    """10 days at mean $10, then 10 days at mean $50 — the split must
+    land exactly on the last low day, with both segment means exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.timeseries import (
+        q_events_changepoint,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(20):
+        for k in range(5):  # 5 purchases per day
+            val = 10.0 if day < 10 else 50.0
+            rows.append((eid, day * 86400 + k * 3600, k, "purchase", val))
+            eid += 1
+    d = tmp_path / "cp"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * 10**9 for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/events.parquet")
+    out = q_events_changepoint(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["change_day_epoch"] == 9 * 86400  # last low day's boundary
+    assert r["n_before"] == 50 and r["n_after"] == 50
+    assert abs(r["mean_before"] - 10.0) < 1e-9
+    assert abs(r["mean_after"] - 50.0) < 1e-9

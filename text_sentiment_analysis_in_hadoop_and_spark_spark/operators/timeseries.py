@@ -335,3 +335,111 @@ QUERIES = {
     "events_snaive_backtest": q_snaive_backtest,
     "events_watermark_audit": q_watermark_audit,
 }
+
+
+# --- offline change-point detection (CUSUM argmax) -------------------
+
+
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point in daily purchase revenue via the offline
+    CUSUM statistic (Page): the day boundary t maximizing
+    |S_t·N − N_t·S| (prefix cents sum vs its expected share) — where
+    the level of the series most decisively shifts.  Binary
+    segmentation applies this recursively; the engine surfaces the
+    first (strongest) split plus both segment means so the caller
+    sees the effect size, not just the location.
+
+    Scale shape: one day-keyed partial agg over events, a cumulative
+    window over the DAY histogram (bounded by the calendar, not the
+    data), and an integer argmax — the statistic stays in exact
+    integer cents arithmetic end-to-end (floats only in the final
+    rounded means), with the min-day tie-break making the argmax
+    engine-deterministic."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    days = ev.groupBy(
+        ((F.expr("epoch_sec DIV 86400")) * 86400)
+        .cast("long")
+        .alias("day_epoch")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("s_cents"),
+    )
+    w = Window.orderBy("day_epoch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = days.select(
+        "day_epoch",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s_cents").over(w).alias("cs"),
+    )
+    tot = days.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("s_cents").cast("long").alias("ts"),
+    )
+    scored = (
+        cum.join(F.broadcast(tot))
+        # a boundary at the last day splits nothing — exclude it
+        .filter(F.col("cn") < F.col("tn"))
+        .select(
+            "day_epoch",
+            "cn",
+            "cs",
+            "tn",
+            "ts",
+            F.abs(
+                F.col("cs") * F.col("tn") - F.col("cn") * F.col("ts")
+            ).alias("d2"),
+        )
+    )
+    best = scored.select(
+        F.min_by(
+            F.struct("day_epoch", "cn", "cs", "tn", "ts"),
+            F.struct(-F.col("d2"), F.col("day_epoch")),
+        ).alias("b")
+    ).select("b.*")
+    return best.select(
+        F.col("day_epoch").alias("change_day_epoch"),
+        F.col("cn").alias("n_before"),
+        (F.col("tn") - F.col("cn")).alias("n_after"),
+        F.round(F.col("cs").cast("double") / F.col("cn") / 100.0, 6).alias(
+            "mean_before"
+        ),
+        F.round(
+            (F.col("ts") - F.col("cs")).cast("double")
+            / (F.col("tn") - F.col("cn"))
+            / 100.0,
+            6,
+        ).alias("mean_after"),
+    )
+
+
+ORACLES["events_changepoint"] = (
+    "WITH pv AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es, "
+    "CAST(round(value * 100, 0) AS BIGINT) AS cents "
+    "FROM events WHERE event_type = 'purchase'), "
+    "days AS (SELECT CAST(es // 86400 * 86400 AS BIGINT) AS day_epoch, "
+    "CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s_cents "
+    "FROM pv GROUP BY 1), "
+    "cum AS (SELECT day_epoch, sum(n) OVER (ORDER BY day_epoch "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn, "
+    "sum(s_cents) OVER (ORDER BY day_epoch "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs "
+    "FROM days), "
+    "tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, "
+    "CAST(sum(s_cents) AS BIGINT) AS ts FROM days), "
+    "scored AS (SELECT day_epoch, cn, cs, tn, ts, "
+    "abs(cs * tn - cn * ts) AS d2 FROM cum, tot WHERE cn < tn), "
+    "best AS (SELECT * FROM scored ORDER BY d2 DESC, day_epoch ASC "
+    "LIMIT 1) "
+    "SELECT day_epoch AS change_day_epoch, cn AS n_before, "
+    "tn - cn AS n_after, "
+    "round(CAST(cs AS DOUBLE) / cn / 100.0, 6) AS mean_before, "
+    "round(CAST(ts - cs AS DOUBLE) / (tn - cn) / 100.0, 6) AS mean_after "
+    "FROM best"
+)
+
+QUERIES["events_changepoint"] = q_events_changepoint
