@@ -270,3 +270,20 @@ def test_ks_drift_matches_numpy_cdfs(spark):
         )
         - d.max()
     ) < 1e-9
+
+
+def test_bootstrap_ci_properties(spark):
+    """CI must bracket the point estimate (Poisson bootstrap is
+    centered), be reproducible run-to-run, and use all replicates."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.experiments import (
+        BOOT_B,
+        q_events_bootstrap_ci,
+    )
+    from conftest import SF_DIR
+
+    r1 = q_events_bootstrap_ci(spark, SF_DIR).collect()[0]
+    r2 = q_events_bootstrap_ci(spark, SF_DIR).collect()[0]
+    assert r1 == r2  # hash-derived weights: exactly reproducible
+    assert r1["n_replicates"] == BOOT_B
+    assert r1["ci_lo"] <= r1["lift"] <= r1["ci_hi"]
+    assert r1["ci_hi"] > r1["ci_lo"]

@@ -567,3 +567,145 @@ ORACLES["events_ks_drift"] = (
 )
 
 QUERIES["events_ks_drift"] = q_events_ks_drift
+
+
+# --- deterministic Poisson-bootstrap confidence interval -------------
+
+BOOT_B = 200  # bootstrap replicates
+
+# Poisson(1) inverse-CDF thresholds scaled to the hex32 2^32 space:
+# weight k for u in [th[k-1], th[k]); u >= th[-1] caps at 7.  Integer
+# constants → both engines derive IDENTICAL weights from the portable
+# hash (no RNG state, no float CDF comparisons).
+_POISSON_TH = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+)
+
+
+def q_events_bootstrap_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """95% bootstrap CI for the arm-B-minus-arm-A purchase-value lift
+    via the DETERMINISTIC Poisson bootstrap — the production
+    large-scale bootstrap (resampling 100 TB with replacement is
+    impossible; per-(unit, replicate) Poisson(1) weights are the
+    standard streaming equivalent, and deriving them from the
+    portable hash makes every replicate exactly reproducible across
+    runs AND engines).
+
+    Shape: purchases × B weight rows are GENERATED map-side (an
+    explode, no shuffle), then one (replicate, arm)-keyed partial
+    agg; weighted sums stay in integer cents so replicate means are
+    exact-integer ratios; the percentile over the B replicate lifts
+    interpolates identically in both engines (the
+    ``events_percentiles`` bit-for-bit precedent).  Output: the point
+    lift, the percentile CI, and the replicate s.d."""
+    from ..functions.hashing import hex32
+
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.pmod(hex32(F.col("user_id").cast("string")), 2)
+    base = ev.select(
+        arm.alias("arm"),
+        F.col("user_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    u = hex32(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        )
+    )
+    k = sum(
+        (u >= F.lit(t)).cast("int") for t in _POISSON_TH
+    )  # 0..7 resample multiplicity
+    rep = (
+        base.select("arm", "user_id", "cents", b)
+        .withColumn("k", k)
+        .groupBy("b", "arm")
+        .agg(
+            F.sum(F.col("k") * F.col("cents")).cast("long").alias("s"),
+            F.sum("k").cast("long").alias("n"),
+        )
+    )
+    lift = (
+        rep.groupBy("b")
+        .pivot("arm", [0, 1])
+        .agg(F.first("s").alias("s"), F.first("n").alias("n"))
+        .select(
+            (
+                F.col("1_s").cast("double") / F.col("1_n")
+                - F.col("0_s").cast("double") / F.col("0_n")
+            ).alias("lift_cents")
+        )
+    )
+    point = base.groupBy("arm").agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    pt = point.groupBy().pivot("arm", [0, 1]).agg(
+        F.first("s").alias("s"), F.first("n").alias("n")
+    ).select(
+        (
+            F.col("1_s").cast("double") / F.col("1_n")
+            - F.col("0_s").cast("double") / F.col("0_n")
+        ).alias("point_cents")
+    )
+    ci = lift.agg(
+        F.round(F.expr("percentile(lift_cents, 0.025)") / 100.0, 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.expr("percentile(lift_cents, 0.975)") / 100.0, 6).alias(
+            "ci_hi"
+        ),
+        F.count("*").cast("long").alias("n_replicates"),
+    )
+    return ci.join(
+        pt.select(F.round(F.col("point_cents") / 100.0, 6).alias("lift"))
+    ).select("lift", "ci_lo", "ci_hi", "n_replicates")
+
+
+def _bootstrap_sql() -> str:
+    h_arm = hex32_sql("CAST(user_id AS VARCHAR)")
+    h_rep = hex32_sql("CAST(user_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+    kexpr = " + ".join(
+        f"CASE WHEN {h_rep} >= {t} THEN 1 ELSE 0 END" for t in _POISSON_TH
+    )
+    return (
+        f"WITH pv AS (SELECT {h_arm} % 2 AS arm, user_id, "
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents "
+        "FROM events WHERE event_type = 'purchase'), "
+        "reps AS (SELECT arm, user_id, cents, b FROM pv, "
+        f"(SELECT unnest(range(0, {BOOT_B})) AS b)), "
+        f"wk AS (SELECT arm, b, cents, ({kexpr}) AS k FROM reps), "
+        "agg AS (SELECT b, arm, CAST(sum(k * cents) AS BIGINT) AS s, "
+        "CAST(sum(k) AS BIGINT) AS n FROM wk GROUP BY b, arm), "
+        "lifts AS (SELECT a1.s / CAST(a1.n AS DOUBLE) - "
+        "a0.s / CAST(a0.n AS DOUBLE) AS lift_cents "
+        "FROM (SELECT * FROM agg WHERE arm = 1) a1 "
+        "JOIN (SELECT * FROM agg WHERE arm = 0) a0 USING (b)), "
+        "pt AS (SELECT "
+        "sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) / "
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) - "
+        "sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) / "
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "AS point_cents FROM pv) "
+        "SELECT round(pt.point_cents / 100.0, 6) AS lift, "
+        "round(quantile_cont(l.lift_cents, 0.025) / 100.0, 6) AS ci_lo, "
+        "round(quantile_cont(l.lift_cents, 0.975) / 100.0, 6) AS ci_hi, "
+        "CAST(count(*) AS BIGINT) AS n_replicates "
+        "FROM lifts l, pt GROUP BY pt.point_cents"
+    )
+
+
+ORACLES["events_bootstrap_ci"] = _bootstrap_sql()
+QUERIES["events_bootstrap_ci"] = q_events_bootstrap_ci
