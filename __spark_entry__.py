@@ -284,6 +284,7 @@ _ROWS_ONLY = frozenset(
         "text_lang_overlap_theta",  # theta set algebra — bound tests
         "text_source_novelty_theta",  # theta difference — bound tests
         "events_value_quantiles_kll",  # KLL rollup — rank-error tests
+        "mm_audio_spectral",  # FFT features — direct-DFT twin test
     }
 )
 

@@ -309,3 +309,59 @@ def test_scene_cut_plan_is_arrow_then_doc_partitioned_window(spark):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_audio_spectral_matches_direct_dft(spark):
+    """Independent recomputation: literal O(n²) DFT over the
+    closed-form samples (numpy.fft never touched) for a handful of
+    docs covering mono, stereo, and every junk-chunk phase."""
+    import numpy as np
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.multimodal import (
+        ROLLOFF_FRAC,
+        WAV_FRAMES_MOD,
+        WAV_RATES,
+        q_mm_audio_spectral,
+    )
+    from conftest import SF_DIR
+
+    got = {
+        r["doc_id"]: r
+        for r in q_mm_audio_spectral(spark, SF_DIR).collect()
+    }
+    for doc_id in (0, 1, 2, 3, 6, 7, 11, 12):
+        rate = WAV_RATES[doc_id % len(WAV_RATES)]
+        channels = 1 + doc_id % 2
+        n_frames = 1 + doc_id % WAV_FRAMES_MOD
+        n_samples = n_frames * channels
+        smp = np.array(
+            [
+                ((doc_id * 31 + k * 17) % 65536) - 32768
+                for k in range(n_samples)
+            ],
+            dtype=np.float64,
+        )
+        if channels == 2:
+            if len(smp) % 2:
+                smp = smp[:-1]
+            smp = smp.reshape(-1, 2).mean(axis=1)
+        n = len(smp)
+        ks = np.arange(n)
+        nbins = n // 2 + 1
+        power = np.empty(nbins)
+        for b in range(nbins):
+            ang = -2.0 * np.pi * b * ks / n
+            re = (smp * np.cos(ang)).sum()
+            im = (smp * np.sin(ang)).sum()
+            power[b] = re * re + im * im
+        freqs = np.arange(nbins) * rate / n
+        tot = power.sum()
+        centroid = (freqs * power).sum() / tot
+        cum = np.cumsum(power)
+        rolloff = freqs[np.searchsorted(cum, ROLLOFF_FRAC * tot)]
+        bandwidth = np.sqrt((((freqs - centroid) ** 2) * power).sum() / tot)
+        r = got[doc_id]
+        assert r["rate"] == rate
+        assert abs(r["spectral_centroid"] - centroid) < 1e-3, doc_id
+        assert abs(r["rolloff"] - rolloff) < 1e-6, doc_id
+        assert abs(r["bandwidth"] - bandwidth) < 1e-3, doc_id

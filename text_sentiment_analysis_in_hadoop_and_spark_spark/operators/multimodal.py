@@ -1123,3 +1123,95 @@ ORACLES_LATE["mm_scene_cuts"] = (
 )
 
 QUERIES_LATE["mm_scene_cuts"] = q_mm_scene_cuts
+
+
+# --------------------------------------------------------------------------
+# Audio spectral features (FFT) — rows-only (r5)
+# --------------------------------------------------------------------------
+
+ROLLOFF_FRAC = 0.85
+
+
+def audio_spectral_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            rate, channels, _, _, data = probe_wav_meta(bytes(payload))
+            smp = np.frombuffer(data, dtype="<i2").astype(np.float64)
+            if channels == 2:  # average interleaved channels to mono
+                if len(smp) % 2:
+                    smp = smp[:-1]
+                smp = smp.reshape(-1, 2).mean(axis=1)
+            mag = np.abs(np.fft.rfft(smp))
+            freqs = np.fft.rfftfreq(len(smp), d=1.0 / rate)
+            power = mag * mag
+            tot = power.sum()
+            if tot <= 0.0:
+                centroid = rolloff = bandwidth = 0.0
+            else:
+                centroid = float((freqs * power).sum() / tot)
+                cum = np.cumsum(power)
+                rolloff = float(
+                    freqs[np.searchsorted(cum, ROLLOFF_FRAC * tot)]
+                )
+                bandwidth = float(
+                    np.sqrt(
+                        (((freqs - centroid) ** 2) * power).sum() / tot
+                    )
+                )
+            out.append(
+                (
+                    int(doc_id),
+                    int(rate),
+                    round(centroid, 6),
+                    round(rolloff, 6),
+                    round(bandwidth, 6),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id",
+                "rate",
+                "spectral_centroid",
+                "rolloff",
+                "bandwidth",
+            ],
+        )
+
+
+def q_mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral shape features per clip off the real decoded PCM —
+    centroid (power-weighted mean frequency), 85% rolloff and
+    bandwidth: the cheap frequency-domain triage an audio corpus runs
+    to split speech-like / music-like / noise-like clips before
+    expensive feature extraction (speech centroids sit low, hiss and
+    synthetic tones sit high).
+
+    Rows-only by SURVEY §5 (an O(n log n) FFT is not
+    SQL-expressible at our sample lengths — the O(n²) literal DFT
+    would be ~5·10⁹ SQL terms at sf0.01); pinned instead by an
+    independent direct-DFT recomputation over the closed-form samples
+    in tests/test_multimodal.py.  Same narrow Arrow stages and
+    stereo-interleave handling as the quality gate — a channel-
+    deinterleave bug shifts every centroid and fails the test."""
+    docs = rebalance_scan(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    payloads = docs.mapInPandas(
+        wav_payload_batches, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        audio_spectral_batches,
+        schema=(
+            "doc_id long, rate long, spectral_centroid double, "
+            "rolloff double, bandwidth double"
+        ),
+    )
+
+
+QUERIES_LATE["mm_audio_spectral"] = q_mm_audio_spectral
