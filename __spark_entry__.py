@@ -110,9 +110,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #   recursive k-hop, nb_calibration + lexicon via late namespaces) —
 #   all registered past the cap, all parity-green at BOTH sf0.001 and
 #   sf0.01 before their commits; full-surface sweeps re-verified
-#   274/274 mid-session.  r6 rotation TODO: promote the never-driver-
-#   checked r5 additions (~115 queries — multiple windows; lead with
-#   the oldest-added) into the window the way r5 promoted the r4 tail.
+#   274/274 mid-session.  The r5 fourth session opened with a full
+#   291/291 sweep, then added 15 more (sketches module theta/KLL,
+#   text_c4_filters, events_interval_overlap, priv_t_closeness,
+#   pipe_contrastive_negatives, the pystream streaming DataSource,
+#   events_mwu_test/ks_drift/bootstrap_ci/changepoint,
+#   rel_weighted_median_pandas, sim_ann_ndcg, mm_audio_spectral) —
+#   all past the cap, every oracle-checked one parity-green at BOTH
+#   sf0.001 and sf0.01 before its commit.  r6 rotation TODO: promote
+#   the never-driver-checked r5 additions (~130 queries — multiple
+#   windows; lead with the oldest-added) into the window the way r5
+#   promoted the r4 tail.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
