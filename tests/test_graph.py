@@ -108,3 +108,19 @@ def test_link_prediction_plan_is_equi_join_only(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_modularity_cc_identities(spark):
+    """For connected-component labels every edge is intra-cluster
+    (s_intra == n_edges), and Q = 1 - sum(d_c^2)/4m^2 lies in
+    [-0.5, 1]."""
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.graph import (
+        q_graph_modularity,
+    )
+
+    r = q_graph_modularity(spark, SF_DIR).collect()[0]
+    assert r["n_edges"] > 0
+    assert r["s_intra"] == r["n_edges"]
+    assert -0.5 - 1e-9 <= r["modularity"] <= 1.0 + 1e-9
+    assert 1 <= r["n_clusters"] <= 2 * r["n_edges"]

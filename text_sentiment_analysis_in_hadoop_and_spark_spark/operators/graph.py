@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .dedup import JACCARD_DUP_MIN, q_jaccard_pairs
+from .dedup import JACCARD_DUP_MIN, q_dedup_clusters, q_jaccard_pairs
 
 N_ITERS = 10
 DAMPING = 0.85
@@ -344,3 +344,101 @@ QUERIES = {
     "graph_node_clustering": q_graph_node_clustering,
     "graph_link_prediction": q_graph_link_prediction,
 }
+
+
+# --- clustering quality: Newman modularity ---------------------------
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the near-dup clustering against the
+    verified edge set — the single-number answer to "is this
+    clustering structure or noise": Q ≈ 0 means the partition does no
+    better than random wiring of the same degree sequence, Q → 1
+    means dense well-separated communities.  Computed in the general
+    form Q = Σ_c [m_c/m − (d_c/2m)²] (intra-edge share minus the
+    degree-sequence expectation) so it prices ANY (node, label)
+    assignment, not just connected components — for CC labels every
+    edge is intra by construction, an identity the test pins.
+
+    All-integer plumbing: edge count, per-cluster intra counts and
+    squared degree sums stay BIGINT; the only float is the final
+    rounded division (Q = (4·m·Σm_c − Σd_c²) / 4m²).  Shape: two
+    label joins keyed on node, two bounded aggregates — no window, no
+    driver loop."""
+    edges = _verified_edges(spark, sf_dir)
+    labels = (
+        q_dedup_clusters(spark, sf_dir)
+        .select(F.col("doc_id").alias("node"), F.col("cluster_id"))
+        .join(
+            edges.select(F.col("a").alias("node"))
+            .union(edges.select(F.col("b").alias("node")))
+            .distinct(),
+            "node",
+            "left_semi",
+        )
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("cluster_id").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("cluster_id").alias("cb"))
+    ee = edges.join(la, "a").join(lb, "b")
+    m1 = edges.agg(F.count("*").cast("long").alias("m"))
+    si = ee.filter(F.col("ca") == F.col("cb")).agg(
+        F.count("*").cast("long").alias("s_intra")
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    degc = deg.join(labels, "node").groupBy("cluster_id").agg(
+        F.sum("d").cast("long").alias("dc")
+    )
+    s2 = degc.agg(
+        F.sum(F.col("dc") * F.col("dc")).cast("long").alias("s2"),
+        F.count("*").cast("long").alias("n_clusters"),
+    )
+    return (
+        m1.join(si)
+        .join(s2)
+        .select(
+            F.col("m").alias("n_edges"),
+            "n_clusters",
+            F.col("s_intra"),
+            F.round(
+                (4 * F.col("m") * F.col("s_intra") - F.col("s2")).cast(
+                    "double"
+                )
+                / (4.0 * F.col("m") * F.col("m")).cast("double"),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+from .dedup import JACCARD_DUP_MIN as _T  # noqa: E402
+
+ORACLES["graph_modularity"] = "WITH RECURSIVE " + ",\n".join((
+    *_CLUSTER_CTES,
+    f"edg AS (SELECT doc_a AS a, doc_b AS b FROM djac WHERE jaccard >= {_T})",
+    "en AS (SELECT DISTINCT node FROM (SELECT a AS node FROM edg UNION ALL SELECT b AS node FROM edg))",
+    "lab AS (SELECT l.node, l.label FROM dlabels l JOIN en USING (node))",
+    "ee AS (SELECT la.label AS ca, lb.label AS cb FROM edg "
+    "JOIN lab la ON la.node = edg.a JOIN lab lb ON lb.node = edg.b)",
+    "m1 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edg)",
+    "si AS (SELECT CAST(count(*) AS BIGINT) AS s_intra FROM ee "
+    "WHERE ca = cb)",
+    "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM "
+    "(SELECT a AS node FROM edg UNION ALL SELECT b FROM edg) "
+    "GROUP BY node)",
+    "degc AS (SELECT l.label, CAST(sum(d.d) AS BIGINT) AS dc "
+    "FROM deg d JOIN lab l USING (node) GROUP BY l.label)",
+    "s2 AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS s2, "
+    "CAST(count(*) AS BIGINT) AS n_clusters FROM degc)",
+)) + (
+    " SELECT m1.m AS n_edges, s2.n_clusters, si.s_intra, "
+    "round(CAST(4 * m1.m * si.s_intra - s2.s2 AS DOUBLE) / "
+    "CAST(4.0 * m1.m * m1.m AS DOUBLE), 6) AS modularity "
+    "FROM m1, si, s2"
+)
+
+QUERIES["graph_modularity"] = q_graph_modularity

@@ -81,7 +81,10 @@ def q_lang_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sks.select(
         F.col("lang").alias("lang_b"), F.col("sk").alias("sk_b")
     )
-    pairs = a.join(b, F.col("lang_a") < F.col("lang_b"))
+    # broadcast the (|langs|-row) right side: the non-equi pairing
+    # must plan as a tiny BroadcastNestedLoopJoin, never a shuffled
+    # CartesianProduct (tests/test_plans.py sweeps for that node)
+    pairs = a.join(F.broadcast(b), F.col("lang_a") < F.col("lang_b"))
     inter = F.theta_sketch_estimate(
         F.theta_intersection("sk_a", "sk_b")
     )
@@ -121,7 +124,7 @@ def q_source_novelty_theta(
         F.col("source").alias("other"), F.col("sk").alias("sk_other")
     )
     rest = (
-        sks.join(others, F.col("source") != F.col("other"))
+        sks.join(F.broadcast(others), F.col("source") != F.col("other"))
         .groupBy("source", "sk")
         .agg(F.theta_union_agg("sk_other", F.lit(THETA_LGK)).alias("sk_rest"))
     )
