@@ -139,3 +139,18 @@ def test_entity_canonical_is_longest_then_lowest_id(spark):
         )
     )
     assert viol.count() == 0
+
+
+def test_blocking_quality_bounds(spark):
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.er import (
+        q_er_blocking_quality,
+    )
+
+    r = q_er_blocking_quality(spark, SF_DIR).collect()[0]
+    assert r["n_truth"] > 0
+    assert 0 <= r["n_truth_blocked"] <= r["n_truth"]
+    assert 0.0 <= r["completeness"] <= 1.0
+    assert 0.0 <= r["reduction_ratio"] <= 1.0
+    # blocking must actually block: candidate space far below quadratic
+    assert r["reduction_ratio"] > 0.5

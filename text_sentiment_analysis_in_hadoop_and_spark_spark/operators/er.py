@@ -203,3 +203,124 @@ def _er_entities_sql() -> str:
 
 ORACLES["er_entities"] = _er_entities_sql()
 QUERIES["er_entities"] = q_er_entities
+
+
+# --- blocking-quality audit (pairs completeness / reduction ratio) ---
+
+
+def q_er_blocking_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The two numbers every blocking scheme is judged by (Christen,
+    "Data Matching"): PAIRS COMPLETENESS — of the known true matches,
+    how many land with both endpoints in the same (uncapped) block —
+    and REDUCTION RATIO — what fraction of the quadratic pair space
+    the blocking refuses to compare.  A scheme is only good if both
+    are high: completeness ~1 with reduction ~0 is brute force;
+    reduction ~1 with low completeness is silently dropping matches.
+
+    Scale honesty: at 100 TB the full truth set is uncomputable —
+    the audit uses the VERIFIED token-level near-dup pairs (the
+    banded MinHash index, corpus-sublinear) as the reference truth,
+    which is exactly the cross-check that matters: does char-level
+    blocking lose the pairs token-level dedup can find?  All counts
+    integer; two broadcast-sized joins against the (tiny) pair set
+    plus one block-size aggregate."""
+    from .dedup import JACCARD_DUP_MIN, q_jaccard_pairs
+
+    b = _blocked(spark, sf_dir)
+    sizes = b.groupBy("b_lang", "b_len").agg(F.count("*").alias("n"))
+    keyed = b.join(sizes, ["b_lang", "b_len"]).select(
+        "doc_id", "b_lang", "b_len", (F.col("n") <= BLOCK_CAP).alias("ok")
+    )
+    truth = (
+        q_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= JACCARD_DUP_MIN)
+        .select("doc_a", "doc_b")
+    )
+    ka = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("b_lang").alias("la"),
+        F.col("b_len").alias("na"),
+        F.col("ok").alias("ok_a"),
+    )
+    kb = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("b_lang").alias("lb"),
+        F.col("b_len").alias("nb"),
+        F.col("ok").alias("ok_b"),
+    )
+    t = truth.join(ka, "doc_a").join(kb, "doc_b")
+    blocked_hit = (
+        (F.col("la") == F.col("lb"))
+        & (F.col("na") == F.col("nb"))
+        & F.col("ok_a")
+    ).cast("long")
+    tr = t.agg(
+        F.count("*").cast("long").alias("n_truth"),
+        F.sum(blocked_hit).cast("long").alias("n_truth_blocked"),
+    )
+    cand = sizes.agg(
+        F.sum(
+            F.when(
+                F.col("n") <= BLOCK_CAP,
+                (F.col("n") * (F.col("n") - 1)) / 2,
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_cand_pairs"),
+        F.sum("n").cast("long").alias("n_docs"),
+    )
+    return (
+        tr.join(cand)
+        .select(
+            "n_truth",
+            "n_truth_blocked",
+            F.round(
+                F.col("n_truth_blocked").cast("double") / F.col("n_truth"),
+                6,
+            ).alias("completeness"),
+            "n_cand_pairs",
+            F.round(
+                1.0
+                - F.col("n_cand_pairs").cast("double")
+                / (F.col("n_docs") * (F.col("n_docs") - 1) / 2.0),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
+def _blocking_quality_sql() -> str:
+    from .dedup import JACCARD_DUP_MIN, ORACLES as _D
+
+    return (
+        "WITH jp AS (" + _D["dedup_jaccard_pairs"] + "), "
+        f"truth AS (SELECT doc_a, doc_b FROM jp WHERE jaccard >= {JACCARD_DUP_MIN}), "
+        "blk AS (SELECT doc_id, lang AS b_lang, "
+        f"n_chars // {LEN_BUCKET} AS b_len FROM documents), "
+        "sizes AS (SELECT b_lang, b_len, CAST(count(*) AS BIGINT) AS n "
+        "FROM blk GROUP BY 1, 2), "
+        "keyed AS (SELECT b.doc_id, b.b_lang, b.b_len, "
+        f"s.n <= {BLOCK_CAP} AS ok FROM blk b JOIN sizes s "
+        "USING (b_lang, b_len)), "
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth, "
+        "CAST(sum(CASE WHEN ka.b_lang = kb.b_lang "
+        "AND ka.b_len = kb.b_len AND ka.ok THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_truth_blocked "
+        "FROM truth JOIN keyed ka ON ka.doc_id = truth.doc_a "
+        "JOIN keyed kb ON kb.doc_id = truth.doc_b), "
+        "c AS (SELECT CAST(sum(CASE WHEN n <= "
+        f"{BLOCK_CAP} THEN n * (n - 1) // 2 ELSE 0 END) AS BIGINT) "
+        "AS n_cand_pairs, CAST(sum(n) AS BIGINT) AS n_docs FROM sizes) "
+        "SELECT t.n_truth, t.n_truth_blocked, "
+        "round(CAST(t.n_truth_blocked AS DOUBLE) / t.n_truth, 6) "
+        "AS completeness, c.n_cand_pairs, "
+        "round(1.0 - CAST(c.n_cand_pairs AS DOUBLE) / "
+        "(c.n_docs * (c.n_docs - 1) / 2.0), 6) AS reduction_ratio "
+        "FROM t, c"
+    )
+
+
+ORACLES["er_blocking_quality"] = _blocking_quality_sql()
+QUERIES["er_blocking_quality"] = q_er_blocking_quality
