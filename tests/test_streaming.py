@@ -131,3 +131,21 @@ def test_sliding_volume_range_frame_includes_peers(spark, tmp_path):
     assert got[3] == (3, 7.0)
     assert got[4] == (2, 12.0)  # 1h window: events 3 and 4 only
     assert got[5] == (1, 16.0)
+
+
+def test_windowed_funnel_dominated_by_lifetime_funnel(spark):
+    """Deadline-bounded counts can never exceed the lifetime funnel's
+    at each stage, and rates stay in [0, 1]."""
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        q_events_funnel,
+        q_events_funnel_windowed,
+    )
+
+    life = q_events_funnel(spark, SF_DIR).collect()[0]
+    wind = q_events_funnel_windowed(spark, SF_DIR).collect()[0]
+    assert wind["n_viewed"] == life["n_viewed"]
+    assert wind["n_clicked"] <= life["n_clicked"]
+    assert wind["n_purchased"] <= life["n_purchased"]
+    assert 0.0 <= wind["view_to_click"] <= 1.0
+    assert 0.0 <= wind["click_to_purchase"] <= 1.0

@@ -2017,3 +2017,92 @@ def q_events_uniques_sketch_rollup(
 QUERIES_LATE["events_uniques_sketch_rollup"] = (
     q_events_uniques_sketch_rollup
 )
+
+
+# --- time-bounded funnel (windowed step deadlines) -------------------
+
+FUNNEL_STEP1_SEC = 3600      # view → click within 1 hour
+FUNNEL_STEP2_SEC = 86400     # click → purchase within 24 hours
+
+
+def q_events_funnel_windowed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The third member of the funnel family: ``events_funnel``
+    measures lifetime conversion, ``events_sessionized_funnel``
+    bounds steps to one visit, THIS bounds each step by a DEADLINE
+    (click within 1 h of first view, purchase within 24 h of that
+    click) — the product-analytics default, because "converted three
+    weeks later" usually isn't attributable to the view.
+
+    Same scale shape as the lifetime funnel (stage filter pushed to
+    the scan, per-user min-aggregates chained by co-partitioned
+    joins); the deadline is one extra residual predicate on each
+    stage join — no window, no session state."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "epoch_sec"
+    )
+    views = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("epoch_sec").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(views, "user_id")
+        .filter(
+            (F.col("epoch_sec") >= F.col("t_view"))
+            & (F.col("epoch_sec") <= F.col("t_view") + FUNNEL_STEP1_SEC)
+        )
+        .groupBy("user_id")
+        .agg(F.min("epoch_sec").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(clicks, "user_id")
+        .filter(
+            (F.col("epoch_sec") >= F.col("t_click"))
+            & (F.col("epoch_sec") <= F.col("t_click") + FUNNEL_STEP2_SEC)
+        )
+        .groupBy("user_id")
+        .agg(F.min("epoch_sec").alias("t_purchase"))
+    )
+    return (
+        views.agg(F.count("*").cast("long").alias("n_viewed"))
+        .crossJoin(clicks.agg(F.count("*").cast("long").alias("n_clicked")))
+        .crossJoin(
+            purchases.agg(F.count("*").cast("long").alias("n_purchased"))
+        )
+        .withColumn(
+            "view_to_click",
+            F.round(F.col("n_clicked") / F.col("n_viewed"), 6),
+        )
+        .withColumn(
+            "click_to_purchase",
+            F.round(F.col("n_purchased") / F.col("n_clicked"), 6),
+        )
+    )
+
+
+QUERIES_LATE["events_funnel_windowed"] = q_events_funnel_windowed
+ORACLES_LATE["events_funnel_windowed"] = (
+    "WITH base AS (SELECT user_id, event_type, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s FROM events), "
+    "v AS (SELECT user_id, min(s) AS t_view FROM base "
+    f"WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id), "
+    "c AS (SELECT b.user_id, min(b.s) AS t_click FROM base b "
+    f"JOIN v USING (user_id) WHERE b.event_type = '{FUNNEL_STAGES[1]}' "
+    f"AND b.s >= v.t_view AND b.s <= v.t_view + {FUNNEL_STEP1_SEC} "
+    "GROUP BY b.user_id), "
+    "p AS (SELECT b.user_id, min(b.s) AS t_purchase FROM base b "
+    f"JOIN c USING (user_id) WHERE b.event_type = '{FUNNEL_STAGES[2]}' "
+    f"AND b.s >= c.t_click AND b.s <= c.t_click + {FUNNEL_STEP2_SEC} "
+    "GROUP BY b.user_id) "
+    "SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked, "
+    "(SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased, "
+    "round((SELECT count(*) FROM c) * 1.0 / "
+    "(SELECT count(*) FROM v), 6) AS view_to_click, "
+    "round((SELECT count(*) FROM p) * 1.0 / "
+    "(SELECT count(*) FROM c), 6) AS click_to_purchase"
+)
