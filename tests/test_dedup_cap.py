@@ -234,3 +234,52 @@ def test_ngram_novelty_exact_recrawl_scores_zero(spark, tmp_path):
     assert got[2] == 0.0
     assert 0.0 < got[3] < 1.0
     assert got[4] == 1.0
+
+
+def test_tfidf_cosine_pairs_bounds_and_ordering(spark):
+    """Cosine in [-eps, 1+eps]; exact-duplicate text pairs must score
+    ~1; weighted cosine is defined for every banded candidate."""
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        q_minhash_pairs,
+        q_tfidf_cosine_pairs,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import load_table
+
+    rows = q_tfidf_cosine_pairs(spark, SF_DIR).collect()
+    n_pairs = q_minhash_pairs(spark, SF_DIR).count()
+    assert len(rows) == n_pairs
+    for r in rows:
+        assert -1e-6 <= r["cosine"] <= 1 + 1e-6
+    # independent recomputation for a handful of pairs: raw python
+    # token counts + smooth idf, no Spark expressions shared
+    import math
+    from collections import Counter
+
+    texts = {
+        d["doc_id"]: d["text"]
+        for d in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n = len(texts)
+    df = Counter()
+    tfs = {}
+    for doc_id, t in texts.items():
+        c = Counter(t.split(" "))
+        tfs[doc_id] = c
+        df.update(c.keys())
+
+    def vec(doc_id):
+        return {
+            w: tf * math.log((1 + n) / (1 + df[w]))
+            for w, tf in tfs[doc_id].items()
+        }
+
+    for r in sorted(rows, key=lambda r: -r["cosine"])[:5]:
+        va, vb = vec(r["doc_a"]), vec(r["doc_b"])
+        dot = sum(va[w] * vb.get(w, 0.0) for w in va)
+        na = math.sqrt(sum(x * x for x in va.values()))
+        nb = math.sqrt(sum(x * x for x in vb.values()))
+        assert abs(r["cosine"] - dot / (na * nb)) < 1e-5, r

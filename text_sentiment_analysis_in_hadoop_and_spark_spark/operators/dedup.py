@@ -1960,3 +1960,116 @@ ORACLES["dedup_rate_by_length"] = (
 )
 
 QUERIES["dedup_rate_by_length"] = q_dup_rate_by_length
+
+
+# --- sparse TF-IDF cosine over the banded candidates (r5) ------------
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted cosine for the banded candidate pairs — the
+    sparse-vector similarity join of classical IR, as the WEIGHTED
+    companion to the set-based Jaccard verify: shared RARE tokens
+    (high idf) should bind a pair more than shared stopwords, so
+    boilerplate-heavy near-misses score lower here than their raw
+    shingle overlap suggests.  Weights are the idiomatic smooth form
+    ``tf · ln((1+N)/(1+df))`` (the FIDELITY int-division idf of
+    operators/tfidf.py zeroes most weights by design — fine for
+    reproducing the reference, useless as a similarity kernel).
+
+    Scale shape: the classic posting-list plan — one (doc, token)
+    count aggregate, df and norms as re-aggregations of it, and the
+    dot product as a token-keyed join RESTRICTED to the memoized
+    banded candidates (never all-pairs).  Every join keys on doc or
+    token; norms broadcast-join onto the bounded pair set."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    df_tab = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(df_tab, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.log((1 + F.col("n_docs")) / (1 + F.col("df")))
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    pairs = q_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    wa = w.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("w_a")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("wb_doc"),
+        F.col("token").alias("token_b"),
+        F.col("w").alias("w_b"),
+    )
+    dots = (
+        pairs.join(wa, "doc_a")
+        .join(
+            wb,
+            (F.col("doc_b") == F.col("wb_doc"))
+            & (F.col("token") == F.col("token_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b")
+    )
+    return (
+        pairs.join(dots, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0.0))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+ORACLES["dedup_tfidf_cosine_pairs"] = _with(
+    *_MINHASH_PRELUDE,
+    "ttok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+    "FROM documents)",
+    "ttf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
+    "FROM ttok GROUP BY doc_id, token)",
+    "tnd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)",
+    "tdf AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM ttf "
+    "GROUP BY token)",
+    "tw AS (SELECT f.doc_id, f.token, "
+    "f.tf * ln((1 + n.n_docs) / CAST(1 + d.df AS DOUBLE)) AS w "
+    "FROM ttf f JOIN tdf d USING (token), tnd n)",
+    "tnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM tw "
+    "GROUP BY doc_id)",
+    "tdot AS (SELECT p.doc_a, p.doc_b, sum(a.w * b.w) AS dot "
+    "FROM dpairs p JOIN tw a ON a.doc_id = p.doc_a "
+    "JOIN tw b ON b.doc_id = p.doc_b AND b.token = a.token "
+    "GROUP BY p.doc_a, p.doc_b)",
+) + (
+    "SELECT p.doc_a, p.doc_b, "
+    "round(coalesce(t.dot, 0.0) / (na.norm * nb.norm), 6) AS cosine "
+    "FROM dpairs p LEFT JOIN tdot t USING (doc_a, doc_b) "
+    "JOIN tnorm na ON na.doc_id = p.doc_a "
+    "JOIN tnorm nb ON nb.doc_id = p.doc_b"
+)
+
+QUERIES["dedup_tfidf_cosine_pairs"] = q_tfidf_cosine_pairs
