@@ -512,3 +512,44 @@ def test_dsir_weights_favor_target_language(spark):
     for lang, m in per_lang.items():
         if lang != "en":
             assert per_lang["en"] > m, (lang, per_lang)
+
+
+def test_rendezvous_minimal_movement_and_balance(spark):
+    """The HRW property: S -> S+1 relocates ~1/(S+1) of keys (never to
+    anywhere but the NEW shard), and load stays roughly balanced."""
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        RENDEZVOUS_SHARDS,
+        _rendezvous_shard,
+        q_rendezvous_shards,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import load_table
+
+    s_now = {
+        r["doc_id"]: r["shard"]
+        for r in q_rendezvous_shards(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    s_next = {
+        r["doc_id"]: r["s2"]
+        for r in docs.select(
+            "doc_id",
+            _rendezvous_shard(F.col("doc_id"), RENDEZVOUS_SHARDS + 1)
+            .cast("long")
+            .alias("s2"),
+        ).collect()
+    }
+    n = len(s_now)
+    moved = [d for d in s_now if s_now[d] != s_next[d]]
+    # every moved key lands on the NEW shard — the defining property
+    for d in moved:
+        assert s_next[d] == RENDEZVOUS_SHARDS
+    frac = len(moved) / n
+    expect = 1.0 / (RENDEZVOUS_SHARDS + 1)
+    assert 0.3 * expect <= frac <= 2.0 * expect, frac
+    # rough balance: no shard holds more than 3x the fair share
+    from collections import Counter
+
+    loads = Counter(s_now.values())
+    assert max(loads.values()) <= 3.0 * n / RENDEZVOUS_SHARDS

@@ -1911,3 +1911,76 @@ def _contrastive_sql() -> str:
 
 ORACLES_LATE["pipe_contrastive_negatives"] = _contrastive_sql()
 QUERIES_LATE["pipe_contrastive_negatives"] = q_contrastive_negatives
+
+
+# --- rendezvous (HRW) sharding — stable placement under resharding ---
+
+RENDEZVOUS_SHARDS = 8
+
+
+def _rendezvous_shard(doc_id_col: Column, n_shards: int) -> Column:
+    """argmax over shards of the portable hash(doc, shard) — computed
+    as one narrow ``array_max`` over an inline struct array (highest
+    hash wins, ties break to the larger shard id): no explode, no
+    shuffle, no state."""
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    hex32(
+                        F.concat(
+                            doc_id_col.cast("string"),
+                            F.lit(":"),
+                            F.lit(str(s)),
+                        )
+                    ).alias("h"),
+                    F.lit(s).alias("s"),
+                )
+                for s in range(n_shards)
+            ]
+        )
+    ).getField("s")
+
+
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment for every
+    document — the placement scheme whose defining property is
+    MINIMAL MOVEMENT: going from S to S+1 shards relocates only
+    ~1/(S+1) of keys (each key moves only if the NEW shard wins its
+    rendezvous), where naive ``hash % S`` reshuffles almost
+    everything.  That is the difference between an incremental
+    rebalance and a full corpus rewrite when a 100 TB layout adds
+    capacity; tests/test_pipeline.py pins the movement bound
+    empirically.
+
+    Plan: a pure narrow map (S inline hashes + argmax per row) —
+    embarrassingly parallel, no shuffle; the assignment is a FUNCTION
+    of the key alone, so any executor (or any other system sharing
+    the hash) computes the same placement with no directory
+    service."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        "doc_id",
+        _rendezvous_shard(F.col("doc_id"), RENDEZVOUS_SHARDS)
+        .cast("long")
+        .alias("shard"),
+    )
+
+
+def _rendezvous_sql(n_shards: int) -> str:
+    h = hex32_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)")
+    return (
+        "WITH cand AS (SELECT doc_id, s, "
+        + h
+        + " AS h FROM (SELECT doc_id FROM documents), "
+        f"(SELECT unnest(range(0, {n_shards})) AS s)), "
+        "rk AS (SELECT doc_id, s, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn FROM cand) "
+        "SELECT doc_id, CAST(s AS BIGINT) AS shard FROM rk WHERE rn = 1"
+    )
+
+
+ORACLES_LATE["pipe_rendezvous_shards"] = _rendezvous_sql(
+    RENDEZVOUS_SHARDS
+)
+QUERIES_LATE["pipe_rendezvous_shards"] = q_rendezvous_shards
