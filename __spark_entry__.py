@@ -293,6 +293,7 @@ _ROWS_ONLY = frozenset(
         "text_source_novelty_theta",  # theta difference — bound tests
         "events_value_quantiles_kll",  # KLL rollup — rank-error tests
         "mm_audio_spectral",  # FFT features — direct-DFT twin test
+        "sim_ivf_nprobe_profile",  # k-means quantizer — monotonicity test
     }
 )
 

@@ -385,3 +385,23 @@ def test_ann_ndcg_bounds_and_perfect_self(spark):
     )
     # dcg == idcg by construction → ratio 1 for every query
     assert per_q.count() == len(rows)
+
+
+def test_ivf_nprobe_profile_monotone(spark):
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.similarity import (
+        NPROBE_GRID,
+        q_sim_ivf_nprobe_profile,
+    )
+
+    rows = {
+        r["nprobe"]: r["recall"]
+        for r in q_sim_ivf_nprobe_profile(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(NPROBE_GRID)
+    grid = sorted(rows)
+    for a, b in zip(grid, grid[1:]):
+        assert rows[a] <= rows[b] + 1e-9  # recall never drops
+    assert rows[grid[-1]] > rows[grid[0]]  # probing more actually helps
+    for v in rows.values():
+        assert 0.0 <= v <= 1.0

@@ -490,6 +490,12 @@ def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 with nprobe=4: each query scores only the vectors on
     its 4 nearest centroids' inverted lists."""
+    return _ivf_topk(spark, sf_dir, N_PROBE)
+
+
+def _ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
     emb = _emb_with_norm(spark, sf_dir)
     asg = ivf_assignments(spark, sf_dir)
     cents = _centroids_df(spark, sf_dir)
@@ -506,7 +512,7 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cid"))
     probe = (
         qsim.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= N_PROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("q_id", F.col("cid").alias("centroid_id"))
     )
     cand = (
@@ -1997,3 +2003,49 @@ def _ann_ndcg_sql() -> str:
 
 ORACLES_LATE["sim_ann_ndcg"] = _ann_ndcg_sql()
 QUERIES_LATE["sim_ann_ndcg"] = q_ann_ndcg
+
+
+# --- IVF tuning curve: recall vs nprobe ------------------------------
+
+NPROBE_GRID = (1, 2, 4, 8)
+
+
+def q_sim_ivf_nprobe_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@K against brute-force truth for nprobe ∈ {1, 2, 4, 8} —
+    the tuning curve every IVF deployment reads before fixing its
+    latency/recall trade: each probed cell multiplies candidate cost
+    ~linearly while recall saturates, and the knee of THIS curve is
+    the right production setting (the engine's default nprobe=4 sits
+    on it).
+
+    Shape: the quantizer and assignments are the memoized one-off
+    index; each grid point re-runs only the probe→score→top-K search
+    (cost ∝ nprobe · |cell|), and the recall join is O(queries · K).
+    Rows-only (k-means quantizer, SURVEY §5); monotonicity pinned in
+    tests/test_similarity.py."""
+    brute = q_sim_topk_brute(spark, sf_dir).select(
+        "q_id", "vec_id"
+    )
+    n_true = brute.groupBy().agg(F.count("*").alias("n_true"))
+    out = None
+    for nprobe in NPROBE_GRID:
+        hits = (
+            _ivf_topk(spark, sf_dir, nprobe)
+            .select("q_id", "vec_id")
+            .join(brute, ["q_id", "vec_id"], "left_semi")
+            .groupBy()
+            .agg(F.count("*").alias("n_hit"))
+        )
+        row = hits.join(F.broadcast(n_true)).select(
+            F.lit(nprobe).cast("long").alias("nprobe"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_true"), 6
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+QUERIES_LATE["sim_ivf_nprobe_profile"] = q_sim_ivf_nprobe_profile
