@@ -1697,8 +1697,12 @@ def _dsir_bigram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _DSIR_BG_CACHE.get(key)
     if df is None:
+        # Generate barrier (see quality._bigrams_cached): keeps the
+        # token split per-doc instead of per-bigram inside the lambda
         docs = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "lang", F.split("text", " ").alias("tk")
+            "doc_id",
+            "lang",
+            F.explode(F.array(F.split("text", " "))).alias("tk"),
         )
         df = (
             docs.select(

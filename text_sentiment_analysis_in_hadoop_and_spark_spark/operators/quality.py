@@ -274,7 +274,14 @@ def _bigrams_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     bgc = _BIGRAM_CACHE.get(key)
     if bgc is None:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        base = docs.select("doc_id", _toks(F.col("text")).alias("tk"))
+        # explode(array(tokens)) Generate barrier: without it
+        # ProjectCollapsing inlines the split at every `tk` reference
+        # INSIDE the lambda, re-splitting the text once per bigram
+        # (the doc_shingles/_gram_rows pitfall)
+        base = docs.select(
+            "doc_id",
+            F.explode(F.array(_toks(F.col("text")))).alias("tk"),
+        )
         bgc = (
             base.select(
                 "doc_id",
