@@ -290,3 +290,29 @@ def test_lexicon_sentiment_scores_match_python(spark):
         assert r["polarity"] == (score > 0) - (score < 0)
         covered += n_scored > 0
     assert covered > 0, "lexicon matched nothing — dead fixture"
+
+
+def test_nb_auc_matches_pairwise_definition(spark):
+    """Independent recomputation: AUC as the literal pairwise
+    P(margin+ > margin-) + 0.5 P(tie) over collected scores."""
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.nb import (
+        q_nb_auc,
+        q_nb_scores,
+    )
+
+    r = q_nb_auc(spark, SF_DIR).collect()[0]
+    rows = q_nb_scores(spark, SF_DIR).collect()
+    pos = [x["pos_score"] - x["neg_score"] for x in rows if x["label"] == 1]
+    neg = [x["pos_score"] - x["neg_score"] for x in rows if x["label"] == 0]
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    wins = ties = 0
+    for p in pos:
+        for n in neg:
+            if p > n:
+                wins += 1
+            elif p == n:
+                ties += 1
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(r["auc"] - auc) < 1e-6
+    assert abs(r["gini"] - (2 * auc - 1)) < 1e-6

@@ -27,7 +27,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import (
@@ -698,3 +698,85 @@ def _calibration_sql() -> str:
 # the driver's 50-query cap)
 QUERIES_LATE = {"nb_calibration": q_nb_calibration}
 ORACLES_LATE = {"nb_calibration": _calibration_sql()}
+
+
+# --- ROC AUC via the rank identity (r5) ------------------------------
+
+
+def q_nb_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free ranking quality of the hand-rolled NB scorer:
+    ROC AUC computed through the Mann-Whitney identity
+    AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with midranks, so ties (docs
+    the model cannot separate) count half — the accuracy/F1 metrics
+    judge ONE threshold, this judges the whole score ordering (and
+    is the number that survives class imbalance).
+
+    Scale shape: ranks come from the margin HISTOGRAM (one margin-
+    keyed partial agg + a cumulative window over the distinct-margin
+    artifact), never a global sort of row-level scores; doubled-rank
+    integer arithmetic to the final division (the
+    ``events_mwu_test`` discipline).  Margins subtract two already-
+    6-rounded doubles, so both engines bucket identically."""
+    sc = q_nb_scores(spark, sf_dir)
+    m = sc.select(
+        "label", (F.col("pos_score") - F.col("neg_score")).alias("margin")
+    )
+    hist = m.groupBy("margin").agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nn"),
+        F.count("*").cast("long").alias("t"),
+    )
+    w = Window.orderBy("margin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = hist.withColumn(
+        "rank2",
+        2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1,
+    )
+    agg = ranked.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(F.col("np") * F.col("rank2")).cast("long").alias("r2_pos"),
+    )
+    auc = (
+        (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("double")
+        / (2.0 * F.col("n_pos") * F.col("n_neg"))
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(auc, 6).alias("auc"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+    )
+
+
+def _auc_sql() -> str:
+    return (
+        "WITH sc AS (" + ORACLES["nb_scores"] + "), "
+        "m AS (SELECT label, pos_score - neg_score AS margin FROM sc), "
+        "hist AS (SELECT margin, "
+        "CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np, "
+        "CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn, "
+        "CAST(count(*) AS BIGINT) AS t FROM m GROUP BY margin), "
+        "ranked AS (SELECT *, 2 * coalesce(sum(t) OVER (ORDER BY margin "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 "
+        "AS rank2 FROM hist), "
+        "agg AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos, "
+        "CAST(sum(nn) AS BIGINT) AS n_neg, "
+        "CAST(sum(np * rank2) AS BIGINT) AS r2_pos FROM ranked) "
+        "SELECT n_pos, n_neg, "
+        "round(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE) / "
+        "(2.0 * n_pos * n_neg), 6) AS auc, "
+        "round(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE) / "
+        "(1.0 * n_pos * n_neg) - 1.0, 6) AS gini "
+        "FROM agg"
+    )
+
+
+QUERIES_LATE["nb_auc"] = q_nb_auc
+ORACLES_LATE["nb_auc"] = _auc_sql()
