@@ -1,0 +1,68 @@
+"""Rotation planner: which declared queries have never had a
+driver-green CORRECTNESS row?
+
+The driver's correctness pass checks only the FIRST 50 ``queries()``
+entries per round, so each round hoists never-checked queries into
+that window (see the policy comment in ``__spark_entry__.py``).  This
+tool derives the promotion list mechanically instead of by hand:
+
+    python tools/rotation.py            # summary + next-window plan
+    python tools/rotation.py --all      # every never-checked name
+
+A name counts as "driver-green" if ANY CORRECTNESS_r*.json row for it
+has rows_match (and hash_match when an oracle was declared).  Names
+are emitted in REGISTRATION order (oldest modules first), which is
+the promotion order the policy prescribes.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WINDOW = 50
+
+
+def driver_green() -> dict[str, str]:
+    """name → round-file of its first green row."""
+    green: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            data = json.load(fh)
+        for name, row in data.items():
+            if not isinstance(row, dict) or name in green:
+                continue
+            ok = row.get("rows_match") and row.get("schema_match", True)
+            if "hash_match" in row and row["hash_match"] is not None:
+                ok = ok and row["hash_match"]
+            if ok:
+                green[name] = os.path.basename(path)
+    return green
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    green = driver_green()
+    never = [n for n in names if n not in green]
+    print(f"declared: {len(names)}  driver-green somewhere: "
+          f"{len([n for n in names if n in green])}  never-checked: {len(never)}")
+    rounds_needed = (len(never) + WINDOW - 1) // WINDOW
+    print(f"windows needed at {WINDOW}/round: {rounds_needed}")
+    print()
+    show = never if "--all" in sys.argv else never[:WINDOW]
+    label = "all never-checked" if "--all" in sys.argv else f"next window ({len(show)})"
+    print(f"{label}, in registration order:")
+    for n in show:
+        print(f"  {n}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
