@@ -217,10 +217,17 @@ _MODULE_ORDER = (
 )
 
 
-# r5 rotation head: the 15 queries that have never had a driver-green
-# CORRECTNESS row (added mid-r4, past that round's window).  All 15
-# passed tools/parity.py at sf0.01 in the r4 judge re-run; this hoist
-# gives them driver rows in CORRECTNESS_r05.
+# r5 rotation head (UPDATED late-r5): the driver checks the first 50
+# queries() entries, so the window is too scarce to spend on already-
+# green fillers.  _PROMOTED now holds FIFTY never-driver-checked
+# queries — the original 15 from the r4 verdict stay at the head
+# (order unchanged), followed by the next 35 never-checked names in
+# registration order (tools/rotation.py derives this list from the
+# CORRECTNESS_r*.json union mechanically).  Every oracle-checked name
+# below passed the full tools/parity.py sweep at sf0.01 THIS session
+# (312/312); the rows-only ones (ml_*, tfidf_df_approx,
+# events_percentiles_approx, pipe_pack_nextfit) get the driver's
+# weaker rows-only check, as r4's window did by design.
 _PROMOTED = (
     "rel_min_price_supplier",
     "rel_part_value_share",
@@ -237,6 +244,42 @@ _PROMOTED = (
     "sim_embedding_quantize",
     "text_top_tokens_approx",
     "text_chunk_windows",
+    # --- window fill: next never-checked, registration order ---
+    "tfidf_df_approx",
+    "sim_group_centroids",
+    "sim_lsh_recall_report",
+    "sim_embedding_norm_outliers",
+    "sim_cosine_calibration",
+    "ml_nb_predictions",
+    "ml_nb_metrics",
+    "ml_modified_nb_metrics",
+    "ml_svm_metrics",
+    "ml_modified_svm_metrics",
+    "ml_nb_metrics_noleak",
+    "events_json_extract",
+    "events_asof_nearest",
+    "events_variant_extract",
+    "events_percentiles_approx",
+    "events_sessionized_funnel",
+    "events_session_length_dist",
+    "events_unconverted_views",
+    "pipe_pack_nextfit",
+    "text_phrase_pmi",
+    "rel_volume_shipping",
+    "rel_shipping_priority",
+    "rel_forecast_revenue",
+    "rel_revenue_grouping_sets",
+    "rel_top_parts_per_nation",
+    "rel_revenue_concentration",
+    "rel_ship_latency_dist",
+    "rel_customer_rfm",
+    "rel_yearly_growth",
+    "rel_monthly_seasonality",
+    "rel_discount_cap_whatif",
+    "rel_basket_affinity",
+    "rel_returns_by_brand",
+    "rel_integrity_checks",
+    "rel_customer_migration",
 )
 
 
