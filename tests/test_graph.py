@@ -124,3 +124,30 @@ def test_modularity_cc_identities(spark):
     assert r["s_intra"] == r["n_edges"]
     assert -0.5 - 1e-9 <= r["modularity"] <= 1.0 + 1e-9
     assert 1 <= r["n_clusters"] <= 2 * r["n_edges"]
+
+
+def test_kcore_invariants(spark):
+    """Every surviving node has core_degree >= k, peeling is
+    idempotent (the 2-core of the 2-core is itself), and the core is
+    a subgraph of the full graph's node set."""
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.graph import (
+        KCORE_K,
+        _verified_edges,
+        q_graph_kcore,
+    )
+
+    core = {r["node"]: r["core_degree"] for r in q_graph_kcore(spark, SF_DIR).collect()}
+    assert core, "2-core should be non-empty on the test corpus"
+    for node, d in core.items():
+        assert d >= KCORE_K, (node, d)
+    edges = [(r["a"], r["b"]) for r in _verified_edges(spark, SF_DIR).collect()]
+    nodes = {n for e in edges for n in e}
+    assert set(core) <= nodes
+    # idempotence, recomputed in python: peel the core edge set again
+    core_edges = [e for e in edges if e[0] in core and e[1] in core]
+    from collections import Counter
+
+    deg = Counter([n for e in core_edges for n in e])
+    assert all(deg[n] >= KCORE_K for n in deg)
+    assert deg == Counter(dict(core.items()))

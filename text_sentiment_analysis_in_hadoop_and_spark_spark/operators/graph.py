@@ -442,3 +442,93 @@ ORACLES["graph_modularity"] = "WITH RECURSIVE " + ",\n".join((
 )
 
 QUERIES["graph_modularity"] = q_graph_modularity
+
+
+# --- k-core decomposition (iterative peeling) ------------------------
+
+KCORE_K = 2
+KCORE_MAX_ROUNDS = 20
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-core of the verified near-dup graph: nodes surviving
+    repeated peeling of degree-<k vertices — the standard "dense
+    part" extractor (pendant pairs drop out, actual duplicate
+    clusters and chains survive), and the classic ANTI-monotone
+    iteration: the edge set only SHRINKS, so each round is one
+    degree aggregate + two semi-joins over a smaller input, with the
+    same ``localCheckpoint`` lineage discipline as connected
+    components.  Converges in O(peeling depth) rounds — near-dup
+    graphs are shallow (tested ≤ a handful) — and every round's
+    plan is keyed on node/edge columns only.
+
+    The DuckDB oracle UNROLLS the same peeling a fixed
+    ``KCORE_MAX_ROUNDS`` times (anti-monotone fixpoints do not fit a
+    plain recursive CTE, but peeling is idempotent after convergence,
+    so the unrolled form computes the identical fixpoint).  Output:
+    (node, core_degree) for surviving nodes."""
+    edges = _verified_edges(spark, sf_dir).localCheckpoint()
+    n_edges = edges.count()
+    for _ in range(KCORE_MAX_ROUNDS):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("node")
+        ne = edges.join(
+            keep.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+        ne = ne.localCheckpoint()
+        n_new = ne.count()
+        if n_new == n_edges:
+            break
+        edges, n_edges = ne, n_new
+    return (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+
+
+def _kcore_sql() -> str:
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and each unrolled
+    # round references its predecessor 3x — without materialization
+    # the expansion is 3^rounds scans of the base table
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM djac "
+        f"WHERE jaccard >= {_T})",
+    ]
+    for r in range(KCORE_MAX_ROUNDS):
+        ctes.append(
+            f"d{r} AS (SELECT node, count(*) AS d FROM "
+            f"(SELECT a AS node FROM e{r} UNION ALL "
+            f"SELECT b AS node FROM e{r}) GROUP BY node)"
+        )
+        ctes.append(
+            f"k{r} AS (SELECT node FROM d{r} WHERE d >= {KCORE_K})"
+        )
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e "
+            f"JOIN k{r} ka ON ka.node = e.a "
+            f"JOIN k{r} kb ON kb.node = e.b)"
+        )
+    last = f"e{KCORE_MAX_ROUNDS}"
+    body = (
+        f" SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM "
+        f"(SELECT a AS node FROM {last} UNION ALL "
+        f"SELECT b AS node FROM {last}) GROUP BY node"
+    )
+    # djac needs the minhash prelude; cc/dlabels are not needed but
+    # ride along harmlessly inside _CLUSTER_CTES — use the prelude
+    # slice up to djac instead to keep the statement lean
+    from .dedup import _CLUSTER_CTES
+
+    prelude = [c for c in _CLUSTER_CTES if not c.startswith(("dedges", "cc(", "dlabels"))]
+    return "WITH " + ",\n".join(prelude + ctes) + body
+
+
+ORACLES["graph_kcore"] = _kcore_sql()
+QUERIES["graph_kcore"] = q_graph_kcore
