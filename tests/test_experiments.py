@@ -287,3 +287,37 @@ def test_bootstrap_ci_properties(spark):
     assert r1["n_replicates"] == BOOT_B
     assert r1["ci_lo"] <= r1["lift"] <= r1["ci_hi"]
     assert r1["ci_hi"] > r1["ci_lo"]
+
+
+def test_rate_ratio_and_cvar_sanity(spark):
+    import numpy as np
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.experiments import (
+        q_events_cvar,
+        q_events_rate_ratio_test,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import load_events
+    from conftest import SF_DIR
+
+    rr = q_events_rate_ratio_test(spark, SF_DIR).collect()[0]
+    ev = (
+        load_events(spark, SF_DIR)
+        .filter(F.col("event_type") == "purchase")
+        .select("epoch_sec", "value")
+        .collect()
+    )
+    es = np.array([r["epoch_sec"] for r in ev])
+    mid = (es.min() + es.max()) / 2
+    x1, x2 = int((es < mid).sum()), int((es >= mid).sum())
+    assert (rr["x1"], rr["x2"]) == (x1, x2)
+    z = (x1 - (x1 + x2) * 0.5) / np.sqrt((x1 + x2) * 0.25)
+    assert abs(rr["z_score"] - z) < 1e-6
+
+    cv = q_events_cvar(spark, SF_DIR).collect()[0]
+    vals = np.sort(np.array([r["value"] for r in ev]))
+    var95 = np.quantile(vals, 0.95, method="linear")
+    tail = vals[vals >= var95]
+    assert abs(cv["var95"] - var95) < 1e-6
+    assert cv["n_tail"] == len(tail)
+    assert cv["cvar95"] >= cv["var95"]  # shortfall dominates VaR
+    assert abs(cv["cvar95"] - np.round(tail * 100).sum() / len(tail) / 100) < 1e-6

@@ -709,3 +709,122 @@ def _bootstrap_sql() -> str:
 
 ORACLES["events_bootstrap_ci"] = _bootstrap_sql()
 QUERIES["events_bootstrap_ci"] = q_events_bootstrap_ci
+
+
+# --- Poisson rate-ratio (C-test) and tail risk (CVaR) ----------------
+
+
+def q_events_rate_ratio_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Did the PURCHASE RATE change between the early and late halves
+    of the observation window?  The conditional binomial C-test for
+    two Poisson rates: given N = X₁ + X₂ total purchases and exposure
+    share p₀ = T₁/(T₁+T₂), X₁ ~ Binomial(N, p₀) under H₀, and the
+    normal-approximation z = (X₁ − N·p₀)/√(N·p₀(1−p₀)) is the
+    standard readout — counts-based, so it complements the
+    value-based MWU/KS pair (a rate change with unchanged value
+    distribution is invisible to both).
+
+    All inputs are integers (counts and epoch seconds); p₀ and z are
+    the only float steps and are written identically in both engines.
+    One filtered aggregate — no join, no window."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    agg = ev.agg(
+        F.min("epoch_sec").alias("t0"),
+        F.max("epoch_sec").alias("t1"),
+    )
+    tagged = ev.join(F.broadcast(agg)).select(
+        (
+            F.col("epoch_sec") < (F.col("t0") + F.col("t1")) / 2
+        ).cast("int").alias("early"),
+        "t0",
+        "t1",
+    )
+    c = tagged.groupBy().agg(
+        F.sum("early").cast("long").alias("x1"),
+        F.sum(1 - F.col("early")).cast("long").alias("x2"),
+    )
+    n = F.col("x1") + F.col("x2")
+    # the midpoint split makes both exposures equal by construction,
+    # so p0 = 0.5 exactly — stated explicitly to keep the formula
+    # engine-identical and float-trivial
+    p0 = F.lit(0.5)
+    z = (F.col("x1").cast("double") - n.cast("double") * p0) / F.sqrt(
+        n.cast("double") * p0 * (1.0 - p0)
+    )
+    return c.select(
+        "x1",
+        "x2",
+        F.round(
+            F.col("x1").cast("double") / F.col("x2"), 6
+        ).alias("rate_ratio"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+ORACLES["events_rate_ratio_test"] = (
+    "WITH pv AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es "
+    "FROM events WHERE event_type = 'purchase'), "
+    "b AS (SELECT min(es) AS t0, max(es) AS t1 FROM pv), "
+    "c AS (SELECT CAST(sum(CASE WHEN es < (t0 + t1) / 2 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS x1, "
+    "CAST(sum(CASE WHEN es < (t0 + t1) / 2 THEN 0 ELSE 1 END) AS BIGINT) "
+    "AS x2 FROM pv, b) "
+    "SELECT x1, x2, "
+    "round(CAST(x1 AS DOUBLE) / x2, 6) AS rate_ratio, "
+    "round((CAST(x1 AS DOUBLE) - (x1 + x2) * 0.5) / "
+    "sqrt((x1 + x2) * 0.5 * 0.5), 6) AS z_score FROM c"
+)
+
+QUERIES["events_rate_ratio_test"] = q_events_rate_ratio_test
+
+
+def q_events_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail risk of purchase values: VaR₉₅ (the exact 95th
+    percentile) and CVaR₉₅ (expected shortfall — the MEAN of the tail
+    at or beyond VaR), per the convention that CVaR, unlike VaR, is
+    coherent and actually moves when the tail fattens.  The pair is
+    the standard "how bad is bad" readout over any heavy-tailed
+    metric (refund exposure, job runtimes, token counts).
+
+    Shape: one exact ``percentile`` aggregate (groupwise sort — the
+    honest exact cost; `events_percentiles_approx` documents the
+    sketch escape), broadcast back as a 1-row threshold, one filtered
+    re-aggregate in integer cents."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    var = ev.agg(
+        F.expr("percentile(value, 0.95)").alias("var95")
+    )
+    tail = ev.join(F.broadcast(var)).filter(
+        F.col("value") >= F.col("var95")
+    )
+    return tail.agg(
+        F.round(F.max("var95"), 6).alias("var95"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("double")
+            / F.count("*")
+            / 100.0,
+            6,
+        ).alias("cvar95"),
+        F.count("*").cast("long").alias("n_tail"),
+    )
+
+
+ORACLES["events_cvar"] = (
+    "WITH pv AS (SELECT value FROM events "
+    "WHERE event_type = 'purchase'), "
+    "v AS (SELECT quantile_cont(value, 0.95) AS var95 FROM pv), "
+    "t AS (SELECT value, var95 FROM pv, v WHERE value >= var95) "
+    "SELECT round(max(var95), 6) AS var95, "
+    "round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) "
+    "/ count(*) / 100.0, 6) AS cvar95, "
+    "CAST(count(*) AS BIGINT) AS n_tail FROM t"
+)
+
+QUERIES["events_cvar"] = q_events_cvar
