@@ -316,3 +316,26 @@ def test_nb_auc_matches_pairwise_definition(spark):
     auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
     assert abs(r["auc"] - auc) < 1e-6
     assert abs(r["gini"] - (2 * auc - 1)) < 1e-6
+
+
+def test_learning_curve_nesting_and_final_point(spark):
+    """Quarter 4 trains on the FULL train split, so its accuracy must
+    equal the standard nb_accuracy; train sizes strictly grow."""
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.nb import (
+        q_nb_accuracy,
+        q_nb_learning_curve,
+    )
+
+    rows = {
+        r["train_quarter"]: r
+        for r in q_nb_learning_curve(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    sizes = [rows[q]["n_train"] for q in (1, 2, 3, 4)]
+    assert sizes == sorted(sizes) and sizes[0] < sizes[-1]
+    n_tests = {rows[q]["n_test"] for q in rows}
+    assert len(n_tests) == 1  # fixed test split
+    full = q_nb_accuracy(spark, SF_DIR).collect()[0]
+    assert rows[4]["accuracy"] == full["accuracy"]
+    assert rows[4]["n_test"] == full["n_test"]

@@ -780,3 +780,83 @@ def _auc_sql() -> str:
 
 QUERIES_LATE["nb_auc"] = q_nb_auc
 ORACLES_LATE["nb_auc"] = _auc_sql()
+
+
+# --- learning curve over deterministic train fractions (r5) ----------
+
+CURVE_QUARTERS = (1, 2, 3, 4)
+
+
+def q_nb_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy vs training-set size for the hand-rolled NB: the model
+    retrains on hash-deterministic 25/50/75/100% subsets of the train
+    split and scores the SAME fixed test split — the curve that
+    answers "is this model data-starved or saturated" before anyone
+    pays for more labels.  Deterministic fractions (portable hash of
+    doc_id mod 4) are nested — each quarter's train set contains the
+    previous one's — so the curve is monotone in DATA, not in
+    sampling noise.
+
+    Shape: four trainings of the same broadcast-model pipeline over
+    shrinking inputs (each is the S4/S5 pattern: vocab partial-agg +
+    six-scalar collect); the test side and its tokens are computed
+    from the shared cleaned-docs memo.  The oracle re-parameterizes
+    the ONE nb prelude with each fraction filter — same SQL text,
+    four instantiations."""
+    from ..functions.hashing import hex32
+
+    docs = labeled_docs(spark, sf_dir)
+    frac = F.pmod(hex32(F.col("doc_id").cast("string")), 4)
+    out = None
+    for q in CURVE_QUARTERS:
+        model, stats = model_for_docs(docs.filter(frac < q))
+        sc = scores_for_docs(docs, model, stats)
+        pred = (F.col("pos_score") > F.col("neg_score")).cast("int")
+        row = sc.agg(
+            F.round(
+                F.sum((pred == F.col("label")).cast("int"))
+                / F.count("*"),
+                6,
+            ).alias("accuracy"),
+            F.count("*").cast("long").alias("n_test"),
+        ).select(
+            F.lit(q).cast("long").alias("train_quarter"),
+            F.lit(stats["tweets"]).cast("long").alias("n_train"),
+            "accuracy",
+            "n_test",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _learning_curve_sql() -> str:
+    from ..functions.hashing import hex32_sql
+
+    h = hex32_sql("CAST(doc_id AS VARCHAR)")
+    base = preds_sql_for(DOCS_CTE)
+    assert base.count("doc_id % 8 >= 2") == 2
+    parts = []
+    for q in CURVE_QUARTERS:
+        sql_q = base.replace(
+            "doc_id % 8 >= 2",
+            f"doc_id % 8 >= 2 AND {h} % 4 < {q}",
+        )
+        # n_train replays the same cleaned-docs + fraction filter the
+        # stats CTE uses (count of train docs post-cleaning)
+        ntrain = (
+            "WITH " + DOCS_CTE + " SELECT CAST(count(*) AS BIGINT) "
+            f"FROM docs WHERE doc_id % 8 >= 2 AND {h} % 4 < {q}"
+        )
+        parts.append(
+            f"SELECT CAST({q} AS BIGINT) AS train_quarter, "
+            f"({ntrain}) AS n_train, "
+            "round(sum(CASE WHEN label = prediction THEN 1 ELSE 0 END) "
+            "/ count(*), 6) AS accuracy, "
+            "CAST(count(*) AS BIGINT) AS n_test "
+            f"FROM ({sql_q}) preds"
+        )
+    return " UNION ALL ".join(parts)
+
+
+QUERIES_LATE["nb_learning_curve"] = q_nb_learning_curve
+ORACLES_LATE["nb_learning_curve"] = _learning_curve_sql()
