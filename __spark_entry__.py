@@ -337,6 +337,7 @@ _ROWS_ONLY = frozenset(
         "events_value_quantiles_kll",  # KLL rollup — rank-error tests
         "mm_audio_spectral",  # FFT features — direct-DFT twin test
         "sim_ivf_nprobe_profile",  # k-means quantizer — monotonicity test
+        "sim_semdedup",  # k-means cells + CC — agreement/idempotence tests
     }
 )
 

@@ -405,3 +405,51 @@ def test_ivf_nprobe_profile_monotone(spark):
     assert rows[grid[-1]] > rows[grid[0]]  # probing more actually helps
     for v in rows.values():
         assert 0.0 <= v <= 1.0
+
+
+def test_semdedup_agreement_and_idempotence(spark):
+    """Within-cell dup pairs must agree with exact cosine >= T
+    computed independently; keep flags are one per sem_cluster with
+    the cluster min as representative."""
+    import numpy as np
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.similarity import (
+        SEMDEDUP_T,
+        q_sim_semdedup,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import load_table
+
+    rows = q_sim_semdedup(spark, SF_DIR).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    assert set(by_id) == set(emb)
+    # representative = min of its cluster; keep iff representative
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r["sem_cluster"]].append(r["vec_id"])
+    for c, members in clusters.items():
+        assert c == min(members)
+        for m in members:
+            assert by_id[m]["keep"] == (1 if m == c else 0)
+    # independent verification: same-cell pairs over threshold must
+    # share a cluster; under threshold with singleton clusters must not
+    cells = defaultdict(list)
+    for r in rows:
+        cells[r["centroid_id"]].append(r["vec_id"])
+    checked = 0
+    for cell, members in cells.items():
+        for i, va in enumerate(members):
+            for vb in members[i + 1 :]:
+                ea, eb = emb[va], emb[vb]
+                cos = ea @ eb / (np.linalg.norm(ea) * np.linalg.norm(eb))
+                if cos >= SEMDEDUP_T + 1e-9:
+                    assert (
+                        by_id[va]["sem_cluster"] == by_id[vb]["sem_cluster"]
+                    ), (va, vb, cos)
+                    checked += 1
+    assert checked > 0, "corpus should contain same-cell dups over T"

@@ -2049,3 +2049,90 @@ def q_sim_ivf_nprobe_profile(
 
 
 QUERIES_LATE["sim_ivf_nprobe_profile"] = q_sim_ivf_nprobe_profile
+
+
+# --- SemDeDup: semantic dedup scoped to IVF cells --------------------
+
+SEMDEDUP_T = 0.45  # same corpus-calibrated threshold as COS_DUP_THRESHOLD
+
+
+def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "Semantic deduplication"):
+    k-means-cluster the embeddings, compare pairs only WITHIN each
+    cluster, and keep one representative per within-cluster duplicate
+    group.  This is the third member of the embedding-dedup family
+    and its distinct trade: LSH pairs (`dedup_embedding_pairs`) bound
+    candidates probabilistically per table, brute force is exact but
+    quadratic — SemDeDup bounds the quadratic BY CELL (cells ≈ √N of
+    size ≈ √N, so total comparisons ≈ N^1.5 with perfect parallelism
+    per cell), reusing the IVF quantizer the ANN index already paid
+    for.
+
+    Components within a cell come from the same min-label propagation
+    as the text dedup; representatives are the component minima.
+    Rows-only (the k-means quantizer, SURVEY §5); pinned by
+    tests/test_similarity.py: within-cell agreement with the exact
+    cosine pairs, and keep-set idempotence."""
+    from .dedup import connected_components
+
+    asg = ivf_assignments(spark, sf_dir)
+    emb = _emb_with_norm(spark, sf_dir)
+    cell = asg.join(emb, "vec_id").select(
+        "centroid_id", "vec_id", "embedding", "nrm"
+    )
+    a = cell.select(
+        "centroid_id",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = cell.select(
+        "centroid_id",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dups = (
+        a.join(b, "centroid_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_T)
+        .select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+    )
+    labels = connected_components(dups)
+    return (
+        asg.select("vec_id", "centroid_id")
+        .join(
+            labels.select(
+                F.col("node").alias("vec_id"),
+                F.col("label").alias("sem_cluster"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.coalesce(F.col("sem_cluster"), F.col("vec_id"))
+            .cast("long")
+            .alias("sem_cluster"),
+            (
+                F.coalesce(F.col("sem_cluster"), F.col("vec_id"))
+                == F.col("vec_id")
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+QUERIES_LATE["sim_semdedup"] = q_sim_semdedup
