@@ -339,3 +339,55 @@ def test_learning_curve_nesting_and_final_point(spark):
     full = q_nb_accuracy(spark, SF_DIR).collect()[0]
     assert rows[4]["accuracy"] == full["accuracy"]
     assert rows[4]["n_test"] == full["n_test"]
+
+
+def test_kneser_ney_matches_python_recompute(spark):
+    """Independent recomputation of the interpolated-KN cross-entropy
+    for a handful of docs from raw token lists."""
+    import math
+    from collections import Counter, defaultdict
+
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.quality import (
+        KN_DISCOUNT,
+        q_lm_kneser_ney,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import load_table
+
+    got = {
+        r["doc_id"]: r for r in q_lm_kneser_ney(spark, SF_DIR).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    c12 = Counter()
+    for tks in texts.values():
+        for a, b in zip(tks, tks[1:]):
+            c12[(a, b)] += 1
+    c1 = Counter()
+    t1 = Counter()
+    cont2 = Counter()
+    for (a, b), n in c12.items():
+        c1[a] += n
+        t1[a] += 1
+        cont2[b] += 1
+    t_total = len(c12)
+    d = KN_DISCOUNT
+    for doc_id in sorted(texts)[:8]:
+        tks = texts[doc_id]
+        bgs = list(zip(tks, tks[1:]))
+        if not bgs:
+            assert got[doc_id]["n_bigrams"] == 0
+            continue
+        s = 0.0
+        for a, b in bgs:
+            p = max(c12[(a, b)] - d, 0.0) / c1[a] + (
+                d * t1[a] / c1[a]
+            ) * (cont2[b] / t_total)
+            s += math.log(p)
+        ce = -s / len(bgs)
+        assert got[doc_id]["n_bigrams"] == len(bgs)
+        assert abs(got[doc_id]["cross_entropy_kn"] - ce) < 1e-5, doc_id

@@ -895,3 +895,96 @@ ORACLES_LATE["text_c4_filters"] = (
 )
 
 QUERIES_LATE["text_c4_filters"] = q_c4_filters
+
+
+# --- Kneser-Ney smoothed LM scorer (r5) ------------------------------
+
+KN_DISCOUNT = 0.75
+
+
+def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney cross-entropy per doc — the smoothing
+    that made n-gram LMs competitive (Kneser & Ney 1995; Chen &
+    Goodman 1999) and the stronger twin of the MLE scorer
+    (:func:`q_lm_score`): instead of raw frequency, the backoff mass
+    goes to words by how many DISTINCT contexts they follow
+    ("Francisco" is frequent but only ever follows "San" — KN ranks
+    it low as a novel continuation, MLE overrates it):
+
+        P(w2|w1) = max(c12 − d, 0)/c1 + (d·T1/c1)·(C2/T)
+
+    with T1 = distinct continuations of w1, C2 = distinct contexts of
+    w2, T = total distinct bigram types, d = 0.75.
+
+    Every quantity is ONE re-aggregation of the memoized bigram memo
+    (the same single-scan discipline as the MLE scorer — five derived
+    tables, all (w1)-, (w2)- or (w1,w2)-keyed partial aggs, joined
+    back on the same keys).  All counts integer; the log is the only
+    float, same operation order both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bgc = _bigrams_cached(spark, sf_dir)
+    c12 = bgc.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count("*").alias("t1"),  # distinct continuations of w1
+    )
+    c2 = c12.groupBy("w2").agg(
+        F.count("*").alias("cont2")  # distinct contexts of w2
+    )
+    tt = c12.agg(F.count("*").alias("t_total"))
+    d = F.lit(KN_DISCOUNT)
+    p = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + (d * F.col("t1") / F.col("c1"))
+        * (F.col("cont2") / F.col("t_total"))
+    )
+    per_doc = (
+        bgc.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .join(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("n") * F.log(p)) / F.sum("n"), 6
+            ).alias("cross_entropy_kn"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0))
+        .cast("long")
+        .alias("n_bigrams"),
+        F.coalesce(F.col("cross_entropy_kn"), F.lit(0.0)).alias(
+            "cross_entropy_kn"
+        ),
+    )
+
+
+ORACLES_LATE["text_lm_kneser_ney"] = (
+    "WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk "
+    "FROM documents), "
+    "bg AS (SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2 FROM "
+    "(SELECT doc_id, tk, unnest(range(0, greatest(len(tk) - 1, 0))) "
+    "AS i FROM base)), "
+    "c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2), "
+    "c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS t1 FROM c12 "
+    "GROUP BY w1), "
+    "c2 AS (SELECT w2, count(*) AS cont2 FROM c12 GROUP BY w2), "
+    "tt AS (SELECT count(*) AS t_total FROM c12), "
+    "per AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "round(-avg(ln("
+    f"greatest(CAST(c12.c12 AS DOUBLE) - {KN_DISCOUNT}, 0.0) / c1.c1 "
+    f"+ ({KN_DISCOUNT} * c1.t1 / c1.c1) "
+    "* (CAST(c2.cont2 AS DOUBLE) / tt.t_total))), 6) "
+    "AS cross_entropy_kn "
+    "FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) "
+    "JOIN c2 USING (w2), tt GROUP BY bg.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) "
+    "AS n_bigrams, coalesce(p.cross_entropy_kn, 0.0) "
+    "AS cross_entropy_kn "
+    "FROM documents d LEFT JOIN per p USING (doc_id)"
+)
+
+QUERIES_LATE["text_lm_kneser_ney"] = q_lm_kneser_ney
