@@ -321,3 +321,40 @@ def test_rate_ratio_and_cvar_sanity(spark):
     assert cv["n_tail"] == len(tail)
     assert cv["cvar95"] >= cv["var95"]  # shortfall dominates VaR
     assert abs(cv["cvar95"] - np.round(tail * 100).sum() / len(tail) / 100) < 1e-6
+
+
+def test_wilson_and_power_properties(spark):
+    import math
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.experiments import (
+        MDE_GRID_PCT,
+        Z80_POWER,
+        Z95,
+        q_events_power_analysis,
+        q_events_wilson_ci,
+    )
+    from conftest import SF_DIR
+
+    w = q_events_wilson_ci(spark, SF_DIR).collect()[0]
+    assert 0 < w["k"] <= w["n"]
+    assert 0.0 <= w["wilson_lo"] <= w["p_hat"] <= w["wilson_hi"] <= 1.0
+    # Wilson never collapses: strictly positive width
+    assert w["wilson_hi"] > w["wilson_lo"]
+    # python recompute
+    n, k = w["n"], w["k"]
+    p = k / n
+    z2 = Z95 * Z95
+    centre = (p + z2 / (2 * n)) / (1 + z2 / n)
+    half = Z95 * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / (1 + z2 / n)
+    assert abs(w["wilson_lo"] - (centre - half)) < 1e-6
+    assert abs(w["wilson_hi"] - (centre + half)) < 1e-6
+
+    rows = {
+        r["mde_pct"]: r["n_per_arm"]
+        for r in q_events_power_analysis(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(MDE_GRID_PCT)
+    # quadratic law: halving the MDE ~quadruples the sample size
+    assert rows[1] > rows[2] > rows[5] > rows[10]
+    assert 3.5 <= rows[1] / rows[2] <= 4.5
+    assert 3.5 <= rows[5] / rows[10] <= 4.5

@@ -828,3 +828,132 @@ ORACLES["events_cvar"] = (
 )
 
 QUERIES["events_cvar"] = q_events_cvar
+
+
+# --- Wilson interval and sample-size power analysis ------------------
+
+Z95 = 1.959964  # two-sided 95%
+Z80_POWER = 0.841621  # one-sided 80% power
+
+
+def q_events_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for the per-user view→purchase conversion
+    rate — the binomial CI that behaves at the extremes where the
+    naive Wald interval collapses (p̂ near 0 with small n yields Wald
+    width 0; Wilson stays honest).  Closed form over two integer
+    counts:
+
+        (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    One aggregate over per-user flags — no join, no window; the z
+    constant is fixed so both engines run the identical float
+    expression."""
+    ev = load_events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("v"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+    )
+    c = per_user.filter(F.col("v") == 1).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("k"),
+    )
+    n = F.col("n").cast("double")
+    phat = F.col("k").cast("double") / n
+    z2 = F.lit(Z95 * Z95)
+    centre = (phat + z2 / (2 * n)) / (1 + z2 / n)
+    half = (
+        F.lit(Z95)
+        * F.sqrt(phat * (1 - phat) / n + z2 / (4 * n * n))
+        / (1 + z2 / n)
+    )
+    return c.select(
+        "n",
+        "k",
+        F.round(phat, 6).alias("p_hat"),
+        F.round(centre - half, 6).alias("wilson_lo"),
+        F.round(centre + half, 6).alias("wilson_hi"),
+    )
+
+
+ORACLES["events_wilson_ci"] = (
+    "WITH pu AS (SELECT user_id, "
+    "max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v, "
+    "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p "
+    "FROM events GROUP BY user_id), "
+    "c AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(p) AS BIGINT) AS k FROM pu WHERE v = 1) "
+    "SELECT n, k, "
+    "round(CAST(k AS DOUBLE) / n, 6) AS p_hat, "
+    f"round(((CAST(k AS DOUBLE) / n + {Z95 * Z95} / (2 * n)) "
+    f"- {Z95} * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) "
+    f"/ n + {Z95 * Z95} / (4 * CAST(n AS DOUBLE) * n))) "
+    f"/ (1 + {Z95 * Z95} / n), 6) AS wilson_lo, "
+    f"round(((CAST(k AS DOUBLE) / n + {Z95 * Z95} / (2 * n)) "
+    f"+ {Z95} * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) "
+    f"/ n + {Z95 * Z95} / (4 * CAST(n AS DOUBLE) * n))) "
+    f"/ (1 + {Z95 * Z95} / n), 6) AS wilson_hi "
+    "FROM c"
+)
+
+QUERIES["events_wilson_ci"] = q_events_wilson_ci
+
+MDE_GRID_PCT = (1, 2, 5, 10)  # relative minimum detectable effects
+
+
+def q_events_power_analysis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sample-size calculator for the purchase-value A/B readout:
+    users-per-arm needed to detect a relative lift of 1/2/5/10% at
+    α=.05 (two-sided), 80% power — n = 2σ²(z_{α/2}+z_β)²/δ² with σ²
+    and the mean taken from the per-user purchase totals the CUPED
+    readout uses.  The number every experiment review asks for
+    ("can this corpus even power that test?"), straight from one
+    variance aggregate — no simulation.
+
+    Determinism: σ² is the exact population variance of integer-cents
+    per-user sums (var_pop of integers), the grid is constant, and
+    the formula is one float expression per row; ``ceil`` lands on
+    integers identically in both engines."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    base = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.avg("cents").alias("mu"),
+        F.var_pop("cents").alias("var"),
+    )
+    zsum2 = F.lit((Z95 + Z80_POWER) ** 2)
+    out = None
+    for pct in MDE_GRID_PCT:
+        delta = base.mu * F.lit(pct / 100.0)
+        row = base.select(
+            F.lit(pct).cast("long").alias("mde_pct"),
+            "n_users",
+            F.ceil(2.0 * F.col("var") * zsum2 / (delta * delta))
+            .cast("long")
+            .alias("n_per_arm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLES["events_power_analysis"] = " UNION ALL ".join(
+    "SELECT * FROM (WITH pu AS (SELECT user_id, CAST(sum(CAST(round(value * 100, 0) "
+    "AS BIGINT)) AS BIGINT) AS cents FROM events "
+    "WHERE event_type = 'purchase' GROUP BY user_id), "
+    "b AS (SELECT CAST(count(*) AS BIGINT) AS n_users, avg(cents) AS mu, "
+    "var_pop(cents) AS var FROM pu) "
+    f"SELECT CAST({pct} AS BIGINT) AS mde_pct, n_users, "
+    f"CAST(ceil(2.0 * var * {(Z95 + Z80_POWER) ** 2} "
+    f"/ ((mu * {pct / 100.0}) * (mu * {pct / 100.0}))) AS BIGINT) "
+    "AS n_per_arm FROM b)"
+    for pct in MDE_GRID_PCT
+)
+
+QUERIES["events_power_analysis"] = q_events_power_analysis
