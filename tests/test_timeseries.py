@@ -410,3 +410,42 @@ def test_changepoint_detects_planted_level_shift(spark, tmp_path):
     assert r["n_before"] == 50 and r["n_after"] == 50
     assert abs(r["mean_before"] - 10.0) < 1e-9
     assert abs(r["mean_after"] - 50.0) < 1e-9
+
+
+def test_seasonality_strength_planted_weekly_pattern(spark, tmp_path):
+    """A pure weekly pattern (same value every same weekday) must
+    score strength ~1; a constant series scores ~0 residual variance
+    too — so use a noisy-constant to pin the low end instead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.timeseries import (
+        q_events_seasonality_strength,
+    )
+
+    def write(rows, name):
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[0] * 10**9 for r in rows], pa.int64()),
+                "user_id": pa.array([0] * len(rows), pa.int64()),
+                "event_type": pa.array(["purchase"] * len(rows)),
+                "value": pa.array([float(r[1]) for r in rows]),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, f"{d}/events.parquet")
+        return str(d)
+
+    weekly = [(day * 86400, 10.0 * (day % 7 + 1)) for day in range(28)]
+    r = q_events_seasonality_strength(spark, write(weekly, "w")).collect()[0]
+    assert r["n_days"] == 28
+    assert r["seasonal_strength"] > 0.999
+
+    # alternating-by-day (period 2, coprime with 7): weekday means all
+    # converge to the same value, so the weekly pattern explains ~0
+    alt = [(day * 86400, 10.0 if day % 2 == 0 else 50.0) for day in range(28)]
+    r2 = q_events_seasonality_strength(spark, write(alt, "a")).collect()[0]
+    assert r2["seasonal_strength"] < 0.1

@@ -443,3 +443,75 @@ ORACLES["events_changepoint"] = (
 )
 
 QUERIES["events_changepoint"] = q_events_changepoint
+
+
+# --- seasonality strength (variance decomposition) -------------------
+
+
+def q_events_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How much of daily revenue variance is explained by the
+    day-of-week pattern: F_s = 1 − Var(residual)/Var(total) over
+    daily cents totals, residual = day − its weekday mean (the
+    strength-of-seasonality statistic from the STL literature,
+    Wang-Smith-Hyndman).  ≈0 → no weekly rhythm, →1 → the calendar
+    explains everything; it gates whether the seasonal-naive
+    forecaster (`events_snaive_backtest`) is even applicable.
+
+    One day histogram (calendar-bounded), one weekday mean join back,
+    two variance aggregates — integer cents until the final ratio;
+    var_pop on both engines is the same two-moment formula."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    days = ev.groupBy(
+        ((F.expr("epoch_sec DIV 86400")) * 86400)
+        .cast("long")
+        .alias("day_epoch")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    dow = days.withColumn(
+        "dow", F.expr("(day_epoch DIV 86400) % 7").cast("int")
+    )
+    means = dow.groupBy("dow").agg(F.avg("cents").alias("mu_dow"))
+    resid = dow.join(F.broadcast(means), "dow").select(
+        "day_epoch",
+        "cents",
+        (F.col("cents") - F.col("mu_dow")).alias("resid"),
+    )
+    return resid.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(
+            1.0 - F.var_pop("resid") / F.var_pop("cents"), 6
+        ).alias("seasonal_strength"),
+        # raw var_pop of ~1e9-scale cents carries ±1e-6 accumulation
+        # noise (two-moment cancellation) that survives round(,6);
+        # sqrt + dollar scaling compresses it below round(,4)
+        F.round(F.sqrt(F.var_pop("cents")) / 100.0, 4).alias(
+            "sd_daily_usd"
+        ),
+    )
+
+
+ORACLES["events_seasonality_strength"] = (
+    "WITH pv AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es, "
+    "CAST(round(value * 100, 0) AS BIGINT) AS cents "
+    "FROM events WHERE event_type = 'purchase'), "
+    "days AS (SELECT CAST(es // 86400 * 86400 AS BIGINT) AS day_epoch, "
+    "CAST(sum(cents) AS BIGINT) AS cents FROM pv GROUP BY 1), "
+    "dow AS (SELECT day_epoch, cents, "
+    "CAST((day_epoch // 86400) % 7 AS INTEGER) AS dow FROM days), "
+    "m AS (SELECT dow, avg(cents) AS mu_dow FROM dow GROUP BY dow), "
+    "r AS (SELECT d.day_epoch, d.cents, d.cents - m.mu_dow AS resid "
+    "FROM dow d JOIN m USING (dow)) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_days, "
+    "round(1.0 - var_pop(resid) / var_pop(cents), 6) "
+    "AS seasonal_strength, "
+    "round(sqrt(var_pop(cents)) / 100.0, 4) AS sd_daily_usd FROM r"
+)
+
+QUERIES["events_seasonality_strength"] = q_events_seasonality_strength
