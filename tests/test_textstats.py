@@ -223,3 +223,23 @@ def test_compressibility_orders_repetitive_below_random(spark, tmp_path):
     # determinism
     again = {r["doc_id"]: r["ratio"] for r in q_compressibility(spark, str(d)).collect()}
     assert out == again
+
+
+def test_chunk_dedup_rate_consistency(spark):
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.textstats import (
+        q_chunk_dedup_rate,
+        q_chunk_windows,
+    )
+
+    r = q_chunk_dedup_rate(spark, SF_DIR).collect()[0]
+    chunks = [
+        x["chunk_text"] for x in q_chunk_windows(spark, SF_DIR).collect()
+    ]
+    from collections import Counter
+
+    c = Counter(chunks)
+    assert r["n_chunks"] == len(chunks)
+    assert r["n_distinct"] == len(c)
+    assert r["max_multiplicity"] == max(c.values())
+    assert abs(r["dup_share"] - (1 - len(c) / len(chunks))) < 1e-6

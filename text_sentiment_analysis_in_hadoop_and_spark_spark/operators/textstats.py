@@ -1091,3 +1091,47 @@ ORACLES_LATE["text_arrow_token_count"] = (
 )
 
 QUERIES_LATE["text_arrow_token_count"] = q_arrow_token_count
+
+
+# --- chunk-level dedup rate (RAG-prep audit, r5) ---------------------
+
+
+def q_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-chunk audit for the RAG/embedding pipeline: after
+    doc-level dedup, the CHUNK stream still carries duplicates
+    (shared boilerplate windows, overlap-stride self-duplication,
+    near-identical docs that survived thresholds) — and every
+    duplicate chunk is an embedding you pay for twice and a retrieval
+    slot wasted on the same passage.  One md5 groupBy over the
+    chunker's output: total chunks, distinct chunks, duplicate share,
+    and the hottest chunk's multiplicity (the boilerplate smoking
+    gun).
+
+    Shape: the chunker is a shuffle-free narrow map; this adds ONE
+    fingerprint-keyed partial agg + a scalar rollup — the same
+    exact-dedup plan as `dedup_exact`, applied at chunk granularity."""
+    ch = q_chunk_windows(spark, sf_dir).select(
+        F.md5(F.col("chunk_text")).alias("fp")
+    )
+    per = ch.groupBy("fp").agg(F.count("*").alias("n"))
+    return per.agg(
+        F.sum("n").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.round(
+            1.0 - F.count("*") / F.sum("n").cast("double"), 6
+        ).alias("dup_share"),
+        F.max("n").cast("long").alias("max_multiplicity"),
+    )
+
+
+ORACLES_LATE["text_chunk_dedup_rate"] = (
+    "WITH ch AS (" + ORACLES["text_chunk_windows"] + "), "
+    "per AS (SELECT md5(chunk_text) AS fp, count(*) AS n "
+    "FROM ch GROUP BY 1) "
+    "SELECT CAST(sum(n) AS BIGINT) AS n_chunks, "
+    "CAST(count(*) AS BIGINT) AS n_distinct, "
+    "round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6) AS dup_share, "
+    "CAST(max(n) AS BIGINT) AS max_multiplicity FROM per"
+)
+
+QUERIES_LATE["text_chunk_dedup_rate"] = q_chunk_dedup_rate
