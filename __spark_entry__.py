@@ -338,6 +338,7 @@ _ROWS_ONLY = frozenset(
         "mm_audio_spectral",  # FFT features — direct-DFT twin test
         "sim_ivf_nprobe_profile",  # k-means quantizer — monotonicity test
         "sim_semdedup",  # k-means cells + CC — agreement/idempotence tests
+        "mm_ahash_pairs",  # pixel-space hash banding — exact-recall test
     }
 )
 

@@ -365,3 +365,45 @@ def test_audio_spectral_matches_direct_dft(spark):
         assert abs(r["spectral_centroid"] - centroid) < 1e-3, doc_id
         assert abs(r["rolloff"] - rolloff) < 1e-6, doc_id
         assert abs(r["bandwidth"] - bandwidth) < 1e-3, doc_id
+
+
+def test_ahash_near_pairs_pigeonhole_exact(spark):
+    """Crafted hash families at Hamming distances 1/2/3/4/far: the
+    banded join must return EXACTLY the python all-pairs result for
+    1 <= d <= 3 (pigeonhole recall) and nothing else."""
+    from itertools import combinations
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.multimodal import (
+        MM_HAMMING_MAX,
+        ahash_near_pairs,
+        q_mm_ahash_pairs,
+    )
+    from conftest import SF_DIR
+
+    base = 0x0123456789ABCDEF
+    hashes = [
+        base,
+        base ^ 0x1,                  # d=1
+        base ^ 0x3,                  # d=2
+        base ^ (1 << 20) ^ (1 << 40) ^ (1 << 60),  # d=3, spread bands
+        base ^ 0xF,                  # d=4 from base — must NOT pair
+        0x7EDCBA9876543210,          # far from everything
+    ]
+    fams = spark.createDataFrame(
+        [(h, i + 1) for i, h in enumerate(hashes)],
+        "ahash long, n_images long",
+    )
+    got = {
+        (r["hash_a"], r["hash_b"]): r["hamming"]
+        for r in ahash_near_pairs(fams).collect()
+    }
+    expect = {}
+    for a, b in combinations(hashes, 2):
+        d = bin(a ^ b).count("1")
+        if 1 <= d <= MM_HAMMING_MAX:
+            expect[(min(a, b), max(a, b))] = d
+    assert got == expect
+    assert expect, "fixture must contain qualifying pairs"
+    # corpus query runs end-to-end (the synthetic corpus collapses to
+    # one perceptual family, so zero near pairs is the honest answer)
+    assert q_mm_ahash_pairs(spark, SF_DIR).count() >= 0

@@ -1215,3 +1215,99 @@ def q_mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_LATE["mm_audio_spectral"] = q_mm_audio_spectral
+
+
+# --------------------------------------------------------------------------
+# Banded-Hamming near-dup pairs over the perceptual hash (r5)
+# --------------------------------------------------------------------------
+
+MM_HAMMING_MAX = 3
+MM_BANDS = MM_HAMMING_MAX + 1  # pigeonhole: ≤3 flips can't touch all 4
+MM_BAND_BITS = 64 // MM_BANDS
+
+
+def ahash_near_pairs(families: "DataFrame") -> "DataFrame":
+    """Banded Hamming join over DISTINCT hash families
+    (ahash, n_images): split each 64-bit hash into MM_BANDS blocks,
+    equi-join on (band, value), verify 1 ≤ bit_count(xor) ≤
+    MM_HAMMING_MAX.  Pigeonhole recall is theorem-exact (≤3 flips
+    cannot touch all 4 bands).  Exposed separately so tests drive it
+    with crafted hash sets."""
+    bands = families.select(
+        "ahash",
+        "n_images",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(MM_BANDS)])
+        ).alias("band"),
+    ).withColumn(
+        "val",
+        F.expr(
+            f"shiftrightunsigned(ahash, band * {MM_BAND_BITS}) "
+            f"& {(1 << MM_BAND_BITS) - 1}"
+        ),
+    )
+    a = bands.select(
+        F.col("ahash").alias("hash_a"),
+        F.col("n_images").alias("n_images_a"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col("ahash").alias("hash_b"),
+        F.col("n_images").alias("n_images_b"),
+        "band",
+        "val",
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("hash_a") < F.col("hash_b"))
+        .select("hash_a", "hash_b", "n_images_a", "n_images_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b"))),
+        )
+        .filter(
+            (F.col("hamming") >= 1) & (F.col("hamming") <= MM_HAMMING_MAX)
+        )
+        .select(
+            "hash_a",
+            "hash_b",
+            F.col("hamming").cast("int").alias("hamming"),
+            "n_images_a",
+            "n_images_b",
+        )
+    )
+
+
+def q_mm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-NEAR perceptual-hash families — the banded join
+    `mm_ahash_dedup`'s docstring promises, done at the RIGHT
+    granularity: byte/pixel-equal hashes first collapse into
+    families (`mm_ahash_dedup`'s groupBy), and only the DISTINCT
+    representatives enter the banded Hamming join — so a boilerplate
+    family of a million identical gradients is ONE row here, not a
+    10¹² self-product (the synthetic corpus makes that degenerate
+    case real: most images share a hash by design).  Near-but-unequal
+    families (1 ≤ Hamming ≤ 3) are the re-encoded / slightly-cropped
+    captures exact hashing misses.
+
+    Rows-only (pixel-space hashes); recall is pigeonhole-exact and
+    pinned by an all-pairs python recomputation plus a crafted-hash
+    fixture in tests/test_multimodal.py."""
+    docs = rebalance_scan(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    payloads = docs.mapInPandas(
+        bmp_payload_batches, schema="doc_id long, payload binary"
+    )
+    hashed = payloads.mapInPandas(
+        ahash_batches, schema="doc_id long, ahash long, payload_md5 string"
+    )
+    families = hashed.groupBy("ahash").agg(
+        F.count("*").cast("long").alias("n_images")
+    )
+    return ahash_near_pairs(families)
+
+
+QUERIES_LATE["mm_ahash_pairs"] = q_mm_ahash_pairs
