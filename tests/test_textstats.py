@@ -243,3 +243,59 @@ def test_chunk_dedup_rate_consistency(spark):
     assert r["n_distinct"] == len(c)
     assert r["max_multiplicity"] == max(c.values())
     assert abs(r["dup_share"] - (1 - len(c) / len(chunks))) < 1e-6
+
+
+def test_stylometry_delta_properties(spark):
+    """Delta is a pseudo-metric on sources: symmetric by construction
+    (a<b emitted once), non-negative, complete pair coverage; and a
+    python recompute for one pair agrees."""
+    from conftest import SF_DIR
+    from collections import Counter, defaultdict
+    import math
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.textstats import (
+        DELTA_TOP_K,
+        q_source_stylometry_delta,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import load_table
+
+    rows = q_source_stylometry_delta(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "text"
+    ).collect()
+    sources = sorted({r["source"] for r in docs})
+    n_src = len(sources)
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r["delta"] >= 0
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["n_tokens"] <= DELTA_TOP_K
+    # recompute for the first emitted pair
+    cnt = defaultdict(Counter)
+    tot = Counter()
+    for d in docs:
+        toks = d["text"].split(" ")
+        cnt[d["source"]].update(toks)
+        tot.update(toks)
+    topk = [
+        t
+        for t, _ in sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :DELTA_TOP_K
+        ]
+    ]
+    f = {
+        s: {t: cnt[s][t] / sum(cnt[s].values()) for t in topk}
+        for s in sources
+    }
+    pick = rows[0]
+    deltas = []
+    for t in topk:
+        vals = [f[s][t] for s in sources]
+        mu = sum(vals) / n_src
+        sd = math.sqrt(sum((v - mu) ** 2 for v in vals) / n_src)
+        if sd > 0:
+            za = (f[pick["source_a"]][t] - mu) / sd
+            zb = (f[pick["source_b"]][t] - mu) / sd
+            deltas.append(abs(za - zb))
+    assert pick["n_tokens"] == len(deltas)
+    assert abs(pick["delta"] - sum(deltas) / len(deltas)) < 1e-6

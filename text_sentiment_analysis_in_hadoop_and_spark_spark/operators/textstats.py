@@ -1135,3 +1135,119 @@ ORACLES_LATE["text_chunk_dedup_rate"] = (
 )
 
 QUERIES_LATE["text_chunk_dedup_rate"] = q_chunk_dedup_rate
+
+
+# --- Burrows' Delta stylometric source distance (r5) -----------------
+
+DELTA_TOP_K = 50
+
+
+def q_source_stylometry_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Burrows' Delta between sources (Burrows 2002; the standard
+    authorship-attribution distance): restrict to the corpus's top-K
+    most frequent tokens (function words — style, not topic), z-score
+    each token's per-source relative frequency across sources, and
+    Delta(a,b) = mean |z_a − z_b|.  Near-zero Delta between two
+    "independent" feeds is the mirrored-provider tell that URL-level
+    provenance misses; complements the KL divergence monitor
+    (`text_source_divergence`), which is TOPICAL where Delta is
+    STYLISTIC.
+
+    Shape: one (source, token) partial agg; the top-K list, the
+    per-source totals, and the K×|sources| z-matrix are all bounded
+    aggregates; the pairwise step runs on the tiny z-matrix
+    (sources² × K rows).  Constant-frequency tokens (σ=0) are dropped
+    identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(_toks(F.col("text"))).alias("token")
+    ).groupBy("source", "token").agg(F.count("*").alias("n"))
+    topk = (
+        st.groupBy("token")
+        .agg(F.sum("n").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("token"))
+        .limit(DELTA_TOP_K)
+        .select("token")
+    )
+    totals = st.groupBy("source").agg(F.sum("n").alias("src_tot"))
+    f = (
+        st.join(F.broadcast(topk), "token")
+        .join(totals, "source")
+        .select(
+            "source",
+            "token",
+            (F.col("n") / F.col("src_tot")).alias("f"),
+        )
+    )
+    # tokens absent from a source contribute f = 0: complete the
+    # (source, token) grid via a cross of the two small key sets
+    grid = totals.select("source").join(F.broadcast(topk))
+    ff = grid.join(f, ["source", "token"], "left").select(
+        "source", "token", F.coalesce(F.col("f"), F.lit(0.0)).alias("f")
+    )
+    mu = ff.groupBy("token").agg(
+        F.avg("f").alias("mu"),
+        F.stddev_pop("f").alias("sd"),
+    )
+    z = (
+        ff.join(F.broadcast(mu), "token")
+        .filter(F.col("sd") > 0)
+        .select(
+            "source",
+            "token",
+            ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z"),
+        )
+    )
+    za = z.select(
+        F.col("source").alias("source_a"), "token", F.col("z").alias("za")
+    )
+    zb = z.select(
+        F.col("source").alias("source_b"),
+        F.col("token").alias("token_b"),
+        F.col("z").alias("zb"),
+    )
+    return (
+        za.join(
+            zb,
+            (F.col("token") == F.col("token_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias(
+                "delta"
+            ),
+        )
+    )
+
+
+ORACLES_LATE["text_source_stylometry_delta"] = (
+    "WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS token "
+    "FROM documents), "
+    "cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n "
+    "FROM st GROUP BY source, token), "
+    "topk AS (SELECT token FROM (SELECT token, sum(n) AS tot FROM cnt "
+    f"GROUP BY token ORDER BY tot DESC, token ASC LIMIT {DELTA_TOP_K})), "
+    "tots AS (SELECT source, CAST(sum(n) AS BIGINT) AS src_tot "
+    "FROM cnt GROUP BY source), "
+    "grid AS (SELECT s.source, t.token, s.src_tot "
+    "FROM tots s CROSS JOIN topk t), "
+    "ff AS (SELECT g.source, g.token, "
+    "coalesce(CAST(c.n AS DOUBLE), 0.0) / g.src_tot AS f "
+    "FROM grid g LEFT JOIN cnt c "
+    "ON c.source = g.source AND c.token = g.token), "
+    "mu AS (SELECT token, avg(f) AS mu, stddev_pop(f) AS sd "
+    "FROM ff GROUP BY token), "
+    "z AS (SELECT ff.source, ff.token, (ff.f - mu.mu) / mu.sd AS z "
+    "FROM ff JOIN mu USING (token) WHERE mu.sd > 0) "
+    "SELECT a.source AS source_a, b.source AS source_b, "
+    "CAST(count(*) AS BIGINT) AS n_tokens, "
+    "round(avg(abs(a.z - b.z)), 6) AS delta "
+    "FROM z a JOIN z b ON a.token = b.token AND a.source < b.source "
+    "GROUP BY 1, 2"
+)
+
+QUERIES_LATE["text_source_stylometry_delta"] = q_source_stylometry_delta
