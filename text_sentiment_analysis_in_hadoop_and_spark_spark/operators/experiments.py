@@ -923,10 +923,25 @@ def q_events_power_analysis(
         .cast("long")
         .alias("cents")
     )
+    # integer moments, not var_pop: the aggregate's float accumulation
+    # noise (~1e-6 relative on 1e10-scale variances) can flip the ceil
+    # at a boundary between engines; BIGINT Σx and Σx² are EXACT and
+    # make mu/var bit-identical everywhere (Σx² ≈ 1e17 at sf0.1 —
+    # far inside int64)
     base = per_user.agg(
         F.count("*").cast("long").alias("n_users"),
-        F.avg("cents").alias("mu"),
-        F.var_pop("cents").alias("var"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("sxx"),
+    ).select(
+        "n_users",
+        (F.col("sx").cast("double") / F.col("n_users")).alias("mu"),
+        (
+            (
+                F.col("sxx").cast("double") * F.col("n_users")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            / (F.col("n_users").cast("double") * F.col("n_users"))
+        ).alias("var"),
     )
     zsum2 = F.lit((Z95 + Z80_POWER) ** 2)
     out = None
@@ -947,8 +962,12 @@ ORACLES["events_power_analysis"] = " UNION ALL ".join(
     "SELECT * FROM (WITH pu AS (SELECT user_id, CAST(sum(CAST(round(value * 100, 0) "
     "AS BIGINT)) AS BIGINT) AS cents FROM events "
     "WHERE event_type = 'purchase' GROUP BY user_id), "
-    "b AS (SELECT CAST(count(*) AS BIGINT) AS n_users, avg(cents) AS mu, "
-    "var_pop(cents) AS var FROM pu) "
+    "m AS (SELECT CAST(count(*) AS BIGINT) AS n_users, "
+    "CAST(sum(cents) AS BIGINT) AS sx, "
+    "CAST(sum(cents * cents) AS BIGINT) AS sxx FROM pu), "
+    "b AS (SELECT n_users, CAST(sx AS DOUBLE) / n_users AS mu, "
+    "(CAST(sxx AS DOUBLE) * n_users - CAST(sx AS DOUBLE) * sx) "
+    "/ (CAST(n_users AS DOUBLE) * n_users) AS var FROM m) "
     f"SELECT CAST({pct} AS BIGINT) AS mde_pct, n_users, "
     f"CAST(ceil(2.0 * var * {(Z95 + Z80_POWER) ** 2} "
     f"/ ((mu * {pct / 100.0}) * (mu * {pct / 100.0}))) AS BIGINT) "
