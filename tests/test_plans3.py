@@ -146,3 +146,24 @@ def test_dynamic_partition_pruning_on_partitioned_docs(spark):
     assert "dynamicpruning" in plan.lower()
     pf = plan[plan.lower().index("partitionfilters") :].splitlines()[0]
     assert "lang" in pf
+
+
+def test_pandas_api_twin_compiles_to_jvm_plan(spark):
+    """pyspark.pandas must compile this query to pure Catalyst: no
+    Arrow/pandas eval nodes, no distributed-sequence index stage, and
+    the scan must be column-pruned."""
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.relational2 import (
+        q_pricing_summary_ps,
+    )
+
+    df = q_pricing_summary_ps(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "MapInPandas",
+        "AttachDistributedSequence",
+    ):
+        assert bad not in plan, bad
+    assert "Scan parquet" in plan

@@ -1893,3 +1893,80 @@ ORACLES["rel_weighted_median_pandas"] = ORACLES[
     "rel_weighted_median_price"
 ]
 QUERIES["rel_weighted_median_pandas"] = q_weighted_median_pandas
+
+
+# --- pandas-on-Spark twin of the pricing summary ---------------------
+
+
+def q_pricing_summary_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 through the pandas API on Spark (``pyspark.pandas``) —
+    the third front door to the same logical plan (DataFrame API,
+    SQL, and now the pandas dialect analysts already know).  The
+    point this twin proves: ps operations COMPILE TO CATALYST — the
+    filter, the integer-cents derivations and the groupby-agg all run
+    as JVM column expressions (no Python boundary anywhere; the plan
+    test pins zero Arrow/pandas eval nodes), so a pandas user gets
+    distributed execution without rewriting.  Same oracle as
+    `rel_pricing_summary`, column for column.
+
+    Caveat the docstring owes the 100 TB reader: ps defaults that
+    materialize orderings (iloc, default index = SEQUENCE) are the
+    expensive path — this query keeps a distributed-friendly shape
+    (`attach_distributed_sequence` never triggers; groupby keys form
+    the result identity, not the index)."""
+    import os
+
+    import pyspark.pandas as ps
+
+    prev = ps.get_option("compute.default_index_type")
+    ps.set_option("compute.default_index_type", "distributed")
+    try:
+        li = ps.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        li = li[li.l_shipdate <= "1998-09-02"]
+        cents = (li.l_extendedprice * 100).round(0).astype("int64")
+        disc = (li.l_discount * 100).round(0).astype("int64")
+        tax = (li.l_tax * 100).round(0).astype("int64")
+        li = li.assign(
+            qty=li.l_quantity.astype("int64"),
+            base_cents=cents,
+            disc_price_u=cents * (100 - disc),
+            charge_u=cents * (100 - disc) * (100 + tax),
+            disc_pct=disc,
+        )
+        g = li.groupby(["l_returnflag", "l_linestatus"]).agg(
+            sum_qty=("qty", "sum"),
+            sum_base_price_cents=("base_cents", "sum"),
+            sum_disc_price_u=("disc_price_u", "sum"),
+            sum_charge_u=("charge_u", "sum"),
+            count_order=("qty", "count"),
+            sum_disc=("disc_pct", "sum"),
+        )
+        out = g.reset_index().to_spark()
+    finally:
+        ps.set_option("compute.default_index_type", prev)
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("long"),
+        F.col("sum_base_price_cents").cast("long"),
+        F.col("sum_disc_price_u").cast("long"),
+        F.col("sum_charge_u").cast("long"),
+        F.col("count_order").cast("long"),
+        F.round(
+            F.col("sum_qty").cast("double") / F.col("count_order"), 6
+        ).alias("avg_qty"),
+        F.round(
+            F.col("sum_base_price_cents").cast("double")
+            / F.col("count_order"),
+            6,
+        ).alias("avg_price_cents"),
+        F.round(
+            F.col("sum_disc").cast("double") / F.col("count_order"), 6
+        ).alias("avg_disc_pct"),
+    )
+
+
+from .relational import ORACLES as _REL1_ORACLES  # noqa: E402
+
+ORACLES["rel_pricing_summary_ps"] = _REL1_ORACLES["rel_pricing_summary"]
+QUERIES["rel_pricing_summary_ps"] = q_pricing_summary_ps
