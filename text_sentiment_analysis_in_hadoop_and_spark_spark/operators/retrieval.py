@@ -197,3 +197,128 @@ ORACLES["text_hybrid_topk"] = (
 )
 
 QUERIES["text_hybrid_topk"] = q_hybrid_topk
+
+
+# --- Dirichlet query-likelihood retrieval --------------------------------
+#
+# The third classical ranker next to BM25 and dense cosine: the
+# language-modelling school (Ponte & Croft; Zhai & Lafferty smoothing).
+# score(q,d) = Σ_{t∈Q} ln( (tf_{t,d} + μ·P(t|C)) / (dl_d + μ) ),
+# P(t|C) the collection unigram model, μ = QLM_MU.
+#
+# Why it earns a separate plan: unlike BM25, EVERY query term scores
+# against EVERY document (an absent term still contributes the
+# smoothed background mass), so the naive join is |Q|·N·|terms|.  The
+# standard decomposition restores sparsity:
+#   score = qconst_q  −  |Q|·ln(dl_d + μ)  +  Σ_{t: tf>0} ln(1 + tf/(μ·P_t))
+# where qconst_q = Σ_{t∈Q} ln(μ·P_t) is a per-QUERY scalar.  The dense
+# part is a (q_id × doc) expression over the doc-length table (8 query
+# rows broadcast — linear in N, scaling with the bounded query count,
+# never with vocab), and only the third term touches the posting list
+# (the same broadcast-probe sparse join BM25 uses).
+
+QLM_MU = 2000.0
+
+
+def q_qlm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dlen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # collection unigram model: cf_t / total_tokens
+    cf = postings.groupBy("token").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total_cf"))
+    p_c = cf.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("cf") / F.col("total_cf")).alias("p_t")
+    )
+    q_terms = (
+        postings.filter(F.col("doc_id") < N_QUERY_DOCS)
+        .select(F.col("doc_id").alias("q_id"), "token")
+    )
+    # per-query scalars: |Q| and Σ ln(μ·P_t)  (vocab-keyed join, tiny)
+    q_scal = (
+        q_terms.join(p_c, "token")
+        .groupBy("q_id")
+        .agg(
+            F.count("*").cast("double").alias("q_size"),
+            F.sum(F.log(F.lit(QLM_MU) * F.col("p_t"))).alias("qconst"),
+        )
+    )
+    # dense part: every (query, doc) pair off the doc-length table
+    base = dlen.filter(F.col("doc_id") >= N_QUERY_DOCS).crossJoin(
+        F.broadcast(q_scal)
+    ).select(
+        "q_id",
+        "doc_id",
+        (
+            F.col("qconst")
+            - F.col("q_size") * F.log(F.col("dl") + QLM_MU)
+        ).alias("base"),
+    )
+    # sparse part: matched terms only
+    match = (
+        postings.join(F.broadcast(q_terms), "token")
+        .filter(F.col("doc_id") >= N_QUERY_DOCS)
+        .join(p_c, "token")
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    F.lit(1.0)
+                    + F.col("tf") / (F.lit(QLM_MU) * F.col("p_t"))
+                )
+            ).alias("bonus")
+        )
+    )
+    scored = base.join(match, ["q_id", "doc_id"], "left").select(
+        "q_id",
+        "doc_id",
+        F.round(
+            F.col("base") + F.coalesce("bonus", F.lit(0.0)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOP_K)
+        .select("q_id", "doc_id", "score", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLES["text_qlm_topk"] = (
+    "WITH postings AS (SELECT doc_id, token, "
+    "CAST(count(*) AS DOUBLE) AS tf FROM (SELECT doc_id, "
+    "unnest(string_split(text, ' ')) AS token FROM documents) "
+    "WHERE token <> '' GROUP BY doc_id, token), "
+    "dlen AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id), "
+    "cf AS (SELECT token, sum(tf) AS cf FROM postings GROUP BY token), "
+    "pc AS (SELECT token, cf / (SELECT sum(cf) FROM cf) AS p_t FROM cf), "
+    f"q AS (SELECT doc_id AS q_id, token FROM postings "
+    f"WHERE doc_id < {N_QUERY_DOCS}), "
+    "qscal AS (SELECT q_id, CAST(count(*) AS DOUBLE) AS q_size, "
+    f"sum(ln({QLM_MU} * p_t)) AS qconst "
+    "FROM q JOIN pc USING (token) GROUP BY q_id), "
+    "base AS (SELECT s.q_id, d.doc_id, "
+    f"s.qconst - s.q_size * ln(d.dl + {QLM_MU}) AS base "
+    f"FROM dlen d CROSS JOIN qscal s WHERE d.doc_id >= {N_QUERY_DOCS}), "
+    "mt AS (SELECT q.q_id, p.doc_id, "
+    f"sum(ln(1 + p.tf / ({QLM_MU} * pc.p_t))) AS bonus "
+    "FROM postings p JOIN q USING (token) JOIN pc ON p.token = pc.token "
+    f"WHERE p.doc_id >= {N_QUERY_DOCS} GROUP BY q.q_id, p.doc_id), "
+    "scored AS (SELECT b.q_id, b.doc_id, "
+    "round(b.base + coalesce(mt.bonus, 0), 6) AS score "
+    "FROM base b LEFT JOIN mt ON b.q_id = mt.q_id "
+    "AND b.doc_id = mt.doc_id), "
+    "rk AS (SELECT q_id, doc_id, score, CAST(row_number() OVER "
+    "(PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS rk "
+    "FROM scored) "
+    f"SELECT * FROM rk WHERE rk <= {BM25_TOP_K}"
+)
+
+QUERIES["text_qlm_topk"] = q_qlm_topk
