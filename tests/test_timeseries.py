@@ -449,3 +449,118 @@ def test_seasonality_strength_planted_weekly_pattern(spark, tmp_path):
     alt = [(day * 86400, 10.0 if day % 2 == 0 else 50.0) for day in range(28)]
     r2 = q_events_seasonality_strength(spark, write(alt, "a")).collect()[0]
     assert r2["seasonal_strength"] < 0.1
+
+
+def _write_daily_purchases(tmp_path, name, day_values, per_day=1):
+    """events.parquet with `per_day` purchases per day; day_values[d]
+    is the TOTAL daily revenue (split evenly across the day's rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    eid = 0
+    for day, total in enumerate(day_values):
+        for k in range(per_day):
+            rows.append(
+                (eid, day * 86400 + k * 3600, k, "purchase", total / per_day)
+            )
+            eid += 1
+    d = tmp_path / name
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * 10**9 for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{d}/events.parquet")
+    return str(d)
+
+
+def test_trend_test_planted_monotone_series(spark, tmp_path):
+    """Strictly increasing dailies: S = C(10,2) = 45 (every pair
+    concordant), no ties, z = (S−1)/√(n(n−1)(2n+5)/18) ≈ 3.94 →
+    'increasing', and the Theil-Sen slope is the exact planted +10/day
+    (every pairwise slope is identical, so the median is too)."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.timeseries import (
+        q_events_trend_test,
+    )
+
+    d = _write_daily_purchases(
+        tmp_path, "mk_up", [(day + 1) * 10.0 for day in range(10)]
+    )
+    r = q_events_trend_test(spark, d).collect()[0]
+    assert r["n_days"] == 10
+    assert r["s_stat"] == 45
+    assert abs(r["var_s"] - 125.0) < 1e-9
+    assert abs(r["z"] - 44.0 / 125.0**0.5) < 1e-6
+    assert abs(r["sen_slope"] - 10.0) < 1e-9
+    assert r["trend"] == "increasing"
+
+
+def test_trend_test_constant_series_is_trendless(spark, tmp_path):
+    """All-equal dailies: S = 0 and the tie correction removes the
+    ENTIRE variance (one tie group of size n), so z is NULL — the
+    degenerate case must come out 'none', not a division error."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.timeseries import (
+        q_events_trend_test,
+    )
+
+    d = _write_daily_purchases(tmp_path, "mk_flat", [100.0] * 8)
+    r = q_events_trend_test(spark, d).collect()[0]
+    assert r["s_stat"] == 0
+    assert r["var_s"] == 0.0
+    assert r["z"] is None
+    assert abs(r["sen_slope"]) < 1e-9
+    assert r["trend"] == "none"
+
+
+def test_ewma_constant_series_has_no_anomalies(spark, tmp_path):
+    """Flat $100/day: the adjusted truncated-kernel forecast is exactly
+    the level (weighted mean of identical values), every residual
+    rounds to zero, and nothing flags.  The first day has no lags at
+    all → NULL forecast, flag coalesced to False."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.timeseries import (
+        q_events_ewma_anomaly,
+    )
+
+    d = _write_daily_purchases(tmp_path, "ewma_flat", [100.0] * 20)
+    rows = sorted(
+        q_events_ewma_anomaly(spark, d).collect(),
+        key=lambda r: r["day_epoch"],
+    )
+    assert len(rows) == 20
+    assert rows[0]["forecast"] is None
+    assert not rows[0]["is_anomaly"]
+    for r in rows[1:]:
+        assert abs(r["forecast"] - 100.0) < 1e-6
+        assert abs(r["resid"]) < 1e-6
+        assert not r["is_anomaly"]
+
+
+def test_ewma_flags_planted_spike_only(spark, tmp_path):
+    """One 10× day in a flat series: the spike's residual (~+$900
+    against a $100 forecast) is the lone 3σ breach — the polluted
+    day AFTER the spike inherits only the α-share of the jump, which
+    stays inside the fence, and the clean prefix never flags."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.timeseries import (
+        q_events_ewma_anomaly,
+    )
+
+    vals = [100.0] * 30
+    vals[15] = 1000.0
+    d = _write_daily_purchases(tmp_path, "ewma_spike", vals)
+    rows = {
+        r["day_epoch"] // 86400: r
+        for r in q_events_ewma_anomaly(spark, d).collect()
+    }
+    flagged = {day for day, r in rows.items() if r["is_anomaly"]}
+    assert flagged == {15}
+    # the spike's residual is the max-magnitude residual by far
+    assert rows[15]["resid"] > 800.0
+    # clean prefix days forecast the level exactly
+    assert abs(rows[10]["forecast"] - 100.0) < 1e-6

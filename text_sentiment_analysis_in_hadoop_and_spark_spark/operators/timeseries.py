@@ -515,3 +515,302 @@ ORACLES["events_seasonality_strength"] = (
 )
 
 QUERIES["events_seasonality_strength"] = q_events_seasonality_strength
+
+
+# --- Mann-Kendall trend test + Theil-Sen slope ------------------------
+#
+# The robust, distribution-free complement to the CUSUM change-point:
+# CUSUM asks "where did the level shift", Mann-Kendall asks "is there
+# a monotone trend at all" and Theil-Sen "how steep, robustly".  Both
+# statistics are pairwise over the DAILY revenue histogram, so the
+# self-join is calendar² (365 days → ~66k pairs), bounded by elapsed
+# time — never by event volume; the day rollup in front is the usual
+# partial-agg groupBy that does scale with the data.
+#
+# Exactness discipline: S (the sign sum), the tie term, and the
+# variance numerator are pure BIGINT arithmetic; Theil-Sen slopes are
+# pre-rounded to 6 decimals BEFORE the median so both engines order
+# and average the identical doubles (the tools/parity.py sort-key
+# convention applied inside the query).  z uses the standard
+# continuity correction (S∓1)/σ and is NULL when the variance is zero
+# (constant series).
+
+MK_Z_CRIT = 1.959964  # two-sided 5% normal critical value
+
+
+def q_events_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    days = ev.groupBy(
+        F.expr("epoch_sec DIV 86400").cast("long").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = days.select(F.col("d").alias("da"), F.col("cents").alias("xa"))
+    b = days.select(F.col("d").alias("db"), F.col("cents").alias("xb"))
+    pairs = a.join(b, F.col("da") < F.col("db"))
+    sgn = (
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+        .cast("long")
+    )
+    s_tab = pairs.agg(F.sum(sgn).cast("long").alias("s_stat"))
+    n_tab = days.agg(F.count("*").cast("long").alias("n_days"))
+    tie_tab = (
+        days.groupBy("cents")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    slopes = pairs.select(
+        F.round(
+            (F.col("xb") - F.col("xa")).cast("double")
+            / (F.col("db") - F.col("da"))
+            / 100.0,
+            6,
+        ).alias("slope")
+    )
+    wsl = Window.orderBy("slope")
+    wall = Window.partitionBy()
+    med = (
+        slopes.select(
+            "slope",
+            F.row_number().over(wsl).alias("rn"),
+            F.count("*").over(wall).alias("m"),
+        )
+        .filter(
+            (F.col("rn") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("m") + 2) / 2))
+        )
+        .agg(F.round(F.avg("slope"), 6).alias("sen_slope"))
+    )
+    var_num = (
+        F.col("n_days")
+        * (F.col("n_days") - 1)
+        * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    )
+    var_s = var_num.cast("double") / 18.0
+    z = (
+        F.when(
+            var_s > 0,
+            F.when(
+                F.col("s_stat") > 0,
+                (F.col("s_stat") - 1) / F.sqrt(var_s),
+            )
+            .when(
+                F.col("s_stat") < 0,
+                (F.col("s_stat") + 1) / F.sqrt(var_s),
+            )
+            .otherwise(F.lit(0.0)),
+        )
+    )
+    return (
+        n_tab.crossJoin(s_tab)
+        .crossJoin(tie_tab)
+        .crossJoin(med)
+        .select(
+            "n_days",
+            "s_stat",
+            F.round(var_s, 6).alias("var_s"),
+            F.round(z, 6).alias("z"),
+            "sen_slope",
+            F.when(z > MK_Z_CRIT, F.lit("increasing"))
+            .when(z < -MK_Z_CRIT, F.lit("decreasing"))
+            .otherwise(F.lit("none"))
+            .alias("trend"),
+        )
+    )
+
+
+ORACLES["events_trend_test"] = (
+    "WITH pv AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es, "
+    "CAST(round(value * 100, 0) AS BIGINT) AS cents "
+    "FROM events WHERE event_type = 'purchase'), "
+    "days AS (SELECT CAST(es // 86400 AS BIGINT) AS d, "
+    "CAST(sum(cents) AS BIGINT) AS cents FROM pv GROUP BY 1), "
+    "pairs AS (SELECT a.d AS da, a.cents AS xa, b.d AS db, b.cents AS xb "
+    "FROM days a JOIN days b ON a.d < b.d), "
+    "stab AS (SELECT CAST(coalesce(sum(CASE WHEN xb > xa THEN 1 "
+    "WHEN xb < xa THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat FROM pairs), "
+    "ntab AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM days), "
+    "ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) "
+    "AS BIGINT) AS tie_term FROM (SELECT CAST(count(*) AS BIGINT) AS t "
+    "FROM days GROUP BY cents)), "
+    "slopes AS (SELECT round(CAST(xb - xa AS DOUBLE) / (db - da) / 100.0, "
+    "6) AS slope FROM pairs), "
+    "ranked AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn, "
+    "count(*) OVER () AS m FROM slopes), "
+    "med AS (SELECT round(avg(slope), 6) AS sen_slope FROM ranked "
+    "WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2), "
+    "joined AS (SELECT n.n_days, s.s_stat, t.tie_term, m.sen_slope, "
+    "CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term "
+    "AS DOUBLE) / 18.0 AS var_s "
+    "FROM ntab n, stab s, ties t, med m), "
+    "zt AS (SELECT *, CASE WHEN var_s > 0 THEN "
+    "CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s) "
+    "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) ELSE 0.0 END "
+    "ELSE NULL END AS z FROM joined) "
+    "SELECT n_days, s_stat, round(var_s, 6) AS var_s, "
+    "round(z, 6) AS z, sen_slope, "
+    f"CASE WHEN z > {MK_Z_CRIT} THEN 'increasing' "
+    f"WHEN z < -{MK_Z_CRIT} THEN 'decreasing' "
+    "ELSE 'none' END AS trend FROM zt"
+)
+
+QUERIES["events_trend_test"] = q_events_trend_test
+
+
+# --- EWMA forecast + anomaly flags ------------------------------------
+#
+# One-step-ahead exponentially-weighted forecast of daily purchase
+# revenue with 3σ residual flags — the EWMA control chart (Roberts
+# 1959), the standard first-alarm next to the z-score volume monitor
+# (events_anomaly scores hourly COUNTS against a global mean; this
+# scores daily REVENUE against a locally-adapting level, so a slow
+# drift that never breaks the global z fence still trips here).
+#
+# The EWMA recurrence y_t = α·x_t + (1−α)·y_{t−1} is sequential; the
+# distributed form expands it to the K-term truncated kernel
+#   ŷ_t = Σ_{k=1..K} (1−α)^{k−1} x_{t−k} / Σ_{k avail} (1−α)^{k−1}
+# over the GAP-FILLED day spine (lag-k must mean "k calendar days
+# ago", not "k observed rows ago").  With α=0.3, K=14 the dropped
+# tail mass is (1−α)^14 ≈ 0.7%, and the adjusted normalization (divide
+# by the sum of PRESENT weights) keeps ŷ a proper weighted mean at
+# the series head and at the truncation boundary alike — this is
+# pandas' ewm(adjust=True) restricted to a 14-day memory, chosen
+# precisely so the plan is K narrow lag columns over the
+# calendar-bounded day table instead of an unbounded recursion.
+#
+# Determinism: the spine, lags, and weights are identical integer/
+# closed-form doubles in both engines; the residual σ is computed
+# from ROUNDED residuals via explicit n/Σr/Σr² moments (not
+# stddev_samp) and the flag compares 6-rounded values, the same
+# fence discipline the registry's other boundary queries use.
+
+EWMA_ALPHA = 0.3
+EWMA_K = 14
+EWMA_FENCE = 3.0
+
+
+def q_events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(
+        F.expr("epoch_sec DIV 86400").cast("long").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    bounds = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    dense = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("cents", F.lit(0)).cast("long").alias("cents")
+    )
+    w = Window.orderBy("d")
+    lag_terms = []
+    den_terms = []
+    for k in range(1, EWMA_K + 1):
+        wt = (1.0 - EWMA_ALPHA) ** (k - 1)
+        lk = F.lag("cents", k).over(w)
+        lag_terms.append(
+            F.when(lk.isNotNull(), F.lit(wt) * lk).otherwise(F.lit(0.0))
+        )
+        den_terms.append(
+            F.when(lk.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        )
+    num = sum(lag_terms[1:], lag_terms[0])
+    den = sum(den_terms[1:], den_terms[0])
+    fc = dense.select(
+        "d",
+        "cents",
+        F.when(den > 0, num / den).alias("fc_cents"),
+    )
+    resid = fc.select(
+        "d",
+        "cents",
+        "fc_cents",
+        F.round((F.col("cents") - F.col("fc_cents")) / 100.0, 6).alias(
+            "resid"
+        ),
+    )
+    mom = resid.filter(F.col("resid").isNotNull()).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("resid").alias("s1"),
+        F.sum(F.col("resid") * F.col("resid")).alias("s2"),
+    )
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        resid.crossJoin(F.broadcast(mom))
+        .select(
+            (F.col("d") * 86400).alias("day_epoch"),
+            F.round(F.col("cents") / 100.0, 6).alias("revenue"),
+            F.round(F.col("fc_cents") / 100.0, 6).alias("forecast"),
+            "resid",
+            F.coalesce(
+                F.abs(F.col("resid"))
+                > F.round(F.lit(EWMA_FENCE) * sd, 6),
+                F.lit(False),
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+def _ewma_lag_sql() -> tuple[str, str]:
+    nums, dens = [], []
+    for k in range(1, EWMA_K + 1):
+        wt = (1.0 - EWMA_ALPHA) ** (k - 1)
+        lk = f"lag(cents, {k}) OVER (ORDER BY d)"
+        nums.append(f"CASE WHEN {lk} IS NOT NULL THEN {wt} * {lk} ELSE 0 END")
+        dens.append(f"CASE WHEN {lk} IS NOT NULL THEN {wt} ELSE 0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_lag_sql()
+
+ORACLES["events_ewma_anomaly"] = (
+    "WITH pv AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es, "
+    "CAST(round(value * 100, 0) AS BIGINT) AS cents "
+    "FROM events WHERE event_type = 'purchase'), "
+    "daily AS (SELECT CAST(es // 86400 AS BIGINT) AS d, "
+    "CAST(sum(cents) AS BIGINT) AS cents FROM pv GROUP BY 1), "
+    "spine AS (SELECT unnest(range((SELECT min(d) FROM daily), "
+    "(SELECT max(d) FROM daily) + 1)) AS d), "
+    "dense AS (SELECT s.d, CAST(coalesce(dl.cents, 0) AS BIGINT) AS cents "
+    "FROM spine s LEFT JOIN daily dl ON s.d = dl.d), "
+    f"fc AS (SELECT d, cents, CASE WHEN ({_EWMA_DEN}) > 0 THEN "
+    f"({_EWMA_NUM}) / ({_EWMA_DEN}) ELSE NULL END AS fc_cents FROM dense), "
+    "res AS (SELECT d, cents, fc_cents, "
+    "round((cents - fc_cents) / 100.0, 6) AS resid FROM fc), "
+    "mom AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(resid) AS s1, "
+    "sum(resid * resid) AS s2 FROM res WHERE resid IS NOT NULL), "
+    "sdt AS (SELECT sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd FROM mom) "
+    "SELECT CAST(r.d * 86400 AS BIGINT) AS day_epoch, "
+    "round(r.cents / 100.0, 6) AS revenue, "
+    "round(r.fc_cents / 100.0, 6) AS forecast, r.resid, "
+    f"coalesce(abs(r.resid) > round({EWMA_FENCE} * s.sd, 6), FALSE) "
+    "AS is_anomaly FROM res r CROSS JOIN sdt s"
+)
+
+QUERIES["events_ewma_anomaly"] = q_events_ewma_anomaly
