@@ -151,3 +151,41 @@ def test_kcore_invariants(spark):
     deg = Counter([n for e in core_edges for n in e])
     assert all(deg[n] >= KCORE_K for n in deg)
     assert deg == Counter(dict(core.items()))
+
+
+# --- degree assortativity --------------------------------------------
+
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.graph import (  # noqa: E402
+    assortativity,
+)
+
+
+def test_star_is_maximally_disassortative(spark):
+    """A star (hub 0 ↔ spokes 1..5): every edge pairs deg-5 with
+    deg-1, the textbook r = −1 case."""
+    star = _edges(spark, [(0, i) for i in range(1, 6)])
+    r = assortativity(star).collect()[0]
+    assert r["n_directed_edges"] == 10
+    assert abs(r["assortativity"] - (-1.0)) < 1e-9
+
+
+def test_regular_graph_has_undefined_assortativity(spark):
+    """A 4-cycle is 2-regular: endpoint degrees are constant, the
+    variance is zero, and r must be NULL — not NaN or a crash."""
+    cyc = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 3)])
+    r = assortativity(cyc).collect()[0]
+    assert r["n_directed_edges"] == 8
+    assert r["assortativity"] is None
+
+
+def test_two_joined_stars_mix_toward_minus_one(spark):
+    """Two stars bridged hub-to-hub: hub-hub edges pull r up from −1
+    but spoke edges dominate — r stays strongly negative, and the
+    statistic is symmetric (independent of edge orientation)."""
+    e = [(0, i) for i in range(1, 5)] + [(10, 10 + i) for i in range(1, 5)]
+    g1 = assortativity(_edges(spark, e + [(0, 10)])).collect()[0]
+    g2 = assortativity(_edges(spark, e + [(10, 0)])).collect()[0]
+    # orientation of the bridge must not matter... but canonical form
+    # requires a < b; feed the same canonical edge both times
+    assert g1["assortativity"] == g2["assortativity"]
+    assert g1["assortativity"] < -0.5

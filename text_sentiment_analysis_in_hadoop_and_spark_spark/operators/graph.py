@@ -532,3 +532,95 @@ def _kcore_sql() -> str:
 
 ORACLES["graph_kcore"] = _kcore_sql()
 QUERIES["graph_kcore"] = q_graph_kcore
+
+
+# --- Degree assortativity ---------------------------------------------
+#
+# Newman's degree-assortativity coefficient r over the verified
+# near-dup graph: the Pearson correlation of END-POINT degrees across
+# (directed) edges.  r > 0 means hubs link to hubs (copy rings /
+# template mills sharing boilerplate with each other), r < 0 means
+# hub-and-spoke (one original, many partial copies attached to it) —
+# the same structural tell the clustering coefficient gives, but as a
+# single signed scalar a pipeline can threshold and track over
+# ingests.
+#
+# Scale shape: degrees are one groupBy over the (bounded, banded)
+# edge set; both endpoint joins re-key on the SAME node-id family the
+# triangle census uses, and the correlation reduces entirely to
+# INTEGER sums (M, Σx, Σy, Σxy, Σx², Σy²) over the directed edge
+# table — doubles appear only in the final ratio, so both engines
+# emit the identical rounded value.  Including both orientations
+# makes the statistic symmetric (the standard undirected convention).
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assortativity(_verified_edges(spark, sf_dir))
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Canonical (a < b) undirected edges → 1-row
+    (n_directed_edges, assortativity); NULL when either endpoint
+    degree sequence is constant (zero variance — regular graphs have
+    no defined assortativity)."""
+    directed = edges.select("a", "b").unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = directed.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+    paired = (
+        directed.join(deg.withColumnRenamed("deg", "dx"), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("dy")),
+            "b",
+        )
+    )
+    mom = paired.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx2 = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy2 = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return mom.select(
+        F.col("m").alias("n_directed_edges"),
+        F.when(
+            (dx2 > 0) & (dy2 > 0),
+            F.round(num / (F.sqrt(dx2) * F.sqrt(dy2)), 6),
+        ).alias("assortativity"),
+    )
+
+
+ORACLES["graph_assortativity"] = (
+    _with(
+        *_TRI_CTES,
+        "asedges AS (SELECT a, b FROM uedges "
+        "UNION ALL SELECT b AS a, a AS b FROM uedges)",
+        "asdeg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg "
+        "FROM asedges GROUP BY a)",
+        "paired AS (SELECT x.deg AS dx, y.deg AS dy FROM asedges e "
+        "JOIN asdeg x ON e.a = x.a JOIN asdeg y ON e.b = y.a)",
+        "mom AS (SELECT CAST(count(*) AS BIGINT) AS m, "
+        "CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy, "
+        "CAST(sum(dx * dy) AS BIGINT) AS sxy, "
+        "CAST(sum(dx * dx) AS BIGINT) AS sxx, "
+        "CAST(sum(dy * dy) AS BIGINT) AS syy FROM paired)",
+    )
+    + "SELECT m AS n_directed_edges, "
+    "CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN "
+    "round(CAST(m * sxy - sx * sy AS DOUBLE) / "
+    "(sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) * "
+    "sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6) "
+    "ELSE NULL END AS assortativity FROM mom"
+)
+
+QUERIES["graph_assortativity"] = q_graph_assortativity

@@ -1970,3 +1970,91 @@ from .relational import ORACLES as _REL1_ORACLES  # noqa: E402
 
 ORACLES["rel_pricing_summary_ps"] = _REL1_ORACLES["rel_pricing_summary"]
 QUERIES["rel_pricing_summary_ps"] = q_pricing_summary_ps
+
+
+# --- Pareto frontier (skyline) -----------------------------------------
+#
+# The classic SKYLINE operator (Börzsönyi et al., ICDE 2001): parts
+# not dominated on (minimize p_retailprice, maximize p_size) — the
+# "best price for at least this size" procurement shortlist.  SQL
+# states it as a NOT EXISTS self-join (the oracle does exactly that);
+# a distributed engine must NOT run the O(N²) theta-join it implies.
+#
+# Two-phase plan, the standard distributed skyline:
+#   1. BUCKET PREFILTER — bucket price into fixed $5 cells, take each
+#      bucket's max size (a B-row aggregate), prefix-max it over
+#      strictly-cheaper buckets (a window over B rows — calendar-small,
+#      broadcast back).  A part whose size ≤ that prefix max is
+#      dominated by some strictly-cheaper part and is cut HERE, in a
+#      narrow map against a broadcast — this is where ~all of the
+#      corpus disappears at scale.
+#   2. EXACT FINISH — among survivors (≈ frontier-sized; worst case a
+#      fully anti-correlated corpus where the skyline IS large and no
+#      algorithm can emit less), per-price max-size + a running max
+#      over strictly-lower prices decides exact dominance, including
+#      the equal-price / equal-size tie rules (ties both survive —
+#      neither strictly dominates).
+#
+# Cents discipline: all comparisons run on integer cents; the dollar
+# price re-exposes as round(cents/100, 2) so both engines hash the
+# same doubles.
+
+SKY_BUCKET_CENTS = 500  # $5 price cells for the prefilter
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        _cents(F.col("p_retailprice")).alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    bkt = part.withColumn(
+        "bk", F.floor(F.col("price_c") / SKY_BUCKET_CENTS).cast("long")
+    )
+    bmax = bkt.groupBy("bk").agg(F.max("size").alias("bsize"))
+    wb = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = bmax.select(
+        "bk", F.max("bsize").over(wb).alias("cheaper_max")
+    )
+    cand = bkt.join(F.broadcast(pre), "bk").filter(
+        F.col("cheaper_max").isNull()
+        | (F.col("size") > F.col("cheaper_max"))
+    )
+    per_price = cand.groupBy("price_c").agg(F.max("size").alias("msize"))
+    wp = Window.orderBy("price_c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_prices = per_price.select(
+        "price_c",
+        "msize",
+        F.max("msize").over(wp).alias("run_max"),
+    ).filter(
+        F.col("run_max").isNull() | (F.col("msize") > F.col("run_max"))
+    )
+    return (
+        cand.join(
+            F.broadcast(frontier_prices.select("price_c", "msize")),
+            "price_c",
+        )
+        .filter(F.col("size") == F.col("msize"))
+        .select(
+            "p_partkey",
+            F.round(F.col("price_c") / 100.0, 2).alias("p_retailprice"),
+            F.col("size").alias("p_size"),
+        )
+    )
+
+
+ORACLES["rel_pareto_frontier"] = (
+    f"WITH p AS (SELECT p_partkey, {_cents_sql('p_retailprice')} "
+    "AS price_c, CAST(p_size AS BIGINT) AS size FROM part) "
+    "SELECT a.p_partkey, round(a.price_c / 100.0, 2) AS p_retailprice, "
+    "a.size AS p_size FROM p a WHERE NOT EXISTS ("
+    "SELECT 1 FROM p b WHERE b.price_c <= a.price_c "
+    "AND b.size >= a.size "
+    "AND (b.price_c < a.price_c OR b.size > a.size))"
+)
+
+QUERIES["rel_pareto_frontier"] = q_pareto_frontier
