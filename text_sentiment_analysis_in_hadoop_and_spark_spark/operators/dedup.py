@@ -2143,3 +2143,96 @@ def _keep_best_sql() -> str:
 
 ORACLES["dedup_keep_best"] = _keep_best_sql()
 QUERIES["dedup_keep_best"] = q_dedup_keep_best
+
+
+# --- LSH S-curve: measured banding recall vs theory (r5) --------------
+#
+# The tuning evidence behind the (BANDS, ROWS_PER_BAND) choice: LSH
+# theory says a pair with Jaccard s survives banding with probability
+# 1 − (1 − s^r)^b; this query MEASURES that curve on the actual corpus
+# by comparing the banded candidate set against the EXACT ≥ 0.5 truth
+# from the prefix-filter join (dedup_prefix_jaccard_join — lossless,
+# so it is usable as ground truth where the probabilistic index is
+# not).  Per 0.05-wide Jaccard bucket: true pairs, banding-detected
+# pairs, the measured detection rate, and the theoretical rate at the
+# bucket midpoint.  A measured rate far under theory near the cluster
+# threshold (JACCARD_DUP_MIN) is the evidence that forces more bands;
+# rates ≈ theory confirm the hash family behaves.
+#
+# Scale shape: both inputs are the memoized bounded pair tables
+# (prefix postings / banded candidates — never all-pairs); the join
+# is pair-keyed, the rollup is a ≤11-row bucket aggregate.  Bucket
+# indices floor ROUNDED j·20 so an exactly-representable 0.70 cannot
+# land under 14 via float droop, in either engine.
+
+
+def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = q_prefix_jaccard_join(spark, sf_dir)
+    det = (
+        candidate_pairs(_banded_cached(spark, sf_dir))
+        .select("doc_a", "doc_b")
+        .withColumn("hit", F.lit(1))
+    )
+    flagged = truth.join(det, ["doc_a", "doc_b"], "left").select(
+        F.least(
+            F.floor(F.round(F.col("jaccard") * 20, 6)), F.lit(20)
+        )
+        .cast("long")
+        .alias("bk"),
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+    )
+    agg = flagged.groupBy("bk").agg(
+        F.count("*").cast("long").alias("n_true_pairs"),
+        F.sum("hit").cast("long").alias("n_detected"),
+    )
+    mid = F.when(F.col("bk") < 20, (F.col("bk") + 0.5) / 20.0).otherwise(
+        F.lit(1.0)
+    )
+    theory = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(mid, F.lit(float(ROWS_PER_BAND))),
+        F.lit(float(BANDS)),
+    )
+    return agg.select(
+        (F.col("bk") / 20.0).alias("bucket_lo"),
+        "n_true_pairs",
+        "n_detected",
+        F.round(F.col("n_detected") / F.col("n_true_pairs"), 6).alias(
+            "detect_rate"
+        ),
+        F.round(theory, 6).alias("theory_rate"),
+    )
+
+
+ORACLES["dedup_lsh_s_curve"] = _with(
+    *_MINHASH_PRELUDE,
+    "scsizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh "
+    "FROM dsh GROUP BY doc_id)",
+    "sccand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM dsh a JOIN dsh b ON a.shingle = b.shingle "
+    "AND a.doc_id < b.doc_id)",
+    "scinter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) "
+    "AS n_inter FROM sccand c JOIN dsh a ON a.doc_id = c.doc_a "
+    "JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle "
+    "GROUP BY c.doc_a, c.doc_b)",
+    "sctruth AS (SELECT i.doc_a, i.doc_b, "
+    "round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) "
+    "AS jaccard FROM scinter i "
+    "JOIN scsizes sa ON sa.doc_id = i.doc_a "
+    "JOIN scsizes sb ON sb.doc_id = i.doc_b "
+    "WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) "
+    f">= {PREFIX_JACCARD_T})",
+    "scflag AS (SELECT CAST(least(floor(round(t.jaccard * 20, 6)), 20) "
+    "AS BIGINT) AS bk, "
+    "CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit "
+    "FROM sctruth t LEFT JOIN dpairs p USING (doc_a, doc_b))",
+    "scagg AS (SELECT bk, CAST(count(*) AS BIGINT) AS n_true_pairs, "
+    "CAST(sum(hit) AS BIGINT) AS n_detected FROM scflag GROUP BY bk)",
+) + (
+    "SELECT bk / 20.0 AS bucket_lo, n_true_pairs, n_detected, "
+    "round(n_detected * 1.0 / n_true_pairs, 6) AS detect_rate, "
+    "round(1.0 - pow(1.0 - pow(CASE WHEN bk < 20 THEN (bk + 0.5) / 20.0 "
+    f"ELSE 1.0 END, {ROWS_PER_BAND}), {BANDS}), 6) AS theory_rate "
+    "FROM scagg"
+)
+
+QUERIES["dedup_lsh_s_curve"] = q_lsh_s_curve
