@@ -564,3 +564,45 @@ def test_ewma_flags_planted_spike_only(spark, tmp_path):
     assert rows[15]["resid"] > 800.0
     # clean prefix days forecast the level exactly
     assert abs(rows[10]["forecast"] - 100.0) < 1e-6
+
+
+# --- events_survival_km ----------------------------------------------
+
+
+def test_survival_km_monotone_and_recurrence(spark):
+    rows = (
+        timeseries.q_events_survival_km(spark, SF_DIR)
+        .orderBy("t_day")
+        .collect()
+    )
+    assert rows, "KM table is empty"
+    # risk set starts at the full user population
+    n_users = rows[0]["n_risk"]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert n_users == ev.select("user_id").distinct().count()
+    prev_s = 1.0 + 1e-12
+    removed = 0
+    surv = 1.0
+    for r in rows:
+        # risk set = population minus everyone who exited earlier
+        assert r["n_risk"] == n_users - removed
+        removed += r["n_churned"] + r["n_censored"]
+        # survival recomputed from the exposed integer columns
+        surv *= 1.0 - r["n_churned"] / r["n_risk"]
+        assert abs(r["survival"] - round(surv, 6)) <= 1e-9
+        # KM curve is non-increasing and in [0, 1]
+        assert 0.0 <= r["survival"] <= prev_s + 1e-12
+        prev_s = r["survival"]
+
+
+def test_survival_km_censoring_never_drops_curve(spark):
+    # a censor-only day (d=0) must leave survival unchanged vs the
+    # previous day: censoring shrinks the risk set, not the curve
+    rows = (
+        timeseries.q_events_survival_km(spark, SF_DIR)
+        .orderBy("t_day")
+        .collect()
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        if cur["n_churned"] == 0:
+            assert abs(cur["survival"] - prev["survival"]) <= 1e-9

@@ -814,3 +814,99 @@ ORACLES["events_ewma_anomaly"] = (
 )
 
 QUERIES["events_ewma_anomaly"] = q_events_ewma_anomaly
+
+
+# --- Kaplan-Meier user-survival curve (r5) -----------------------------
+#
+# The churn readout events_retention can't give: retention tables
+# condition on a fixed day grid, while the KM estimator (Kaplan &
+# Meier 1958) handles RIGHT-CENSORING — users whose last event falls
+# inside the final CENSOR_DAYS of the corpus are "still alive at the
+# end of observation", not churned, and removing them from the risk
+# set (instead of counting them as deaths or dropping them) is what
+# makes the curve unbiased.  Lifetime = last_day − first_day per user;
+# S(t) = Π_{t'≤t} (1 − d_t'/n_t') over the day-level rollup.
+#
+# Scale shape: ONE per-user partial-agg groupBy (the only shuffle that
+# scales with the data), a broadcast 1-row corpus max, then all windows
+# run over the lifetime-level table bounded by the CALENDAR span
+# (≤ days-of-history rows), so the unpartitioned ORDER BY t is a
+# constant-sized tail, not a data-sized sort.
+#
+# Determinism: d_t and n_t are exact integers in both engines; the
+# survival product is a cumulative-frame ``product()`` window — a
+# left-to-right chain of IEEE multiplications, bit-identical across
+# engines (no exp/ln round-trip) — rounded once at the edge.  A day
+# where everyone at risk churns drives the factor to exactly 0 and the
+# product stays 0 from there, no log-domain guard needed.
+
+KM_CENSOR_DAYS = 7
+
+
+def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    ue = ev.groupBy("user_id").agg(
+        F.min(F.expr("epoch_sec DIV 86400")).cast("long").alias("f"),
+        F.max(F.expr("epoch_sec DIV 86400")).cast("long").alias("l"),
+    )
+    mx = ue.agg(F.max("l").alias("corpus_last"))
+    u = ue.crossJoin(F.broadcast(mx)).select(
+        (F.col("l") - F.col("f")).cast("long").alias("t"),
+        (F.col("l") > F.col("corpus_last") - KM_CENSOR_DAYS)
+        .cast("int")
+        .alias("cens"),
+    )
+    tot = u.agg(F.count("*").cast("long").alias("n_users"))
+    byt = u.groupBy("t").agg(
+        F.sum(F.lit(1) - F.col("cens")).cast("long").alias("d"),
+        F.sum("cens").cast("long").alias("c"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = byt.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        (
+            F.col("n_users")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).cast("long"),
+    )
+    return km.select(
+        F.col("t").alias("t_day"),
+        "n_risk",
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.round(
+            F.product(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+            ).over(w_cum),
+            6,
+        ).alias("survival"),
+    )
+
+
+ORACLES["events_survival_km"] = (
+    "WITH ue AS (SELECT user_id, "
+    "CAST(min(epoch_ns(ts) // 1000000000 // 86400) AS BIGINT) AS f, "
+    "CAST(max(epoch_ns(ts) // 1000000000 // 86400) AS BIGINT) AS l "
+    "FROM events GROUP BY user_id), "
+    "mx AS (SELECT max(l) AS corpus_last FROM ue), "
+    "u AS (SELECT CAST(ue.l - ue.f AS BIGINT) AS t, "
+    f"CASE WHEN ue.l > mx.corpus_last - {KM_CENSOR_DAYS} "
+    "THEN 1 ELSE 0 END AS cens FROM ue CROSS JOIN mx), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u), "
+    "byt AS (SELECT t, CAST(sum(1 - cens) AS BIGINT) AS d, "
+    "CAST(sum(cens) AS BIGINT) AS c FROM u GROUP BY t), "
+    "km AS (SELECT t, d, c, CAST((SELECT n_users FROM tot) - "
+    "coalesce(sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk FROM byt) "
+    "SELECT t AS t_day, n_risk, d AS n_churned, c AS n_censored, "
+    "round(product(1.0 - CAST(d AS DOUBLE) / n_risk) OVER ("
+    "ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) "
+    "AS survival FROM km"
+)
+
+QUERIES["events_survival_km"] = q_events_survival_km
