@@ -553,3 +553,43 @@ def test_rendezvous_minimal_movement_and_balance(spark):
 
     loads = Counter(s_now.values())
     assert max(loads.values()) <= 3.0 * n / RENDEZVOUS_SHARDS
+
+
+def test_temperature_mixture_flattens_toward_small_sources(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        TEMP_BUDGET_FRAC,
+        q_temperature_mixture,
+    )
+
+    rows = q_temperature_mixture(spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["n_avail"] for r in rows)
+    # target keep-rate must be non-increasing in source size: that is
+    # the whole point of the n^0.5 temperature (uniform-rate thinning
+    # would make target_frac constant across sources)
+    by_size = sorted(rows, key=lambda r: r["n_avail"])
+    for small, big in zip(by_size, by_size[1:]):
+        if small["n_avail"] < big["n_avail"]:
+            assert small["target_frac"] >= big["target_frac"] - 1e-9
+    for r in rows:
+        assert 0.0 <= r["realized_frac"] <= 1.0
+        assert r["n_kept"] <= r["n_avail"]
+        # hash thinning realizes the target rate within sampling noise
+        # (binomial: 4σ = 4·sqrt(t(1−t)/n), wide at sf0.001's ~50-doc
+        # sources, tight as n grows)
+        t = r["target_frac"]
+        bound = 4.0 * (t * (1.0 - t) / max(r["n_avail"], 1)) ** 0.5
+        assert abs(r["realized_frac"] - t) <= bound + 1e-9
+    # the clamped targets stay at or under the global budget
+    kept_target = sum(r["target_frac"] * r["n_avail"] for r in rows)
+    assert kept_target <= total / TEMP_BUDGET_FRAC + len(rows)
+
+
+def test_temperature_mixture_is_deterministic(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        q_temperature_mixture,
+    )
+
+    a = sorted(map(tuple, q_temperature_mixture(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, q_temperature_mixture(spark, SF_DIR).collect()))
+    assert a == b

@@ -1988,3 +1988,134 @@ ORACLES_LATE["pipe_rendezvous_shards"] = _rendezvous_sql(
     RENDEZVOUS_SHARDS
 )
 QUERIES_LATE["pipe_rendezvous_shards"] = q_rendezvous_shards
+
+
+# --- temperature-scaled mixture (r5) -----------------------------------
+#
+# The mT5/XLM-R corpus-mixing rule: sample source s with probability
+# p_s ∝ n_s^ALPHA, ALPHA < 1, so low-resource sources are UPSAMPLED
+# relative to their natural share (at ALPHA=1 this is pipe_mixture's
+# natural-proportion thinning with uniform weights; at ALPHA=0 every
+# source gets an equal share).  ALPHA is fixed at 0.5 deliberately:
+# n^0.5 is IEEE-754 sqrt — correctly rounded, hence bit-identical in
+# Spark and DuckDB — where an arbitrary pow(n, a) carries no such
+# guarantee.  The sqrt is then floored into fixed-point integers
+# (SQRT_SCALE), so the cross-source normalizer Σ s_i is an EXACT
+# integer sum (float Σ would be accumulation-order-dependent across
+# engines).  The per-source keep threshold floor(D·min(1, B·s_s /
+# (S·n_s))) divides doubles in one fixed expression shape — every op
+# correctly rounded with identical operands → identical threshold —
+# and membership is the usual content-hash test, deterministic and
+# duplicate-consistent.
+#
+# Scale shape: per-source counts are a sources-sized aggregate
+# broadcast back; the doc filter is one narrow map; the summary is a
+# sources-keyed rollup.  Keep-only thinning cannot realize an
+# upsample (> 1 target rate is clamped to keeping everything); the
+# summary exposes target vs realized so the caller sees exactly
+# where the clamp bit — replication for true upsampling is
+# pipe_interleave_schedule's job.
+
+TEMP_SQRT_SCALE = 1_000  # fixed-point digits for the sqrt weights
+TEMP_BUDGET_FRAC = 2     # global budget = corpus_size / 2
+
+
+def _temp_rates(docs: DataFrame) -> DataFrame:
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_avail")
+    )
+    scaled = counts.select(
+        "source",
+        "n_avail",
+        F.floor(F.sqrt(F.col("n_avail").cast("double")) * TEMP_SQRT_SCALE)
+        .cast("long")
+        .alias("s_scaled"),
+    )
+    totals = scaled.agg(
+        F.sum("n_avail").cast("long").alias("n_total"),
+        F.sum("s_scaled").cast("long").alias("s_total"),
+    )
+    return scaled.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_avail",
+        "s_scaled",
+        F.floor(
+            F.lit(float(MIX_DENOM))
+            * F.least(
+                F.lit(1.0),
+                (
+                    F.col("n_total").cast("double")
+                    * F.col("s_scaled").cast("double")
+                )
+                / (
+                    F.lit(float(TEMP_BUDGET_FRAC))
+                    * F.col("s_total").cast("double")
+                    * F.col("n_avail").cast("double")
+                ),
+            )
+        )
+        .cast("long")
+        .alias("thresh"),
+    )
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    rates = _temp_rates(docs)
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(F.pmod(hex32(F.col("text")), MIX_DENOM) < F.col("thresh"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_avail",
+            "s_scaled",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.round(F.col("thresh") / float(MIX_DENOM), 6).alias(
+                "target_frac"
+            ),
+            F.round(
+                F.coalesce("n_kept", F.lit(0))
+                / F.col("n_avail").cast("double"),
+                6,
+            ).alias("realized_frac"),
+        )
+    )
+
+
+def _temperature_mixture_sql() -> str:
+    h = hex32_sql("d.text")
+    return (
+        "WITH counts AS (SELECT source, CAST(count(*) AS BIGINT) "
+        "AS n_avail FROM documents GROUP BY source), "
+        "scaled AS (SELECT source, n_avail, "
+        f"CAST(floor(sqrt(CAST(n_avail AS DOUBLE)) * {TEMP_SQRT_SCALE}) "
+        "AS BIGINT) AS s_scaled FROM counts), "
+        "totals AS (SELECT CAST(sum(n_avail) AS BIGINT) AS n_total, "
+        "CAST(sum(s_scaled) AS BIGINT) AS s_total FROM scaled), "
+        "rates AS (SELECT source, n_avail, s_scaled, "
+        f"CAST(floor({float(MIX_DENOM)} * least(1.0, "
+        "(CAST(n_total AS DOUBLE) * CAST(s_scaled AS DOUBLE)) / "
+        f"({float(TEMP_BUDGET_FRAC)} * CAST(s_total AS DOUBLE) * "
+        "CAST(n_avail AS DOUBLE)))) AS BIGINT) AS thresh "
+        "FROM scaled CROSS JOIN totals), "
+        "kept AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept "
+        "FROM documents d JOIN rates r ON d.source = r.source "
+        f"WHERE {h} % {MIX_DENOM} < r.thresh GROUP BY d.source) "
+        "SELECT r.source, r.n_avail, r.s_scaled, "
+        "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept, "
+        f"round(r.thresh / {float(MIX_DENOM)}, 6) AS target_frac, "
+        "round(coalesce(k.n_kept, 0) / CAST(r.n_avail AS DOUBLE), 6) "
+        "AS realized_frac "
+        "FROM rates r LEFT JOIN kept k ON r.source = k.source"
+    )
+
+
+ORACLES_LATE["pipe_temperature_mixture"] = _temperature_mixture_sql()
+QUERIES_LATE["pipe_temperature_mixture"] = q_temperature_mixture
