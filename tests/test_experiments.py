@@ -358,3 +358,48 @@ def test_wilson_and_power_properties(spark):
     assert rows[1] > rows[2] > rows[5] > rows[10]
     assert 3.5 <= rows[1] / rows[2] <= 4.5
     assert 3.5 <= rows[5] / rows[10] <= 4.5
+
+
+def test_mcnemar_marginals_match_the_accuracy_counts(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        nb as nb_mod,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        tfidf as tfidf_mod,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.experiments import (
+        q_nb_mcnemar_test,
+    )
+
+    r = q_nb_mcnemar_test(spark, SF_DIR).collect()[0]
+    cells = [
+        r["n_both_right"],
+        r["n_both_wrong"],
+        r["n_only_plain"],
+        r["n_only_featsel"],
+    ]
+    assert all(c >= 0 for c in cells)
+    # 2x2 marginals must reproduce each classifier's solo right-count
+    plain = nb_mod.q_nb_predictions(spark, SF_DIR).collect()
+    feats = {
+        row["doc_id"]: row["prediction"]
+        for row in tfidf_mod.q_predictions(spark, SF_DIR).collect()
+    }
+    n_plain_right = sum(1 for p in plain if p["prediction"] == p["label"])
+    n_feats_right = sum(
+        1 for p in plain if feats[p["doc_id"]] == p["label"]
+    )
+    assert r["n_both_right"] + r["n_only_plain"] == n_plain_right
+    assert r["n_both_right"] + r["n_only_featsel"] == n_feats_right
+    assert sum(cells) == len(plain)
+    # continuity-corrected statistic recomputed from the exposed cells
+    b, c = r["n_only_plain"], r["n_only_featsel"]
+    if b + c > 0:
+        want = round(max(abs(b - c) - 1.0, 0.0) ** 2 / (b + c), 6)
+        assert abs(r["mcnemar_chi2"] - want) <= 1e-9
+        assert r["reject_5pct"] == (want > 3.841459)
+    else:
+        assert r["mcnemar_chi2"] is None
+        assert r["reject_5pct"] is False

@@ -976,3 +976,120 @@ ORACLES["events_power_analysis"] = " UNION ALL ".join(
 )
 
 QUERIES["events_power_analysis"] = q_events_power_analysis
+
+
+# --- McNemar paired-classifier test (r5) --------------------------------
+#
+# "Is the TF-IDF-feature-selected NB actually better than the plain
+# NB?" asked properly: both classifiers score the SAME test docs, so
+# the accuracies are paired, and the information is in the DISCORDANT
+# docs only — b = plain-right/featsel-wrong, c = plain-wrong/
+# featsel-right.  McNemar's continuity-corrected statistic
+# (|b−c|−1)²/(b+c) ~ χ²₁ under H₀ "both error rates equal"
+# (McNemar 1947; Dietterich 1998 recommends exactly this test for
+# comparing classifiers on one test set).  A chi2 above 3.841 rejects
+# at 5%.
+#
+# Scale shape: the two prediction tables come from the memoized NB and
+# TF-IDF chains (each one bounded model-side broadcast join over the
+# test split); the pair table is a doc_id equi-join co-partitioned on
+# the same key, and the 2×2 contingency is ONE partial-agg aggregate.
+# Exactness: b and c are integers; chi2 is a single double division
+# rounded once.
+
+
+def q_nb_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import nb as nb_mod
+    from . import tfidf as tfidf_mod
+
+    a = nb_mod.q_nb_predictions(spark, sf_dir).select(
+        "doc_id",
+        "label",
+        F.col("prediction").alias("pred_plain"),
+    )
+    b = tfidf_mod.q_predictions(spark, sf_dir).select(
+        "doc_id", F.col("prediction").alias("pred_featsel")
+    )
+    paired = a.join(b, "doc_id").select(
+        (F.col("pred_plain") == F.col("label"))
+        .cast("int")
+        .alias("r_plain"),
+        (F.col("pred_featsel") == F.col("label"))
+        .cast("int")
+        .alias("r_featsel"),
+    )
+    agg = paired.agg(
+        F.sum(
+            (F.col("r_plain") * F.col("r_featsel"))
+        ).cast("long").alias("n_both_right"),
+        F.sum(
+            (1 - F.col("r_plain")) * (1 - F.col("r_featsel"))
+        ).cast("long").alias("n_both_wrong"),
+        F.sum(F.col("r_plain") * (1 - F.col("r_featsel")))
+        .cast("long")
+        .alias("n_only_plain"),
+        F.sum((1 - F.col("r_plain")) * F.col("r_featsel"))
+        .cast("long")
+        .alias("n_only_featsel"),
+    )
+    disc = F.col("n_only_plain") + F.col("n_only_featsel")
+    diff = F.abs(F.col("n_only_plain") - F.col("n_only_featsel"))
+    chi2 = F.when(
+        disc > 0,
+        F.round(
+            F.pow(
+                F.greatest(diff.cast("double") - 1.0, F.lit(0.0)),
+                F.lit(2.0),
+            )
+            / disc.cast("double"),
+            6,
+        ),
+    )
+    return agg.select(
+        "n_both_right",
+        "n_both_wrong",
+        "n_only_plain",
+        "n_only_featsel",
+        chi2.alias("mcnemar_chi2"),
+        F.when(disc > 0, chi2 > F.lit(3.841459))
+        .otherwise(F.lit(False))
+        .alias("reject_5pct"),
+    )
+
+
+def _mcnemar_sql() -> str:
+    from . import nb as nb_mod
+    from . import tfidf as tfidf_mod
+
+    return (
+        "WITH plain AS (SELECT * FROM ("
+        + nb_mod.ORACLES["nb_predictions"]
+        + ") ), featsel AS (SELECT * FROM ("
+        + tfidf_mod.ORACLES["tfidf_nb_predictions"]
+        + ") ), paired AS (SELECT "
+        "CAST(p.prediction = p.label AS INTEGER) AS r_plain, "
+        "CAST(f.prediction = p.label AS INTEGER) AS r_featsel "
+        "FROM plain p JOIN featsel f USING (doc_id)), "
+        "agg AS (SELECT "
+        "CAST(sum(r_plain * r_featsel) AS BIGINT) AS n_both_right, "
+        "CAST(sum((1 - r_plain) * (1 - r_featsel)) AS BIGINT) "
+        "AS n_both_wrong, "
+        "CAST(sum(r_plain * (1 - r_featsel)) AS BIGINT) AS n_only_plain, "
+        "CAST(sum((1 - r_plain) * r_featsel) AS BIGINT) "
+        "AS n_only_featsel FROM paired) "
+        "SELECT n_both_right, n_both_wrong, n_only_plain, n_only_featsel, "
+        "CASE WHEN n_only_plain + n_only_featsel > 0 THEN "
+        "round(pow(greatest(CAST(abs(n_only_plain - n_only_featsel) "
+        "AS DOUBLE) - 1.0, 0.0), 2.0) / "
+        "CAST(n_only_plain + n_only_featsel AS DOUBLE), 6) END "
+        "AS mcnemar_chi2, "
+        "coalesce(CASE WHEN n_only_plain + n_only_featsel > 0 THEN "
+        "round(pow(greatest(CAST(abs(n_only_plain - n_only_featsel) "
+        "AS DOUBLE) - 1.0, 0.0), 2.0) / "
+        "CAST(n_only_plain + n_only_featsel AS DOUBLE), 6) > 3.841459 "
+        "END, FALSE) AS reject_5pct FROM agg"
+    )
+
+
+ORACLES["nb_mcnemar_test"] = _mcnemar_sql()
+QUERIES["nb_mcnemar_test"] = q_nb_mcnemar_test
