@@ -453,3 +453,29 @@ def test_semdedup_agreement_and_idempotence(spark):
                     ), (va, vb, cos)
                     checked += 1
     assert checked > 0, "corpus should contain same-cell dups over T"
+
+
+def test_rp_distortion_concentrates_near_one(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.similarity import (
+        RP_DIM,
+        RP_SIGNS,
+        q_rp_distortion,
+    )
+
+    rows = q_rp_distortion(spark, SF_DIR).collect()
+    assert rows
+    n = sum(r["n_vecs"] for r in rows)
+    # overall mean of the distortion ratio ≈ 1 (unbiasedness of the
+    # Rademacher JL estimator), and most mass within ±2σ = ±2·sqrt(2/k)
+    mean = sum(r["mean_ratio"] * r["n_vecs"] for r in rows) / n
+    assert abs(mean - 1.0) <= 3.0 * (2.0 / RP_DIM) ** 0.5 / n**0.5 + 0.05
+    sigma2 = 2.0 * (2.0 / RP_DIM) ** 0.5
+    inside = sum(
+        r["n_vecs"]
+        for r in rows
+        if 1.0 - sigma2 <= r["bucket_lo"] + 0.125 <= 1.0 + sigma2 + 0.25
+    )
+    assert inside / n >= 0.80
+    # the sign matrix itself is balanced-ish (md5-derived, fixed seed)
+    flat = [s for row in RP_SIGNS for s in row]
+    assert abs(sum(flat)) <= len(flat) * 0.2

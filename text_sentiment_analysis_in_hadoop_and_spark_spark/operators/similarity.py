@@ -2136,3 +2136,93 @@ def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_LATE["sim_semdedup"] = q_sim_semdedup
+
+
+# --- Johnson-Lindenstrauss random-projection distortion audit (r5) -----
+#
+# The cheap dimensionality-reduction path next to the learned ones
+# (sim_pca_*, sim_matryoshka_eval): project 64-dim embeddings onto
+# RP_DIM Rademacher hyperplanes (Achlioptas 2003 — ±1 entries suffice
+# for the JL guarantee; E[‖Px‖²/k] = ‖x‖²) and report the measured
+# norm-distortion distribution ‖Px‖²/(k·‖x‖²) as a 0.25-wide
+# histogram.  A mean far from 1.0 or mass in the tail buckets is the
+# evidence that k is too small for the downstream ANN index; JL says
+# Var ≈ 2/k (0.125 at k=16), so ±2σ ≈ [0.3, 1.7] should hold ~95%.
+#
+# Scale shape: the signs are md5-derived CONSTANTS baked at import
+# (like PLANES), so the whole projection is RP_DIM folded
+# ``zip_with`` expressions — narrow, JVM-side, zero shuffle before
+# the ≤13-row bucket rollup.  Exactness: the per-vector ratio rounds
+# to 6 decimals, the bucket mean averages INTEGER 1e6-scaled ratios
+# (no float accumulation-order leak), and the squared-norm
+# denominator uses the raw dot (no sqrt), all in the same fold order
+# as the oracle's list_sum.
+
+RP_DIM = 16
+
+
+def _rp_sign(j: int, i: int) -> float:
+    h = int(hashlib.md5(f"rp{j}_{i}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+# RP_SIGNS[j] = 64 Rademacher signs for output dimension j
+RP_SIGNS = [[_rp_sign(j, i) for i in range(DIM)] for j in range(RP_DIM)]
+
+
+def q_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    proj_sq: Column | None = None
+    for j in range(RP_DIM):
+        s = F.array(*[F.lit(w) for w in RP_SIGNS[j]])
+        pj = dot(F.col("embedding"), s)
+        proj_sq = pj * pj if proj_sq is None else proj_sq + pj * pj
+    nrm2 = dot(F.col("embedding"), F.col("embedding"))
+    ratio = F.round(proj_sq / (F.lit(float(RP_DIM)) * nrm2), 6)
+    b = emb.filter(nrm2 > 0).select(
+        F.least(
+            F.floor(F.round(ratio * 4, 6)).cast("long"), F.lit(11)
+        ).alias("bk"),
+        F.round(ratio * 1000000).cast("long").alias("r6"),
+    )
+    return b.groupBy("bk").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(
+            F.sum("r6") / (F.count("*") * F.lit(1000000.0)), 6
+        ).alias("mean_ratio"),
+    ).select(
+        (F.col("bk") / 4.0).alias("bucket_lo"), "n_vecs", "mean_ratio"
+    )
+
+
+def _rp_sign_sql(j: int) -> str:
+    return "[" + ", ".join(repr(w) for w in RP_SIGNS[j]) + "]"
+
+
+def _rp_proj_sq_sql() -> str:
+    terms = []
+    for j in range(RP_DIM):
+        d = (
+            f"list_sum(list_transform(range(1, {DIM + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * "
+            f"CAST(({_rp_sign_sql(j)})[i] AS DOUBLE)))"
+        )
+        terms.append(f"({d}) * ({d})")
+    return " + ".join(terms)
+
+
+ORACLES_LATE["sim_rp_distortion"] = (
+    "WITH r AS (SELECT round(("
+    + _rp_proj_sq_sql()
+    + f") / ({float(RP_DIM)} * {_dot_sql('embedding', 'embedding')}), 6) "
+    "AS ratio FROM embeddings "
+    f"WHERE {_dot_sql('embedding', 'embedding')} > 0), "
+    "b AS (SELECT least(CAST(floor(round(ratio * 4, 6)) AS BIGINT), 11) "
+    "AS bk, CAST(round(ratio * 1000000, 0) AS BIGINT) AS r6 FROM r) "
+    "SELECT bk / 4.0 AS bucket_lo, CAST(count(*) AS BIGINT) AS n_vecs, "
+    "round(sum(r6) / (count(*) * 1000000.0), 6) AS mean_ratio "
+    "FROM b GROUP BY bk"
+)
+QUERIES_LATE["sim_rp_distortion"] = q_rp_distortion
