@@ -606,3 +606,38 @@ def test_survival_km_censoring_never_drops_curve(spark):
     for prev, cur in zip(rows, rows[1:]):
         if cur["n_churned"] == 0:
             assert abs(cur["survival"] - prev["survival"]) <= 1e-9
+
+
+# --- events_ohlc -------------------------------------------------------
+
+
+def test_ohlc_candle_invariants_and_boundary_values(spark):
+    rows = timeseries.q_events_ohlc(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_trades"] >= 1
+    # open/close recomputed from the raw events under the same order
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.unix_timestamp("ts").alias("es"), "event_id", "value"
+        )
+        .collect()
+    )
+    import collections
+
+    by_day = collections.defaultdict(list)
+    for e in ev:
+        by_day[e["es"] // 86400].append(
+            (e["es"] * timeseries.OHLC_ORD_SHIFT + e["event_id"], e["value"])
+        )
+    got = {r["day"]: r for r in rows}
+    assert set(got) == set(by_day)
+    for day, trades in by_day.items():
+        trades.sort()
+        assert got[day]["open"] == trades[0][1]
+        assert got[day]["close"] == trades[-1][1]
+        assert got[day]["n_trades"] == len(trades)

@@ -910,3 +910,52 @@ ORACLES["events_survival_km"] = (
 )
 
 QUERIES["events_survival_km"] = q_events_survival_km
+
+
+# --- daily OHLC candles (r5) -------------------------------------------
+#
+# The market-data/metrics-rollup shape every monitoring store keeps:
+# per calendar day of purchase events, open/close = the value of the
+# FIRST/LAST event under the (epoch_sec, event_id) total order (the
+# same deterministic tiebreak merge.py's upsert uses — wall-clock ties
+# cannot flip the candle between engines), high/low = max/min, plus
+# volume and an exact-cents turnover.  first()/last() over a window
+# would need a per-day sort; min_by/max_by fold the argmin into ONE
+# partial-agg groupBy — map-side combinable, single shuffle, no
+# window at all.
+
+OHLC_ORD_SHIFT = 1 << 20
+
+
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    ordk = F.col("epoch_sec") * OHLC_ORD_SHIFT + F.col("event_id")
+    return ev.groupBy(
+        F.expr("epoch_sec DIV 86400").cast("long").alias("day")
+    ).agg(
+        F.min_by("value", ordk).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ordk).alias("close"),
+        F.count("*").cast("long").alias("n_trades"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 6
+        ).alias("turnover"),
+    )
+
+
+ORACLES["events_ohlc"] = (
+    "WITH pv AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es, "
+    "event_id, value FROM events WHERE event_type = 'purchase') "
+    "SELECT CAST(es // 86400 AS BIGINT) AS day, "
+    f"min_by(value, es * {OHLC_ORD_SHIFT} + event_id) AS open, "
+    "max(value) AS high, min(value) AS low, "
+    f"max_by(value, es * {OHLC_ORD_SHIFT} + event_id) AS close, "
+    "CAST(count(*) AS BIGINT) AS n_trades, "
+    "round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 6) "
+    "AS turnover FROM pv GROUP BY 1"
+)
+
+QUERIES["events_ohlc"] = q_events_ohlc
