@@ -391,3 +391,36 @@ def test_kneser_ney_matches_python_recompute(spark):
         ce = -s / len(bgs)
         assert got[doc_id]["n_bigrams"] == len(bgs)
         assert abs(got[doc_id]["cross_entropy_kn"] - ce) < 1e-5, doc_id
+
+
+def test_nb_lift_gains_reconciles_and_front_loads(spark):
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import nb
+
+    rows = sorted(
+        nb.q_nb_lift_gains(spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = nb.q_nb_scores(spark, SF_DIR).collect()
+    n, n_pos = len(scores), sum(r["label"] for r in scores)
+    assert sum(r["n"] for r in rows) == n
+    assert sum(r["n_pos"] for r in rows) == n_pos
+    # ntile sizes differ by at most one
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # gains curve is the running positive share, ending at exactly 1
+    cum = 0
+    for r in rows:
+        cum += r["n_pos"]
+        assert abs(r["cum_capture"] - round(cum / n_pos, 6)) <= 1e-9
+        base = n_pos / n
+        assert abs(r["lift"] - round(r["precision"] / base, 6)) <= 1e-5
+    assert abs(rows[-1]["cum_capture"] - 1.0) <= 1e-9
+    # serial recomputation of decile 1 from the scored rows themselves
+    ordered = sorted(
+        scores,
+        key=lambda r: (-(r["pos_score"] - r["neg_score"]), r["doc_id"]),
+    )
+    d1 = ordered[: rows[0]["n"]]
+    assert rows[0]["n_pos"] == sum(r["label"] for r in d1)

@@ -860,3 +860,92 @@ def _learning_curve_sql() -> str:
 
 QUERIES_LATE["nb_learning_curve"] = q_nb_learning_curve
 ORACLES_LATE["nb_learning_curve"] = _learning_curve_sql()
+
+
+# --- decile lift / gains table (r5) --------------------------------------
+#
+# The campaign-targeting readout next to nb_auc and nb_calibration:
+# rank the test docs by NB margin (descending), cut into 10 equal
+# deciles, and report per-decile precision, cumulative capture of all
+# positives (the gains curve), and lift over the base rate.  A model
+# that front-loads positives shows lift ≫ 1 in decile 1 and a gains
+# curve that dominates the diagonal; lift ≈ 1 everywhere means the
+# scores carry no ranking signal even if accuracy looks fine.
+#
+# Determinism: the margin is a difference of the 6-rounded score
+# columns (identical doubles in both engines), and the ntile order
+# breaks margin ties by doc_id, so the decile assignment is a total
+# order.  Scale note: ntile needs one global sort — over the TEST
+# SPLIT only (the bounded eval artifact, like nb_auc's rank), never
+# the corpus; at petabyte eval sizes the swap is approx_percentile
+# decile fences, documented here as the escape hatch.
+
+LIFT_DECILES = 10
+
+
+def q_nb_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = q_nb_scores(spark, sf_dir).select(
+        "doc_id",
+        "label",
+        (F.col("pos_score") - F.col("neg_score")).alias("margin"),
+    )
+    w = Window.orderBy(F.desc("margin"), F.asc("doc_id"))
+    dec = s.select(
+        "label", F.ntile(LIFT_DECILES).over(w).alias("decile")
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    tot = agg.agg(
+        F.sum("n").cast("long").alias("t_n"),
+        F.sum("n_pos").cast("long").alias("t_pos"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n").cast("double"), 6).alias(
+                "precision"
+            ),
+            F.round(
+                F.sum("n_pos").over(w_cum) / F.col("t_pos").cast("double"),
+                6,
+            ).alias("cum_capture"),
+            F.round(
+                (F.col("n_pos") * F.col("t_n")).cast("double")
+                / (F.col("n") * F.col("t_pos")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def _lift_gains_sql() -> str:
+    return (
+        "WITH sc AS (" + ORACLES["nb_scores"] + "), "
+        "d AS (SELECT label, "
+        f"ntile({LIFT_DECILES}) OVER (ORDER BY pos_score - neg_score "
+        "DESC, doc_id) AS decile FROM sc), "
+        "agg AS (SELECT decile, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(label) AS BIGINT) AS n_pos FROM d GROUP BY decile), "
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS t_n, "
+        "CAST(sum(n_pos) AS BIGINT) AS t_pos FROM agg) "
+        "SELECT CAST(a.decile AS INTEGER) AS decile, a.n, a.n_pos, "
+        "round(a.n_pos / CAST(a.n AS DOUBLE), 6) AS precision, "
+        "round(sum(a.n_pos) OVER (ORDER BY a.decile ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) / CAST(t.t_pos AS DOUBLE), "
+        "6) AS cum_capture, "
+        "round(CAST(a.n_pos * t.t_n AS DOUBLE) / "
+        "CAST(a.n * t.t_pos AS DOUBLE), 6) AS lift "
+        "FROM agg a CROSS JOIN tot t"
+    )
+
+
+QUERIES_LATE["nb_lift_gains"] = q_nb_lift_gains
+ORACLES_LATE["nb_lift_gains"] = _lift_gains_sql()
