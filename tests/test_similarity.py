@@ -479,3 +479,44 @@ def test_rp_distortion_concentrates_near_one(spark):
     # the sign matrix itself is balanced-ish (md5-derived, fixed seed)
     flat = [s for row in RP_SIGNS for s in row]
     assert abs(sum(flat)) <= len(flat) * 0.2
+
+
+def test_benchmark_decontam_agrees_with_serial_and_plan_broadcasts(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.similarity import (
+        DECON_MOD,
+        DECON_TAU,
+        q_benchmark_decontam,
+    )
+
+    df = q_benchmark_decontam(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    rows = {r["vec_id"]: r for r in df.collect()}
+    assert rows and all(v % DECON_MOD != 0 for v in rows)
+    # serial recomputation on a small slice
+    import math
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    bench = {k: v for k, v in emb.items() if k % DECON_MOD == 0}
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return round(d / (na * nb), 6)
+
+    checked = 0
+    for vid, vec in emb.items():
+        if vid % DECON_MOD == 0 or vid > 50:
+            continue
+        close = sum(1 for b in bench.values() if cos(vec, b) >= DECON_TAU)
+        assert rows[vid]["n_bench_close"] == close
+        assert rows[vid]["contaminated"] == (close > 0)
+        checked += 1
+    assert checked >= 10
+    # the flag must fire somewhere and not everywhere at this tau
+    n_flagged = sum(1 for r in rows.values() if r["contaminated"])
+    assert 0 < n_flagged < len(rows)

@@ -2226,3 +2226,72 @@ ORACLES_LATE["sim_rp_distortion"] = (
     "FROM b GROUP BY bk"
 )
 QUERIES_LATE["sim_rp_distortion"] = q_rp_distortion
+
+
+# --- semantic benchmark decontamination (r5) ----------------------------
+#
+# The embedding-space twin of text_contamination's n-gram gate (and
+# the GPT-3/Phi decontamination recipe): flag corpus vectors whose
+# cosine to ANY benchmark vector reaches DECON_TAU — paraphrased or
+# re-worded eval leakage that exact n-gram matching can't see.
+# Benchmark split = vec_id % 10 == 0 (the deterministic stand-in for
+# a real eval-set embedding table).
+#
+# Scale shape: benchmarks are orders of magnitude smaller than the
+# corpus, so the EXACT path — broadcast the benchmark side, one
+# narrow pass over the corpus, per-vector partial-agg max — is also
+# the 100 TB path (O(N·B) dots with B bounded by the eval suite; the
+# LSH-bucketed variant only pays off once B outgrows the broadcast
+# budget, and sim_topk_lsh already demonstrates that rewrite).
+# Cosines are rounded to 6 BEFORE the threshold compare and the max,
+# so the flag boundary is engine-exact.
+
+DECON_MOD = 10      # vec_id % 10 == 0 → benchmark split
+DECON_TAU = 0.35    # cosine at/above which a corpus vec is contaminated
+
+
+def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_with_norm(spark, sf_dir)
+    bench = emb.filter(F.col("vec_id") % DECON_MOD == 0).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    corpus = emb.filter(F.col("vec_id") % DECON_MOD != 0)
+    cos6 = F.round(
+        dot(F.col("embedding"), F.col("b_vec"))
+        / (F.col("nrm") * F.col("b_nrm")),
+        6,
+    )
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id", cos6.alias("cos")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max("cos").alias("max_cos"),
+        F.sum((F.col("cos") >= DECON_TAU).cast("long"))
+        .cast("long")
+        .alias("n_bench_close"),
+    ).select(
+        "vec_id",
+        "max_cos",
+        "n_bench_close",
+        (F.col("n_bench_close") > 0).alias("contaminated"),
+    )
+
+
+ORACLES_LATE["sim_benchmark_decontam"] = (
+    "WITH e AS (SELECT vec_id, embedding, "
+    f"sqrt({_dot_sql('embedding', 'embedding')}) AS nrm FROM embeddings), "
+    f"b AS (SELECT vec_id AS b_id, embedding AS b_vec, nrm AS b_nrm "
+    f"FROM e WHERE vec_id % {DECON_MOD} = 0), "
+    f"c AS (SELECT * FROM e WHERE vec_id % {DECON_MOD} <> 0), "
+    "p AS (SELECT c.vec_id, "
+    f"round({_dot_sql('c.embedding', 'b.b_vec')} / (c.nrm * b.b_nrm), 6) "
+    "AS cos FROM c CROSS JOIN b) "
+    "SELECT vec_id, max(cos) AS max_cos, "
+    f"CAST(sum(CASE WHEN cos >= {DECON_TAU} THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_bench_close, "
+    f"sum(CASE WHEN cos >= {DECON_TAU} THEN 1 ELSE 0 END) > 0 "
+    "AS contaminated FROM p GROUP BY vec_id"
+)
+QUERIES_LATE["sim_benchmark_decontam"] = q_benchmark_decontam
