@@ -641,3 +641,44 @@ def test_ohlc_candle_invariants_and_boundary_values(spark):
         assert got[day]["open"] == trades[0][1]
         assert got[day]["close"] == trades[-1][1]
         assert got[day]["n_trades"] == len(trades)
+
+
+# --- events_timestamp_heaping -------------------------------------------
+
+
+def test_timestamp_heaping_detects_a_planted_truncation(spark):
+    import pyarrow as pa
+
+    # half the events truncated to the minute -> expected z far above 6
+    n = 6000
+    es = [1_700_000_000 + i * 7 for i in range(n)]
+    es = [e - e % 60 if i % 2 == 0 else e for i, e in enumerate(es)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [e * 1_000_000 for e in es], pa.timestamp("us")
+            ),
+            "user_id": pa.array([i % 50 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([1.0] * n),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="heap_")
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    rows = {
+        r["boundary"]: r
+        for r in timeseries.q_events_timestamp_heaping(spark, d).collect()
+    }
+    assert rows["minute"]["heaped"]
+    assert rows["minute"]["observed_rate"] > 0.5 - 0.02
+    # the clean corpus shows no heaping anywhere
+    clean = timeseries.q_events_timestamp_heaping(spark, SF_DIR).collect()
+    for r in clean:
+        assert r["n_on_boundary"] <= r["n_events"]
+        want_p0 = round(1.0 / {"minute": 60, "hour": 3600, "day": 86400}[r["boundary"]], 6)
+        assert r["expected_rate"] == want_p0

@@ -959,3 +959,93 @@ ORACLES["events_ohlc"] = (
 )
 
 QUERIES["events_ohlc"] = q_events_ohlc
+
+
+# --- timestamp-heaping audit (r5) ---------------------------------------
+#
+# The temporal twin of rel_benford_audit: real event streams heap on
+# round timestamps when some producer truncates to the minute/hour/day
+# (or backfills with midnight defaults) — a silent killer for
+# sessionization gaps, as-of joins, and watermark tuning.  For each
+# boundary, compare the observed share of events landing exactly ON
+# the boundary against the uniform expectation (1/60, 1/3600, 1/86400)
+# with a one-sample binomial z-score; |z| > 6 on a big stream is
+# producer truncation, not chance.
+#
+# Scale shape: ONE full-scan aggregate with three conditional integer
+# sums (map-side combinable), unpivoted to 3 rows via stack — no
+# shuffle beyond the 1-row reduce.  The z denominator uses exact
+# integer n and closed-form constants, so both engines compute the
+# identical double.
+
+_HEAP_BOUNDARIES = (("minute", 60), ("hour", 3600), ("day", 86400))
+
+
+def q_events_timestamp_heaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    agg = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum((F.col("epoch_sec") % m == 0).cast("long"))
+            .cast("long")
+            .alias(f"on_{name}")
+            for name, m in _HEAP_BOUNDARIES
+        ],
+    )
+    stacked = agg.select(
+        "n",
+        F.expr(
+            "stack({}, {}) AS (boundary, modulus, n_on_boundary)".format(
+                len(_HEAP_BOUNDARIES),
+                ", ".join(
+                    f"'{name}', {m}L, on_{name}"
+                    for name, m in _HEAP_BOUNDARIES
+                ),
+            )
+        ),
+    )
+    p0 = F.lit(1.0) / F.col("modulus").cast("double")
+    phat = F.col("n_on_boundary") / F.col("n").cast("double")
+    z = (phat - p0) / F.sqrt(p0 * (F.lit(1.0) - p0) / F.col("n"))
+    return stacked.select(
+        "boundary",
+        "n_on_boundary",
+        F.col("n").alias("n_events"),
+        F.round(phat, 6).alias("observed_rate"),
+        F.round(p0, 6).alias("expected_rate"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(F.round(z, 6)) > 6.0).alias("heaped"),
+    )
+
+
+def _heaping_sql() -> str:
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN es % {m} = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS on_{name}"
+        for name, m in _HEAP_BOUNDARIES
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT '{name}' AS boundary, CAST({m} AS BIGINT) AS modulus, "
+        f"on_{name} AS n_on_boundary, n FROM a"
+        for name, m in _HEAP_BOUNDARIES
+    )
+    return (
+        "WITH e AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) "
+        "AS es FROM events), "
+        f"a AS (SELECT CAST(count(*) AS BIGINT) AS n, {sums} FROM e), "
+        f"s AS ({arms}) "
+        "SELECT boundary, n_on_boundary, n AS n_events, "
+        "round(n_on_boundary / CAST(n AS DOUBLE), 6) AS observed_rate, "
+        "round(1.0 / CAST(modulus AS DOUBLE), 6) AS expected_rate, "
+        "round((n_on_boundary / CAST(n AS DOUBLE) - 1.0 / "
+        "CAST(modulus AS DOUBLE)) / sqrt(1.0 / CAST(modulus AS DOUBLE) * "
+        "(1.0 - 1.0 / CAST(modulus AS DOUBLE)) / n), 6) AS z_score, "
+        "abs(round((n_on_boundary / CAST(n AS DOUBLE) - 1.0 / "
+        "CAST(modulus AS DOUBLE)) / sqrt(1.0 / CAST(modulus AS DOUBLE) * "
+        "(1.0 - 1.0 / CAST(modulus AS DOUBLE)) / n), 6)) > 6.0 AS heaped "
+        "FROM s"
+    )
+
+
+ORACLES["events_timestamp_heaping"] = _heaping_sql()
+QUERIES["events_timestamp_heaping"] = q_events_timestamp_heaping
