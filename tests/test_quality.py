@@ -424,3 +424,22 @@ def test_nb_lift_gains_reconciles_and_front_loads(spark):
     )
     d1 = ordered[: rows[0]["n"]]
     assert rows[0]["n_pos"] == sum(r["label"] for r in d1)
+
+
+def test_nb_cv_folds_partition_the_corpus(spark):
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import nb
+
+    rows = sorted(
+        nb.q_nb_cv_accuracy(spark, SF_DIR).collect(),
+        key=lambda r: r["fold"],
+    )
+    assert [r["fold"] for r in rows] == list(range(nb.CV_FOLDS))
+    n_docs = spark.read.parquet(SF_DIR + "/documents.parquet").count()
+    # test folds tile the corpus exactly once
+    assert sum(r["n_test"] for r in rows) == n_docs
+    for r in rows:
+        # each fold trains on everything outside its own test slice
+        assert r["n_train"] == n_docs - r["n_test"]
+        assert 0 <= r["n_correct"] <= r["n_test"]
+        assert abs(r["accuracy"] - round(r["n_correct"] / r["n_test"], 6)) <= 1e-9
