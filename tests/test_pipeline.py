@@ -593,3 +593,28 @@ def test_temperature_mixture_is_deterministic(spark):
     a = sorted(map(tuple, q_temperature_mixture(spark, SF_DIR).collect()))
     b = sorted(map(tuple, q_temperature_mixture(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_length_batching_plan_accounts_every_doc(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        BATCH_TOKENS,
+        LEN_FENCES,
+        q_length_batching,
+    )
+
+    rows = q_length_batching(spark, SF_DIR).collect()
+    assert rows
+    n_docs = spark.read.parquet(SF_DIR + "/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["bucket_cap"] in LEN_FENCES
+        assert r["batch_size"] == max(1, BATCH_TOKENS // r["bucket_cap"])
+        import math
+
+        assert r["n_batches"] == math.ceil(r["n_docs"] / r["batch_size"])
+        # padding waste is bounded by the bucket capacity
+        assert 0 <= r["pad_tokens"] <= r["n_docs"] * r["bucket_cap"]
+        assert 0.0 <= r["pad_frac"] < 1.0
+        # nothing truncates below the top fence
+        if r["bucket_cap"] < LEN_FENCES[-1]:
+            assert r["n_truncated"] == 0

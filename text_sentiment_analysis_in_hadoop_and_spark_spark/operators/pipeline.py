@@ -2119,3 +2119,97 @@ def _temperature_mixture_sql() -> str:
 
 ORACLES_LATE["pipe_temperature_mixture"] = _temperature_mixture_sql()
 QUERIES_LATE["pipe_temperature_mixture"] = q_temperature_mixture
+
+
+# --- length-bucketed inference batching (r5) ----------------------------
+#
+# The SERVING-side counterpart of the training packers: batch
+# inference pads every sequence in a batch to the longest member, so
+# the scheduler first buckets requests by length (power-of-two caps —
+# the shape vLLM/TGI-style servers and XLA compilation caches want)
+# and sizes each batch to a fixed token budget.  This query emits the
+# batching plan per bucket — docs, batch size (BATCH_TOKENS ÷ cap),
+# batch count, padding waste (Σ cap − len), and how many docs the top
+# cap truncates — the padding-efficiency readout that decides whether
+# the fence ladder needs another rung.
+#
+# Scale shape: the cap is a branch-free CASE ladder over INTEGER
+# fences (a float log2 would put boundary lengths on different sides
+# per engine), so the whole query is one narrow map + one ≤7-group
+# partial aggregate.  All outputs are integer math except the final
+# two ratios, rounded once.
+
+BATCH_TOKENS = 4096
+LEN_FENCES = (16, 32, 64, 128, 256, 512)
+
+
+def _len_cap(n: Column) -> Column:
+    out = F.lit(LEN_FENCES[-1])
+    for fence in reversed(LEN_FENCES):
+        out = F.when(n <= fence, F.lit(fence)).otherwise(out)
+    return out.cast("long")
+
+
+def q_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _sized_docs(spark, sf_dir).select("doc_id", "n_tokens")
+    cap = _len_cap(F.col("n_tokens"))
+    eff = F.least(F.col("n_tokens"), cap)
+    per_bucket = docs.select(
+        cap.alias("bucket_cap"),
+        eff.alias("eff_len"),
+        (F.col("n_tokens") > cap).cast("long").alias("truncated"),
+    ).groupBy("bucket_cap").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("bucket_cap") - F.col("eff_len"))
+        .cast("long")
+        .alias("pad_tokens"),
+        F.sum("truncated").cast("long").alias("n_truncated"),
+    )
+    batch_size = F.greatest(
+        F.lit(1).cast("long"),
+        (F.lit(BATCH_TOKENS) / F.col("bucket_cap")).cast("long"),
+    )
+    return per_bucket.select(
+        "bucket_cap",
+        "n_docs",
+        batch_size.alias("batch_size"),
+        F.ceil(F.col("n_docs") / batch_size.cast("double"))
+        .cast("long")
+        .alias("n_batches"),
+        "pad_tokens",
+        F.round(
+            F.col("pad_tokens")
+            / (F.col("n_docs") * F.col("bucket_cap")).cast("double"),
+            6,
+        ).alias("pad_frac"),
+        "n_truncated",
+    )
+
+
+def _length_batching_sql() -> str:
+    cap = f"CAST({LEN_FENCES[-1]} AS BIGINT)"
+    for fence in reversed(LEN_FENCES):
+        cap = f"CASE WHEN n <= {fence} THEN CAST({fence} AS BIGINT) ELSE {cap} END"
+    return (
+        "WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) "
+        "AS n FROM documents), "
+        f"c AS (SELECT ({cap}) AS bucket_cap, "
+        f"least(n, ({cap})) AS eff_len, "
+        f"CASE WHEN n > ({cap}) THEN 1 ELSE 0 END AS truncated FROM d), "
+        "g AS (SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(bucket_cap - eff_len) AS BIGINT) AS pad_tokens, "
+        "CAST(sum(truncated) AS BIGINT) AS n_truncated "
+        "FROM c GROUP BY bucket_cap) "
+        "SELECT bucket_cap, n_docs, "
+        f"greatest(CAST(1 AS BIGINT), CAST({BATCH_TOKENS} // bucket_cap "
+        "AS BIGINT)) AS batch_size, "
+        "CAST(ceil(n_docs / CAST(greatest(CAST(1 AS BIGINT), "
+        f"CAST({BATCH_TOKENS} // bucket_cap AS BIGINT)) AS DOUBLE)) "
+        "AS BIGINT) AS n_batches, pad_tokens, "
+        "round(pad_tokens / CAST(n_docs * bucket_cap AS DOUBLE), 6) "
+        "AS pad_frac, n_truncated FROM g"
+    )
+
+
+ORACLES_LATE["pipe_length_batching"] = _length_batching_sql()
+QUERIES_LATE["pipe_length_batching"] = q_length_batching
