@@ -520,3 +520,49 @@ def test_benchmark_decontam_agrees_with_serial_and_plan_broadcasts(spark):
     # the flag must fire somewhere and not everywhere at this tau
     n_flagged = sum(1 for r in rows.values() if r["contaminated"])
     assert 0 < n_flagged < len(rows)
+
+
+def test_silhouette_matches_serial_and_is_bounded(spark):
+    import math
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.similarity import (
+        q_group_centroids,
+        q_silhouette,
+    )
+
+    rows = {r["label"]: r for r in q_silhouette(spark, SF_DIR).collect()}
+    assert rows
+    for r in rows.values():
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+        assert 0 <= r["n_misassigned"] <= r["n_vecs"]
+    # serial recomputation from the exposed centroids
+    cents = {
+        r["label"]: r["centroid"]
+        for r in q_group_centroids(spark, SF_DIR).collect()
+    }
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    agg = {}
+    for e in emb:
+        d = {
+            lab: round(
+                math.sqrt(
+                    sum(
+                        (float(x) - c[i]) ** 2
+                        for i, x in enumerate(e["embedding"])
+                    )
+                ),
+                6,
+            )
+            for lab, c in cents.items()
+        }
+        a = d[e["label"]]
+        b = min(v for lab, v in d.items() if lab != e["label"])
+        s6 = round((b - a) / max(a, b) * 1e6)
+        st = agg.setdefault(e["label"], [0, 0, 0])
+        st[0] += 1
+        st[1] += s6
+        st[2] += 1 if b < a else 0
+    for lab, (n, s6sum, mis) in agg.items():
+        assert rows[lab]["n_vecs"] == n
+        assert rows[lab]["n_misassigned"] == mis
+        assert abs(rows[lab]["mean_silhouette"] - round(s6sum / (n * 1e6), 6)) <= 2e-6

@@ -2295,3 +2295,97 @@ ORACLES_LATE["sim_benchmark_decontam"] = (
     "AS contaminated FROM p GROUP BY vec_id"
 )
 QUERIES_LATE["sim_benchmark_decontam"] = q_benchmark_decontam
+
+
+# --- simplified silhouette score (r5) -----------------------------------
+#
+# Clustering-quality eval for the label partition (and, by the same
+# machinery, any IVF-cell assignment): the simplified silhouette
+# (Hruschka et al. 2004 — distances to CENTROIDS instead of all-pairs,
+# which is what makes it computable at corpus scale: O(N·k) dots, not
+# O(N²)) per vector is s = (b − a)/max(a, b) with a = distance to the
+# own-label centroid, b = the nearest other centroid.  Reported per
+# label: mean s (integer-scaled — no float accumulation-order leak),
+# and how many vectors sit closer to a foreign centroid (b < a, the
+# would-be reassignments a k-means step would move).
+#
+# Scale shape: centroids are the |labels|-sized rounded-mean table
+# sim_group_centroids already materializes (broadcast side); the
+# distance pass is one narrow crossJoin over it, and the rollup is a
+# |labels|-group partial agg.  Distances round to 6 before the a/b
+# compare so the b < a boundary is engine-exact.
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cents = q_group_centroids(spark, sf_dir).select(
+        F.col("label").alias("c_label"), "centroid"
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.round(F.sqrt(d2), 6).alias("d"),
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c_label") == F.col("label"), F.col("d"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("d"))).alias(
+            "b"
+        ),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    scored = ab.select(
+        "label",
+        F.round(s * 1000000).cast("long").alias("s6"),
+        (F.col("b") < F.col("a")).cast("long").alias("mis"),
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.sum("s6") / (F.count("*") * F.lit(1000000.0)), 6).alias(
+            "mean_silhouette"
+        ),
+        F.sum("mis").cast("long").alias("n_misassigned"),
+    )
+
+
+def _silhouette_sql() -> str:
+    d2 = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * "
+        "(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])))"
+    )
+    return (
+        "WITH cent AS (" + ORACLES["sim_group_centroids"] + "), "
+        "d AS (SELECT e.vec_id, e.label, c.label AS c_label, "
+        f"round(sqrt({d2}), 6) AS d "
+        "FROM embeddings e CROSS JOIN "
+        "(SELECT label, centroid FROM cent) c), "
+        "ab AS (SELECT vec_id, label, "
+        "min(CASE WHEN c_label = label THEN d END) AS a, "
+        "min(CASE WHEN c_label <> label THEN d END) AS b "
+        "FROM d GROUP BY vec_id, label), "
+        "sc AS (SELECT label, "
+        "CAST(round((b - a) / greatest(a, b) * 1000000, 0) AS BIGINT) "
+        "AS s6, CASE WHEN b < a THEN 1 ELSE 0 END AS mis FROM ab) "
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+        "round(sum(s6) / (count(*) * 1000000.0), 6) AS mean_silhouette, "
+        "CAST(sum(mis) AS BIGINT) AS n_misassigned "
+        "FROM sc GROUP BY label"
+    )
+
+
+ORACLES_LATE["sim_silhouette"] = _silhouette_sql()
+QUERIES_LATE["sim_silhouette"] = q_silhouette
