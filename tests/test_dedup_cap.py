@@ -283,3 +283,35 @@ def test_tfidf_cosine_pairs_bounds_and_ordering(spark):
         na = math.sqrt(sum(x * x for x in va.values()))
         nb = math.sqrt(sum(x * x for x in vb.values()))
         assert abs(r["cosine"] - dot / (na * nb)) < 1e-5, r
+
+
+def test_method_agreement_counts_are_consistent(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        q_method_agreement,
+        q_minhash_pairs,
+        q_prefix_jaccard_join,
+    )
+
+    rows = {r["method"]: r for r in q_method_agreement(spark, SF_DIR).collect()}
+    assert set(rows) == {"minhash", "simhash", "tfidf_cosine"}
+    n_truth = q_prefix_jaccard_join(spark, SF_DIR).count()
+    for r in rows.values():
+        assert r["n_truth"] == n_truth
+        assert 0 <= r["n_both"] <= min(r["n_truth"], r["n_method"])
+        assert 0.0 <= r["precision"] <= 1.0
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["set_jaccard"] <= min(r["precision"], r["recall"]) + 1e-9
+    # pigeonhole SimHash banding has recall 1.0 BY THEOREM only for
+    # Hamming-near pairs — but MinHash overlap must reconcile exactly
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_minhash_pairs(spark, SF_DIR).collect()
+    }
+    tr = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_prefix_jaccard_join(spark, SF_DIR).collect()
+    }
+    assert rows["minhash"]["n_both"] == len(mh & tr)
+    assert rows["minhash"]["n_method"] == len(mh)

@@ -2236,3 +2236,110 @@ ORACLES["dedup_lsh_s_curve"] = _with(
 )
 
 QUERIES["dedup_lsh_s_curve"] = q_lsh_s_curve
+
+
+# --- near-dup method agreement (r5) -------------------------------------
+#
+# The side-by-side eval the S-curve can't give: each detector family
+# (MinHash banding, SimHash pigeonhole, TF-IDF cosine) emits a PAIR
+# SET, and what a pipeline owner actually tunes on is set-level
+# precision/recall against the exact ≥ 0.5-Jaccard truth (the
+# lossless prefix-filter join).  One row per method: pair counts,
+# overlap, precision, recall, and set-Jaccard — the table that says
+# "SimHash at Hamming ≤ 3 is a recall net with 4% precision; MinHash
+# at 8×4 is 97/94" concretely, per corpus.
+#
+# Scale shape: every input is a memoized BOUNDED pair table (banded /
+# pigeonhole / prefix-filter joins — never all-pairs); each arm is a
+# pair-keyed join reduced to a 1-row count, unioned to 3 rows.
+
+
+def _pair_set(df: DataFrame) -> DataFrame:
+    return df.select("doc_a", "doc_b")
+
+
+def q_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = _pair_set(q_prefix_jaccard_join(spark, sf_dir))
+    methods = (
+        ("minhash", _pair_set(q_minhash_pairs(spark, sf_dir))),
+        ("simhash", _pair_set(q_simhash_pairs(spark, sf_dir))),
+        ("tfidf_cosine", _pair_set(q_tfidf_cosine_pairs(spark, sf_dir))),
+    )
+    arms = []
+    for name, got in methods:
+        both = truth.join(got, ["doc_a", "doc_b"]).agg(
+            F.count("*").cast("long").alias("n_both")
+        )
+        arm = (
+            truth.agg(F.count("*").cast("long").alias("n_truth"))
+            .crossJoin(
+                got.agg(F.count("*").cast("long").alias("n_method"))
+            )
+            .crossJoin(both)
+            .select(
+                F.lit(name).alias("method"),
+                "n_truth",
+                "n_method",
+                "n_both",
+                F.round(
+                    F.col("n_both") / F.col("n_method").cast("double"), 6
+                ).alias("precision"),
+                F.round(
+                    F.col("n_both") / F.col("n_truth").cast("double"), 6
+                ).alias("recall"),
+                F.round(
+                    F.col("n_both")
+                    / (
+                        F.col("n_truth")
+                        + F.col("n_method")
+                        - F.col("n_both")
+                    ).cast("double"),
+                    6,
+                ).alias("set_jaccard"),
+            )
+        )
+        arms.append(arm)
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def _method_agreement_sql() -> str:
+    arms = []
+    for name, oracle_name in (
+        ("minhash", "dedup_minhash_pairs"),
+        ("simhash", "dedup_simhash_pairs"),
+        ("tfidf_cosine", "dedup_tfidf_cosine_pairs"),
+    ):
+        arms.append(
+            f"SELECT '{name}' AS method, "
+            "(SELECT count(*) FROM truth)::BIGINT AS n_truth, "
+            f"(SELECT count(*) FROM m_{name})::BIGINT AS n_method, "
+            f"(SELECT count(*) FROM truth t JOIN m_{name} m "
+            "USING (doc_a, doc_b))::BIGINT AS n_both"
+        )
+    return (
+        "WITH truth AS (SELECT doc_a, doc_b FROM ("
+        + ORACLES["dedup_prefix_jaccard_join"]
+        + ")), "
+        "m_minhash AS (SELECT doc_a, doc_b FROM ("
+        + ORACLES["dedup_minhash_pairs"]
+        + ")), "
+        "m_simhash AS (SELECT doc_a, doc_b FROM ("
+        + ORACLES["dedup_simhash_pairs"]
+        + ")), "
+        "m_tfidf_cosine AS (SELECT doc_a, doc_b FROM ("
+        + ORACLES["dedup_tfidf_cosine_pairs"]
+        + ")), "
+        "u AS (" + " UNION ALL ".join(arms) + ") "
+        "SELECT method, n_truth, n_method, n_both, "
+        "round(n_both / CAST(n_method AS DOUBLE), 6) AS precision, "
+        "round(n_both / CAST(n_truth AS DOUBLE), 6) AS recall, "
+        "round(n_both / CAST(n_truth + n_method - n_both AS DOUBLE), 6) "
+        "AS set_jaccard FROM u"
+    )
+
+
+ORACLES["dedup_method_agreement"] = _method_agreement_sql()
+QUERIES["dedup_method_agreement"] = q_method_agreement
