@@ -443,3 +443,41 @@ def test_nb_cv_folds_partition_the_corpus(spark):
         assert r["n_train"] == n_docs - r["n_test"]
         assert 0 <= r["n_correct"] <= r["n_test"]
         assert abs(r["accuracy"] - round(r["n_correct"] / r["n_test"], 6)) <= 1e-9
+
+
+def test_signal_correlation_matches_numpy(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.quality import (
+        _SIGCORR_SCALE,
+        q_lm_score,
+        q_readability,
+        q_signal_correlation,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.textstats import (
+        q_text_quality,
+    )
+
+    rows = {
+        (r["signal_a"], r["signal_b"]): r
+        for r in q_signal_correlation(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 3
+    q = {r["doc_id"]: r["quality"] for r in q_text_quality(spark, SF_DIR).collect()}
+    lm = {r["doc_id"]: r["cross_entropy"] for r in q_lm_score(spark, SF_DIR).collect()}
+    fl = {r["doc_id"]: r["flesch_score"] for r in q_readability(spark, SF_DIR).collect()}
+    ids = sorted(set(q) & set(lm) & set(fl))
+    import numpy as np
+
+    sig = {
+        "quality": [round(q[i] * _SIGCORR_SCALE) for i in ids],
+        "lm_ce": [round(lm[i] * _SIGCORR_SCALE) for i in ids],
+        "flesch": [round(fl[i] * _SIGCORR_SCALE) for i in ids],
+    }
+    for (a, b), r in rows.items():
+        assert r["n_docs"] == len(ids)
+        want = float(np.corrcoef(sig[a], sig[b])[0, 1])
+        # python round() is banker's; the engines round half-away —
+        # agreement is bounded by the milli-unit quantization itself
+        assert abs(r["pearson_r"] - want) <= 1e-3, (a, b, want)
+        assert -1.0 <= r["pearson_r"] <= 1.0

@@ -988,3 +988,140 @@ ORACLES_LATE["text_lm_kneser_ney"] = (
 )
 
 QUERIES_LATE["text_lm_kneser_ney"] = q_lm_kneser_ney
+
+
+# --- quality-signal correlation matrix (r5) -------------------------------
+#
+# Before a pipeline combines its filter signals (quality score, bigram
+# LM cross-entropy, Flesch readability) into one keep decision, it
+# should know how redundant they are: two signals at |r| ≈ 0.9 are one
+# gate wearing two hats (and double-count in any weighted blend),
+# while r ≈ 0 signals prune independent corpus slices.  One row per
+# signal pair with the Pearson r over the per-doc inner join.
+#
+# Determinism: each (already 6-rounded) signal is scaled to INTEGER
+# milli-units, so all ten moments (n, Σx, Σxy, Σx², …) are exact
+# BIGINTs — accumulation order cannot leak — and r appears only in the
+# final ratio, rounded once.  The 1e3 scale bounds Σxy by
+# n·(ce~1e4)·(flesch~1e5) ≈ n·1e9: exact to corpora of ~10⁹ docs,
+# where the swap is the built-in corr() at the cost of oracle
+# bit-exactness (documented trade, same as events_rolling_corr).
+# Scale shape: two doc_id equi-joins over memoized per-doc frames,
+# ONE full aggregate, a 3-row stack.
+
+_SIGCORR_SCALE = 1_000
+
+
+def q_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import q_text_quality
+
+    q = q_text_quality(spark, sf_dir).select("doc_id", "quality")
+    lm = q_lm_score(spark, sf_dir).select("doc_id", "cross_entropy")
+    fl = q_readability(spark, sf_dir).select("doc_id", "flesch_score")
+    j = q.join(lm, "doc_id").join(fl, "doc_id").select(
+        F.round(F.col("quality") * _SIGCORR_SCALE)
+        .cast("long")
+        .alias("x_quality"),
+        F.round(F.col("cross_entropy") * _SIGCORR_SCALE)
+        .cast("long")
+        .alias("x_lm_ce"),
+        F.round(F.col("flesch_score") * _SIGCORR_SCALE)
+        .cast("long")
+        .alias("x_flesch"),
+    )
+    names = ("quality", "lm_ce", "flesch")
+    aggs = [F.count("*").cast("long").alias("n")]
+    for a in names:
+        aggs.append(F.sum(f"x_{a}").cast("long").alias(f"s_{a}"))
+        aggs.append(
+            F.sum(F.col(f"x_{a}") * F.col(f"x_{a}"))
+            .cast("long")
+            .alias(f"ss_{a}")
+        )
+    pairs = [("quality", "lm_ce"), ("quality", "flesch"), ("lm_ce", "flesch")]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(f"x_{a}") * F.col(f"x_{b}"))
+            .cast("long")
+            .alias(f"sp_{a}_{b}")
+        )
+    m = j.agg(*aggs)
+    stack = "stack({}, {}) AS (signal_a, signal_b, sp, sa, ssa, sb, ssb)".format(
+        len(pairs),
+        ", ".join(
+            f"'{a}', '{b}', sp_{a}_{b}, s_{a}, ss_{a}, s_{b}, ss_{b}"
+            for a, b in pairs
+        ),
+    )
+    rows = m.select("n", F.expr(stack))
+    num = (F.col("n") * F.col("sp") - F.col("sa") * F.col("sb")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("ssa") - F.col("sa") * F.col("sa")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("ssb") - F.col("sb") * F.col("sb")).cast(
+        "double"
+    )
+    return rows.select(
+        "signal_a",
+        "signal_b",
+        F.col("n").alias("n_docs"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6),
+        ).alias("pearson_r"),
+    )
+
+
+def _signal_correlation_sql() -> str:
+    from .textstats import ORACLES as TEXTSTATS_ORACLES
+
+    s = _SIGCORR_SCALE
+    arms = []
+    for a, b in (
+        ("quality", "lm_ce"),
+        ("quality", "flesch"),
+        ("lm_ce", "flesch"),
+    ):
+        arms.append(
+            f"SELECT '{a}' AS signal_a, '{b}' AS signal_b, "
+            f"sp_{a}_{b} AS sp, s_{a} AS sa, ss_{a} AS ssa, "
+            f"s_{b} AS sb, ss_{b} AS ssb, n FROM m"
+        )
+    return (
+        "WITH q AS (SELECT doc_id, quality FROM ("
+        + TEXTSTATS_ORACLES["text_quality"]
+        + ")), lm AS (SELECT doc_id, cross_entropy FROM ("
+        + ORACLES["text_lm_score"]
+        + ")), fl AS (SELECT doc_id, flesch_score FROM ("
+        + ORACLES_LATE["text_readability"]
+        + ")), "
+        "j AS (SELECT "
+        f"CAST(round(q.quality * {s}, 0) AS BIGINT) AS x_quality, "
+        f"CAST(round(lm.cross_entropy * {s}, 0) AS BIGINT) AS x_lm_ce, "
+        f"CAST(round(fl.flesch_score * {s}, 0) AS BIGINT) AS x_flesch "
+        "FROM q JOIN lm USING (doc_id) JOIN fl USING (doc_id)), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(x_quality) AS BIGINT) AS s_quality, "
+        "CAST(sum(x_quality * x_quality) AS BIGINT) AS ss_quality, "
+        "CAST(sum(x_lm_ce) AS BIGINT) AS s_lm_ce, "
+        "CAST(sum(x_lm_ce * x_lm_ce) AS BIGINT) AS ss_lm_ce, "
+        "CAST(sum(x_flesch) AS BIGINT) AS s_flesch, "
+        "CAST(sum(x_flesch * x_flesch) AS BIGINT) AS ss_flesch, "
+        "CAST(sum(x_quality * x_lm_ce) AS BIGINT) AS sp_quality_lm_ce, "
+        "CAST(sum(x_quality * x_flesch) AS BIGINT) AS sp_quality_flesch, "
+        "CAST(sum(x_lm_ce * x_flesch) AS BIGINT) AS sp_lm_ce_flesch "
+        "FROM j), "
+        "u AS (" + " UNION ALL ".join(arms) + ") "
+        "SELECT signal_a, signal_b, n AS n_docs, "
+        "CASE WHEN n * ssa - sa * sa > 0 AND n * ssb - sb * sb > 0 THEN "
+        "round(CAST(n * sp - sa * sb AS DOUBLE) / "
+        "(sqrt(CAST(n * ssa - sa * sa AS DOUBLE)) * "
+        "sqrt(CAST(n * ssb - sb * sb AS DOUBLE))), 6) END AS pearson_r "
+        "FROM u"
+    )
+
+
+ORACLES_LATE["text_signal_correlation"] = _signal_correlation_sql()
+QUERIES_LATE["text_signal_correlation"] = q_signal_correlation
