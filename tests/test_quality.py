@@ -481,3 +481,27 @@ def test_signal_correlation_matches_numpy(spark):
         # agreement is bounded by the milli-unit quantization itself
         assert abs(r["pearson_r"] - want) <= 1e-3, (a, b, want)
         assert -1.0 <= r["pearson_r"] <= 1.0
+
+
+def test_uncertainty_sample_is_the_k_smallest_margins(spark):
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import nb
+
+    df = nb.q_nb_uncertainty_sample(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # bounded top-k, no global sort
+    rows = sorted(df.collect(), key=lambda r: r["rank"])
+    n_test = nb.q_nb_scores(spark, SF_DIR).count()
+    assert len(rows) == min(nb.UNCERTAIN_K, n_test)
+    # ranks are 1..k and margins non-decreasing
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (a["abs_margin"], a["doc_id"]) < (b["abs_margin"], b["doc_id"])
+    # nothing outside the sample is more uncertain than the sample max
+    scores = nb.q_nb_scores(spark, SF_DIR).collect()
+    margins = sorted(
+        (round(abs(s["pos_score"] - s["neg_score"]), 6), s["doc_id"])
+        for s in scores
+    )
+    want_ids = [d for _, d in margins[: len(rows)]]
+    assert [r["doc_id"] for r in rows] == want_ids

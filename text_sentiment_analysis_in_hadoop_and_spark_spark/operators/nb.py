@@ -1112,3 +1112,63 @@ def _cv_sql() -> str:
 
 QUERIES_LATE["nb_cv_accuracy"] = q_nb_cv_accuracy
 ORACLES_LATE["nb_cv_accuracy"] = _cv_sql()
+
+
+# --- active-learning uncertainty sample (r5) -------------------------------
+#
+# The labeling-budget selector: the next docs a human annotator (or a
+# teacher model) should look at are the ones the current model is
+# LEAST sure about — smallest |pos − neg| margin (binary
+# least-confidence ≡ margin ≡ entropy sampling for two classes).
+# Emits the UNCERTAIN_K most ambiguous test docs with their margins
+# and current predictions, ranked.
+#
+# Scale shape: a bounded top-k, not a global sort — Spark plans the
+# (|margin|, doc_id) ascending limit as TakeOrderedAndProject
+# (per-partition heaps + one k-sized merge), the same distributed
+# top-k shape the retrieval rankers pin in tests/test_plans.py.
+# The margin is 6-rounded before ordering, doc_id breaks ties, so
+# rank is a total order in both engines.
+
+UNCERTAIN_K = 50
+
+
+def q_nb_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = q_nb_scores(spark, sf_dir).select(
+        "doc_id",
+        "label",
+        F.round(
+            F.abs(F.col("pos_score") - F.col("neg_score")), 6
+        ).alias("abs_margin"),
+        (F.col("pos_score") > F.col("neg_score"))
+        .cast("int")
+        .alias("prediction"),
+    )
+    ranked = s.orderBy(F.asc("abs_margin"), F.asc("doc_id")).limit(
+        UNCERTAIN_K
+    )
+    w = Window.orderBy(F.asc("abs_margin"), F.asc("doc_id"))
+    return ranked.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "label",
+        "prediction",
+        "abs_margin",
+    )
+
+
+def _uncertainty_sql() -> str:
+    return (
+        "WITH sc AS (" + ORACLES["nb_scores"] + "), "
+        "m AS (SELECT doc_id, label, "
+        "round(abs(pos_score - neg_score), 6) AS abs_margin, "
+        "CAST(pos_score > neg_score AS INTEGER) AS prediction FROM sc) "
+        "SELECT CAST(row_number() OVER "
+        "(ORDER BY abs_margin, doc_id) AS INTEGER) AS rank, "
+        "doc_id, label, prediction, abs_margin FROM m "
+        f"ORDER BY abs_margin, doc_id LIMIT {UNCERTAIN_K}"
+    )
+
+
+QUERIES_LATE["nb_uncertainty_sample"] = q_nb_uncertainty_sample
+ORACLES_LATE["nb_uncertainty_sample"] = _uncertainty_sql()
