@@ -618,3 +618,51 @@ def test_length_batching_plan_accounts_every_doc(spark):
         # nothing truncates below the top fence
         if r["bucket_cap"] < LEN_FENCES[-1]:
             assert r["n_truncated"] == 0
+
+
+def test_corpus_fingerprint_is_order_invariant_and_change_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        q_corpus_fingerprint,
+    )
+
+    rows = {r["source"]: r for r in q_corpus_fingerprint(spark, SF_DIR).collect()}
+    assert "__ALL__" in rows
+    per_source = {k: v for k, v in rows.items() if k != "__ALL__"}
+    assert rows["__ALL__"]["n_docs"] == sum(r["n_docs"] for r in per_source.values())
+    # xor of the per-source xors reproduces the global xor
+    acc = 0
+    for r in per_source.values():
+        acc ^= r["xor_hash"]
+    assert acc == rows["__ALL__"]["xor_hash"]
+    # repartitioned input → identical fingerprint (order invariance)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="fp_")
+    (
+        spark.read.parquet(SF_DIR + "/documents.parquet")
+        .repartition(13)
+        .sortWithinPartitions(F.desc("doc_id"))
+        .write.mode("overwrite")
+        .parquet(d + "/documents.parquet")
+    )
+    again = {r["source"]: r for r in q_corpus_fingerprint(spark, d).collect()}
+    assert {k: (v["xor_hash"], v["n_docs"]) for k, v in again.items()} == {
+        k: (v["xor_hash"], v["n_docs"]) for k, v in rows.items()
+    }
+    # a single mutated doc flips the global fingerprint
+    d2 = tempfile.mkdtemp(prefix="fp2_")
+    (
+        spark.read.parquet(SF_DIR + "/documents.parquet")
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") == 0, F.lit("tampered")).otherwise(
+                F.col("text")
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(d2 + "/documents.parquet")
+    )
+    tampered = {r["source"]: r for r in q_corpus_fingerprint(spark, d2).collect()}
+    assert tampered["__ALL__"]["xor_hash"] != rows["__ALL__"]["xor_hash"]

@@ -2213,3 +2213,69 @@ def _length_batching_sql() -> str:
 
 ORACLES_LATE["pipe_length_batching"] = _length_batching_sql()
 QUERIES_LATE["pipe_length_batching"] = q_length_batching
+
+
+# --- order-invariant corpus fingerprint (r5) ----------------------------
+#
+# The dataset-versioning primitive: "is the corpus my colleague
+# trained on byte-identical to mine?" answered without moving data —
+# an ORDER-INVARIANT content fingerprint per source and for the whole
+# corpus: bit_xor of the per-doc (doc_id, text) hashes, doc count, and
+# the min/max hash as cheap extra collision armor.  XOR is the right
+# fold: commutative/associative (partition order can't matter),
+# overflow-free (unlike a wrapping integer SUM, which Spark's ANSI
+# mode rejects), and any single changed/added/dropped doc flips it.
+# Keying the hash on doc_id || text (not text alone) makes the
+# fingerprint sensitive to exact-duplicate multiplicity, which XOR
+# alone would cancel in pairs.
+#
+# Scale shape: one narrow hash map + GROUPING SETS partial aggregate
+# — sources-sized output, no data-sized shuffle.
+
+
+def q_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        hex32(
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text"))
+        ).alias("h"),
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.bit_xor("h").cast("long").alias("xor_hash"),
+            F.min("h").cast("long").alias("min_hash"),
+            F.max("h").cast("long").alias("max_hash"),
+        )
+        .unionByName(
+            docs.agg(
+                F.lit("__ALL__").alias("source"),
+                F.count("*").cast("long").alias("n_docs"),
+                F.bit_xor("h").cast("long").alias("xor_hash"),
+                F.min("h").cast("long").alias("min_hash"),
+                F.max("h").cast("long").alias("max_hash"),
+            )
+        )
+    )
+
+
+def _corpus_fingerprint_sql() -> str:
+    h = hex32_sql("CAST(doc_id AS VARCHAR) || ':' || text")
+    return (
+        f"WITH d AS (SELECT source, {h} AS h FROM documents), "
+        "per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(bit_xor(h) AS BIGINT) AS xor_hash, "
+        "CAST(min(h) AS BIGINT) AS min_hash, "
+        "CAST(max(h) AS BIGINT) AS max_hash FROM d GROUP BY source), "
+        "allr AS (SELECT '__ALL__' AS source, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(bit_xor(h) AS BIGINT) AS xor_hash, "
+        "CAST(min(h) AS BIGINT) AS min_hash, "
+        "CAST(max(h) AS BIGINT) AS max_hash FROM d) "
+        "SELECT * FROM per UNION ALL SELECT * FROM allr"
+    )
+
+
+ORACLES_LATE["pipe_corpus_fingerprint"] = _corpus_fingerprint_sql()
+QUERIES_LATE["pipe_corpus_fingerprint"] = q_corpus_fingerprint
