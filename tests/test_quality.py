@@ -505,3 +505,34 @@ def test_uncertainty_sample_is_the_k_smallest_margins(spark):
     )
     want_ids = [d for _, d in margins[: len(rows)]]
     assert [r["doc_id"] for r in rows] == want_ids
+
+
+def test_top_features_are_extremes_of_the_model(spark):
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import nb
+
+    rows = nb.q_nb_top_features(spark, SF_DIR).collect()
+    pos = sorted(
+        (r for r in rows if r["direction"] == "positive"),
+        key=lambda r: r["rank"],
+    )
+    neg = sorted(
+        (r for r in rows if r["direction"] == "negative"),
+        key=lambda r: r["rank"],
+    )
+    model, _ = nb.nb_model(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    all_scores = sorted(
+        (
+            (round(r["lpw_pos"] - r["lpw_neg"], 6), r["word"])
+            for r in model.collect()
+        ),
+    )
+    k = min(nb.TOP_FEATURES, len(all_scores))
+    assert len(pos) == len(neg) == k
+    # negative direction = the k smallest log-odds, in order
+    assert [(r["log_odds"], r["word"]) for r in neg] == all_scores[:k]
+    # positive direction = the k largest, descending
+    want_pos = sorted(all_scores, key=lambda t: (-t[0], t[1]))[:k]
+    assert [(r["log_odds"], r["word"]) for r in pos] == want_pos

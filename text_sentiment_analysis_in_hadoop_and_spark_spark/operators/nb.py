@@ -1172,3 +1172,76 @@ def _uncertainty_sql() -> str:
 
 QUERIES_LATE["nb_uncertainty_sample"] = q_nb_uncertainty_sample
 ORACLES_LATE["nb_uncertainty_sample"] = _uncertainty_sql()
+
+
+# --- top discriminative features (r5) --------------------------------------
+#
+# Model interpretability: the words the trained NB actually leans on,
+# ranked by the log-odds ratio lpw_pos − lpw_neg (both already
+# Laplace-smoothed, so hapax words can't blow up the ratio the way a
+# raw count quotient would).  TOP_FEATURES per direction, the
+# "why does the classifier think this" table every model card wants.
+#
+# Scale shape: the model table is vocabulary-sized; each direction is
+# a bounded TakeOrderedAndProject top-k over it (6-rounded score,
+# word tiebreak), unioned to 2·TOP_FEATURES rows.
+
+TOP_FEATURES = 25
+
+
+def q_nb_top_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model, _stats = nb_model(spark, sf_dir)
+    scored = model.select(
+        "word",
+        F.round(F.col("lpw_pos") - F.col("lpw_neg"), 6).alias("log_odds"),
+    )
+    pos = (
+        scored.orderBy(F.desc("log_odds"), F.asc("word"))
+        .limit(TOP_FEATURES)
+        .select(F.lit("positive").alias("direction"), "word", "log_odds")
+    )
+    neg = (
+        scored.orderBy(F.asc("log_odds"), F.asc("word"))
+        .limit(TOP_FEATURES)
+        .select(F.lit("negative").alias("direction"), "word", "log_odds")
+    )
+    w_pos = Window.orderBy(F.desc("log_odds"), F.asc("word"))
+    w_neg = Window.orderBy(F.asc("log_odds"), F.asc("word"))
+    return pos.select(
+        "direction",
+        F.row_number().over(w_pos).cast("int").alias("rank"),
+        "word",
+        "log_odds",
+    ).unionByName(
+        neg.select(
+            "direction",
+            F.row_number().over(w_neg).cast("int").alias("rank"),
+            "word",
+            "log_odds",
+        )
+    )
+
+
+def _top_features_sql() -> str:
+    prelude = with_ctes(
+        *_NB_PRELUDE,
+        "sc AS (SELECT word, round(lpw_pos - lpw_neg, 6) AS log_odds "
+        "FROM model)",
+    )
+    return (
+        prelude
+        + "SELECT * FROM ("
+        "SELECT 'positive' AS direction, CAST(row_number() OVER "
+        "(ORDER BY log_odds DESC, word) AS INTEGER) AS rank, "
+        f"word, log_odds FROM sc ORDER BY log_odds DESC, word "
+        f"LIMIT {TOP_FEATURES}) "
+        "UNION ALL SELECT * FROM ("
+        "SELECT 'negative' AS direction, CAST(row_number() OVER "
+        "(ORDER BY log_odds, word) AS INTEGER) AS rank, "
+        f"word, log_odds FROM sc ORDER BY log_odds, word "
+        f"LIMIT {TOP_FEATURES})"
+    )
+
+
+QUERIES_LATE["nb_top_features"] = q_nb_top_features
+ORACLES_LATE["nb_top_features"] = _top_features_sql()
