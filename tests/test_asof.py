@@ -186,3 +186,53 @@ def test_cogroup_asof_twin_matches_jvm_plan(spark):
     plan = cg_df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pit_features_never_leak_label_time_information(spark):
+    """Point-in-time correctness: every feature must be recomputable
+    from events STRICTLY BEFORE the label's epoch second (ties at the
+    label second excluded), within the 7-day window."""
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.asof import (
+        PIT_WINDOW_SEC,
+        q_pit_features,
+    )
+
+    rows = q_pit_features(spark, SF_DIR).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    from pyspark.sql import functions as F  # noqa: F401
+
+    import collections, datetime
+
+    def es(e):
+        return int(e["ts"].replace(tzinfo=datetime.timezone.utc).timestamp())
+
+    by_user = collections.defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append(e)
+    checked = 0
+    for r in rows[:200]:
+        prior = [
+            e
+            for e in by_user[r["user_id"]]
+            if r["label_epoch"] - PIT_WINDOW_SEC <= es(e) <= r["label_epoch"] - 1
+        ]
+        assert r["f_events_7d"] == len(prior)
+        assert r["f_clicks_7d"] == sum(
+            1 for e in prior if e["event_type"] == "click"
+        )
+        want_spend = sum(
+            round(e["value"] * 100)
+            for e in prior
+            if e["event_type"] == "purchase"
+        )
+        assert abs(r["f_spend_7d"] - round(want_spend / 100.0, 6)) <= 1e-9
+        if prior:
+            assert r["recency_sec"] == r["label_epoch"] - max(es(e) for e in prior)
+            assert r["recency_sec"] >= 1  # strictly before: never 0
+        else:
+            assert r["recency_sec"] == -1
+        checked += 1
+    assert checked >= 50

@@ -532,3 +532,98 @@ ORACLES_LATE["events_interval_overlap"] = (
 )
 
 QUERIES_LATE["events_interval_overlap"] = q_events_interval_overlap
+
+
+# --- point-in-time feature assembly (r5) ---------------------------------
+#
+# The feature-store primitive every supervised pipeline on event data
+# needs: for each LABEL event (purchase), assemble the user's features
+# as they stood STRICTLY BEFORE the label's timestamp — clicks/views/
+# spend over the trailing 7 days, recency of last activity — so no
+# post-label information leaks into training (the point-in-time-
+# correctness contract; Feast/Tecton call this the "as-of join
+# against the feature log").  The strictly-before frame (… AND 1
+# PRECEDING, tie events at the label's own second excluded) is the
+# leakage guard the test pins.
+#
+# Scale shape: ONE window shuffle partitioned BY USER (thousands of
+# independent partitions — never a global window) over the unioned
+# event log; labels filter out AFTER the frame computes, so feature
+# rows never join back.  Spend sums in exact integer cents; the
+# RANGE frame is over integer epoch seconds.
+
+PIT_WINDOW_SEC = 7 * 86400
+PIT_LABEL = "purchase"
+
+
+def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "epoch_sec",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_sec")
+        .rangeBetween(-PIT_WINDOW_SEC, -1)
+    )
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "epoch_sec",
+        "cents",
+        F.count("*").over(w).cast("long").alias("f_events_7d"),
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .over(w)
+        .alias("f_clicks_7d"),
+        F.sum(
+            F.when(F.col("event_type") == PIT_LABEL, F.col("cents"))
+        )
+        .over(w)
+        .alias("f_spend_cents_7d"),
+        F.max("epoch_sec").over(w).alias("last_seen"),
+    )
+    return feat.filter(F.col("event_type") == PIT_LABEL).select(
+        "event_id",
+        "user_id",
+        F.col("epoch_sec").alias("label_epoch"),
+        F.round(F.col("cents") / 100.0, 6).alias("label_value"),
+        "f_events_7d",
+        F.coalesce("f_clicks_7d", F.lit(0)).cast("long").alias(
+            "f_clicks_7d"
+        ),
+        F.round(
+            F.coalesce("f_spend_cents_7d", F.lit(0)) / 100.0, 6
+        ).alias("f_spend_7d"),
+        F.coalesce(
+            F.col("epoch_sec") - F.col("last_seen"),
+            F.lit(-1).cast("long"),
+        )
+        .cast("long")
+        .alias("recency_sec"),
+    )
+
+
+ORACLES_LATE["events_pit_features"] = (
+    "WITH e AS (SELECT event_id, user_id, event_type, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es, "
+    "CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events), "
+    "f AS (SELECT event_id, user_id, event_type, es, cents, "
+    "CAST(count(*) OVER w AS BIGINT) AS f_events_7d, "
+    "CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+    "OVER w, 0) AS BIGINT) AS f_clicks_7d, "
+    "coalesce(sum(CASE WHEN event_type = "
+    f"'{PIT_LABEL}' THEN cents END) OVER w, 0) AS f_spend_cents_7d, "
+    "max(es) OVER w AS last_seen FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY es "
+    f"RANGE BETWEEN {PIT_WINDOW_SEC} PRECEDING AND 1 PRECEDING)) "
+    f"SELECT event_id, user_id, es AS label_epoch, "
+    "round(cents / 100.0, 6) AS label_value, f_events_7d, f_clicks_7d, "
+    "round(f_spend_cents_7d / 100.0, 6) AS f_spend_7d, "
+    "CAST(coalesce(es - last_seen, -1) AS BIGINT) AS recency_sec "
+    f"FROM f WHERE event_type = '{PIT_LABEL}'"
+)
+QUERIES_LATE["events_pit_features"] = q_pit_features
