@@ -116,3 +116,33 @@ def test_t_closeness_bounds(spark):
 
     for r in q_t_closeness(spark, SF_DIR).collect():
         assert -1e-9 <= r["t_distance"] <= 1.0 + 1e-9
+
+
+def test_erasure_audit_is_complete_and_idempotent(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.privacy import (
+        ERASE_MOD,
+        q_erasure_audit,
+    )
+
+    rows = {r["artifact"]: r for r in q_erasure_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "events_log",
+        "latest_state_view",
+        "user_lifetime_rollup",
+    }
+    ev = spark.read.parquet(SF_DIR + "/events.parquet")
+    n_events = ev.count()
+    users = [r["user_id"] for r in ev.select("user_id").distinct().collect()]
+    del_users = {u for u in users if u % ERASE_MOD == 0}
+    assert del_users  # the audit exercises a nonempty delete list
+    r = rows["events_log"]
+    assert r["n_rows"] == n_events
+    assert r["n_affected_users"] == len(del_users)
+    assert r["post_scrub_remaining"] == 0  # completeness proof
+    for name in ("latest_state_view", "user_lifetime_rollup"):
+        d = rows[name]
+        assert d["n_rows"] == len(users)  # one row per user
+        assert d["n_affected_rows"] == d["n_affected_users"] == len(del_users)
+        assert d["post_scrub_remaining"] == 0

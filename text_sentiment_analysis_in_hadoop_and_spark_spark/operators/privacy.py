@@ -199,3 +199,110 @@ ORACLES["priv_t_closeness"] = (
 )
 
 QUERIES["priv_t_closeness"] = q_t_closeness
+
+
+# --- right-to-erasure propagation audit (r5) ------------------------------
+#
+# The operational half of privacy next to the risk metrics: a DSAR
+# delete list arrives (stand-in: user_id % 97 == 0) and the platform
+# must show WHERE those users live before scrubbing and prove the
+# scrub is complete after.  One row per artifact — the raw event log
+# and two derived artifacts a warehouse actually materializes (the
+# latest-state upsert view and the per-user lifetime rollup) — with
+# total rows, affected rows, affected users, and the post-scrub
+# remainder (recomputed through the same anti-join that performs the
+# erasure, so 0 here IS the completeness proof, not an assumption).
+#
+# Scale shape: the delete list is users-scale ÷ 97 — broadcast side of
+# every semi/anti join; each artifact contributes one partial-agg
+# count pass.  The anti-join scrub is idempotent by construction
+# (anti ∘ anti = anti), which the test pins.
+
+ERASE_MOD = 97
+
+
+def _erase_list(ev: DataFrame) -> DataFrame:
+    return (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % ERASE_MOD == 0)
+    )
+
+
+def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windowed import load_events
+
+    ev = load_events(spark, sf_dir)
+    dl = F.broadcast(_erase_list(ev))
+    latest = ev.groupBy("user_id").agg(
+        F.max("epoch_sec").alias("last_es")
+    )
+    rollup = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    arms = []
+    for name, df in (
+        ("events_log", ev.select("user_id")),
+        ("latest_state_view", latest.select("user_id")),
+        ("user_lifetime_rollup", rollup.select("user_id")),
+    ):
+        hit = df.join(dl, "user_id", "left_semi")
+        scrubbed = df.join(dl, "user_id", "left_anti")
+        arms.append(
+            df.agg(F.count("*").cast("long").alias("n_rows"))
+            .crossJoin(
+                hit.agg(
+                    F.count("*").cast("long").alias("n_affected_rows"),
+                    F.countDistinct("user_id")
+                    .cast("long")
+                    .alias("n_affected_users"),
+                )
+            )
+            .crossJoin(
+                scrubbed.join(dl, "user_id", "left_semi").agg(
+                    F.count("*").cast("long").alias("post_scrub_remaining")
+                )
+            )
+            .select(
+                F.lit(name).alias("artifact"),
+                "n_rows",
+                "n_affected_rows",
+                "n_affected_users",
+                "post_scrub_remaining",
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def _erasure_sql() -> str:
+    arms = []
+    for name, src in (
+        ("events_log", "SELECT user_id FROM e"),
+        ("latest_state_view", "SELECT user_id FROM e GROUP BY user_id"),
+        ("user_lifetime_rollup", "SELECT user_id FROM e GROUP BY user_id"),
+    ):
+        arms.append(
+            f"SELECT '{name}' AS artifact, "
+            f"(SELECT count(*) FROM ({src}) t)::BIGINT AS n_rows, "
+            f"(SELECT count(*) FROM ({src}) t WHERE user_id IN "
+            "(SELECT user_id FROM dl))::BIGINT AS n_affected_rows, "
+            f"(SELECT count(DISTINCT user_id) FROM ({src}) t "
+            "WHERE user_id IN (SELECT user_id FROM dl))::BIGINT "
+            "AS n_affected_users, "
+            f"(SELECT count(*) FROM ({src}) t WHERE user_id NOT IN "
+            "(SELECT user_id FROM dl) AND user_id IN "
+            "(SELECT user_id FROM dl))::BIGINT AS post_scrub_remaining"
+        )
+    return (
+        "WITH e AS (SELECT user_id FROM events), "
+        "dl AS (SELECT DISTINCT user_id FROM events "
+        f"WHERE user_id % {ERASE_MOD} = 0) "
+        + " UNION ALL ".join(arms)
+    )
+
+
+ORACLES["priv_erasure_audit"] = _erasure_sql()
+QUERIES["priv_erasure_audit"] = q_erasure_audit
