@@ -682,3 +682,29 @@ def test_timestamp_heaping_detects_a_planted_truncation(spark):
         assert r["n_on_boundary"] <= r["n_events"]
         want_p0 = round(1.0 / {"minute": 60, "hour": 3600, "day": 86400}[r["boundary"]], 6)
         assert r["expected_rate"] == want_p0
+
+
+# --- events_kpi_decomposition -------------------------------------------
+
+
+def test_kpi_decomposition_log_ratios_add_up(spark):
+    rows = {
+        r["factor"]: r
+        for r in timeseries.q_events_kpi_decomposition(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"users", "frequency", "aov", "revenue"}
+    # the multiplicative identity: revenue = users · frequency · aov
+    for col in ("week_prev", "week_last"):
+        prod = (
+            rows["users"][col]
+            * rows["frequency"][col]
+            * rows["aov"][col]
+        )
+        assert abs(prod - rows["revenue"][col]) <= 1e-4 * abs(prod)
+    # log-additivity: factor ln-ratios sum to the revenue ln-ratio
+    s = sum(rows[f]["ln_ratio"] for f in ("users", "frequency", "aov"))
+    assert abs(s - rows["revenue"]["ln_ratio"]) <= 1e-5
+    # contributions are shares of the total move, summing to 1
+    cs = sum(rows[f]["contribution"] for f in ("users", "frequency", "aov"))
+    assert abs(cs - 1.0) <= 1e-5
+    assert abs(rows["revenue"]["contribution"] - 1.0) <= 1e-9

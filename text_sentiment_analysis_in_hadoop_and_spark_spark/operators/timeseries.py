@@ -1049,3 +1049,117 @@ def _heaping_sql() -> str:
 
 ORACLES["events_timestamp_heaping"] = _heaping_sql()
 QUERIES["events_timestamp_heaping"] = q_events_timestamp_heaping
+
+
+# --- multiplicative KPI decomposition (r5) -------------------------------
+#
+# The growth-team "why did revenue move" readout: revenue factors
+# exactly as  users × (purchases/user) × (revenue/purchase), so the
+# log-ratio between two periods ADDS across factors —
+# Δln(revenue) = Δln(users) + Δln(frequency) + Δln(AOV) — and each
+# factor's share of the total log-move is its attribution.  Compared
+# over the last two complete weeks of the corpus (anchored to the max
+# event time; integer week cut, no partial-week bias).
+#
+# Exactness: the three per-week primitives (distinct purchasers,
+# purchase count, cents) are exact integers; ln/ratios happen once at
+# the edge on identical integer inputs, rounded to 6.  Scale shape:
+# one filtered scan → two 1-row aggregates (purchasers via
+# count(DISTINCT) per week over a week-keyed pre-aggregate), a 3-row
+# stack — no data-sized shuffle beyond the per-user pre-agg.
+
+
+def q_events_kpi_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    mx = ev.agg(F.max("epoch_sec").alias("mx"))
+    wk = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(
+            F.col("epoch_sec") > F.col("mx") - 7 * 86400, F.lit(1)
+        )
+        .when(
+            F.col("epoch_sec") > F.col("mx") - 14 * 86400, F.lit(0)
+        )
+        .alias("wk"),
+    ).filter(F.col("wk").isNotNull())
+    agg = wk.groupBy("wk").agg(
+        F.countDistinct("user_id").cast("long").alias("users"),
+        F.count("*").cast("long").alias("purchases"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    w0 = agg.filter(F.col("wk") == 0).select(
+        F.col("users").alias("u0"),
+        F.col("purchases").alias("p0"),
+        F.col("cents").alias("c0"),
+    )
+    w1 = agg.filter(F.col("wk") == 1).select(
+        F.col("users").alias("u1"),
+        F.col("purchases").alias("p1"),
+        F.col("cents").alias("c1"),
+    )
+    j = w0.crossJoin(w1)
+    stacked = j.select(
+        F.expr(
+            "stack(4, "
+            "'users', CAST(u0 AS DOUBLE), CAST(u1 AS DOUBLE), "
+            "'frequency', p0 / CAST(u0 AS DOUBLE), p1 / CAST(u1 AS DOUBLE), "
+            "'aov', c0 / (100.0D * p0), c1 / (100.0D * p1), "
+            "'revenue', c0 / 100.0D, c1 / 100.0D"
+            ") AS (factor, week_prev, week_last)"
+        )
+    )
+    lr = F.log(F.col("week_last") / F.col("week_prev"))
+    total = F.log(
+        F.max(F.when(F.col("factor") == "revenue", F.col("week_last"))).over(
+            Window.partitionBy()
+        )
+        / F.max(
+            F.when(F.col("factor") == "revenue", F.col("week_prev"))
+        ).over(Window.partitionBy())
+    )
+    return stacked.select(
+        "factor",
+        F.round("week_prev", 6).alias("week_prev"),
+        F.round("week_last", 6).alias("week_last"),
+        (F.round(lr, 6) + F.lit(0.0)).alias("ln_ratio"),
+        (F.round(lr / total, 6) + F.lit(0.0)).alias("contribution"),
+    )
+
+
+ORACLES["events_kpi_decomposition"] = (
+    "WITH pv AS (SELECT user_id, "
+    "CAST(round(value * 100, 0) AS BIGINT) AS cents, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es "
+    "FROM events WHERE event_type = 'purchase'), "
+    "mx AS (SELECT max(es) AS mx FROM pv), "
+    "wkt AS (SELECT user_id, cents, CASE "
+    "WHEN es > mx - 7 * 86400 THEN 1 "
+    "WHEN es > mx - 14 * 86400 THEN 0 END AS wk "
+    "FROM pv CROSS JOIN mx), "
+    "agg AS (SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS users, "
+    "CAST(count(*) AS BIGINT) AS purchases, "
+    "CAST(sum(cents) AS BIGINT) AS cents "
+    "FROM wkt WHERE wk IS NOT NULL GROUP BY wk), "
+    "j AS (SELECT a.users AS u0, a.purchases AS p0, a.cents AS c0, "
+    "b.users AS u1, b.purchases AS p1, b.cents AS c1 "
+    "FROM (SELECT * FROM agg WHERE wk = 0) a, "
+    "(SELECT * FROM agg WHERE wk = 1) b), "
+    "s AS (SELECT 'users' AS factor, CAST(u0 AS DOUBLE) AS week_prev, "
+    "CAST(u1 AS DOUBLE) AS week_last, "
+    "ln(c1 * 1.0 / c0) AS total FROM j "
+    "UNION ALL SELECT 'frequency', p0 / CAST(u0 AS DOUBLE), "
+    "p1 / CAST(u1 AS DOUBLE), ln(c1 * 1.0 / c0) FROM j "
+    "UNION ALL SELECT 'aov', c0 / (100.0 * p0), c1 / (100.0 * p1), "
+    "ln(c1 * 1.0 / c0) FROM j "
+    "UNION ALL SELECT 'revenue', c0 / 100.0, c1 / 100.0, "
+    "ln(c1 * 1.0 / c0) FROM j) "
+    "SELECT factor, round(week_prev, 6) AS week_prev, "
+    "round(week_last, 6) AS week_last, "
+    "round(ln(week_last / week_prev), 6) + 0.0 AS ln_ratio, "
+    "round(ln(week_last / week_prev) / total, 6) + 0.0 AS contribution FROM s"
+)
+
+QUERIES["events_kpi_decomposition"] = q_events_kpi_decomposition
