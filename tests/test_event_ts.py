@@ -67,3 +67,37 @@ def test_epoch_sec_matches_python_utc(spark, tmp_path):
         ).timestamp()
     )
     assert row["sec"] == expect
+
+
+def test_journey_sample_orders_by_time_then_id(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        JOURNEY_MOD,
+        load_events,
+        q_events_journey_sample,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = {r["user_id"]: r for r in q_events_journey_sample(spark, SF_DIR).collect()}
+    assert rows and all(u % JOURNEY_MOD == 0 for u in rows)
+    ev = (
+        load_events(spark, SF_DIR)
+        .filter(F.col("user_id") % JOURNEY_MOD == 0)
+        .select("user_id", "event_id", "event_type", "epoch_sec")
+        .collect()
+    )
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append(
+            (e["epoch_sec"], e["event_id"], e["event_type"])
+        )
+    assert set(by_user) == set(rows)
+    for u, evs in by_user.items():
+        evs.sort()
+        assert rows[u]["journey"] == [t for _, _, t in evs]
+        assert rows[u]["n_events"] == len(evs)
+        assert rows[u]["span_sec"] == evs[-1][0] - evs[0][0]

@@ -2106,3 +2106,50 @@ ORACLES_LATE["events_funnel_windowed"] = (
     "round((SELECT count(*) FROM p) * 1.0 / "
     "(SELECT count(*) FROM c), 6) AS click_to_purchase"
 )
+
+
+JOURNEY_MOD = 199  # deterministic ~0.5% user sample for replay/QA
+
+
+def q_events_journey_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-replay extraction: the FULL ordered event-type journey
+    for a deterministic user sample (user_id % JOURNEY_MOD == 0) as an
+    array column — what a QA engineer or a sequence-model training job
+    pulls when aggregate path counts (events_top_paths) aren't enough
+    and they need the raw trajectories, reproducibly.
+
+    Scale shape: the sample filter is a narrow map BEFORE any shuffle,
+    so the collect_list only ever materializes journeys for the
+    sampled sliver; per-user arrays are bounded by that user's own
+    activity (the same bound sessionization already assumes).  The
+    (epoch_sec, event_id) struct sort makes the order a total one —
+    wall-clock ties cannot flip replay order between engines."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("user_id") % JOURNEY_MOD == 0
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.max("epoch_sec") - F.min("epoch_sec"))
+        .cast("long")
+        .alias("span_sec"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("epoch_sec", "event_id", "event_type")
+                )
+            ),
+            lambda s: s["event_type"],
+        ).alias("journey"),
+    )
+
+
+ORACLES_LATE["events_journey_sample"] = (
+    "WITH b AS (SELECT user_id, event_id, event_type, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS s FROM events "
+    f"WHERE user_id % {JOURNEY_MOD} = 0) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(max(s) - min(s) AS BIGINT) AS span_sec, "
+    "list(event_type ORDER BY s, event_id) AS journey "
+    "FROM b GROUP BY user_id"
+)
+QUERIES_LATE["events_journey_sample"] = q_events_journey_sample
