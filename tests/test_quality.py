@@ -536,3 +536,27 @@ def test_top_features_are_extremes_of_the_model(spark):
     # positive direction = the k largest, descending
     want_pos = sorted(all_scores, key=lambda t: (-t[0], t[1]))[:k]
     assert [(r["log_odds"], r["word"]) for r in pos] == want_pos
+
+
+def test_label_issues_are_the_most_confident_disagreements(spark):
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import nb
+
+    rows = sorted(
+        nb.q_nb_label_issues(spark, SF_DIR).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows
+    scores = nb.q_nb_scores(spark, SF_DIR).collect()
+    dis = sorted(
+        (
+            (-round(abs(s["pos_score"] - s["neg_score"]), 6), s["doc_id"])
+            for s in scores
+            if int(s["pos_score"] > s["neg_score"]) != s["label"]
+        ),
+    )
+    k = min(nb.LABEL_ISSUES_K, len(dis))
+    assert len(rows) == k
+    assert [r["doc_id"] for r in rows] == [d for _, d in dis[:k]]
+    for r in rows:
+        assert r["prediction"] != r["label"]

@@ -1245,3 +1245,61 @@ def _top_features_sql() -> str:
 
 QUERIES_LATE["nb_top_features"] = q_nb_top_features
 ORACLES_LATE["nb_top_features"] = _top_features_sql()
+
+
+# --- confident-learning label audit (r5) -----------------------------------
+#
+# The training-data counterpart of uncertainty sampling: docs where
+# the model CONFIDENTLY contradicts the assigned label are the prime
+# label-error candidates (the core signal of confident learning /
+# cleanlab, Northcutt et al. 2021 — here in its simplest binary
+# margin form).  Emits the LABEL_ISSUES_K highest-margin
+# disagreements; in a labeling pipeline these rows go back to
+# annotators first.
+#
+# Same bounded TakeOrderedAndProject shape as nb_uncertainty_sample,
+# opposite ordering, restricted to prediction ≠ label.
+
+LABEL_ISSUES_K = 50
+
+
+def q_nb_label_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = q_nb_scores(spark, sf_dir).select(
+        "doc_id",
+        "label",
+        (F.col("pos_score") > F.col("neg_score"))
+        .cast("int")
+        .alias("prediction"),
+        F.round(
+            F.abs(F.col("pos_score") - F.col("neg_score")), 6
+        ).alias("abs_margin"),
+    ).filter(F.col("prediction") != F.col("label"))
+    top = s.orderBy(F.desc("abs_margin"), F.asc("doc_id")).limit(
+        LABEL_ISSUES_K
+    )
+    w = Window.orderBy(F.desc("abs_margin"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        "label",
+        "prediction",
+        "abs_margin",
+    )
+
+
+def _label_issues_sql() -> str:
+    return (
+        "WITH sc AS (" + ORACLES["nb_scores"] + "), "
+        "m AS (SELECT doc_id, label, "
+        "CAST(pos_score > neg_score AS INTEGER) AS prediction, "
+        "round(abs(pos_score - neg_score), 6) AS abs_margin FROM sc) "
+        "SELECT CAST(row_number() OVER "
+        "(ORDER BY abs_margin DESC, doc_id) AS INTEGER) AS rank, "
+        "doc_id, label, prediction, abs_margin FROM m "
+        "WHERE prediction <> label "
+        f"ORDER BY abs_margin DESC, doc_id LIMIT {LABEL_ISSUES_K}"
+    )
+
+
+QUERIES_LATE["nb_label_issues"] = q_nb_label_issues
+ORACLES_LATE["nb_label_issues"] = _label_issues_sql()
