@@ -708,3 +708,22 @@ def test_kpi_decomposition_log_ratios_add_up(spark):
     cs = sum(rows[f]["contribution"] for f in ("users", "frequency", "aov"))
     assert abs(cs - 1.0) <= 1e-5
     assert abs(rows["revenue"]["contribution"] - 1.0) <= 1e-9
+
+
+# --- events_alert_rules --------------------------------------------------
+
+
+def test_alert_rules_cover_every_rule_and_fire_correctly(spark):
+    rows = {
+        r["rule_id"]: r
+        for r in timeseries.q_events_alert_rules(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {rid for rid, *_ in timeseries.ALERT_RULES}
+    for rid, metric, op, thr in timeseries.ALERT_RULES:
+        r = rows[rid]
+        assert r["metric"] == metric and r["op"] == op
+        want = r["value"] > thr if op == ">" else r["value"] < thr
+        assert r["fired"] == want
+    # shares are consistent probabilities
+    assert 0.0 <= rows["R1_error_share_high"]["value"] <= 1.0
+    assert 0.0 <= rows["R2_purchase_share_low"]["value"] <= 1.0

@@ -1163,3 +1163,120 @@ ORACLES["events_kpi_decomposition"] = (
 )
 
 QUERIES["events_kpi_decomposition"] = q_events_kpi_decomposition
+
+
+# --- declarative alert-rules engine (r5) ----------------------------------
+#
+# Monitoring rules as DATA, not code: the rule table (metric, op,
+# threshold) lives where analysts can edit it, and the engine
+# cross-applies it to a computed metric vector each run — the
+# warehouse pattern behind every "alerting config" UI.  New rules
+# need a row, not a deploy.  Metrics here: per-type event shares,
+# the min/max daily volume, and the global mean purchase value —
+# one full-scan aggregate, stacked to a metric vector, broadcast-
+# joined against the rules.
+#
+# Exactness: shares/means derive from exact integer counts/cents and
+# round once; thresholds are literals, and `fired` compares the
+# ROUNDED value so the boundary is engine-exact.
+
+ALERT_RULES = (
+    ("R1_error_share_high", "error_share", ">", 0.25),
+    ("R2_purchase_share_low", "purchase_share", "<", 0.15),
+    ("R3_daily_min_volume", "min_daily_events", "<", 100.0),
+    ("R4_daily_peak_volume", "max_daily_events", ">", 100000.0),
+    ("R5_avg_purchase_value", "mean_purchase_value", ">", 30.0),
+)
+
+
+def q_events_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.expr("epoch_sec DIV 86400").alias("d")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    base = ev.agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("long")
+        .alias("n_err"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("n_buy"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            )
+        ).alias("buy_cents"),
+    ).crossJoin(
+        F.broadcast(
+            daily.agg(
+                F.min("n").cast("long").alias("d_min"),
+                F.max("n").cast("long").alias("d_max"),
+            )
+        )
+    )
+    metrics = base.select(
+        F.expr(
+            "stack(5, "
+            "'error_share', round(n_err / CAST(n_all AS DOUBLE), 6), "
+            "'purchase_share', round(n_buy / CAST(n_all AS DOUBLE), 6), "
+            "'min_daily_events', CAST(d_min AS DOUBLE), "
+            "'max_daily_events', CAST(d_max AS DOUBLE), "
+            "'mean_purchase_value', "
+            "round(buy_cents / (100.0D * n_buy), 6)"
+            ") AS (metric, value)"
+        )
+    )
+    rules = spark.createDataFrame(
+        list(ALERT_RULES), "rule_id string, metric string, op string, threshold double"
+    )
+    j = metrics.join(F.broadcast(rules), "metric")
+    fired = F.when(F.col("op") == ">", F.col("value") > F.col("threshold")).otherwise(
+        F.col("value") < F.col("threshold")
+    )
+    return j.select(
+        "rule_id", "metric", "value", "op", "threshold", fired.alias("fired")
+    )
+
+
+def _alert_rules_sql() -> str:
+    rule_rows = ", ".join(
+        f"('{rid}', '{m}', '{op}', CAST({thr} AS DOUBLE))"
+        for rid, m, op, thr in ALERT_RULES
+    )
+    return (
+        "WITH e AS (SELECT event_type, "
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents, "
+        "CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS d "
+        "FROM events), "
+        "daily AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM e "
+        "GROUP BY d), "
+        "base AS (SELECT CAST(count(*) AS BIGINT) AS n_all, "
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_err, "
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_buy, "
+        "sum(CASE WHEN event_type = 'purchase' THEN cents END) "
+        "AS buy_cents FROM e), "
+        "dd AS (SELECT CAST(min(n) AS BIGINT) AS d_min, "
+        "CAST(max(n) AS BIGINT) AS d_max FROM daily), "
+        "m AS ("
+        "SELECT 'error_share' AS metric, "
+        "round(n_err / CAST(n_all AS DOUBLE), 6) AS value FROM base "
+        "UNION ALL SELECT 'purchase_share', "
+        "round(n_buy / CAST(n_all AS DOUBLE), 6) FROM base "
+        "UNION ALL SELECT 'min_daily_events', CAST(d_min AS DOUBLE) FROM dd "
+        "UNION ALL SELECT 'max_daily_events', CAST(d_max AS DOUBLE) FROM dd "
+        "UNION ALL SELECT 'mean_purchase_value', "
+        "round(buy_cents / (100.0 * n_buy), 6) FROM base), "
+        f"rules(rule_id, metric, op, threshold) AS (VALUES {rule_rows}) "
+        "SELECT r.rule_id, m.metric, m.value, r.op, r.threshold, "
+        "CASE WHEN r.op = '>' THEN m.value > r.threshold "
+        "ELSE m.value < r.threshold END AS fired "
+        "FROM m JOIN rules r ON m.metric = r.metric"
+    )
+
+
+ORACLES["events_alert_rules"] = _alert_rules_sql()
+QUERIES["events_alert_rules"] = q_events_alert_rules
