@@ -189,3 +189,37 @@ def test_two_joined_stars_mix_toward_minus_one(spark):
     # requires a < b; feed the same canonical edge both times
     assert g1["assortativity"] == g2["assortativity"]
     assert g1["assortativity"] < -0.5
+
+
+def test_neighbor_sample_respects_fanout_and_determinism(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.graph import (
+        FANOUT1,
+        FANOUT2,
+        SAMPLE_SEED_MOD,
+        q_graph_neighbor_sample,
+    )
+
+    rows = q_graph_neighbor_sample(spark, SF_DIR).collect()
+    assert rows
+    import collections
+
+    h1 = collections.defaultdict(set)
+    h2 = collections.defaultdict(set)
+    for r in rows:
+        assert r["seed"] % SAMPLE_SEED_MOD == 0
+        if r["hop"] == 1:
+            assert r["src"] == r["seed"]
+            h1[r["seed"]].add(r["dst"])
+        else:
+            assert r["dst"] != r["seed"]  # no back-edge to the seed
+            h2[(r["seed"], r["src"])].add(r["dst"])
+    assert all(len(v) <= FANOUT1 for v in h1.values())
+    assert all(len(v) <= FANOUT2 for v in h2.values())
+    # hop-2 sources are sampled hop-1 nodes of the same seed
+    for (seed, src) in h2:
+        assert src in h1[seed]
+    # reproducible: a second run returns the identical sample
+    again = sorted(map(tuple, q_graph_neighbor_sample(spark, SF_DIR).collect()))
+    assert again == sorted(map(tuple, rows))

@@ -624,3 +624,128 @@ ORACLES["graph_assortativity"] = (
 )
 
 QUERIES["graph_assortativity"] = q_graph_assortativity
+
+
+# --- deterministic neighbor sampling (r5) ---------------------------------
+#
+# GNN minibatch prep (the GraphSAGE fanout): for every seed node,
+# sample up to FANOUT1 neighbors, and up to FANOUT2 second-hop
+# neighbors per first-hop node — but DETERMINISTICALLY, ranking
+# neighbors by a content hash of the (path) key instead of an RNG, so
+# the sampled computation graph is reproducible across runs/engines
+# (the same property every sampler in pipeline.py guarantees).
+# Back-edges to the seed are excluded at hop 2.
+#
+# Scale shape: edges are the bounded verified near-dup pair table;
+# fanout ranking windows partition BY SEED (hop 1) and BY (SEED,
+# FIRST-HOP) (hop 2) — thousands of small partitions, no global
+# window; output is ≤ seeds · F1 · (1 + F2) rows by construction.
+
+SAMPLE_SEED_MOD = 7
+FANOUT1 = 3
+FANOUT2 = 2
+
+
+def q_graph_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hex32
+
+    e = _verified_edges(spark, sf_dir)
+    bidir = e.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    seeds = (
+        bidir.select(F.col("src").alias("seed"))
+        .distinct()
+        .filter(F.col("seed") % SAMPLE_SEED_MOD == 0)
+    )
+    h1 = seeds.join(bidir, F.col("seed") == F.col("src")).select(
+        "seed",
+        F.col("dst").alias("n1"),
+        hex32(
+            F.concat_ws(
+                ":",
+                F.col("seed").cast("string"),
+                F.col("dst").cast("string"),
+            )
+        ).alias("hk"),
+    )
+    w1 = Window.partitionBy("seed").orderBy("hk", "n1")
+    hop1 = (
+        h1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= FANOUT1)
+        .select("seed", "n1")
+    )
+    h2 = (
+        hop1.join(bidir, F.col("n1") == F.col("src"))
+        .filter(F.col("dst") != F.col("seed"))
+        .select(
+            "seed",
+            "n1",
+            F.col("dst").alias("n2"),
+            hex32(
+                F.concat_ws(
+                    ":",
+                    F.col("seed").cast("string"),
+                    F.col("n1").cast("string"),
+                    F.col("dst").cast("string"),
+                )
+            ).alias("hk"),
+        )
+    )
+    w2 = Window.partitionBy("seed", "n1").orderBy("hk", "n2")
+    hop2 = (
+        h2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= FANOUT2)
+        .select("seed", "n1", "n2")
+    )
+    return hop1.select(
+        "seed",
+        F.lit(1).cast("int").alias("hop"),
+        F.col("seed").alias("src"),
+        F.col("n1").alias("dst"),
+    ).unionByName(
+        hop2.select(
+            "seed",
+            F.lit(2).cast("int").alias("hop"),
+            F.col("n1").alias("src"),
+            F.col("n2").alias("dst"),
+        )
+    )
+
+
+def _neighbor_sample_sql() -> str:
+    from ..functions.hashing import hex32_sql
+
+    hk1 = hex32_sql("CAST(seed AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")
+    hk2 = hex32_sql(
+        "CAST(seed AS VARCHAR) || ':' || CAST(n1 AS VARCHAR) || ':' || "
+        "CAST(dst AS VARCHAR)"
+    )
+    return _with(
+        *_TRI_CTES[:-2],
+        "bidir AS (SELECT a AS src, b AS dst FROM uedges "
+        "UNION ALL SELECT b, a FROM uedges)",
+        "seeds AS (SELECT DISTINCT src AS seed FROM bidir "
+        f"WHERE src % {SAMPLE_SEED_MOD} = 0)",
+        "h1 AS (SELECT s.seed, b.dst, row_number() OVER "
+        f"(PARTITION BY s.seed ORDER BY {hk1}, b.dst) AS rn "
+        "FROM seeds s JOIN bidir b ON b.src = s.seed)",
+        f"hop1 AS (SELECT seed, dst AS n1 FROM h1 WHERE rn <= {FANOUT1})",
+        "h2 AS (SELECT h.seed, h.n1, b.dst, row_number() OVER "
+        f"(PARTITION BY h.seed, h.n1 ORDER BY {hk2}, b.dst) AS rn "
+        "FROM hop1 h JOIN bidir b ON b.src = h.n1 "
+        "WHERE b.dst <> h.seed)",
+        f"hop2 AS (SELECT seed, n1, dst AS n2 FROM h2 WHERE rn <= {FANOUT2})",
+    ) + (
+        "SELECT seed, CAST(1 AS INTEGER) AS hop, seed AS src, n1 AS dst "
+        "FROM hop1 "
+        "UNION ALL "
+        "SELECT seed, CAST(2 AS INTEGER) AS hop, n1 AS src, n2 AS dst "
+        "FROM hop2"
+    )
+
+
+ORACLES["graph_neighbor_sample"] = _neighbor_sample_sql()
+QUERIES["graph_neighbor_sample"] = q_graph_neighbor_sample
