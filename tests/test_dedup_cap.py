@@ -315,3 +315,34 @@ def test_method_agreement_counts_are_consistent(spark):
     }
     assert rows["minhash"]["n_both"] == len(mh & tr)
     assert rows["minhash"]["n_method"] == len(mh)
+
+
+def test_split_overlap_counts_and_flags_reconcile(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        SPLIT_OVERLAP_MEMORIZED,
+        _shingles_cached,
+        q_split_overlap,
+    )
+
+    rows = {r["doc_id"]: r for r in q_split_overlap(spark, SF_DIR).collect()}
+    assert rows and all(d % 8 < 2 for d in rows)
+    sh = _shingles_cached(spark, SF_DIR).collect()
+    train = {r["shingle"] for r in sh if r["doc_id"] % 8 >= 2}
+    import collections
+
+    per = collections.defaultdict(lambda: [0, 0])
+    for r in sh:
+        if r["doc_id"] % 8 < 2:
+            per[r["doc_id"]][0] += 1
+            per[r["doc_id"]][1] += 1 if r["shingle"] in train else 0
+    assert set(per) == set(rows)
+    for d, (n, seen) in per.items():
+        assert rows[d]["n_shingles"] == n
+        assert rows[d]["n_seen"] == seen
+        want = round(seen / n, 6)
+        assert abs(rows[d]["overlap_frac"] - want) <= 1e-9
+        assert rows[d]["memorization_risk"] == (
+            want >= SPLIT_OVERLAP_MEMORIZED
+        )

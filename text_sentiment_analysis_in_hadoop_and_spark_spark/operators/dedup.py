@@ -2343,3 +2343,66 @@ def _method_agreement_sql() -> str:
 
 ORACLES["dedup_method_agreement"] = _method_agreement_sql()
 QUERIES["dedup_method_agreement"] = q_method_agreement
+
+
+# --- train/test split n-gram overlap (r5) ---------------------------------
+#
+# The memorization-risk eval (the GPT-2 paper's 8-gram test-set
+# overlap analysis, at this corpus's 3-gram width): what fraction of
+# each TEST doc's shingles already occur anywhere in the TRAIN split?
+# High-overlap test docs inflate eval scores for free — this readout
+# is why pipe_split_leakage_safe splits by CLUSTER, and it measures
+# the residual risk that plain modulo splitting leaves behind.
+# Per test doc: shingle count, seen-in-train count, overlap fraction,
+# and a ≥ 0.5 memorization flag.
+#
+# Scale shape: the memoized shingle table splits by the doc_id
+# modulus (two narrow filters); membership is ONE shingle-keyed
+# equi-join of test shingles against the DISTINCT train shingle set
+# (both partial-agg reduced before the join); rollup per test doc.
+# Boundary discipline: the flag compares the 6-rounded fraction.
+
+SPLIT_OVERLAP_MEMORIZED = 0.5
+
+
+def q_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_cached(spark, sf_dir)
+    train_sh = (
+        sh.filter(F.col("doc_id") % 8 >= 2).select("shingle").distinct()
+    )
+    test_sh = sh.filter(F.col("doc_id") % 8 < 2)
+    seen = test_sh.join(
+        train_sh.withColumn("seen", F.lit(1)), "shingle", "left"
+    )
+    per_doc = seen.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.coalesce("seen", F.lit(0))).cast("long").alias("n_seen"),
+    )
+    frac = F.round(
+        F.col("n_seen") / F.col("n_shingles").cast("double"), 6
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_seen",
+        frac.alias("overlap_frac"),
+        (frac >= SPLIT_OVERLAP_MEMORIZED).alias("memorization_risk"),
+    )
+
+
+ORACLES["text_split_overlap"] = _with(
+    *_DSH_CTES,
+    "trs AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 8 >= 2)",
+    "tes AS (SELECT doc_id, shingle FROM dsh WHERE doc_id % 8 < 2)",
+    "per AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+    "CAST(sum(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_seen FROM tes t LEFT JOIN trs r "
+    "ON t.shingle = r.shingle GROUP BY t.doc_id)",
+) + (
+    "SELECT doc_id, n_shingles, n_seen, "
+    "round(n_seen / CAST(n_shingles AS DOUBLE), 6) AS overlap_frac, "
+    "round(n_seen / CAST(n_shingles AS DOUBLE), 6) >= "
+    f"{SPLIT_OVERLAP_MEMORIZED} AS memorization_risk FROM per"
+)
+
+QUERIES["text_split_overlap"] = q_split_overlap
