@@ -86,3 +86,38 @@ def test_fd_audit_holds_and_violations(spark, tmp_path):
     assert fd2["holds"] == 0 and fd2["n_violating_keys"] == 1
     fd3 = out["lineitem.l_orderkey->l_returnflag"]
     assert fd3["n_keys"] == 2 and fd3["n_violating_keys"] == 1
+
+
+def test_mix_shift_decomposition_sums_to_delta_aov(spark):
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.relational2 import (
+        MIX_YEAR0,
+        MIX_YEAR1,
+        q_mix_shift,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = q_mix_shift(spark, SF_DIR).collect()
+    assert rows
+    # Kitagawa identity: Σ(mix + rate) == AOV₁ − AOV₀ (global)
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    aov = {
+        r["yr"]: r["s"] / (100.0 * r["n"])
+        for r in orders.filter(F.col("yr").isin(MIX_YEAR0, MIX_YEAR1))
+        .groupBy("yr")
+        .agg(F.sum("cents").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    delta = aov[MIX_YEAR1] - aov[MIX_YEAR0]
+    total = sum(r["mix_effect"] + r["rate_effect"] for r in rows)
+    assert abs(total - delta) <= 1e-3 + 5e-6 * len(rows)
+    # shares per year sum to 1
+    assert abs(sum(r["share0"] for r in rows) - 1.0) <= 1e-4
+    assert abs(sum(r["share1"] for r in rows) - 1.0) <= 1e-4

@@ -2058,3 +2058,105 @@ ORACLES["rel_pareto_frontier"] = (
 )
 
 QUERIES["rel_pareto_frontier"] = q_pareto_frontier
+
+
+# --- Kitagawa mix-vs-rate decomposition (r5) ------------------------------
+#
+# "AOV moved — did customers change their behavior, or did the
+# CUSTOMER MIX change?"  The Kitagawa (1955) / Oaxaca-Blinder
+# decomposition splits the year-over-year change in average order
+# value into, per market segment,
+#   mix  effect = (share₁ − share₀) · aov₀_seg
+#   rate effect =  share₁ · (aov₁_seg − aov₀_seg)
+# which sum EXACTLY to ΔAOV across segments (the test pins the
+# identity).  The additive complement of events_kpi_decomposition's
+# multiplicative factor split.
+#
+# Scale shape: orders ⋈ broadcast customer dim → one (year, segment)
+# partial agg (integer cents/counts); the decomposition runs on the
+# segments-sized table.  Doubles appear once, at the exposed ratios.
+
+MIX_YEAR0 = 1996
+MIX_YEAR1 = 1997
+
+
+def q_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    base = (
+        orders.filter(
+            F.year("o_orderdate").isin(MIX_YEAR0, MIX_YEAR1)
+        )
+        .join(F.broadcast(cust), "o_custkey")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"), "segment"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    tot = base.groupBy("yr").agg(
+        F.sum("n").cast("long").alias("n_tot")
+    )
+    seg = base.join(F.broadcast(tot), "yr").select(
+        "segment",
+        "yr",
+        (F.col("n") / F.col("n_tot").cast("double")).alias("share"),
+        (F.col("cents") / (F.lit(100.0) * F.col("n"))).alias("aov"),
+    )
+    y0 = seg.filter(F.col("yr") == MIX_YEAR0).select(
+        "segment",
+        F.col("share").alias("share0"),
+        F.col("aov").alias("aov0"),
+    )
+    y1 = seg.filter(F.col("yr") == MIX_YEAR1).select(
+        "segment",
+        F.col("share").alias("share1"),
+        F.col("aov").alias("aov1"),
+    )
+    j = y0.join(y1, "segment")
+    return j.select(
+        "segment",
+        F.round("share0", 6).alias("share0"),
+        F.round("share1", 6).alias("share1"),
+        F.round("aov0", 6).alias("aov0"),
+        F.round("aov1", 6).alias("aov1"),
+        F.round(
+            (F.col("share1") - F.col("share0")) * F.col("aov0"), 6
+        ).alias("mix_effect"),
+        F.round(
+            F.col("share1") * (F.col("aov1") - F.col("aov0")), 6
+        ).alias("rate_effect"),
+    )
+
+
+ORACLES["rel_mix_shift"] = (
+    "WITH base AS (SELECT CAST(year(o.o_orderdate) AS INTEGER) AS yr, "
+    "c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) "
+    "AS cents FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    f"WHERE year(o.o_orderdate) IN ({MIX_YEAR0}, {MIX_YEAR1}) "
+    "GROUP BY 1, 2), "
+    "tot AS (SELECT yr, CAST(sum(n) AS BIGINT) AS n_tot FROM base "
+    "GROUP BY yr), "
+    "seg AS (SELECT b.segment, b.yr, "
+    "b.n / CAST(t.n_tot AS DOUBLE) AS share, "
+    "b.cents / (100.0 * b.n) AS aov FROM base b JOIN tot t "
+    "ON b.yr = t.yr) "
+    "SELECT a.segment, round(a.share, 6) AS share0, "
+    "round(b.share, 6) AS share1, round(a.aov, 6) AS aov0, "
+    "round(b.aov, 6) AS aov1, "
+    "round((b.share - a.share) * a.aov, 6) AS mix_effect, "
+    "round(b.share * (b.aov - a.aov), 6) AS rate_effect "
+    f"FROM (SELECT * FROM seg WHERE yr = {MIX_YEAR0}) a "
+    f"JOIN (SELECT * FROM seg WHERE yr = {MIX_YEAR1}) b "
+    "ON a.segment = b.segment"
+)
+
+QUERIES["rel_mix_shift"] = q_mix_shift
