@@ -346,3 +346,39 @@ def test_split_overlap_counts_and_flags_reconcile(spark):
         assert rows[d]["memorization_risk"] == (
             want >= SPLIT_OVERLAP_MEMORIZED
         )
+
+
+def test_cluster_topics_rank_multi_doc_clusters_only(spark):
+    import math
+
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        TOPIC_TERMS,
+        q_cluster_topics,
+        q_dedup_clusters,
+    )
+
+    rows = q_cluster_topics(spark, SF_DIR).collect()
+    assert rows
+    import collections
+
+    sizes = collections.Counter(
+        r["cluster_id"] for r in q_dedup_clusters(spark, SF_DIR).collect()
+    )
+    by_cluster = collections.defaultdict(list)
+    for r in rows:
+        assert sizes[r["cluster_id"]] >= 2  # singletons excluded
+        assert r["n_docs"] == sizes[r["cluster_id"]]
+        by_cluster[r["cluster_id"]].append(r)
+    # every labeled cluster carries at most TOPIC_TERMS ranked terms,
+    # scores non-increasing in rank, all positive (ln(1 + C/df) > 0)
+    for c, rs in by_cluster.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOPIC_TERMS
+        for a, b in zip(rs, rs[1:]):
+            assert a["score"] >= b["score"] - 1e-9
+        assert all(r["score"] > 0 for r in rs)
+    # every multi-doc cluster got a label row
+    assert set(by_cluster) == {c for c, n in sizes.items() if n >= 2}

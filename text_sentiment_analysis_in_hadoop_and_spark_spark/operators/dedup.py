@@ -2406,3 +2406,107 @@ ORACLES["text_split_overlap"] = _with(
 )
 
 QUERIES["text_split_overlap"] = q_split_overlap
+
+
+# --- cluster topic labels via c-TF-IDF (r5) --------------------------------
+#
+# What ARE the dup families?  BERTopic's class-based TF-IDF
+# (Grootendorst 2022) treats each multi-doc cluster as one
+# pseudo-document: score(w, c) = tf_c(w) · ln(1 + C / df(w)) with
+# df counted over CLUSTERS (not docs), then the top TOPIC_TERMS words
+# label the family.  The human-readable layer over dedup_clusters —
+# "cluster 26 is the shipping-confirmation template" instead of a
+# bare id.
+#
+# Scale shape: tokens join the cluster map on doc_id (co-partitioned
+# with every other doc-keyed artifact), the tf table is (clusters ×
+# vocab)-bounded by partial agg, df/C are vocab- and 1-sized
+# aggregates, and the rank window partitions BY CLUSTER.  Ranking
+# compares the 6-ROUNDED score with a word tiebreak, so top-3 is a
+# total order in both engines.
+
+TOPIC_TERMS = 3
+
+
+def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = q_dedup_clusters(spark, sf_dir)
+    multi = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    t = tok.join(clusters, "doc_id").join(
+        F.broadcast(multi), "cluster_id"
+    )
+    tf = t.groupBy("cluster_id", "word").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.max("n_docs").cast("long").alias("n_docs"),
+    )
+    dfw = tf.groupBy("word").agg(
+        F.countDistinct("cluster_id").cast("long").alias("dfc")
+    )
+    nc = multi.agg(F.count("*").cast("long").alias("n_clusters"))
+    sc = (
+        tf.join(dfw, "word")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "cluster_id",
+            "n_docs",
+            "word",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.lit(1.0)
+                    + F.col("n_clusters") / F.col("dfc").cast("double")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("word")
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPIC_TERMS)
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "n_docs",
+            F.col("rank").cast("int").alias("rank"),
+            "word",
+            "score",
+        )
+    )
+
+
+def _cluster_topics_sql() -> str:
+    return (
+        "WITH cl AS (" + ORACLES["dedup_clusters"] + "), "
+        "multi AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM cl GROUP BY cluster_id HAVING count(*) >= 2), "
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        "t AS (SELECT c.cluster_id, m.n_docs, k.word FROM tok k "
+        "JOIN cl c USING (doc_id) JOIN multi m USING (cluster_id)), "
+        "tf AS (SELECT cluster_id, word, CAST(count(*) AS BIGINT) AS tf, "
+        "CAST(max(n_docs) AS BIGINT) AS n_docs FROM t "
+        "GROUP BY cluster_id, word), "
+        "dfw AS (SELECT word, CAST(count(DISTINCT cluster_id) AS BIGINT) "
+        "AS dfc FROM tf GROUP BY word), "
+        "nc AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters FROM multi), "
+        "sc AS (SELECT f.cluster_id, f.n_docs, f.word, "
+        "round(f.tf * ln(1.0 + nc.n_clusters / CAST(d.dfc AS DOUBLE)), 6) "
+        "AS score FROM tf f JOIN dfw d USING (word) CROSS JOIN nc), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id "
+        "ORDER BY score DESC, word ASC) AS rn FROM sc) "
+        "SELECT CAST(cluster_id AS BIGINT) AS cluster_id, n_docs, "
+        "CAST(rn AS INTEGER) AS rank, word, score FROM rk "
+        f"WHERE rn <= {TOPIC_TERMS}"
+    )
+
+
+ORACLES["dedup_cluster_topics"] = _cluster_topics_sql()
+QUERIES["dedup_cluster_topics"] = q_cluster_topics
