@@ -121,3 +121,39 @@ def test_mix_shift_decomposition_sums_to_delta_aov(spark):
     # shares per year sum to 1
     assert abs(sum(r["share0"] for r in rows) - 1.0) <= 1e-4
     assert abs(sum(r["share1"] for r in rows) - 1.0) <= 1e-4
+
+
+def test_order_velocity_audit_matches_serial_gaps(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.relational2 import (
+        RAPID_DAYS,
+        q_order_velocity_audit,
+    )
+
+    rows = {r["custkey"]: r for r in q_order_velocity_audit(spark, SF_DIR).collect()}
+    assert rows
+    import collections
+
+    orders = spark.read.parquet(SF_DIR + "/orders.parquet").collect()
+    by_cust = collections.defaultdict(list)
+    import datetime
+
+    for o in orders:
+        d = int(
+            o["o_orderdate"].replace(tzinfo=datetime.timezone.utc).timestamp()
+        ) // 86400
+        by_cust[o["o_custkey"]].append((d, o["o_orderkey"]))
+    for ck, os_ in by_cust.items():
+        if len(os_) < 2:
+            assert ck not in rows  # singles have no gaps to audit
+            continue
+        os_.sort()
+        gaps = [b[0] - a[0] for a, b in zip(os_, os_[1:])]
+        r = rows[ck]
+        assert r["n_orders"] == len(os_)
+        assert r["min_gap_days"] == min(gaps)
+        assert r["n_rapid"] == sum(1 for g in gaps if g <= RAPID_DAYS)
+        assert r["velocity_flag"] == (r["n_rapid"] > 0)
+    # the flag fires somewhere on a 10-order-per-customer corpus
+    assert any(r["velocity_flag"] for r in rows.values())

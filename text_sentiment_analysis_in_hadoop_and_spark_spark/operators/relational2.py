@@ -2160,3 +2160,69 @@ ORACLES["rel_mix_shift"] = (
 )
 
 QUERIES["rel_mix_shift"] = q_mix_shift
+
+
+# --- order-velocity audit (r5) ---------------------------------------------
+#
+# The fraud/DQ sweep over purchase cadence: for every customer with
+# ≥ 2 orders, the gap between consecutive orders (lag over a
+# per-customer window), the minimum gap, and how many orders arrived
+# within RAPID_DAYS of the previous one — sub-3-day bursts from a
+# single account are double-submission / bot suspects, and the flag
+# makes the audit a one-filter readout.  (An exact-amount
+# double-charge join was considered and dropped: synthetic prices
+# are collision-free, so that audit would prove itself on zero rows.)
+#
+# Scale shape: ONE lag window partitioned BY CUSTOMER (bounded rows
+# per partition), then a per-customer partial agg.  Gaps are exact
+# integer days; no doubles anywhere.
+
+RAPID_DAYS = 3
+
+
+def q_order_velocity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(unix_timestamp(o_orderdate) AS LONG) DIV 86400")
+        .cast("long")
+        .alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        (F.col("d") - F.lag("d").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    per = gaps.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        (F.count("*") + 1).cast("long").alias("n_orders"),
+        F.min("gap").cast("long").alias("min_gap_days"),
+        F.sum((F.col("gap") <= RAPID_DAYS).cast("long"))
+        .cast("long")
+        .alias("n_rapid"),
+    )
+    return per.select(
+        "custkey",
+        "n_orders",
+        "min_gap_days",
+        "n_rapid",
+        (F.col("n_rapid") > 0).alias("velocity_flag"),
+    )
+
+
+ORACLES["rel_order_velocity_audit"] = (
+    "WITH o AS (SELECT o_custkey, o_orderkey, "
+    "CAST(epoch_ns(o_orderdate) // 1000000000 // 86400 AS BIGINT) AS d "
+    "FROM orders), "
+    "g AS (SELECT o_custkey, d - lag(d) OVER "
+    "(PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap FROM o) "
+    "SELECT o_custkey AS custkey, "
+    "CAST(count(*) + 1 AS BIGINT) AS n_orders, "
+    "CAST(min(gap) AS BIGINT) AS min_gap_days, "
+    f"CAST(sum(CASE WHEN gap <= {RAPID_DAYS} THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_rapid, "
+    f"sum(CASE WHEN gap <= {RAPID_DAYS} THEN 1 ELSE 0 END) > 0 "
+    "AS velocity_flag "
+    "FROM g WHERE gap IS NOT NULL GROUP BY o_custkey"
+)
+
+QUERIES["rel_order_velocity_audit"] = q_order_velocity_audit
