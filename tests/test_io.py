@@ -264,3 +264,19 @@ def test_jsonl_nested_parse_is_typed_not_inferred(spark):
         2.0,
         None,
     )
+
+
+def test_sql_pipe_syntax_matches_classic_formulation(spark):
+    """Spark 4's |> pipe dialect must produce exactly the classic
+    query's rows — one parser feature, same optimizer underneath."""
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import sqlapi
+
+    piped = sorted(
+        map(tuple, sqlapi.q_sql_pipe_segments(spark, SF_DIR).collect())
+    )
+    classic = sorted(
+        map(tuple, spark.sql(sqlapi.ORACLES["sql_pipe_segments"]).collect())
+    )
+    assert piped == classic and piped

@@ -137,3 +137,40 @@ def _khop_oracle() -> str:
 
 ORACLES["sql_khop_reach"] = _khop_oracle()
 QUERIES["sql_khop_reach"] = q_sql_khop_reach
+
+
+# --- SQL pipe syntax (r5): Spark 4's |> operator chain ----------------
+#
+# The same nation-customer rollup written in SQL pipe syntax
+# (SPARK-49555, the ZetaSQL-style `|>` chain Spark 4 ships): each
+# stage reads top-down like a DataFrame chain while remaining one SQL
+# string through the same parser/optimizer.  DuckDB has no pipe
+# dialect, so the oracle is the classic formulation — same plan
+# family, same rows; the point of the entry is pinning that the
+# engine ACCEPTS and correctly executes the dialect a migrating
+# ZetaSQL/BigQuery user will write.
+
+_SQL_PIPE_SEGMENTS = (
+    "FROM customer "
+    "|> JOIN nation ON c_nationkey = n_nationkey "
+    "|> WHERE c_acctbal >= 0 "
+    "|> AGGREGATE CAST(count(*) AS BIGINT) AS n_customers, "
+    f"CAST(sum({_cents_sql('c_acctbal')}) AS BIGINT) AS balance_cents "
+    "GROUP BY c_mktsegment AS segment "
+    "|> ORDER BY segment"
+)
+
+
+def q_sql_pipe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_PIPE_SEGMENTS)
+
+
+ORACLES["sql_pipe_segments"] = (
+    "SELECT c_mktsegment AS segment, "
+    "CAST(count(*) AS BIGINT) AS n_customers, "
+    f"CAST(sum({_cents_sql('c_acctbal')}) AS BIGINT) AS balance_cents "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE c_acctbal >= 0 GROUP BY c_mktsegment ORDER BY segment"
+)
+QUERIES["sql_pipe_segments"] = q_sql_pipe_segments
