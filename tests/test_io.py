@@ -280,3 +280,40 @@ def test_sql_pipe_syntax_matches_classic_formulation(spark):
         map(tuple, spark.sql(sqlapi.ORACLES["sql_pipe_segments"]).collect())
     )
     assert piped == classic and piped
+
+
+def test_collated_grouping_folds_case_variants(spark):
+    """A synthetic case-variant input must collapse under the
+    UTF8_LCASE grouping exactly as under manual lower()."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="coll_")
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(6), pa.int64()),
+            "o_custkey": pa.array([1] * 6, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 6),
+            "o_totalprice": pa.array([1.0] * 6),
+            "o_orderdate": pa.array([0] * 6, pa.timestamp("us")),
+            "o_orderpriority": pa.array(
+                ["1-URGENT", "1-urgent", "1-Urgent", "2-HIGH", "2-high", "3-LOW"]
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "orders.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"):
+        from conftest import SF_DIR
+        import shutil
+
+        src = os.path.join(SF_DIR, f"{t}.parquet")
+        shutil.copy(src, os.path.join(d, f"{t}.parquet"))
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import sqlapi
+
+    rows = {
+        r["priority"]: r["n_orders"]
+        for r in sqlapi.q_sql_collated_priority(spark, d).collect()
+    }
+    assert rows == {"1-urgent": 3, "2-high": 2, "3-low": 1}

@@ -174,3 +174,36 @@ ORACLES["sql_pipe_segments"] = (
     "WHERE c_acctbal >= 0 GROUP BY c_mktsegment ORDER BY segment"
 )
 QUERIES["sql_pipe_segments"] = q_sql_pipe_segments
+
+
+# --- collation-aware aggregation (r5): Spark 4 COLLATE ----------------
+#
+# Case-insensitive GROUP BY via Spark 4's collation support
+# (SPARK-46830): grouping the order-priority code under UTF8_LCASE
+# folds case variants into one group AT THE TYPE LEVEL — the grouping
+# key, joins, and comparisons all inherit the collation instead of
+# every call site remembering to lower() (the classic bug this
+# feature retires).  The oracle lower()s explicitly — same rows; the
+# entry pins that the engine's collated grouping agrees with the
+# manual fold.  Keys are exposed lower()ed on both sides so the
+# VALUES, not just the group structure, are engine-identical.
+
+_SQL_COLLATED = (
+    "SELECT lower(o_orderpriority) AS priority, "
+    "CAST(count(*) AS BIGINT) AS n_orders "
+    "FROM (SELECT o_orderpriority COLLATE UTF8_LCASE AS o_orderpriority "
+    "FROM orders) GROUP BY o_orderpriority"
+)
+
+
+def q_sql_collated_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_COLLATED)
+
+
+ORACLES["sql_collated_priority"] = (
+    "SELECT lower(o_orderpriority) AS priority, "
+    "CAST(count(*) AS BIGINT) AS n_orders "
+    "FROM orders GROUP BY lower(o_orderpriority)"
+)
+QUERIES["sql_collated_priority"] = q_sql_collated_priority
