@@ -560,3 +560,34 @@ def test_label_issues_are_the_most_confident_disagreements(spark):
     assert [r["doc_id"] for r in rows] == [d for _, d in dis[:k]]
     for r in rows:
         assert r["prediction"] != r["label"]
+
+
+def test_threshold_sweep_is_monotone_and_reconciles(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.quality import (
+        SWEEP_THRESHOLDS,
+        q_lm_score,
+        q_quality_threshold_sweep,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.textstats import (
+        q_text_quality,
+    )
+
+    rows = sorted(
+        q_quality_threshold_sweep(spark, SF_DIR).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in rows] == list(SWEEP_THRESHOLDS)
+    # kept volume is non-increasing in the threshold
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_kept"] >= b["n_kept"]
+    # spot-reconcile one interior threshold against the raw signals
+    q = {r["doc_id"]: r["quality"] for r in q_text_quality(spark, SF_DIR).collect()}
+    lm = {r["doc_id"]: r["cross_entropy"] for r in q_lm_score(spark, SF_DIR).collect()}
+    ids = set(q) & set(lm)
+    t = SWEEP_THRESHOLDS[4]
+    kept = [d for d in ids if q[d] >= t]
+    row = rows[4]
+    assert row["n_kept"] == len(kept)
+    assert abs(row["kept_frac"] - round(len(kept) / len(ids), 6)) <= 1e-9

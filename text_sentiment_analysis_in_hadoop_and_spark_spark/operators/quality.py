@@ -1125,3 +1125,97 @@ def _signal_correlation_sql() -> str:
 
 ORACLES_LATE["text_signal_correlation"] = _signal_correlation_sql()
 QUERIES_LATE["text_signal_correlation"] = q_signal_correlation
+
+
+# --- quality-gate threshold sweep (r5) -------------------------------------
+#
+# How a pipeline owner actually picks CONTAM/QUALITY cutoffs: sweep
+# the candidate thresholds in ONE pass and read kept-volume vs
+# kept-quality off the curve (the precision/volume frontier), instead
+# of re-running the corpus filter per candidate.  For each threshold:
+# docs kept, kept fraction, and the mean bigram-LM cross-entropy of
+# the KEPT slice (lower = cleaner) — the elbow in that curve is the
+# defensible cutoff.
+#
+# Scale shape: per-doc signals join once (memoized frames), then one
+# crossJoin against the 9-row broadcast threshold spine and ONE
+# 9-group partial aggregate — the sweep costs one scan no matter how
+# many thresholds.  Mean CE aggregates integer milli-units (exact),
+# divided once.
+
+SWEEP_THRESHOLDS = tuple(round(t * 0.1, 1) for t in range(1, 10))
+
+
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import q_text_quality
+
+    q = q_text_quality(spark, sf_dir).select("doc_id", "quality")
+    lm = q_lm_score(spark, sf_dir).select("doc_id", "cross_entropy")
+    j = q.join(lm, "doc_id").select(
+        "quality",
+        F.round(F.col("cross_entropy") * 1000)
+        .cast("long")
+        .alias("ce_milli"),
+    )
+    spine = F.broadcast(
+        spark.createDataFrame(
+            [(t,) for t in SWEEP_THRESHOLDS], "threshold double"
+        )
+    )
+    tot = j.count()
+    kept = (
+        j.crossJoin(spine)
+        .filter(F.col("quality") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("ce_milli").cast("long").alias("ce_sum"),
+        )
+    )
+    return spine.join(kept, "threshold", "left").select(
+        "threshold",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.round(
+            F.coalesce("n_kept", F.lit(0)) / F.lit(float(tot)), 6
+        ).alias("kept_frac"),
+        F.when(
+            F.col("n_kept") > 0,
+            F.round(
+                F.col("ce_sum") / (F.col("n_kept") * F.lit(1000.0)), 6
+            ),
+        ).alias("mean_ce_kept"),
+    )
+
+
+def _threshold_sweep_sql() -> str:
+    from .textstats import ORACLES as TEXTSTATS_ORACLES
+
+    spine = ", ".join(f"(CAST({t} AS DOUBLE))" for t in SWEEP_THRESHOLDS)
+    return (
+        "WITH q AS (SELECT doc_id, quality FROM ("
+        + TEXTSTATS_ORACLES["text_quality"]
+        + ")), lm AS (SELECT doc_id, cross_entropy FROM ("
+        + ORACLES["text_lm_score"]
+        + ")), "
+        "j AS (SELECT q.quality, "
+        "CAST(round(lm.cross_entropy * 1000, 0) AS BIGINT) AS ce_milli "
+        "FROM q JOIN lm USING (doc_id)), "
+        "tot AS (SELECT count(*) AS n FROM j), "
+        f"spine(threshold) AS (VALUES {spine}), "
+        "kept AS (SELECT s.threshold, CAST(count(*) AS BIGINT) AS n_kept, "
+        "CAST(sum(j.ce_milli) AS BIGINT) AS ce_sum "
+        "FROM j JOIN spine s ON j.quality >= s.threshold "
+        "GROUP BY s.threshold) "
+        "SELECT s.threshold, "
+        "CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept, "
+        "round(coalesce(k.n_kept, 0) / CAST(t.n AS DOUBLE), 6) "
+        "AS kept_frac, "
+        "CASE WHEN k.n_kept > 0 THEN "
+        "round(k.ce_sum / (k.n_kept * 1000.0), 6) END AS mean_ce_kept "
+        "FROM spine s CROSS JOIN tot t "
+        "LEFT JOIN kept k ON s.threshold = k.threshold"
+    )
+
+
+ORACLES_LATE["pipe_quality_threshold_sweep"] = _threshold_sweep_sql()
+QUERIES_LATE["pipe_quality_threshold_sweep"] = q_quality_threshold_sweep
