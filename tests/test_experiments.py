@@ -403,3 +403,24 @@ def test_mcnemar_marginals_match_the_accuracy_counts(spark):
     else:
         assert r["mcnemar_chi2"] is None
         assert r["reject_5pct"] is False
+
+
+def test_variant_funnel_reconciles_with_the_global_funnel(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.experiments import (
+        q_events_variant_funnel,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming.windowed import (
+        q_events_funnel,
+    )
+
+    rows = {r["variant"]: r for r in q_events_variant_funnel(spark, SF_DIR).collect()}
+    assert set(rows) == {0, 1}
+    g = q_events_funnel(spark, SF_DIR).collect()[0]
+    # variant slices tile the global funnel exactly
+    for col in ("n_users", "n_viewed", "n_clicked", "n_purchased"):
+        assert rows[0][col] + rows[1][col] == g[col], col
+    for r in rows.values():
+        assert r["n_users"] >= r["n_viewed"] >= r["n_clicked"] >= r["n_purchased"]
+        assert abs(r["conversion"] - round(r["n_purchased"] / r["n_users"], 6)) <= 1e-9

@@ -1093,3 +1093,98 @@ def _mcnemar_sql() -> str:
 
 ORACLES["nb_mcnemar_test"] = _mcnemar_sql()
 QUERIES["nb_mcnemar_test"] = q_nb_mcnemar_test
+
+
+# --- per-variant conversion funnel (r5) ------------------------------------
+#
+# The experiment readout stitched from two existing primitives: the
+# ordered view → click → purchase funnel (windowed.q_events_funnel's
+# stage-chaining semantics), segmented by the experiment assignment
+# (user_id % 2, the same deterministic variant CUPED/SRM use).  One
+# row per variant with per-stage survivors and the end-to-end
+# conversion — the table an A/B readout actually prints, and the
+# denominator discipline (variant's own population, not global)
+# is where hand-rolled versions go wrong.
+#
+# Scale shape: identical to the funnel — stage filters push to the
+# scan, per-user stage tables key on user_id, and the final rollup
+# groups by the 2-value variant (map-side combinable).
+
+FUNNEL_V_STAGES = ("view", "click", "purchase")
+
+
+def q_events_variant_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "epoch_sec"
+    )
+    variant = (F.col("user_id") % 2).cast("int")
+    views = (
+        ev.filter(F.col("event_type") == FUNNEL_V_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("epoch_sec").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == FUNNEL_V_STAGES[1])
+        .join(views, "user_id")
+        .filter(F.col("epoch_sec") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("epoch_sec").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == FUNNEL_V_STAGES[2])
+        .join(clicks, "user_id")
+        .filter(F.col("epoch_sec") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("epoch_sec").alias("t_purchase"))
+    )
+    pop = ev.select("user_id").distinct().select(
+        "user_id", variant.alias("variant")
+    )
+    staged = (
+        pop.join(views.withColumn("s1", F.lit(1)), "user_id", "left")
+        .join(clicks.withColumn("s2", F.lit(1)), "user_id", "left")
+        .join(purchases.withColumn("s3", F.lit(1)), "user_id", "left")
+    )
+    return staged.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.coalesce("s1", F.lit(0))).cast("long").alias("n_viewed"),
+        F.sum(F.coalesce("s2", F.lit(0))).cast("long").alias("n_clicked"),
+        F.sum(F.coalesce("s3", F.lit(0)))
+        .cast("long")
+        .alias("n_purchased"),
+        F.round(
+            F.sum(F.coalesce("s3", F.lit(0)))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("conversion"),
+    )
+
+
+ORACLES["events_variant_funnel"] = (
+    "WITH e AS (SELECT user_id, event_type, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es FROM events), "
+    "v AS (SELECT user_id, min(es) AS t_view FROM e "
+    f"WHERE event_type = '{FUNNEL_V_STAGES[0]}' GROUP BY user_id), "
+    "c AS (SELECT e.user_id, min(e.es) AS t_click FROM e "
+    "JOIN v ON e.user_id = v.user_id AND e.es >= v.t_view "
+    f"WHERE e.event_type = '{FUNNEL_V_STAGES[1]}' GROUP BY e.user_id), "
+    "p AS (SELECT e.user_id, min(e.es) AS t_purchase FROM e "
+    "JOIN c ON e.user_id = c.user_id AND e.es >= c.t_click "
+    f"WHERE e.event_type = '{FUNNEL_V_STAGES[2]}' GROUP BY e.user_id), "
+    "pop AS (SELECT DISTINCT user_id FROM e) "
+    "SELECT CAST(pop.user_id % 2 AS INTEGER) AS variant, "
+    "CAST(count(*) AS BIGINT) AS n_users, "
+    "CAST(sum(CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_viewed, "
+    "CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_clicked, "
+    "CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_purchased, "
+    "round(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) "
+    "/ CAST(count(*) AS DOUBLE), 6) AS conversion "
+    "FROM pop LEFT JOIN v ON pop.user_id = v.user_id "
+    "LEFT JOIN c ON pop.user_id = c.user_id "
+    "LEFT JOIN p ON pop.user_id = p.user_id "
+    "GROUP BY pop.user_id % 2"
+)
+QUERIES["events_variant_funnel"] = q_events_variant_funnel
