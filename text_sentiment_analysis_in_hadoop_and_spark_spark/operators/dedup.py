@@ -1311,6 +1311,9 @@ QUERIES["dedup_simhash_pairs"] = q_simhash_pairs
 PREFIX_JACCARD_T = 0.5
 
 
+_PREFIX_TRUTH_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
 def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT all-pairs Jaccard ≥ t similarity join WITHOUT the
     quadratic product — the prefix-filter technique (Chaudhuri et al. /
@@ -1332,6 +1335,10 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings are the index a similarity-search service materializes —
     frequency-ascending order keeps its hottest lists the shortest.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PREFIX_TRUTH_CACHE.get(key)
+    if hit is not None:
+        return hit
     sh = _shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -1376,7 +1383,7 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
         "n_sh", "n_b"
     )
-    return (
+    _ret = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -1390,6 +1397,12 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= PREFIX_JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # memoized (r5): the EXACT truth table now feeds three consumers
+    # (itself, the LSH S-curve, the method-agreement eval) — cache the
+    # bounded pair table like every other pair artifact here
+    out = _ret.cache()
+    _PREFIX_TRUTH_CACHE[key] = out
+    return out
 
 
 # oracle: ANY complete candidate generator works (the prefix filter is
