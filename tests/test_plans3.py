@@ -167,3 +167,31 @@ def test_pandas_api_twin_compiles_to_jvm_plan(spark):
     ):
         assert bad not in plan, bad
     assert "Scan parquet" in plan
+
+
+def test_pit_and_velocity_windows_partition_by_entity(spark):
+    """The two newest per-entity window operators must shuffle BY KEY,
+    never into the one-partition global-window trap."""
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        asof,
+        relational2,
+    )
+
+    p = (
+        asof.q_pit_features(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in p
+    assert "hashpartitioning(user_id" in p
+    p = (
+        relational2.q_order_velocity_audit(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in p
+    assert "hashpartitioning(o_custkey" in p
