@@ -327,6 +327,8 @@ _ROWS_ONLY = frozenset(
         "events_stickiness_sketch",  # mergeable HLL union — twin test
         "events_uniques_sketch_rollup",  # Datasketches HLL — bound test
         "pipe_pack_ffd",  # data-dependent first-fit loop — dominance tests
+        "pipe_packing_efficiency",  # scoreboard over the ffd/nextfit packers
+        #   — inherits their rows-only status; floor/dominance tests
         "text_compressibility",  # real zlib — ordering/determinism tests
         "sim_pca_components",  # power-iteration eigensolve — invariant tests
         "sim_pca_project",  # consumes the learned axes — same fit

@@ -666,3 +666,27 @@ def test_corpus_fingerprint_is_order_invariant_and_change_sensitive(spark):
     )
     tampered = {r["source"]: r for r in q_corpus_fingerprint(spark, d2).collect()}
     assert tampered["__ALL__"]["xor_hash"] != rows["__ALL__"]["xor_hash"]
+
+
+def test_packing_scoreboard_floors_and_dominance(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.pipeline import (
+        PACK_BUDGET,
+        q_packing_efficiency,
+    )
+
+    rows = {r["packer"]: r for r in q_packing_efficiency(spark, SF_DIR).collect()}
+    assert set(rows) == {"chunked", "nextfit", "ffd"}
+    totals = {r["total_tokens"] for r in rows.values()}
+    assert len(totals) == 1  # every packer packed the same corpus
+    import math
+
+    floor = math.ceil(totals.pop() / PACK_BUDGET)
+    for r in rows.values():
+        assert r["floor_bins"] == floor
+        assert r["n_bins"] >= floor  # nothing beats the LP floor
+        assert abs(
+            r["overhead_frac"] - round(r["n_bins"] / floor - 1.0, 6)
+        ) <= 1e-9
+        assert 0.0 < r["mean_fill_frac"] <= 1.0 + 1e-9
+    # FFD never uses more bins than next-fit (per-bucket dominance sums)
+    assert rows["ffd"]["n_bins"] <= rows["nextfit"]["n_bins"]

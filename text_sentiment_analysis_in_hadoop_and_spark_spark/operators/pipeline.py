@@ -2279,3 +2279,69 @@ def _corpus_fingerprint_sql() -> str:
 
 ORACLES_LATE["pipe_corpus_fingerprint"] = _corpus_fingerprint_sql()
 QUERIES_LATE["pipe_corpus_fingerprint"] = q_corpus_fingerprint
+
+
+# --- packing-efficiency scoreboard (r5) -------------------------------------
+#
+# The capstone readout over the three packers: bins used, mean fill,
+# and overhead versus the information-theoretic floor
+# ceil(total_tokens / budget) — the one table that justifies paying
+# FFD's sort over next-fit's O(1) state (or not) for THIS corpus.
+# Rows-only by SURVEY §5: two of the inputs are the data-dependent
+# applyInPandas packers; the scoreboard inherits their status and is
+# pinned by dominance/floor tests instead.
+#
+# Scale shape: three bin-keyed partial aggregates over the packer
+# outputs plus 1-row floors — nothing beyond what the packers
+# themselves already shuffle.
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packers = (
+        ("chunked", q_pack_sequences(spark, sf_dir)),
+        ("nextfit", q_pack_nextfit(spark, sf_dir)),
+        ("ffd", q_pack_ffd(spark, sf_dir)),
+    )
+    arms = []
+    for name, df in packers:
+        bins = df.groupBy("bucket", "bin").agg(
+            F.sum("n_tokens").cast("long").alias("fill")
+        )
+        arms.append(
+            bins.agg(
+                F.lit(name).alias("packer"),
+                F.count("*").cast("long").alias("n_bins"),
+                F.sum("fill").cast("long").alias("total_tokens"),
+                F.round(
+                    F.sum("fill")
+                    / (F.count("*") * F.lit(float(PACK_BUDGET))),
+                    6,
+                ).alias("mean_fill_frac"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    lb = (
+        F.ceil(F.col("total_tokens") / F.lit(float(PACK_BUDGET)))
+        .cast("long")
+        .alias("floor_bins")
+    )
+    return out.select(
+        "packer",
+        "n_bins",
+        "total_tokens",
+        "mean_fill_frac",
+        lb,
+        F.round(
+            F.col("n_bins")
+            / F.ceil(
+                F.col("total_tokens") / F.lit(float(PACK_BUDGET))
+            ).cast("double")
+            - 1.0,
+            6,
+        ).alias("overhead_frac"),
+    )
+
+
+QUERIES_LATE["pipe_packing_efficiency"] = q_packing_efficiency
