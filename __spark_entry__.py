@@ -117,10 +117,21 @@ def entry(spark: SparkSession) -> DataFrame:
 #   events_mwu_test/ks_drift/bootstrap_ci/changepoint,
 #   rel_weighted_median_pandas, sim_ann_ndcg, mm_audio_spectral) —
 #   all past the cap, every oracle-checked one parity-green at BOTH
-#   sf0.001 and sf0.01 before its commit.  r6 rotation TODO: promote
-#   the never-driver-checked r5 additions (~130 queries — multiple
-#   windows; lead with the oldest-added) into the window the way r5
-#   promoted the r4 tail.
+#   sf0.001 and sf0.01 before its commit.  The r5 fifth session added
+#   31 more (KM survival, temperature mixture, McNemar + 5-fold CV +
+#   lift/uncertainty/label-issues/top-features, JL distortion, LSH
+#   S-curve, semantic decontam, silhouette, method agreement, signal
+#   correlation, OHLC, heaping, KPI/Kitagawa decompositions, length
+#   batching, corpus fingerprint, PIT features, erasure audit, journey
+#   sample, alert rules, neighbor sampling, split overlap, velocity
+#   audit, variant funnel, pipe-syntax/collation pins, threshold
+#   sweep, packing scoreboard, CLI front door) — all registered past
+#   the cap via late namespaces or past-cap modules, each parity-green
+#   at BOTH sf0.001 and sf0.01 before its commit.  r6 rotation TODO:
+#   promote the never-driver-checked r5 additions (~160 queries —
+#   multiple windows; lead with the oldest-added, mechanically via
+#   tools/rotation.py) into the window the way r5 promoted the r4
+#   tail.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
