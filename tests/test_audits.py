@@ -157,3 +157,34 @@ def test_order_velocity_audit_matches_serial_gaps(spark):
         assert r["velocity_flag"] == (r["n_rapid"] > 0)
     # the flag fires somewhere on a 10-order-per-customer corpus
     assert any(r["velocity_flag"] for r in rows.values())
+
+
+def test_p_chart_limits_and_center_reconcile(spark):
+    import math
+
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.relational2 import (
+        q_returns_p_chart,
+    )
+
+    rows = q_returns_p_chart(spark, SF_DIR).collect()
+    assert rows
+    tot_n = sum(r["n_items"] for r in rows)
+    tot_r = sum(r["n_returned"] for r in rows)
+    p_bar = tot_r / tot_n
+    for r in rows:
+        assert abs(r["center_line"] - round(p_bar, 6)) <= 1e-9
+        sig = math.sqrt(p_bar * (1 - p_bar) / r["n_items"])
+        assert abs(r["ucl"] - round(p_bar + 3 * sig, 6)) <= 1e-9
+        assert abs(r["lcl"] - round(max(0.0, p_bar - 3 * sig), 6)) <= 1e-9
+        assert 0.0 <= r["lcl"] <= r["center_line"] <= r["ucl"]
+        assert r["out_of_control"] == (
+            r["p_hat"] > r["ucl"] or r["p_hat"] < r["lcl"]
+        )
+    # wider limits for thinner months (n-dependence is the point)
+    by_n = sorted(rows, key=lambda r: r["n_items"])
+    if by_n[0]["n_items"] < by_n[-1]["n_items"]:
+        assert (by_n[0]["ucl"] - by_n[0]["lcl"]) >= (
+            by_n[-1]["ucl"] - by_n[-1]["lcl"]
+        ) - 1e-9

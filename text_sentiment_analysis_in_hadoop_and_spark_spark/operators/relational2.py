@@ -2226,3 +2226,84 @@ ORACLES["rel_order_velocity_audit"] = (
 )
 
 QUERIES["rel_order_velocity_audit"] = q_order_velocity_audit
+
+
+# --- p-chart: returns-rate control chart (r5) -------------------------------
+#
+# Statistical process control over the returns stream: a p-chart
+# (Shewhart) plots each month's return PROPORTION against 3σ binomial
+# control limits around the long-run center line, with per-month
+# limits widening as that month's volume shrinks (the n-dependent
+# limits are what distinguish a p-chart from a naive z-score on the
+# rate).  Months outside the limits are special-cause signals —
+# the supplier-quality incident readout, complementing the EWMA
+# level monitor on revenue.
+#
+# Exactness: n and returned are exact integers; the center line and
+# limits are single-expression doubles, and the flag compares
+# 6-rounded values.  Shape: ONE month-keyed partial agg + a 1-row
+# center-line aggregate broadcast back.
+
+
+def q_returns_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+    )
+    monthly = li.groupBy("month").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("ret").cast("long").alias("n_returned"),
+    )
+    center = monthly.agg(
+        (
+            F.sum("n_returned").cast("double")
+            / F.sum("n_items").cast("double")
+        ).alias("p_bar")
+    )
+    j = monthly.crossJoin(F.broadcast(center))
+    sigma = F.sqrt(
+        F.col("p_bar") * (F.lit(1.0) - F.col("p_bar")) / F.col("n_items")
+    )
+    phat = F.col("n_returned") / F.col("n_items").cast("double")
+    ucl = F.round(F.col("p_bar") + 3.0 * sigma, 6)
+    lcl = F.round(
+        F.greatest(F.lit(0.0), F.col("p_bar") - 3.0 * sigma), 6
+    )
+    return j.select(
+        "month",
+        "n_items",
+        "n_returned",
+        F.round(phat, 6).alias("p_hat"),
+        F.round(F.col("p_bar"), 6).alias("center_line"),
+        lcl.alias("lcl"),
+        ucl.alias("ucl"),
+        ((F.round(phat, 6) > ucl) | (F.round(phat, 6) < lcl)).alias(
+            "out_of_control"
+        ),
+    )
+
+
+ORACLES["rel_returns_p_chart"] = (
+    "WITH li AS (SELECT strftime(l_shipdate, '%Y-%m') AS month, "
+    "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret "
+    "FROM lineitem), "
+    "m AS (SELECT month, CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(ret) AS BIGINT) AS n_returned FROM li GROUP BY month), "
+    "c AS (SELECT sum(n_returned) / CAST(sum(n_items) AS DOUBLE) "
+    "AS p_bar FROM m) "
+    "SELECT m.month, m.n_items, m.n_returned, "
+    "round(m.n_returned / CAST(m.n_items AS DOUBLE), 6) AS p_hat, "
+    "round(c.p_bar, 6) AS center_line, "
+    "round(greatest(0.0, c.p_bar - 3.0 * sqrt(c.p_bar * (1.0 - c.p_bar) "
+    "/ m.n_items)), 6) AS lcl, "
+    "round(c.p_bar + 3.0 * sqrt(c.p_bar * (1.0 - c.p_bar) / m.n_items), "
+    "6) AS ucl, "
+    "(round(m.n_returned / CAST(m.n_items AS DOUBLE), 6) > "
+    "round(c.p_bar + 3.0 * sqrt(c.p_bar * (1.0 - c.p_bar) / m.n_items), 6) "
+    "OR round(m.n_returned / CAST(m.n_items AS DOUBLE), 6) < "
+    "round(greatest(0.0, c.p_bar - 3.0 * sqrt(c.p_bar * (1.0 - c.p_bar) "
+    "/ m.n_items)), 6)) AS out_of_control "
+    "FROM m CROSS JOIN c"
+)
+
+QUERIES["rel_returns_p_chart"] = q_returns_p_chart
