@@ -317,3 +317,20 @@ def test_collated_grouping_folds_case_variants(spark):
         for r in sqlapi.q_sql_collated_priority(spark, d).collect()
     }
     assert rows == {"1-urgent": 3, "2-high": 2, "3-low": 1}
+
+
+def test_identifier_indirection_matches_resolved_query(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import sqlfn
+
+    via_ident = sorted(
+        map(tuple, sqlfn.q_sql_identifier_rollup(spark, SF_DIR).collect())
+    )
+    resolved = sorted(
+        map(
+            tuple,
+            spark.sql(sqlfn.ORACLES["sql_identifier_rollup"]).collect(),
+        )
+    )
+    assert via_ident == resolved and via_ident

@@ -307,3 +307,35 @@ ORACLES["sql_parameterized_pricing"] = _PARAM_PRICING_SQL.replace(
 
 QUERIES["sql_script_median_search"] = q_sql_script_median_search
 QUERIES["sql_parameterized_pricing"] = q_sql_parameterized_pricing
+
+
+# --- IDENTIFIER() indirection (r5) ------------------------------------------
+#
+# Spark 3.4+'s IDENTIFIER(:param) clause: table/column names bound as
+# PARAMETERS, not string-spliced SQL — the injection-safe way a
+# multi-tenant platform routes one templated query across per-tenant
+# tables (and the reason templating engines can retire their quoting
+# logic).  Here the same revenue rollup runs with BOTH the table and
+# the grouping column supplied as identifier parameters.  DuckDB has
+# no IDENTIFIER clause, so the oracle is the resolved query —
+# the entry pins the indirection mechanism itself.
+
+_IDENT_SQL = (
+    "SELECT IDENTIFIER(:grp) AS grp, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) "
+    "AS total_cents FROM IDENTIFIER(:tab) GROUP BY IDENTIFIER(:grp)"
+)
+_IDENT_ARGS = {"tab": "orders", "grp": "o_orderpriority"}
+
+
+def q_sql_identifier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_IDENT_SQL, args=_IDENT_ARGS)
+
+
+ORACLES["sql_identifier_rollup"] = (
+    "SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) "
+    "AS total_cents FROM orders GROUP BY o_orderpriority"
+)
+QUERIES["sql_identifier_rollup"] = q_sql_identifier_rollup
