@@ -188,3 +188,26 @@ def test_p_chart_limits_and_center_reconcile(spark):
         assert (by_n[0]["ucl"] - by_n[0]["lcl"]) >= (
             by_n[-1]["ucl"] - by_n[-1]["lcl"]
         ) - 1e-9
+
+
+def test_join_cardinality_actual_matches_the_real_join(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.relational2 import (
+        q_join_cardinality_estimate,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import (
+        load_table,
+    )
+
+    r = q_join_cardinality_estimate(spark, SF_DIR).collect()[0]
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    true_join = o.join(
+        li, o.o_orderkey == li.l_orderkey
+    ).count()
+    assert r["actual_rows"] == true_join  # count-table product identity
+    assert r["rows_a"] == o.count() and r["rows_b"] == li.count()
+    # PK-FK uniform case: the textbook estimate lands within 2x
+    assert 0.5 <= r["est_over_actual"] <= 2.0
+    assert r["hot_key_bound"] >= 1

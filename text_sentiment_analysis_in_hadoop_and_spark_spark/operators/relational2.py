@@ -2307,3 +2307,97 @@ ORACLES["rel_returns_p_chart"] = (
 )
 
 QUERIES["rel_returns_p_chart"] = q_returns_p_chart
+
+
+# --- join-cardinality estimation audit (r5) ---------------------------------
+#
+# The query-optimizer's own arithmetic, exposed as a query: the
+# textbook equi-join estimate |A ⋈ B| ≈ |A|·|B| / max(ndv_A, ndv_B)
+# (uniform-frequency assumption — what a CBO computes from table
+# stats before picking a join order) next to the TRUE output size
+# (Σ_k cnt_A(k)·cnt_B(k), computed from the per-key count tables
+# without materializing the join), and the skew diagnosis: the
+# max-frequency product bounds how much one hot key contributes.
+# Reading est vs actual on your own data is how you learn whether
+# ANALYZE-based planning can be trusted on it (here the FK is
+# uniform, so the estimate lands close — the row proves it).
+#
+# Shape: two per-key partial aggs co-partitioned on the join key,
+# one key-equi join of COUNT tables (≪ the data join), 1-row output.
+
+
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    ca = o.groupBy("k").agg(F.count("*").cast("long").alias("na"))
+    cb = li.groupBy("k").agg(F.count("*").cast("long").alias("nb"))
+    stats_a = ca.agg(
+        F.sum("na").cast("long").alias("rows_a"),
+        F.count("*").cast("long").alias("ndv_a"),
+        F.max("na").cast("long").alias("maxf_a"),
+    )
+    stats_b = cb.agg(
+        F.sum("nb").cast("long").alias("rows_b"),
+        F.count("*").cast("long").alias("ndv_b"),
+        F.max("nb").cast("long").alias("maxf_b"),
+    )
+    actual = (
+        ca.join(cb, "k")
+        .agg(
+            F.sum(F.col("na") * F.col("nb")).cast("long").alias("actual")
+        )
+    )
+    est = (
+        F.col("rows_a")
+        * F.col("rows_b")
+        / F.greatest("ndv_a", "ndv_b").cast("double")
+    )
+    return (
+        stats_a.crossJoin(F.broadcast(stats_b))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "rows_a",
+            "rows_b",
+            "ndv_a",
+            "ndv_b",
+            F.floor(est).cast("long").alias("estimated_rows"),
+            F.col("actual").alias("actual_rows"),
+            F.round(
+                F.floor(est) / F.col("actual").cast("double"), 6
+            ).alias("est_over_actual"),
+            (F.col("maxf_a") * F.col("maxf_b"))
+            .cast("long")
+            .alias("hot_key_bound"),
+        )
+    )
+
+
+ORACLES["rel_join_cardinality_estimate"] = (
+    "WITH ca AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS na "
+    "FROM orders GROUP BY 1), "
+    "cb AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nb "
+    "FROM lineitem GROUP BY 1), "
+    "sa AS (SELECT CAST(sum(na) AS BIGINT) AS rows_a, "
+    "CAST(count(*) AS BIGINT) AS ndv_a, "
+    "CAST(max(na) AS BIGINT) AS maxf_a FROM ca), "
+    "sb AS (SELECT CAST(sum(nb) AS BIGINT) AS rows_b, "
+    "CAST(count(*) AS BIGINT) AS ndv_b, "
+    "CAST(max(nb) AS BIGINT) AS maxf_b FROM cb), "
+    "ac AS (SELECT CAST(sum(ca.na * cb.nb) AS BIGINT) AS actual "
+    "FROM ca JOIN cb USING (k)) "
+    "SELECT sa.rows_a, sb.rows_b, sa.ndv_a, sb.ndv_b, "
+    "CAST(floor(sa.rows_a * sb.rows_b / "
+    "CAST(greatest(sa.ndv_a, sb.ndv_b) AS DOUBLE)) AS BIGINT) "
+    "AS estimated_rows, ac.actual AS actual_rows, "
+    "round(floor(sa.rows_a * sb.rows_b / "
+    "CAST(greatest(sa.ndv_a, sb.ndv_b) AS DOUBLE)) / "
+    "CAST(ac.actual AS DOUBLE), 6) AS est_over_actual, "
+    "CAST(sa.maxf_a * sb.maxf_b AS BIGINT) AS hot_key_bound "
+    "FROM sa CROSS JOIN sb CROSS JOIN ac"
+)
+
+QUERIES["rel_join_cardinality_estimate"] = q_join_cardinality_estimate
