@@ -424,3 +424,30 @@ def test_variant_funnel_reconciles_with_the_global_funnel(spark):
     for r in rows.values():
         assert r["n_users"] >= r["n_viewed"] >= r["n_clicked"] >= r["n_purchased"]
         assert abs(r["conversion"] - round(r["n_purchased"] / r["n_users"], 6)) <= 1e-9
+
+
+def test_funnel_significance_recomputes_from_the_funnel(spark):
+    import math
+
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.experiments import (
+        q_events_funnel_significance,
+        q_events_variant_funnel,
+    )
+
+    r = q_events_funnel_significance(spark, SF_DIR).collect()[0]
+    f = {row["variant"]: row for row in q_events_variant_funnel(spark, SF_DIR).collect()}
+    n0, c0 = f[0]["n_users"], f[0]["n_purchased"]
+    n1, c1 = f[1]["n_users"], f[1]["n_purchased"]
+    assert (r["n_control"], r["conv_control"]) == (n0, c0)
+    assert (r["n_treatment"], r["conv_treatment"]) == (n1, c1)
+    p0, p1 = c0 / n0, c1 / n1
+    assert abs(r["abs_lift"] - round(p1 - p0, 6)) <= 1e-9
+    if c0 + c1 in (0, n0 + n1):
+        assert r["z_score"] is None and r["significant_5pct"] is False
+    else:
+        pbar = (c0 + c1) / (n0 + n1)
+        z = (p1 - p0) / math.sqrt(pbar * (1 - pbar) * (1 / n0 + 1 / n1))
+        assert abs(r["z_score"] - round(z, 6)) <= 1e-9
+        assert r["significant_5pct"] == (abs(round(z, 6)) > 1.959964)

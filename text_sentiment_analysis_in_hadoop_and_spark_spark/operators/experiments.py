@@ -1188,3 +1188,100 @@ ORACLES["events_variant_funnel"] = (
     "GROUP BY pop.user_id % 2"
 )
 QUERIES["events_variant_funnel"] = q_events_variant_funnel
+
+
+# --- two-proportion z-test on the variant funnels (r5) ----------------------
+#
+# The readout that closes the A/B loop (SRM gate → variant funnel →
+# THIS → power analysis): pooled two-proportion z-test on end-to-end
+# conversion between the arms, z = (p₁−p₀)/√(p̄(1−p̄)(1/n₀+1/n₁)),
+# with the absolute and relative lift.  |z| > 1.959964 rejects equal
+# conversion at 5% — the number the experiment dashboard prints next
+# to the funnel.
+#
+# Exactness: all four inputs are the funnel's exact integers; the z
+# arithmetic is one fixed-shape double expression rounded at the
+# edge.  Shape: composes the 2-row variant funnel (its own one-pass
+# plan), then a 1-row pivot.
+
+
+def q_events_funnel_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = q_events_variant_funnel(spark, sf_dir).select(
+        "variant", "n_users", "n_purchased"
+    )
+    piv = f.groupBy().pivot("variant", [0, 1]).agg(
+        F.first("n_users").alias("n"),
+        F.first("n_purchased").alias("c"),
+    )
+    n0, c0 = F.col("0_n").cast("double"), F.col("0_c").cast("double")
+    n1, c1 = F.col("1_n").cast("double"), F.col("1_c").cast("double")
+    p0, p1 = c0 / n0, c1 / n1
+    pbar = (c0 + c1) / (n0 + n1)
+    z = (p1 - p0) / F.sqrt(
+        pbar * (F.lit(1.0) - pbar) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    return piv.select(
+        F.col("0_n").cast("long").alias("n_control"),
+        F.col("0_c").cast("long").alias("conv_control"),
+        F.col("1_n").cast("long").alias("n_treatment"),
+        F.col("1_c").cast("long").alias("conv_treatment"),
+        F.round(p1 - p0, 6).alias("abs_lift"),
+        F.when(p0 > 0, F.round((p1 - p0) / p0, 6)).alias("rel_lift"),
+        F.when(
+            (pbar > 0) & (pbar < 1), F.round(z, 6) + F.lit(0.0)
+        ).alias("z_score"),
+        F.coalesce(
+            F.when((pbar > 0) & (pbar < 1), F.abs(F.round(z, 6)) > 1.959964),
+            F.lit(False),
+        ).alias("significant_5pct"),
+    )
+
+
+ORACLES["events_funnel_significance"] = (
+    "WITH f AS (SELECT CAST(pop.user_id % 2 AS INTEGER) AS variant, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS c FROM "
+    "(SELECT DISTINCT user_id FROM events) pop "
+    "LEFT JOIN (SELECT e.user_id, min(e.es) AS t_purchase FROM "
+    "(SELECT user_id, event_type, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es FROM events) e "
+    "JOIN (SELECT e2.user_id, min(e2.es) AS t_click FROM "
+    "(SELECT user_id, event_type, "
+    "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es FROM events) e2 "
+    "JOIN (SELECT user_id, min(CAST(epoch_ns(ts) // 1000000000 AS "
+    "BIGINT)) AS t_view FROM events WHERE event_type = 'view' "
+    "GROUP BY user_id) v ON e2.user_id = v.user_id "
+    "AND e2.es >= v.t_view WHERE e2.event_type = 'click' "
+    "GROUP BY e2.user_id) c2 ON e.user_id = c2.user_id "
+    "AND e.es >= c2.t_click WHERE e.event_type = 'purchase' "
+    "GROUP BY e.user_id) p ON pop.user_id = p.user_id "
+    "GROUP BY pop.user_id % 2), "
+    "piv AS (SELECT "
+    "max(CASE WHEN variant = 0 THEN n END) AS n0, "
+    "max(CASE WHEN variant = 0 THEN c END) AS c0, "
+    "max(CASE WHEN variant = 1 THEN n END) AS n1, "
+    "max(CASE WHEN variant = 1 THEN c END) AS c1 FROM f) "
+    "SELECT CAST(n0 AS BIGINT) AS n_control, "
+    "CAST(c0 AS BIGINT) AS conv_control, "
+    "CAST(n1 AS BIGINT) AS n_treatment, "
+    "CAST(c1 AS BIGINT) AS conv_treatment, "
+    "round(c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE), 6) "
+    "AS abs_lift, "
+    "CASE WHEN c0 > 0 THEN "
+    "round((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE)) / "
+    "(c0 / CAST(n0 AS DOUBLE)), 6) END AS rel_lift, "
+    "CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN "
+    "round((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE)) / "
+    "sqrt((c0 + c1) / CAST(n0 + n1 AS DOUBLE) * "
+    "(1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE)) * "
+    "(1.0 / n0 + 1.0 / n1)), 6) + 0.0 END AS z_score, "
+    "coalesce(CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN "
+    "abs(round((c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE)) / "
+    "sqrt((c0 + c1) / CAST(n0 + n1 AS DOUBLE) * "
+    "(1.0 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE)) * "
+    "(1.0 / n0 + 1.0 / n1)), 6)) > 1.959964 END, FALSE) "
+    "AS significant_5pct "
+    "FROM piv"
+)
+QUERIES["events_funnel_significance"] = q_events_funnel_significance
