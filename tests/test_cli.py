@@ -31,3 +31,23 @@ def test_cli_run_executes_on_the_live_session(spark, capsys):
 
     assert main(["run", "nb_accuracy", "--sf-dir", SF_DIR]) == 0
     assert "Row(" in capsys.readouterr().out
+
+
+def test_cli_parity_subcommand_runs_the_gate():
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "text_sentiment_analysis_in_hadoop_and_spark_spark",
+            "parity",
+            "rel_pricing_summary",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0
+    assert "1/1 queries match" in out.stdout

@@ -10,12 +10,16 @@ query registry:
         [--sf-dir /root/testdata/sf0.01] [--limit 20] [--output out.parquet]
     python -m text_sentiment_analysis_in_hadoop_and_spark_spark explain nb_scores
     python -m text_sentiment_analysis_in_hadoop_and_spark_spark oracle nb_scores
+    python -m text_sentiment_analysis_in_hadoop_and_spark_spark parity nb_scores \
+        [--sf-dir /root/testdata/sf0.001]
 
 ``run`` executes distributed end-to-end and only collects the shown
 rows (or writes parquet and collects nothing); ``explain`` prints the
 formatted physical plan — the review artifact this repo's plan tests
 assert on; ``oracle`` prints the DuckDB parity SQL so any reader can
-re-verify a result outside Spark.
+re-verify a result outside Spark; ``parity`` actually RUNS that
+re-verification (Spark vs DuckDB, order-insensitive value compare) for
+the named queries — the correctness gate as a user-facing command.
 """
 
 from __future__ import annotations
@@ -40,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     p_list = sub.add_parser("list", help="list declared queries")
     p_list.add_argument("--prefix", default="", help="name prefix filter")
 
+    p_par = sub.add_parser(
+        "parity", help="run the Spark vs DuckDB oracle comparison"
+    )
+    p_par.add_argument("query", nargs="+")
+    p_par.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+
     for name in ("run", "explain"):
         sp = sub.add_parser(name)
         sp.add_argument("query")
@@ -54,6 +64,21 @@ def main(argv: list[str] | None = None) -> int:
     p_or.add_argument("query")
 
     args = p.parse_args(argv)
+
+    if args.cmd == "parity":
+        import os
+        import subprocess
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        return subprocess.call(
+            [
+                sys.executable,
+                os.path.join(repo, "tools", "parity.py"),
+                args.sf_dir,
+                *args.query,
+            ]
+        )
+
     queries, oracles, rows_only = _registry()
 
     if args.cmd == "list":
