@@ -566,3 +566,46 @@ def test_silhouette_matches_serial_and_is_bounded(spark):
         assert rows[lab]["n_vecs"] == n
         assert rows[lab]["n_misassigned"] == mis
         assert abs(rows[lab]["mean_silhouette"] - round(s6sum / (n * 1e6), 6)) <= 2e-6
+
+
+def test_mahalanobis_ood_matches_serial_and_centers_at_dim(spark):
+    import math
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.spectral import (
+        MAHAL_K,
+        q_dim_stats,
+        q_mahalanobis_ood,
+    )
+
+    rows = sorted(
+        q_mahalanobis_ood(spark, SF_DIR).collect(), key=lambda r: r["rank"]
+    )
+    assert len(rows) == MAHAL_K
+    stats = {
+        r["i"]: (r["mean"], r["std"])
+        for r in q_dim_stats(spark, SF_DIR).collect()
+        if r["std"] > 0
+    }
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    scores = {}
+    for vid, vec in emb.items():
+        scores[vid] = round(
+            sum(
+                ((float(x) - stats[i][0]) / stats[i][1]) ** 2
+                for i, x in enumerate(vec)
+                if i in stats
+            ),
+            6,
+        )
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:MAHAL_K]
+    got = [(r["vec_id"], r["md2"]) for r in rows]
+    for (gv, gs), (wv, ws) in zip(got, want):
+        assert gv == wv
+        assert abs(gs - ws) <= 2e-5
+    # sanity of the chi-square intuition: mean md2 over ALL vectors ~ D
+    d = len(stats)
+    mean_md2 = sum(scores.values()) / len(scores)
+    assert 0.5 * d <= mean_md2 <= 2.0 * d

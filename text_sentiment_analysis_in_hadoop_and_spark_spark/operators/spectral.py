@@ -254,3 +254,73 @@ ORACLES["sim_dim_stats"] = (
 )
 
 QUERIES["sim_dim_stats"] = q_dim_stats
+
+
+# --- Mahalanobis OOD scoring (r5) --------------------------------------
+#
+# Out-of-distribution detection over the embedding table: the
+# diagonal-covariance Mahalanobis distance md² = Σ_i ((x_i−μ_i)/σ_i)²
+# (the standard OOD score of Lee et al. 2018, diagonal form) using the
+# SAME rounded per-dimension μ/σ the feature-scaling audit
+# (sim_dim_stats) already publishes — so the two readouts can never
+# disagree about what "standardized" means.  Under in-distribution
+# Gaussian data E[md²] = D (=64); the MAHAL_K highest-md² vectors are
+# the OOD review queue (norm outliers catch scale anomalies; this
+# catches DIRECTION anomalies norms can't see).  Zero-variance dims
+# are excluded from the sum (they carry no direction information).
+#
+# Shape: stats are a D-row broadcast; the z² fold is one narrow
+# posexplode + per-vector partial agg; the queue is a bounded
+# TakeOrderedAndProject on the 6-rounded score with vec_id tiebreak.
+
+MAHAL_K = 20
+
+
+def q_mahalanobis_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    stats = q_dim_stats(spark, sf_dir).filter(F.col("std") > 0)
+    x = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    )
+    z2 = (
+        x.join(F.broadcast(stats), "i")
+        .select(
+            "vec_id",
+            (
+                (F.col("v").cast("double") - F.col("mean"))
+                / F.col("std")
+            ).alias("z"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sum(F.col("z") * F.col("z")), 6).alias("md2"),
+            F.count("*").cast("long").alias("n_dims"),
+        )
+    )
+    top = z2.orderBy(F.desc("md2"), F.asc("vec_id")).limit(MAHAL_K)
+    w = Window.orderBy(F.desc("md2"), F.asc("vec_id"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "vec_id",
+        "md2",
+        "n_dims",
+    )
+
+
+ORACLES["sim_mahalanobis_ood"] = (
+    "WITH st AS (SELECT i, mean, std FROM ("
+    + ORACLES["sim_dim_stats"]
+    + ") WHERE std > 0), "
+    "x AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i, "
+    "unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v "
+    "FROM embeddings), "
+    "z AS (SELECT x.vec_id, "
+    "round(sum(((x.v - st.mean) / st.std) * ((x.v - st.mean) / st.std)), "
+    "6) AS md2, CAST(count(*) AS BIGINT) AS n_dims "
+    "FROM x JOIN st USING (i) GROUP BY x.vec_id) "
+    "SELECT CAST(row_number() OVER (ORDER BY md2 DESC, vec_id) "
+    "AS INTEGER) AS rank, vec_id, md2, n_dims FROM z "
+    f"ORDER BY md2 DESC, vec_id LIMIT {MAHAL_K}"
+)
+QUERIES["sim_mahalanobis_ood"] = q_mahalanobis_ood
