@@ -591,3 +591,18 @@ def test_threshold_sweep_is_monotone_and_reconciles(spark):
     row = rows[4]
     assert row["n_kept"] == len(kept)
     assert abs(row["kept_frac"] - round(len(kept) / len(ids), 6)) <= 1e-9
+
+
+def test_null_calibration_sits_at_chance(spark):
+    from conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import nb
+
+    r = nb.q_nb_null_calibration(spark, SF_DIR).collect()[0]
+    assert r["n_test"] > 0
+    assert abs(r["accuracy"] - round(r["n_correct"] / r["n_test"], 6)) <= 1e-9
+    # hash-null labels: the chain must NOT beat chance beyond 3 sigma
+    # (if this ever fails, the pipeline leaks the label somewhere)
+    assert r["within_null_band"], (r["accuracy"], r["band_3sigma"])
+    # and the real-label chain must do meaningfully better than the null
+    real = nb.q_nb_accuracy(spark, SF_DIR).collect()[0]
+    assert real["accuracy"] >= r["accuracy"] - r["band_3sigma"]

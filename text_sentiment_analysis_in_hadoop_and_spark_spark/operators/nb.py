@@ -1303,3 +1303,94 @@ def _label_issues_sql() -> str:
 
 QUERIES_LATE["nb_label_issues"] = q_nb_label_issues
 ORACLES_LATE["nb_label_issues"] = _label_issues_sql()
+
+
+# --- label-permutation null calibration (r5) --------------------------------
+#
+# The leakage canary: retrain the full NB chain with labels replaced
+# by a content-hash coin flip (hex32("null:" ‖ doc_id) % 2 — a
+# deterministic permutation-test stand-in) and score the usual test
+# split.  Any accuracy meaningfully away from 0.5 means the pipeline
+# is reading the answer from somewhere other than the label — feature
+# leakage, split contamination, or a metrics bug — which is exactly
+# how permutation nulls are used to audit ML pipelines (Ojala &
+# Garriga 2010).  The row reports the binomial 3σ band so "meaningful"
+# is a number, not a vibe.
+#
+# Shape: the standard chain (one scalar-relay collect, broadcast
+# model join) over relabeled cleaned docs; output is 1 row.
+
+
+def q_nb_null_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import clean_text
+    from ..functions.hashing import hex32
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(
+            hex32(F.concat(F.lit("null:"), F.col("doc_id").cast("string"))),
+            F.lit(2),
+        )
+        .cast("int")
+        .alias("label"),
+        clean_text(F.col("text")).alias("text"),
+    )
+    model, stats = model_for_docs(docs)
+    preds = scores_for_docs(docs, model, stats).select(
+        "label",
+        (F.col("pos_score") > F.col("neg_score"))
+        .cast("int")
+        .alias("prediction"),
+    )
+    agg = preds.agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.sum((F.col("prediction") == F.col("label")).cast("long"))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    acc = F.col("n_correct") / F.col("n_test").cast("double")
+    sigma3 = 3.0 * F.sqrt(
+        F.lit(0.25) / F.col("n_test").cast("double")
+    )
+    return agg.select(
+        "n_test",
+        "n_correct",
+        F.round(acc, 6).alias("accuracy"),
+        F.round(F.abs(acc - 0.5), 6).alias("abs_dev_from_half"),
+        F.round(sigma3, 6).alias("band_3sigma"),
+        (F.round(F.abs(acc - 0.5), 6) <= F.round(sigma3, 6)).alias(
+            "within_null_band"
+        ),
+    )
+
+
+def _null_calibration_sql() -> str:
+    from ..functions.hashing import hex32_sql
+
+    h = hex32_sql("'null:' || CAST(doc_id AS VARCHAR)")
+    from .common import clean_text_sql
+
+    docs_cte = (
+        f"docs AS (SELECT doc_id, CAST({h} % 2 AS INTEGER) AS label, "
+        f"{clean_text_sql('text')} AS text FROM documents)"
+    )
+    return (
+        "WITH preds AS (" + preds_sql_for(docs_cte) + ") "
+        "SELECT CAST(count(*) AS BIGINT) AS n_test, "
+        "CAST(sum(CASE WHEN prediction = label THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_correct, "
+        "round(sum(CASE WHEN prediction = label THEN 1 ELSE 0 END) "
+        "/ CAST(count(*) AS DOUBLE), 6) AS accuracy, "
+        "round(abs(sum(CASE WHEN prediction = label THEN 1 ELSE 0 END) "
+        "/ CAST(count(*) AS DOUBLE) - 0.5), 6) AS abs_dev_from_half, "
+        "round(3.0 * sqrt(0.25 / count(*)), 6) AS band_3sigma, "
+        "round(abs(sum(CASE WHEN prediction = label THEN 1 ELSE 0 END) "
+        "/ CAST(count(*) AS DOUBLE) - 0.5), 6) <= "
+        "round(3.0 * sqrt(0.25 / count(*)), 6) AS within_null_band "
+        "FROM preds"
+    )
+
+
+QUERIES_LATE["nb_null_calibration"] = q_nb_null_calibration
+ORACLES_LATE["nb_null_calibration"] = _null_calibration_sql()
