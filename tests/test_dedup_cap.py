@@ -382,3 +382,31 @@ def test_cluster_topics_rank_multi_doc_clusters_only(spark):
         assert all(r["score"] > 0 for r in rs)
     # every multi-doc cluster got a label row
     assert set(by_cluster) == {c for c, n in sizes.items() if n >= 2}
+
+
+def test_quality_by_dupsize_tiles_the_corpus(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        q_dedup_clusters,
+        q_quality_by_dupsize,
+    )
+
+    rows = {r["dup_class"]: r for r in q_quality_by_dupsize(spark, SF_DIR).collect()}
+    assert "singleton" in rows
+    n_docs = spark.read.parquet(SF_DIR + "/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs
+    import collections
+
+    sizes = collections.Counter(
+        r["cluster_id"] for r in q_dedup_clusters(spark, SF_DIR).collect()
+    )
+    want = collections.Counter()
+    for c, n in sizes.items():
+        cls = "singleton" if n == 1 else ("family_2_3" if n <= 3 else "family_4_plus")
+        want[cls] += n
+    for cls, n in want.items():
+        assert rows[cls]["n_docs"] == n
+    for r in rows.values():
+        assert 0.0 <= r["mean_quality"] <= 1.0
+        assert r["mean_chars"] > 0

@@ -2533,3 +2533,80 @@ def _cluster_topics_sql() -> str:
 
 ORACLES["dedup_cluster_topics"] = _cluster_topics_sql()
 QUERIES["dedup_cluster_topics"] = q_cluster_topics
+
+
+# --- quality by duplication size (r5) ---------------------------------------
+#
+# The finding every web-corpus paper reports in its own way: is
+# duplicated content systematically lower-quality than unique
+# content?  Joins the cluster map with the per-doc quality score and
+# rolls up by duplication class (singleton / small family 2-3 /
+# boilerplate family 4+): doc counts, integer-scaled mean quality,
+# and mean length.  If the large-family mean sits far below the
+# singleton mean, near-dup filtering doubles as quality filtering —
+# and the keep-best selector (dedup_keep_best) earns its extra
+# argmax; if not, dedup and quality gates prune independent slices
+# (same question text_signal_correlation answers for gate PAIRS).
+#
+# Shape: doc_id-keyed join of two memoized artifacts, 3-group
+# partial agg; milli-unit integer means (no float accumulation).
+
+
+def q_quality_by_dupsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import q_text_quality
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    q = q_text_quality(spark, sf_dir).select("doc_id", "quality")
+    chars = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    cls = F.when(F.col("n_members") == 1, "singleton").when(
+        F.col("n_members") <= 3, "family_2_3"
+    ).otherwise("family_4_plus")
+    j = (
+        clusters.join(F.broadcast(sizes), "cluster_id")
+        .join(q, "doc_id")
+        .join(chars, "doc_id")
+        .select(
+            cls.alias("dup_class"),
+            F.round(F.col("quality") * 1000).cast("long").alias("q_milli"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    return j.groupBy("dup_class").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.sum("q_milli") / (F.count("*") * F.lit(1000.0)), 6)
+        .alias("mean_quality"),
+        F.round(
+            F.sum("n_chars") / F.count("*").cast("double"), 6
+        ).alias("mean_chars"),
+    )
+
+
+def _quality_by_dupsize_sql() -> str:
+    from .textstats import ORACLES as _TS
+
+    return (
+        "WITH cl AS (" + ORACLES["dedup_clusters"] + "), "
+        "sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members "
+        "FROM cl GROUP BY cluster_id), "
+        "qs AS (SELECT doc_id, quality FROM (" + _TS["text_quality"] + ")), "
+        "j AS (SELECT CASE WHEN sz.n_members = 1 THEN 'singleton' "
+        "WHEN sz.n_members <= 3 THEN 'family_2_3' "
+        "ELSE 'family_4_plus' END AS dup_class, "
+        "CAST(round(qs.quality * 1000, 0) AS BIGINT) AS q_milli, "
+        "CAST(d.n_chars AS BIGINT) AS n_chars "
+        "FROM cl JOIN sz USING (cluster_id) "
+        "JOIN qs USING (doc_id) JOIN documents d USING (doc_id)) "
+        "SELECT dup_class, CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(sum(q_milli) / (count(*) * 1000.0), 6) AS mean_quality, "
+        "round(sum(n_chars) / CAST(count(*) AS DOUBLE), 6) AS mean_chars "
+        "FROM j GROUP BY dup_class"
+    )
+
+
+ORACLES["dedup_quality_by_dupsize"] = _quality_by_dupsize_sql()
+QUERIES["dedup_quality_by_dupsize"] = q_quality_by_dupsize
