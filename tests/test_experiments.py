@@ -451,3 +451,34 @@ def test_funnel_significance_recomputes_from_the_funnel(spark):
         z = (p1 - p0) / math.sqrt(pbar * (1 - pbar) * (1 / n0 + 1 / n1))
         assert abs(r["z_score"] - round(z, 6)) <= 1e-9
         assert r["significant_5pct"] == (abs(round(z, 6)) > 1.959964)
+
+
+def test_cohens_kappa_recomputes_from_the_paired_predictions(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        nb as nb_mod,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        tfidf as tfidf_mod,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.experiments import (
+        q_nb_cohens_kappa,
+    )
+
+    r = q_nb_cohens_kappa(spark, SF_DIR).collect()[0]
+    pa = {p["doc_id"]: p["prediction"] for p in nb_mod.q_nb_predictions(spark, SF_DIR).collect()}
+    pb = {p["doc_id"]: p["prediction"] for p in tfidf_mod.q_predictions(spark, SF_DIR).collect()}
+    ids = sorted(set(pa) & set(pb))
+    n = len(ids)
+    agree = sum(1 for d in ids if pa[d] == pb[d])
+    apos = sum(pa[d] for d in ids)
+    bpos = sum(pb[d] for d in ids)
+    assert (r["n"], r["n_agree"]) == (n, agree)
+    po = agree / n
+    pe = (apos / n) * (bpos / n) + ((n - apos) / n) * ((n - bpos) / n)
+    assert abs(r["p_observed"] - round(po, 6)) <= 1e-9
+    assert abs(r["p_expected"] - round(pe, 6)) <= 1e-9
+    if pe < 1.0:
+        assert abs(r["kappa"] - round((po - pe) / (1 - pe), 6)) <= 2e-6
+        assert -1.0 - 1e-9 <= r["kappa"] <= 1.0 + 1e-9

@@ -1285,3 +1285,86 @@ ORACLES["events_funnel_significance"] = (
     "FROM piv"
 )
 QUERIES["events_funnel_significance"] = q_events_funnel_significance
+
+
+# --- Cohen's kappa between the two classifier chains (r5) -------------------
+#
+# The labeling-ops companion to nb_mcnemar_test: McNemar asks "do the
+# two models have DIFFERENT error rates"; Cohen's κ asks "how much do
+# they AGREE beyond chance" (Cohen 1960) — the same statistic an
+# annotation pipeline computes between two human raters before
+# trusting their labels.  κ = (p_o − p_e)/(1 − p_e) with p_e from the
+# marginal prediction rates; κ ≈ 1 means the featsel chain is mostly
+# a re-labeling of the plain one (and an ensemble of the two would
+# add nothing), κ ≈ 0 means chance-level agreement.
+#
+# Shape: one doc_id equi-join of the memoized prediction chains, one
+# 4-cell aggregate, closed-form κ rounded once (exact integer cells).
+
+
+def q_nb_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import nb as nb_mod
+    from . import tfidf as tfidf_mod
+
+    a = nb_mod.q_nb_predictions(spark, sf_dir).select(
+        "doc_id", F.col("prediction").alias("pa")
+    )
+    b = tfidf_mod.q_predictions(spark, sf_dir).select(
+        "doc_id", F.col("prediction").alias("pb")
+    )
+    cells = a.join(b, "doc_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("pa") == F.col("pb")).cast("long"))
+        .cast("long")
+        .alias("n_agree"),
+        F.sum("pa").cast("long").alias("a_pos"),
+        F.sum("pb").cast("long").alias("b_pos"),
+    )
+    n = F.col("n").cast("double")
+    po = F.col("n_agree") / n
+    pe = (F.col("a_pos") / n) * (F.col("b_pos") / n) + (
+        (n - F.col("a_pos")) / n
+    ) * ((n - F.col("b_pos")) / n)
+    kappa = F.when(pe < 1.0, F.round((po - pe) / (F.lit(1.0) - pe), 6))
+    return cells.select(
+        "n",
+        "n_agree",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        kappa.alias("kappa"),
+    )
+
+
+def _kappa_sql() -> str:
+    from . import nb as nb_mod
+    from . import tfidf as tfidf_mod
+
+    return (
+        "WITH a AS (SELECT doc_id, prediction AS pa FROM ("
+        + nb_mod.ORACLES["nb_predictions"]
+        + ")), b AS (SELECT doc_id, prediction AS pb FROM ("
+        + tfidf_mod.ORACLES["tfidf_nb_predictions"]
+        + ")), cells AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_agree, CAST(sum(pa) AS BIGINT) AS a_pos, "
+        "CAST(sum(pb) AS BIGINT) AS b_pos "
+        "FROM a JOIN b USING (doc_id)) "
+        "SELECT n, n_agree, "
+        "round(n_agree / CAST(n AS DOUBLE), 6) AS p_observed, "
+        "round((a_pos / CAST(n AS DOUBLE)) * (b_pos / CAST(n AS DOUBLE)) "
+        "+ ((n - a_pos) / CAST(n AS DOUBLE)) * "
+        "((n - b_pos) / CAST(n AS DOUBLE)), 6) AS p_expected, "
+        "CASE WHEN (a_pos / CAST(n AS DOUBLE)) * (b_pos / CAST(n AS "
+        "DOUBLE)) + ((n - a_pos) / CAST(n AS DOUBLE)) * ((n - b_pos) / "
+        "CAST(n AS DOUBLE)) < 1.0 THEN "
+        "round((n_agree / CAST(n AS DOUBLE) - ((a_pos / CAST(n AS DOUBLE)) "
+        "* (b_pos / CAST(n AS DOUBLE)) + ((n - a_pos) / CAST(n AS DOUBLE)) "
+        "* ((n - b_pos) / CAST(n AS DOUBLE)))) / "
+        "(1.0 - ((a_pos / CAST(n AS DOUBLE)) * (b_pos / CAST(n AS DOUBLE)) "
+        "+ ((n - a_pos) / CAST(n AS DOUBLE)) * ((n - b_pos) / "
+        "CAST(n AS DOUBLE)))), 6) END AS kappa FROM cells"
+    )
+
+
+ORACLES["nb_cohens_kappa"] = _kappa_sql()
+QUERIES["nb_cohens_kappa"] = q_nb_cohens_kappa
