@@ -211,3 +211,35 @@ def test_join_cardinality_actual_matches_the_real_join(spark):
     # PK-FK uniform case: the textbook estimate lands within 2x
     assert 0.5 <= r["est_over_actual"] <= 2.0
     assert r["hot_key_bound"] >= 1
+
+
+def test_order_aging_tiles_open_orders_and_buckets_correctly(spark):
+    import datetime
+
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.relational2 import (
+        q_order_aging,
+    )
+
+    rows = {r["age_bucket"]: r for r in q_order_aging(spark, SF_DIR).collect()}
+    orders = spark.read.parquet(SF_DIR + "/orders.parquet").collect()
+
+    def day(o):
+        return int(
+            o["o_orderdate"].replace(tzinfo=datetime.timezone.utc).timestamp()
+        ) // 86400
+
+    asof = max(day(o) for o in orders)
+    open_orders = [o for o in orders if o["o_orderstatus"] == "O"]
+    assert sum(r["n_orders"] for r in rows.values()) == len(open_orders)
+    import collections
+
+    want = collections.Counter()
+    for o in open_orders:
+        age = asof - day(o)
+        cls = "0-30" if age <= 30 else "31-60" if age <= 60 else "61-90" if age <= 90 else "90+"
+        want[cls] += 1
+    for cls, n in want.items():
+        assert rows[cls]["n_orders"] == n
+        assert rows[cls]["min_age_days"] <= rows[cls]["max_age_days"]

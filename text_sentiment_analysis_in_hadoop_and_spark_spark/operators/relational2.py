@@ -2401,3 +2401,67 @@ ORACLES["rel_join_cardinality_estimate"] = (
 )
 
 QUERIES["rel_join_cardinality_estimate"] = q_join_cardinality_estimate
+
+
+# --- open-order aging report (r5) --------------------------------------------
+#
+# The operations staple: every order still open ('O') aged against
+# the corpus as-of date (max orderdate — a warehouse would pass
+# CURRENT_DATE; using the data's own horizon keeps the query
+# deterministic), bucketed into the 30/60/90/90+ day ladder with
+# order counts and value at risk per bucket.  Exact integer days and
+# cents; the as-of date is a 1-row broadcast aggregate.
+
+_AGING_FENCES = (30, 60, 90)
+
+
+def q_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr("CAST(unix_timestamp(o_orderdate) AS LONG) DIV 86400")
+        .cast("long")
+        .alias("d"),
+    )
+    asof = o.agg(F.max("d").alias("asof_d"))
+    aged = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            (F.col("asof_d") - F.col("d")).cast("long").alias("age_days"),
+            "cents",
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= _AGING_FENCES[0], "0-30")
+        .when(F.col("age_days") <= _AGING_FENCES[1], "31-60")
+        .when(F.col("age_days") <= _AGING_FENCES[2], "61-90")
+        .otherwise("90+")
+    )
+    return aged.groupBy(bucket.alias("age_bucket")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("cents") / 100.0, 6).alias("open_value"),
+        F.min("age_days").cast("long").alias("min_age_days"),
+        F.max("age_days").cast("long").alias("max_age_days"),
+    )
+
+
+ORACLES["rel_order_aging"] = (
+    "WITH o AS (SELECT o_orderstatus, "
+    "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, "
+    "CAST(epoch_ns(o_orderdate) // 1000000000 // 86400 AS BIGINT) AS d "
+    "FROM orders), "
+    "ad AS (SELECT max(d) AS asof_d FROM o), "
+    "aged AS (SELECT CAST(ad.asof_d - o.d AS BIGINT) AS age_days, "
+    "o.cents FROM o CROSS JOIN ad WHERE o.o_orderstatus = 'O') "
+    "SELECT CASE WHEN age_days <= 30 THEN '0-30' "
+    "WHEN age_days <= 60 THEN '31-60' "
+    "WHEN age_days <= 90 THEN '61-90' ELSE '90+' END AS age_bucket, "
+    "CAST(count(*) AS BIGINT) AS n_orders, "
+    "round(sum(cents) / 100.0, 6) AS open_value, "
+    "CAST(min(age_days) AS BIGINT) AS min_age_days, "
+    "CAST(max(age_days) AS BIGINT) AS max_age_days "
+    "FROM aged GROUP BY 1"
+)
+
+QUERIES["rel_order_aging"] = q_order_aging
