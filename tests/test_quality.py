@@ -606,3 +606,31 @@ def test_null_calibration_sits_at_chance(spark):
     # and the real-label chain must do meaningfully better than the null
     real = nb.q_nb_accuracy(spark, SF_DIR).collect()[0]
     assert real["accuracy"] >= r["accuracy"] - r["band_3sigma"]
+
+
+def test_lexical_sophistication_matches_serial_ranking(spark):
+    import collections
+    import math
+
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.textstats import (
+        LEXRANK_SCALE,
+        q_lexical_sophistication,
+    )
+
+    rows = {r["doc_id"]: r for r in q_lexical_sophistication(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet").collect()
+    counts = collections.Counter()
+    for d in docs:
+        counts.update(d["text"].split(" "))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    rank = {tok: i + 1 for i, (tok, _) in enumerate(ranked)}
+    for d in docs[:100]:
+        toks = d["text"].split(" ")
+        lr = [round(math.log2(rank[t]) * LEXRANK_SCALE) for t in toks]
+        r = rows[d["doc_id"]]
+        assert r["n_tokens"] == len(toks)
+        assert r["rarest_rank"] == max(rank[t] for t in toks)
+        want = round(sum(lr) / (len(lr) * LEXRANK_SCALE), 6)
+        assert abs(r["mean_log2_rank"] - want) <= 2e-6

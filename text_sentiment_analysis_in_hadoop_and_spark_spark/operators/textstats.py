@@ -1251,3 +1251,75 @@ ORACLES_LATE["text_source_stylometry_delta"] = (
 )
 
 QUERIES_LATE["text_source_stylometry_delta"] = q_source_stylometry_delta
+
+
+# --- lexical sophistication via frequency rank (r5) --------------------------
+#
+# The psycholinguistic difficulty signal Flesch can't see: word
+# FREQUENCY, not word length, is the strongest predictor of reading
+# effort (the word-frequency effect), so score each doc by the mean
+# log2 rank of its tokens under the corpus's own frequency ranking
+# (rank 1 = most common word; ties broken by token so the ranking is
+# a total order).  Rare-word-heavy docs score high — the
+# "sophisticated or just jargon/noise" queue that complements
+# text_readability and feeds the same signal-correlation audit.
+#
+# Determinism: ranks are exact integers from one vocabulary-sized
+# count + rank window; log2(rank) is a fixed closed form per integer,
+# and the per-doc mean aggregates 1e6-scaled INTEGER log-ranks (no
+# float accumulation-order leak).  Shape: one vocab groupBy, a
+# vocab-sized rank window (single partition over the VOCABULARY —
+# bounded by distinct words, not corpus rows, same shape as
+# text_top_tokens' ranking), token→rank equi-join, per-doc partial
+# agg.
+
+LEXRANK_SCALE = 1_000_000
+
+
+def q_lexical_sophistication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("token")
+    )
+    counts = docs.groupBy("token").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranks = counts.select(
+        "token",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).select(
+        "token",
+        "rank",
+        F.round(F.log2(F.col("rank").cast("double")) * LEXRANK_SCALE)
+        .cast("long")
+        .alias("lr_scaled"),
+    )
+    per_doc = docs.join(ranks, "token").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("lr_scaled")
+            / (F.count("*") * F.lit(float(LEXRANK_SCALE))),
+            6,
+        ).alias("mean_log2_rank"),
+        F.max("rank").cast("long").alias("rarest_rank"),
+    )
+    return per_doc
+
+
+ORACLES_LATE["text_lexical_sophistication"] = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+    "AS token FROM documents), "
+    "c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok "
+    "GROUP BY token), "
+    "r AS (SELECT token, CAST(row_number() OVER "
+    "(ORDER BY n DESC, token) AS BIGINT) AS rank FROM c), "
+    "rs AS (SELECT token, rank, "
+    f"CAST(round(log2(CAST(rank AS DOUBLE)) * {LEXRANK_SCALE}, 0) "
+    "AS BIGINT) AS lr_scaled FROM r) "
+    "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    f"round(sum(rs.lr_scaled) / (count(*) * {float(LEXRANK_SCALE)}), 6) "
+    "AS mean_log2_rank, "
+    "CAST(max(rs.rank) AS BIGINT) AS rarest_rank "
+    "FROM tok t JOIN rs USING (token) GROUP BY t.doc_id"
+)
+QUERIES_LATE["text_lexical_sophistication"] = q_lexical_sophistication
