@@ -727,3 +727,41 @@ def test_alert_rules_cover_every_rule_and_fire_correctly(spark):
     # shares are consistent probabilities
     assert 0.0 <= rows["R1_error_share_high"]["value"] <= 1.0
     assert 0.0 <= rows["R2_purchase_share_low"]["value"] <= 1.0
+
+
+# --- events_reactivation --------------------------------------------------
+
+
+def test_reactivation_matches_serial_gap_scan(spark):
+    import collections
+
+    rows = {
+        r["week_start_day"]: r
+        for r in timeseries.q_events_reactivation(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    import datetime
+
+    by_user = collections.defaultdict(set)
+    for e in ev:
+        es = int(e["ts"].replace(tzinfo=datetime.timezone.utc).timestamp())
+        by_user[e["user_id"]].add(es // 86400)
+    want = collections.defaultdict(lambda: [0, set(), 0, 0])
+    for u, days in by_user.items():
+        ds = sorted(days)
+        for a, b in zip(ds, ds[1:]):
+            gap = b - a
+            if gap >= timeseries.DORMANT_DAYS:
+                wk = b - b % 7
+                st = want[wk]
+                st[0] += 1
+                st[1].add(u)
+                st[2] += gap
+                st[3] = max(st[3], gap)
+    assert set(rows) == set(want)
+    for wk, (n, users, gsum, gmax) in want.items():
+        r = rows[wk]
+        assert r["n_reactivations"] == n
+        assert r["n_users"] == len(users)
+        assert r["max_dormancy_days"] == gmax
+        assert abs(r["mean_dormancy_days"] - round(gsum / n, 6)) <= 1e-9

@@ -1280,3 +1280,62 @@ def _alert_rules_sql() -> str:
 
 ORACLES["events_alert_rules"] = _alert_rules_sql()
 QUERIES["events_alert_rules"] = q_events_alert_rules
+
+
+# --- dormancy & reactivation (r5) -------------------------------------------
+#
+# Win-back analytics: a REACTIVATION is an event arriving after the
+# same user was silent for ≥ DORMANT_DAYS.  Per calendar week of the
+# return event: how many reactivations landed, how many distinct
+# users came back, and the mean dormancy they returned from (exact
+# integer days, milli-scaled mean) — the readout that tells a
+# lifecycle team whether win-back campaigns actually move returns.
+#
+# Shape: ONE lag window partitioned BY USER over (user, day)-distinct
+# activity, then a weeks-sized partial agg.  No global windows.
+
+DORMANT_DAYS = 14
+
+
+def q_events_reactivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    act = ev.select(
+        "user_id",
+        F.expr("epoch_sec DIV 86400").cast("long").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    gaps = act.select(
+        "user_id",
+        "day",
+        (F.col("day") - F.lag("day").over(w)).alias("gap"),
+    ).filter(F.col("gap") >= DORMANT_DAYS)
+    return gaps.groupBy(
+        (F.col("day") - F.pmod(F.col("day"), F.lit(7)))
+        .cast("long")
+        .alias("week_start_day")
+    ).agg(
+        F.count("*").cast("long").alias("n_reactivations"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.sum("gap") / F.count("*").cast("double"), 6).alias(
+            "mean_dormancy_days"
+        ),
+        F.max("gap").cast("long").alias("max_dormancy_days"),
+    )
+
+
+ORACLES["events_reactivation"] = (
+    "WITH act AS (SELECT DISTINCT user_id, "
+    "CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day "
+    "FROM events), "
+    "g AS (SELECT user_id, day, day - lag(day) OVER "
+    "(PARTITION BY user_id ORDER BY day) AS gap FROM act) "
+    "SELECT CAST(day - day % 7 AS BIGINT) AS week_start_day, "
+    "CAST(count(*) AS BIGINT) AS n_reactivations, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+    "round(sum(gap) / CAST(count(*) AS DOUBLE), 6) "
+    "AS mean_dormancy_days, "
+    "CAST(max(gap) AS BIGINT) AS max_dormancy_days "
+    f"FROM g WHERE gap >= {DORMANT_DAYS} GROUP BY day - day % 7"
+)
+
+QUERIES["events_reactivation"] = q_events_reactivation
