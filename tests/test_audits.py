@@ -243,3 +243,30 @@ def test_order_aging_tiles_open_orders_and_buckets_correctly(spark):
     for cls, n in want.items():
         assert rows[cls]["n_orders"] == n
         assert rows[cls]["min_age_days"] <= rows[cls]["max_age_days"]
+
+
+def test_price_dispersion_queue_is_widest_first_multi_supplier_only(spark):
+    from conftest import SF_DIR
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.relational2 import (
+        PRICE_DISP_K,
+        q_unit_price_dispersion,
+    )
+
+    rows = sorted(
+        q_unit_price_dispersion(spark, SF_DIR).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert 0 < len(rows) <= PRICE_DISP_K
+    for r in rows:
+        assert r["n_suppliers"] >= 2
+        assert r["min_unit_price"] <= r["max_unit_price"]
+        want = round(
+            (r["max_unit_price"] - r["min_unit_price"]) / r["min_unit_price"],
+            6,
+        )
+        # spread recomputed from the exposed (rounded) prices — allow
+        # the milli-unit quantization of the two price roundings
+        assert abs(r["spread_frac"] - want) <= 1e-4
+    for a, b in zip(rows, rows[1:]):
+        assert a["spread_frac"] >= b["spread_frac"] - 1e-9

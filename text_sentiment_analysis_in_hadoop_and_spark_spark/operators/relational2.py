@@ -2465,3 +2465,92 @@ ORACLES["rel_order_aging"] = (
 )
 
 QUERIES["rel_order_aging"] = q_order_aging
+
+
+# --- unit-price dispersion across suppliers (r5) -----------------------------
+#
+# The procurement-arbitrage sweep: for each part, how far apart are
+# the unit prices different suppliers actually charged?  Per
+# (part, supplier) the mean unit price (milli-cents integers — the
+# extendedprice/quantity ratio rounded ONCE per line item), then per
+# part the supplier count, min/max mean price, and the spread as a
+# fraction of the min; the PRICE_DISP_K widest spreads with ≥ 2
+# suppliers are the renegotiation queue.
+#
+# Shape: two nested partial aggs on (partkey, suppkey) → partkey —
+# co-partitioned, no window until the final bounded top-k.
+
+PRICE_DISP_K = 20
+
+
+def q_unit_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(
+            F.col("l_extendedprice") / F.col("l_quantity") * 1000
+        )
+        .cast("long")
+        .alias("up_milli"),
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.sum("up_milli") / F.count("*").cast("double"))
+        .cast("long")
+        .alias("mean_up_milli"),
+    )
+    per_part = ps.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.min("mean_up_milli").cast("long").alias("min_up_milli"),
+        F.max("mean_up_milli").cast("long").alias("max_up_milli"),
+    ).filter(F.col("n_suppliers") >= 2)
+    spread = F.round(
+        (F.col("max_up_milli") - F.col("min_up_milli"))
+        / F.col("min_up_milli").cast("double"),
+        6,
+    )
+    top = (
+        per_part.select(
+            "partkey",
+            "n_suppliers",
+            F.round(F.col("min_up_milli") / 1000.0, 6).alias("min_unit_price"),
+            F.round(F.col("max_up_milli") / 1000.0, 6).alias("max_unit_price"),
+            spread.alias("spread_frac"),
+        )
+        .orderBy(F.desc("spread_frac"), F.asc("partkey"))
+        .limit(PRICE_DISP_K)
+    )
+    w = Window.orderBy(F.desc("spread_frac"), F.asc("partkey"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "partkey",
+        "n_suppliers",
+        "min_unit_price",
+        "max_unit_price",
+        "spread_frac",
+    )
+
+
+ORACLES["rel_unit_price_dispersion"] = (
+    "WITH li AS (SELECT l_partkey, l_suppkey, "
+    "CAST(round(l_extendedprice / l_quantity * 1000, 0) AS BIGINT) "
+    "AS up_milli FROM lineitem), "
+    "ps AS (SELECT l_partkey, l_suppkey, "
+    "CAST(round(sum(up_milli) / CAST(count(*) AS DOUBLE), 0) AS BIGINT) "
+    "AS mean_up_milli FROM li GROUP BY l_partkey, l_suppkey), "
+    "pp AS (SELECT l_partkey AS partkey, "
+    "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers, "
+    "CAST(min(mean_up_milli) AS BIGINT) AS mn, "
+    "CAST(max(mean_up_milli) AS BIGINT) AS mx "
+    "FROM ps GROUP BY l_partkey HAVING count(DISTINCT l_suppkey) >= 2) "
+    "SELECT CAST(row_number() OVER (ORDER BY "
+    "round((mx - mn) / CAST(mn AS DOUBLE), 6) DESC, partkey) "
+    "AS INTEGER) AS rank, partkey, n_suppliers, "
+    "round(mn / 1000.0, 6) AS min_unit_price, "
+    "round(mx / 1000.0, 6) AS max_unit_price, "
+    "round((mx - mn) / CAST(mn AS DOUBLE), 6) AS spread_frac "
+    "FROM pp ORDER BY spread_frac DESC, partkey "
+    f"LIMIT {PRICE_DISP_K}"
+)
+
+QUERIES["rel_unit_price_dispersion"] = q_unit_price_dispersion
