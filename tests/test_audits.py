@@ -270,3 +270,32 @@ def test_price_dispersion_queue_is_widest_first_multi_supplier_only(spark):
         assert abs(r["spread_frac"] - want) <= 1e-4
     for a, b in zip(rows, rows[1:]):
         assert a["spread_frac"] >= b["spread_frac"] - 1e-9
+
+
+def test_fill_rate_reconciles_with_raw_lineitems(spark):
+    from conftest import SF_DIR
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.relational2 import (
+        q_fill_rate,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {r["priority"]: r for r in q_fill_rate(spark, SF_DIR).collect()}
+    assert rows
+    li_n = load_table(spark, SF_DIR, "lineitem").count()
+    assert sum(r["n_lines"] for r in rows.values()) == li_n
+    filled = (
+        load_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_linestatus") == "F")
+        .count()
+    )
+    assert sum(r["n_filled"] for r in rows.values()) == filled
+    for r in rows.values():
+        assert 0.0 <= r["line_fill_rate"] <= 1.0
+        assert 0.0 <= r["value_fill_rate"] <= 1.0
+        assert abs(
+            r["line_fill_rate"] - round(r["n_filled"] / r["n_lines"], 6)
+        ) <= 1e-9

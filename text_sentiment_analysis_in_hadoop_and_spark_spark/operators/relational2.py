@@ -2554,3 +2554,60 @@ ORACLES["rel_unit_price_dispersion"] = (
 )
 
 QUERIES["rel_unit_price_dispersion"] = q_unit_price_dispersion
+
+
+# --- fill rate by order priority (r5) ----------------------------------------
+#
+# The fulfillment SLA readout: per order priority, what fraction of
+# line items has actually shipped (l_linestatus = 'F'), in lines and
+# in value — urgent orders stuck below the fleet average is the
+# operations escalation trigger.  Broadcast the orders dim's
+# (orderkey → priority) projection?  No: orders is fact-sized, so the
+# join keys both sides on orderkey (co-partitioned fact⋈fact, the
+# same single-shuffle family every rel_* fact join uses) and the
+# rollup collapses to 5 priority rows map-side.
+
+def q_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_linestatus") == "F").cast("long").alias("filled"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        li.join(o, "l_orderkey")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum("filled").cast("long").alias("n_filled"),
+            F.round(
+                F.sum("filled") / F.count("*").cast("double"), 6
+            ).alias("line_fill_rate"),
+            F.round(
+                F.sum(F.col("filled") * F.col("cents"))
+                / F.sum("cents").cast("double"),
+                6,
+            ).alias("value_fill_rate"),
+        )
+    )
+
+
+ORACLES["rel_fill_rate"] = (
+    "WITH li AS (SELECT l_orderkey, "
+    "CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS filled, "
+    "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents "
+    "FROM lineitem) "
+    "SELECT o.o_orderpriority AS priority, "
+    "CAST(count(*) AS BIGINT) AS n_lines, "
+    "CAST(sum(li.filled) AS BIGINT) AS n_filled, "
+    "round(sum(li.filled) / CAST(count(*) AS DOUBLE), 6) "
+    "AS line_fill_rate, "
+    "round(sum(li.filled * li.cents) / CAST(sum(li.cents) AS DOUBLE), 6) "
+    "AS value_fill_rate "
+    "FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey "
+    "GROUP BY o.o_orderpriority"
+)
+
+QUERIES["rel_fill_rate"] = q_fill_rate
