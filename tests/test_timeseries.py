@@ -765,3 +765,43 @@ def test_reactivation_matches_serial_gap_scan(spark):
         assert r["n_users"] == len(users)
         assert r["max_dormancy_days"] == gmax
         assert abs(r["mean_dormancy_days"] - round(gsum / n, 6)) <= 1e-9
+
+
+# --- events_revenue_volatility ---------------------------------------------
+
+
+def test_revenue_volatility_matches_numpy(spark):
+    import math
+
+    import numpy as np
+
+    r = timeseries.q_events_revenue_volatility(spark, SF_DIR).collect()[0]
+    from pyspark.sql import functions as F
+
+    daily = sorted(
+        (row["d"], row["cents"])
+        for row in timeseries.load_events(spark, SF_DIR)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.expr("epoch_sec DIV 86400").cast("long").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+        .collect()
+    )
+    assert r["n_days"] == len(daily)
+    cents = [c for _, c in daily]
+    lr6 = [
+        round(math.log(b / a) * 1e6) for a, b in zip(cents, cents[1:])
+    ]
+    want_vol = round(float(np.std(lr6, ddof=1)) / 1e6, 6)
+    assert abs(r["realized_vol"] - want_vol) <= 2e-6
+    # drawdown recomputed serially
+    peak, mdd, mdd_day = 0, 0.0, None
+    for d, c in daily:
+        peak = max(peak, c)
+        dd = round((peak - c) / peak, 6)
+        if dd > mdd or (dd == mdd and mdd_day is None):
+            mdd, mdd_day = dd, d
+    assert abs(r["max_drawdown"] - mdd) <= 1e-9
+    assert r["max_dd_day"] == mdd_day
+    assert 0.0 <= r["max_drawdown"] < 1.0

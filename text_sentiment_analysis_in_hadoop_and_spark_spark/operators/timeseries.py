@@ -1339,3 +1339,109 @@ ORACLES["events_reactivation"] = (
 )
 
 QUERIES["events_reactivation"] = q_events_reactivation
+
+
+# --- revenue volatility & max drawdown (r5) ----------------------------------
+#
+# The treasury-style risk readout next to events_cvar: realized
+# volatility = std of day-over-day log returns of daily purchase
+# revenue, and MAX DRAWDOWN = the deepest fractional fall of the
+# daily series from its running peak (the running-max window pattern;
+# peak-to-trough is what a "worst day to have started" question
+# means).  One row: days, mean daily revenue, realized vol, max
+# drawdown with its day.
+#
+# Determinism: daily cents are exact; log returns are ln of exact
+# integer ratios, pre-rounded to 6 before the variance moments
+# (integer-scaled, order-free); the drawdown compares 6-rounded
+# fractions.  All windows run on the calendar-bounded day table.
+
+
+def q_events_revenue_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(
+        F.expr("epoch_sec DIV 86400").cast("long").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("d")
+    lr = F.round(
+        F.log(
+            F.col("cents").cast("double")
+            / F.lag("cents").over(w).cast("double")
+        ),
+        6,
+    )
+    peak = F.max("cents").over(
+        Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = daily.select(
+        "d",
+        "cents",
+        lr.alias("logret"),
+        F.round(
+            (peak - F.col("cents")) / peak.cast("double"), 6
+        ).alias("drawdown"),
+    )
+    mom = scored.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.sum("cents") / (F.count("*") * 100.0), 6).alias(
+            "mean_daily_revenue"
+        ),
+        F.sum(F.round(F.col("logret") * 1000000).cast("long")).alias("s1"),
+        F.sum(
+            F.round(F.col("logret") * 1000000).cast("long")
+            * F.round(F.col("logret") * 1000000).cast("long")
+        ).alias("s2"),
+        F.count("logret").cast("long").alias("n_ret"),
+        F.max_by(
+            "d",
+            F.round(F.col("drawdown") * 1000000).cast("long")
+            * F.lit(1000000000).cast("long")
+            - F.col("d"),
+        )
+        .cast("long")
+        .alias("max_dd_day"),
+        F.max("drawdown").alias("max_drawdown"),
+    )
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n_ret")
+    ) / (F.col("n_ret") - 1)
+    return mom.select(
+        "n_days",
+        "mean_daily_revenue",
+        F.round(F.sqrt(var) / 1000000.0, 6).alias("realized_vol"),
+        "max_drawdown",
+        "max_dd_day",
+    )
+
+
+ORACLES["events_revenue_volatility"] = (
+    "WITH pv AS (SELECT CAST(epoch_ns(ts) // 1000000000 // 86400 "
+    "AS BIGINT) AS d, CAST(round(value * 100, 0) AS BIGINT) AS cents "
+    "FROM events WHERE event_type = 'purchase'), "
+    "daily AS (SELECT d, CAST(sum(cents) AS BIGINT) AS cents FROM pv "
+    "GROUP BY d), "
+    "sc AS (SELECT d, cents, "
+    "CAST(round(ln(cents / CAST(lag(cents) OVER (ORDER BY d) "
+    "AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lr6, "
+    "round((max(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND CURRENT ROW) - cents) / "
+    "CAST(max(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS drawdown FROM daily) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_days, "
+    "round(sum(cents) / (count(*) * 100.0), 6) AS mean_daily_revenue, "
+    "round(sqrt((sum(lr6 * lr6) - CAST(sum(lr6) AS DOUBLE) * sum(lr6) "
+    "/ count(lr6)) / (count(lr6) - 1)) / 1000000.0, 6) "
+    "AS realized_vol, "
+    "max(drawdown) AS max_drawdown, "
+    "CAST(max_by(d, CAST(round(drawdown * 1000000, 0) AS BIGINT) * 1000000000 - d) AS BIGINT) AS max_dd_day "
+    "FROM sc"
+)
+
+QUERIES["events_revenue_volatility"] = q_events_revenue_volatility
