@@ -228,69 +228,67 @@ _MODULE_ORDER = (
 )
 
 
-# r5 rotation head (UPDATED late-r5): the driver checks the first 50
-# queries() entries, so the window is too scarce to spend on already-
-# green fillers.  _PROMOTED now holds FIFTY never-driver-checked
-# queries — the original 15 from the r4 verdict stay at the head
-# (order unchanged), followed by the next 35 never-checked names in
-# registration order (tools/rotation.py derives this list from the
-# CORRECTNESS_r*.json union mechanically).  Every oracle-checked name
-# below passed the full tools/parity.py sweep at sf0.01 THIS session
-# (312/312); the rows-only ones (ml_*, tfidf_df_approx,
-# events_percentiles_approx, pipe_pack_nextfit) get the driver's
-# weaker rows-only check, as r4's window did by design.
+# r6 rotation head: the driver checks the first 50 queries() entries,
+# so the window holds FIFTY never-driver-checked queries in
+# registration order, derived MECHANICALLY by tools/rotation.py from
+# the CORRECTNESS_r*.json union (rows-only names with a recorded
+# driver run count as checked — their no_oracle row cannot get
+# stronger, so re-promoting them would waste slots).  The two names
+# at the head are the r5 failures (array-typed result columns broke
+# the driver's pandas canonicalizer); both now emit scalar CSV
+# renderings and re-pass tools/parity.py at sf0.01.  ~190
+# never-checked remain after this window (~4 more rounds at 50/round).
 _PROMOTED = (
-    "rel_min_price_supplier",
-    "rel_part_value_share",
-    "rel_top_supplier",
-    "rel_dominant_suppliers",
-    "rel_market_share",
-    "rel_profit_by_nation_year",
-    "rel_supplier_part_counts",
-    "text_lm_score",
-    "pipe_mixture",
-    "pipe_training_corpus",
-    "mm_pixel_stats",
-    "events_sliding_volume",
     "sim_embedding_quantize",
-    "text_top_tokens_approx",
-    "text_chunk_windows",
-    # --- window fill: next never-checked, registration order ---
-    "tfidf_df_approx",
     "sim_group_centroids",
-    "sim_lsh_recall_report",
-    "sim_embedding_norm_outliers",
-    "sim_cosine_calibration",
-    "ml_nb_predictions",
-    "ml_nb_metrics",
-    "ml_modified_nb_metrics",
-    "ml_svm_metrics",
-    "ml_modified_svm_metrics",
-    "ml_nb_metrics_noleak",
-    "events_json_extract",
-    "events_asof_nearest",
-    "events_variant_extract",
-    "events_percentiles_approx",
-    "events_sessionized_funnel",
-    "events_session_length_dist",
-    "events_unconverted_views",
-    "pipe_pack_nextfit",
-    "text_phrase_pmi",
-    "rel_volume_shipping",
-    "rel_shipping_priority",
-    "rel_forecast_revenue",
-    "rel_revenue_grouping_sets",
-    "rel_top_parts_per_nation",
-    "rel_revenue_concentration",
-    "rel_ship_latency_dist",
-    "rel_customer_rfm",
-    "rel_yearly_growth",
-    "rel_monthly_seasonality",
-    "rel_discount_cap_whatif",
-    "rel_basket_affinity",
-    "rel_returns_by_brand",
-    "rel_integrity_checks",
-    "rel_customer_migration",
+    "rel_join_skew_audit",
+    "rel_weighted_median_price",
+    "rel_abc_classification",
+    "rel_benford_audit",
+    "rel_fd_audit",
+    "rel_nation_share_of_region",
+    "rel_margin_waterfall",
+    "rel_discount_elasticity",
+    "rel_supplier_hhi",
+    "rel_repeat_purchase_interval",
+    "rel_unpivot_metrics",
+    "rel_weighted_median_pandas",
+    "rel_pricing_summary_ps",
+    "rel_pareto_frontier",
+    "rel_mix_shift",
+    "rel_order_velocity_audit",
+    "rel_returns_p_chart",
+    "rel_join_cardinality_estimate",
+    "rel_order_aging",
+    "rel_unit_price_dispersion",
+    "rel_fill_rate",
+    "pipe_split_leakage_safe",
+    "pipe_sample_ttr_weighted",
+    "pipe_global_shuffle",
+    "pipe_sample_weighted_k",
+    "pipe_incremental_agg",
+    "pipe_shard_skew_report",
+    "pipe_data_card",
+    "pipe_manifest_diff",
+    "pipe_pack_ffd",
+    "pipe_water_filling",
+    "pipe_curriculum",
+    "pipe_kfold_manifest",
+    "pipe_partition_advisor",
+    "pipe_interleave_schedule",
+    "pipe_epoch_shuffle",
+    "pipe_token_budget",
+    "pipe_neyman_sample",
+    "pipe_keep_attribution",
+    "pipe_dsir_weights",
+    "pipe_contrastive_negatives",
+    "pipe_rendezvous_shards",
+    "pipe_temperature_mixture",
+    "pipe_length_batching",
+    "pipe_corpus_fingerprint",
+    "pipe_packing_efficiency",
+    "mm_audio_meta",
+    "mm_pair_manifest",
 )
 
 

@@ -15,7 +15,7 @@ def test_cli_list_filters_and_tags(capsys):
 
 def test_cli_oracle_prints_sql_and_flags_rows_only(capsys):
     assert main(["oracle", "events_ohlc"]) == 0
-    assert "min_by" in capsys.readouterr().out
+    assert "first_value" in capsys.readouterr().out
     assert main(["oracle", "sim_topk_ivf"]) == 1  # rows-only by design
     assert "rows-only" in capsys.readouterr().err
 

@@ -16,34 +16,32 @@ import __spark_entry__ as entrymod
 
 def test_window_is_exactly_the_promoted_fifty():
     """The whole 50-slot window is the _PROMOTED list: fifty
-    never-driver-checked queries (the r4 verdict's 15 at the head,
-    order preserved, then the next 35 in registration order per
-    tools/rotation.py)."""
+    never-driver-checked queries in registration order per
+    tools/rotation.py."""
     q = list(entrymod.queries())
     assert len(entrymod._PROMOTED) == 50
     assert q[:50] == list(entrymod._PROMOTED)
 
 
-def test_promoted_head_keeps_the_r4_verdict_fifteen():
-    """The r4 verdict named these 15 explicitly; they must stay at the
-    very head in this order."""
-    assert entrymod._PROMOTED[:15] == (
-        "rel_min_price_supplier",
-        "rel_part_value_share",
-        "rel_top_supplier",
-        "rel_dominant_suppliers",
-        "rel_market_share",
-        "rel_profit_by_nation_year",
-        "rel_supplier_part_counts",
-        "text_lm_score",
-        "pipe_mixture",
-        "pipe_training_corpus",
-        "mm_pixel_stats",
-        "events_sliding_volume",
+def test_promoted_head_leads_with_the_r5_failures():
+    """The two r5 CORRECTNESS failures (array-typed results broke the
+    driver canonicalizer; both now emit scalar CSV renderings) must
+    lead the r6 window so their fix gets a driver-green row."""
+    assert entrymod._PROMOTED[:2] == (
         "sim_embedding_quantize",
-        "text_top_tokens_approx",
-        "text_chunk_windows",
+        "sim_group_centroids",
     )
+
+
+def test_promoted_are_all_never_driver_checked():
+    """Window slots are scarce (50/round, ~190 never-checked in the
+    backlog): every promoted name must still NEED a driver row per
+    the mechanical derivation in tools/rotation.py."""
+    import tools.rotation as rotation
+
+    green = rotation.driver_green(entrymod.rows_only())
+    stale = [n for n in entrymod._PROMOTED if n in green]
+    assert not stale, stale
 
 
 def test_promoted_names_all_exist():

@@ -270,11 +270,17 @@ def test_ivf_recall_at_bench_scale(spark, planted_sf01_dir):
 
 def test_pq_codes_shape_and_determinism(spark):
     sf = "/root/testdata/sf0.001"
+    def grab():
+        return {
+            r["vec_id"]: tuple(int(x) for x in r["codes_csv"].split(","))
+            for r in S.q_sim_pq_codes(spark, sf).collect()
+        }
+
     S._PQ_CODES_CACHE.clear()
-    a = {r["vec_id"]: tuple(r["codes"]) for r in S.q_sim_pq_codes(spark, sf).collect()}
+    a = grab()
     S._PQ_CODES_CACHE.clear()
     S._PQ_CACHE.clear()
-    b = {r["vec_id"]: tuple(r["codes"]) for r in S.q_sim_pq_codes(spark, sf).collect()}
+    b = grab()
     assert a == b
     assert all(
         len(c) == S.M_SUB and all(0 <= x < S.K_CODES for x in c)

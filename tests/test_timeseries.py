@@ -632,7 +632,7 @@ def test_ohlc_candle_invariants_and_boundary_values(spark):
     by_day = collections.defaultdict(list)
     for e in ev:
         by_day[e["es"] // 86400].append(
-            (e["es"] * timeseries.OHLC_ORD_SHIFT + e["event_id"], e["value"])
+            ((e["es"], e["event_id"]), e["value"])
         )
     got = {r["day"]: r for r in rows}
     assert set(got) == set(by_day)

@@ -25,7 +25,23 @@ the named queries — the correctness gate as a user-facing command.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# Defaults are overridable so the CLI works outside this checkout:
+# TSA_SF_DIR points at the parquet tables (same convention as
+# bench.py's SPARK_GRAFT_SF_DIR, which wins if set), TSA_REPO_ROOT at
+# the repo checkout holding tools/parity.py.
+_DEFAULT_SF_DIR = (
+    os.environ.get("SPARK_GRAFT_SF_DIR")
+    or os.environ.get("TSA_SF_DIR")
+    or "/root/testdata/sf0.01"
+)
+_DEFAULT_PARITY_SF_DIR = (
+    os.environ.get("SPARK_GRAFT_SF_DIR")
+    or os.environ.get("TSA_SF_DIR")
+    or "/root/testdata/sf0.001"
+)
 
 
 def _registry():
@@ -48,12 +64,12 @@ def main(argv: list[str] | None = None) -> int:
         "parity", help="run the Spark vs DuckDB oracle comparison"
     )
     p_par.add_argument("query", nargs="+")
-    p_par.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_par.add_argument("--sf-dir", default=_DEFAULT_PARITY_SF_DIR)
 
     for name in ("run", "explain"):
         sp = sub.add_parser(name)
         sp.add_argument("query")
-        sp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+        sp.add_argument("--sf-dir", default=_DEFAULT_SF_DIR)
         if name == "run":
             sp.add_argument("--limit", type=int, default=20)
             sp.add_argument(
@@ -66,17 +82,36 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     if args.cmd == "parity":
-        import os
         import subprocess
 
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # Resolve the checkout holding tools/parity.py: explicit env
+        # override first, then the package's parent (the in-repo
+        # layout), then cwd — with a clear error instead of a silent
+        # failure when the package is installed elsewhere (r5 advice).
+        candidates = [
+            os.environ.get("TSA_REPO_ROOT"),
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            os.getcwd(),
+        ]
+        parity = next(
+            (
+                os.path.join(c, "tools", "parity.py")
+                for c in candidates
+                if c and os.path.isfile(os.path.join(c, "tools", "parity.py"))
+            ),
+            None,
+        )
+        if parity is None:
+            print(
+                "tools/parity.py not found — set TSA_REPO_ROOT to the "
+                "repo checkout (searched: "
+                + ", ".join(c for c in candidates if c)
+                + ")",
+                file=sys.stderr,
+            )
+            return 2
         return subprocess.call(
-            [
-                sys.executable,
-                os.path.join(repo, "tools", "parity.py"),
-                args.sf_dir,
-                *args.query,
-            ]
+            [sys.executable, parity, args.sf_dir, *args.query]
         )
 
     queries, oracles, rows_only = _registry()
@@ -114,9 +149,10 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name=f"tsa_cli_{args.cmd}_{args.query}")
     df = fn(spark, args.sf_dir)
     if args.cmd == "explain":
-        print(df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-            df._jdf.queryExecution(), "formatted"
-        ))
+        # Public API (prints the formatted plan itself) — the private
+        # _jvm.PythonSQLUtils path breaks under Spark Connect and
+        # across PySpark releases (r5 advice).
+        df.explain(mode="formatted")
         return 0
     if args.output:
         df.write.mode("overwrite").parquet(args.output)

@@ -544,7 +544,11 @@ QUERIES_LATE["events_interval_overlap"] = q_events_interval_overlap
 # correctness contract; Feast/Tecton call this the "as-of join
 # against the feature log").  The strictly-before frame (… AND 1
 # PRECEDING, tie events at the label's own second excluded) is the
-# leakage guard the test pins.
+# leakage guard the test pins.  recency_sec looks back over the
+# user's WHOLE prior history (unbounded-preceding frame, still
+# strictly before the label), so -1 means "no prior activity ever"
+# — not merely "quiet for 7 days" (r5 advice: the 7-day-framed
+# last_seen conflated no-history with stale-history).
 #
 # Scale shape: ONE window shuffle partitioned BY USER (thousands of
 # independent partitions — never a global window) over the unioned
@@ -569,6 +573,11 @@ def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("epoch_sec")
         .rangeBetween(-PIT_WINDOW_SEC, -1)
     )
+    w_hist = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_sec")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
     feat = ev.select(
         "event_id",
         "user_id",
@@ -584,7 +593,7 @@ def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .over(w)
         .alias("f_spend_cents_7d"),
-        F.max("epoch_sec").over(w).alias("last_seen"),
+        F.max("epoch_sec").over(w_hist).alias("last_seen"),
     )
     return feat.filter(F.col("event_type") == PIT_LABEL).select(
         "event_id",
@@ -617,9 +626,11 @@ ORACLES_LATE["events_pit_features"] = (
     "OVER w, 0) AS BIGINT) AS f_clicks_7d, "
     "coalesce(sum(CASE WHEN event_type = "
     f"'{PIT_LABEL}' THEN cents END) OVER w, 0) AS f_spend_cents_7d, "
-    "max(es) OVER w AS last_seen FROM e "
+    "max(es) OVER wh AS last_seen FROM e "
     "WINDOW w AS (PARTITION BY user_id ORDER BY es "
-    f"RANGE BETWEEN {PIT_WINDOW_SEC} PRECEDING AND 1 PRECEDING)) "
+    f"RANGE BETWEEN {PIT_WINDOW_SEC} PRECEDING AND 1 PRECEDING), "
+    "wh AS (PARTITION BY user_id ORDER BY es "
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
     f"SELECT event_id, user_id, es AS label_epoch, "
     "round(cents / 100.0, 6) AS label_value, f_events_7d, f_clicks_7d, "
     "round(f_spend_cents_7d / 100.0, 6) AS f_spend_7d, "

@@ -2304,20 +2304,39 @@ def q_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_truth",
                 "n_method",
                 "n_both",
-                F.round(
-                    F.col("n_both") / F.col("n_method").cast("double"), 6
+                # Zero-guarded divisions (r5 advice): a detector that
+                # emits zero pairs must yield NULL on BOTH engines —
+                # unguarded, Spark gives NULL but DuckDB's IEEE float
+                # division gives NaN, breaking oracle parity on the
+                # degenerate corpus.
+                F.when(
+                    F.col("n_method") > 0,
+                    F.round(
+                        F.col("n_both")
+                        / F.col("n_method").cast("double"),
+                        6,
+                    ),
                 ).alias("precision"),
-                F.round(
-                    F.col("n_both") / F.col("n_truth").cast("double"), 6
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.round(
+                        F.col("n_both")
+                        / F.col("n_truth").cast("double"),
+                        6,
+                    ),
                 ).alias("recall"),
-                F.round(
-                    F.col("n_both")
-                    / (
-                        F.col("n_truth")
-                        + F.col("n_method")
-                        - F.col("n_both")
-                    ).cast("double"),
-                    6,
+                F.when(
+                    F.col("n_truth") + F.col("n_method") - F.col("n_both")
+                    > 0,
+                    F.round(
+                        F.col("n_both")
+                        / (
+                            F.col("n_truth")
+                            + F.col("n_method")
+                            - F.col("n_both")
+                        ).cast("double"),
+                        6,
+                    ),
                 ).alias("set_jaccard"),
             )
         )
@@ -2357,10 +2376,13 @@ def _method_agreement_sql() -> str:
         + ")), "
         "u AS (" + " UNION ALL ".join(arms) + ") "
         "SELECT method, n_truth, n_method, n_both, "
-        "round(n_both / CAST(n_method AS DOUBLE), 6) AS precision, "
-        "round(n_both / CAST(n_truth AS DOUBLE), 6) AS recall, "
+        "CASE WHEN n_method > 0 THEN "
+        "round(n_both / CAST(n_method AS DOUBLE), 6) END AS precision, "
+        "CASE WHEN n_truth > 0 THEN "
+        "round(n_both / CAST(n_truth AS DOUBLE), 6) END AS recall, "
+        "CASE WHEN n_truth + n_method - n_both > 0 THEN "
         "round(n_both / CAST(n_truth + n_method - n_both AS DOUBLE), 6) "
-        "AS set_jaccard FROM u"
+        "END AS set_jaccard FROM u"
     )
 
 

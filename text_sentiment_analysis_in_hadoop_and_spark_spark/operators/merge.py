@@ -33,19 +33,18 @@ CDC_MOD = 10  # event_id % 10 == 0 rows form the change batch
 DELETE_TYPE = "error"
 
 
-# composite change-version: epoch_sec ⊕ event_id as ONE integer so
-# the argmax stays a partial-agg (portable: DuckDB's arg_max needs a
-# scalar key).  event_id < 2^20 holds for the driver corpora (1e5 at
-# sf0.1) and epoch_sec·2^20 < 2^53 through year 2242; a production
-# CDC feed would carry a real monotone LSN here.
-ORD_SHIFT = 1 << 20
-
-
 def _latest_per_user(ev: DataFrame) -> DataFrame:
     """One row per user: the (event_type, value) under the max
     (epoch_sec, event_id) total order — the same order the upsert
-    view maintains — as a partial-agg max_by."""
-    ordk = F.col("epoch_sec") * ORD_SHIFT + F.col("event_id")
+    view maintains — as a partial-agg max_by.
+
+    The change-version key is a STRUCT (Catalyst orders structs
+    lexicographically), not an arithmetic epoch_sec·SHIFT+event_id
+    pack: a packed key only encodes the order while event_id < SHIFT,
+    which a 100 TB CDC feed exceeds (r5 advice on the identical OHLC
+    key).  DuckDB's arg_max needs a scalar key, so the oracle
+    expresses the same order as a row_number window instead."""
+    ordk = F.struct("epoch_sec", "event_id")
     return ev.groupBy("user_id").agg(
         F.max_by("event_type", ordk).alias("state"),
         F.max_by("value", ordk).alias("value"),
@@ -92,16 +91,18 @@ _EV_S = "CAST(epoch_ns(ts) // 1000000000 AS BIGINT)"
 
 ORACLES: dict[str, str] = {
     "events_merge_upsert": (
-        f"WITH e AS (SELECT event_id, user_id, event_type, value, {_EV_S} AS s, "
-        f"{_EV_S} * {ORD_SHIFT} + event_id AS ord FROM events), "
-        "base AS (SELECT user_id, "
-        "arg_max(event_type, ord) AS b_state, "
-        "arg_max(value, ord) AS b_value, max(s) AS b_as_of "
-        f"FROM e WHERE event_id % {CDC_MOD} <> 0 GROUP BY user_id), "
-        "cdc AS (SELECT user_id, "
-        "arg_max(event_type, ord) AS c_state, "
-        "arg_max(value, ord) AS c_value, max(s) AS c_as_of "
-        f"FROM e WHERE event_id % {CDC_MOD} = 0 GROUP BY user_id) "
+        f"WITH e AS (SELECT event_id, user_id, event_type, value, {_EV_S} AS s "
+        "FROM events), "
+        "base AS (SELECT user_id, event_type AS b_state, "
+        "value AS b_value, s AS b_as_of FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY s DESC, event_id DESC) AS rn "
+        f"FROM e WHERE event_id % {CDC_MOD} <> 0) WHERE rn = 1), "
+        "cdc AS (SELECT user_id, event_type AS c_state, "
+        "value AS c_value, s AS c_as_of FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY s DESC, event_id DESC) AS rn "
+        f"FROM e WHERE event_id % {CDC_MOD} = 0) WHERE rn = 1) "
         "SELECT user_id, coalesce(c_state, b_state) AS state, "
         "round(coalesce(c_value, b_value), 6) AS value, "
         "coalesce(c_as_of, b_as_of) AS as_of, "

@@ -830,6 +830,29 @@ _QUANT_SQL = (
 # is iterative and not expressible as one SQL statement.  Their
 # behavior is pinned by tests/test_similarity.py (assignment totals +
 # recall vs the brute-force oracle-checked baseline).
+def q_embedding_quantize_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing projection of :func:`q_embedding_quantize`: the
+    int8 code vector rendered as one CSV string.  The driver's
+    order-insensitive value-hash canonicalizes via pandas sort, where
+    a list-typed cell is unhashable (CORRECTNESS_r05 ``unhashable
+    type: 'list'``) — so the REGISTERED query emits only scalar
+    columns; downstream consumers (``sim_quantized_recall``) keep
+    using the array-producing internal function."""
+    return q_embedding_quantize(spark, sf_dir).select(
+        "vec_id",
+        "scale",
+        F.concat_ws(
+            ",", F.transform("qvec", lambda x: x.cast("string"))
+        ).alias("qvec_csv"),
+    )
+
+
+_QUANT_FLAT_SQL = (
+    "SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec_csv "
+    "FROM (" + _QUANT_SQL + ")"
+)
+
+
 ORACLES: dict[str, str] = {
     "sim_topk_brute": _BRUTE_SQL,
     "dedup_embedding_pairs": _EMB_DUP_SQL,
@@ -844,7 +867,7 @@ ORACLES: dict[str, str] = {
         + " FROM embeddings"
     ),
     "sim_topk_lsh": _LSH_SQL,
-    "sim_embedding_quantize": _QUANT_SQL,
+    "sim_embedding_quantize": _QUANT_FLAT_SQL,
 }
 
 QUERIES = {
@@ -856,7 +879,7 @@ QUERIES = {
     "dedup_corpus_keep_mm": q_corpus_keep_mm,
     "sim_ivf_assign": q_sim_ivf_assign,
     "sim_topk_ivf": q_sim_topk_ivf,
-    "sim_embedding_quantize": q_embedding_quantize,
+    "sim_embedding_quantize": q_embedding_quantize_flat,
 }
 
 
@@ -926,7 +949,30 @@ def q_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["sim_group_centroids"] = (
+def q_group_centroids_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing projection of :func:`q_group_centroids`: the
+    centroid array rendered as one CSV string of micro-scaled
+    integers (round(m·1e6) — the means are already rounded to 6, so
+    the integer rendering is exact and engine-identical, avoiding
+    double→string format drift).  Scalar columns only: the driver's
+    pandas canonicalizer cannot hash list cells (CORRECTNESS_r05)."""
+    return q_group_centroids(spark, sf_dir).select(
+        "label",
+        "n_vecs",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "centroid",
+                lambda x: F.round(x * 1000000.0).cast("long").cast("string"),
+            ),
+        ).alias("centroid_micro_csv"),
+        "centroid_norm",
+    )
+
+
+# Array-producing form — kept for composition (the silhouette oracle
+# CTEs over it); the REGISTERED oracle below flattens the array.
+_CENTROID_ARRAY_SQL = (
     "WITH e AS (SELECT label, "
     "generate_subscripts(embedding, 1) AS pos, "
     "unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v "
@@ -940,7 +986,15 @@ ORACLES["sim_group_centroids"] = (
     "AS centroid_norm FROM c"
 )
 
-QUERIES["sim_group_centroids"] = q_group_centroids
+ORACLES["sim_group_centroids"] = (
+    "SELECT label, n_vecs, "
+    "array_to_string(list_transform(centroid, "
+    "x -> CAST(round(x * 1000000) AS BIGINT)), ',') "
+    "AS centroid_micro_csv, centroid_norm "
+    "FROM (" + _CENTROID_ARRAY_SQL + ")"
+)
+
+QUERIES["sim_group_centroids"] = q_group_centroids_flat
 
 
 # --------------------------------------------------------------------------
@@ -1058,7 +1112,16 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pq_codes(spark, sf_dir)
+    """Registered form emits the code vector as one CSV string —
+    scalar columns only, so the driver's pandas canonicalizer can
+    hash rows (list cells are unhashable, CORRECTNESS_r05);
+    consumers keep using the array-producing :func:`pq_codes`."""
+    return pq_codes(spark, sf_dir).select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("codes", lambda x: x.cast("string"))
+        ).alias("codes_csv"),
+    )
 
 
 RERANK_POOL = 100  # ADC shortlist size fed to the exact re-rank
@@ -2368,7 +2431,7 @@ def _silhouette_sql() -> str:
         "(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])))"
     )
     return (
-        "WITH cent AS (" + ORACLES["sim_group_centroids"] + "), "
+        "WITH cent AS (" + _CENTROID_ARRAY_SQL + "), "
         "d AS (SELECT e.vec_id, e.label, c.label AS c_label, "
         f"round(sqrt({d2}), 6) AS d "
         "FROM embeddings e CROSS JOIN "

@@ -924,14 +924,17 @@ QUERIES["events_survival_km"] = q_events_survival_km
 # partial-agg groupBy — map-side combinable, single shuffle, no
 # window at all.
 
-OHLC_ORD_SHIFT = 1 << 20
-
-
 def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir).filter(
         F.col("event_type") == "purchase"
     )
-    ordk = F.col("epoch_sec") * OHLC_ORD_SHIFT + F.col("event_id")
+    # Struct ordering key (lexicographic) — NOT an arithmetic
+    # epoch_sec*SHIFT+event_id pack, which only encodes the total
+    # order while event_id < SHIFT and silently mis-picks open/close
+    # one order of magnitude past sf0.1 (r5 advice).  Catalyst
+    # defines ordering on structs, so min_by/max_by stay one
+    # map-side-combinable partial agg.
+    ordk = F.struct("epoch_sec", "event_id")
     return ev.groupBy(
         F.expr("epoch_sec DIV 86400").cast("long").alias("day")
     ).agg(
@@ -946,16 +949,24 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB's min_by cannot order by a struct, so the oracle expresses
+# the identical (epoch_sec, event_id) total order as window
+# first/last_value per day — same semantics, no packed-key overflow.
 ORACLES["events_ohlc"] = (
     "WITH pv AS (SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es, "
-    "event_id, value FROM events WHERE event_type = 'purchase') "
-    "SELECT CAST(es // 86400 AS BIGINT) AS day, "
-    f"min_by(value, es * {OHLC_ORD_SHIFT} + event_id) AS open, "
-    "max(value) AS high, min(value) AS low, "
-    f"max_by(value, es * {OHLC_ORD_SHIFT} + event_id) AS close, "
+    "event_id, value FROM events WHERE event_type = 'purchase'), "
+    "w AS (SELECT CAST(es // 86400 AS BIGINT) AS day, value, "
+    "first_value(value) OVER (PARTITION BY es // 86400 "
+    "ORDER BY es, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "UNBOUNDED FOLLOWING) AS open, "
+    "last_value(value) OVER (PARTITION BY es // 86400 "
+    "ORDER BY es, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "UNBOUNDED FOLLOWING) AS close FROM pv) "
+    "SELECT day, any_value(open) AS open, max(value) AS high, "
+    "min(value) AS low, any_value(close) AS close, "
     "CAST(count(*) AS BIGINT) AS n_trades, "
     "round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 6) "
-    "AS turnover FROM pv GROUP BY 1"
+    "AS turnover FROM w GROUP BY day"
 )
 
 QUERIES["events_ohlc"] = q_events_ohlc

@@ -2113,8 +2113,10 @@ JOURNEY_MOD = 199  # deterministic ~0.5% user sample for replay/QA
 
 def q_events_journey_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-replay extraction: the FULL ordered event-type journey
-    for a deterministic user sample (user_id % JOURNEY_MOD == 0) as an
-    array column — what a QA engineer or a sequence-model training job
+    for a deterministic user sample (user_id % JOURNEY_MOD == 0) as one
+    '>'-joined string (scalar columns only — the driver's pandas
+    canonicalizer cannot hash list cells, CORRECTNESS_r05) — what a QA
+    engineer or a sequence-model training job
     pulls when aggregate path counts (events_top_paths) aren't enough
     and they need the raw trajectories, reproducibly.
 
@@ -2132,13 +2134,16 @@ def q_events_journey_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("epoch_sec") - F.min("epoch_sec"))
         .cast("long")
         .alias("span_sec"),
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct("epoch_sec", "event_id", "event_type")
-                )
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("epoch_sec", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s["event_type"],
             ),
-            lambda s: s["event_type"],
         ).alias("journey"),
     )
 
@@ -2149,7 +2154,7 @@ ORACLES_LATE["events_journey_sample"] = (
     f"WHERE user_id % {JOURNEY_MOD} = 0) "
     "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
     "CAST(max(s) - min(s) AS BIGINT) AS span_sec, "
-    "list(event_type ORDER BY s, event_id) AS journey "
-    "FROM b GROUP BY user_id"
+    "array_to_string(list(event_type ORDER BY s, event_id), '>') "
+    "AS journey FROM b GROUP BY user_id"
 )
 QUERIES_LATE["events_journey_sample"] = q_events_journey_sample

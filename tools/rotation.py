@@ -28,8 +28,16 @@ sys.path.insert(0, REPO)
 WINDOW = 50
 
 
-def driver_green() -> dict[str, str]:
-    """name → round-file of its first green row."""
+def driver_green(rows_only: frozenset[str] = frozenset()) -> dict[str, str]:
+    """name → round-file of its first green row.
+
+    A rows-only name (no oracle BY DESIGN — see ``rows_only()`` in
+    ``__spark_entry__``) can never earn ``rows_match``: the driver
+    records ``err: no_oracle`` with just ``spark_rows``.  That
+    recorded run IS its strongest possible driver row, so it counts
+    as checked — otherwise every rows-only query would be re-promoted
+    forever, wasting ~10 window slots a round on queries whose check
+    cannot get stronger."""
     green: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(path) as fh:
@@ -37,9 +45,12 @@ def driver_green() -> dict[str, str]:
         for name, row in data.items():
             if not isinstance(row, dict) or name in green:
                 continue
-            ok = row.get("rows_match") and row.get("schema_match", True)
-            if "hash_match" in row and row["hash_match"] is not None:
-                ok = ok and row["hash_match"]
+            if name in rows_only:
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = row.get("rows_match") and row.get("schema_match", True)
+                if "hash_match" in row and row["hash_match"] is not None:
+                    ok = ok and row["hash_match"]
             if ok:
                 green[name] = os.path.basename(path)
     return green
@@ -49,7 +60,7 @@ def main() -> int:
     import __spark_entry__ as entry
 
     names = list(entry.queries())
-    green = driver_green()
+    green = driver_green(entry.rows_only())
     never = [n for n in names if n not in green]
     print(f"declared: {len(names)}  driver-green somewhere: "
           f"{len([n for n in names if n in green])}  never-checked: {len(never)}")
