@@ -1,0 +1,105 @@
+"""Invariant pins for the r6 causal/uncertainty additions:
+diff-in-differences, mSPRT always-valid p-values, IPS off-policy
+value, the portable count-min sketch, WOE/IV, and split-conformal
+prediction sets.  Each also has a DuckDB oracle (parity-checked at
+two scale factors); these tests pin the MATH the oracle can't see —
+one-sidedness, monotonicity, coverage guarantees."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+    experiments,
+    nb,
+    sketches,
+    textstats,
+)
+
+
+def test_did_cells_partition_the_events(spark):
+    row = experiments.q_events_diff_in_diff(spark, SF_DIR).collect()[0]
+    n_cells = sum(row[f"n_{t}{p}"] for t in (0, 1) for p in (0, 1))
+    n_events = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    )
+    assert n_cells == n_events
+    # DiD recomputes from the exposed cell means
+    did = (row["mean_11"] - row["mean_10"]) - (
+        row["mean_01"] - row["mean_00"]
+    )
+    assert abs(did - row["did"]) < 5e-6
+    assert row["se"] > 0
+
+
+def test_msprt_p_value_is_always_valid_shaped(spark):
+    rows = sorted(
+        experiments.q_events_msprt(spark, SF_DIR).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 < r["p_always_valid"] <= 1.0
+        # running min ⇒ monotone non-increasing over days
+        assert r["p_always_valid"] <= prev + 1e-9
+        prev = r["p_always_valid"]
+        assert r["inv_lambda"] > 0
+        # cumulative arm counts are monotone by construction
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_t"] >= a["n_t"] and b["n_c"] >= a["n_c"]
+
+
+def test_ips_estimator_relations(spark):
+    row = experiments.q_events_ips_value(spark, SF_DIR).collect()[0]
+    # Kish ESS is at most the number of nonzero-weight rows ≤ n
+    assert 0 < row["effective_n"] <= row["n"]
+    assert row["ips_value"] > 0 and row["snips_value"] > 0
+    # contextual propensities make IPS ≠ naive mean (and ≠ SNIPS)
+    assert abs(row["ips_value"] - row["naive_mean"]) > 1e-9
+
+
+def test_cms_estimates_are_one_sided(spark):
+    rows = sketches.q_text_cms_top_tokens(spark, SF_DIR).collect()
+    # the synthetic sf0.001 vocabulary is smaller than the probe K
+    assert 0 < len(rows) <= sketches.CMS_PROBE_K
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert all(r["n_cms"] == r["n_exact"] + r["overestimate"] for r in rows)
+    # ε·N bound with ε = e/w holds for the vast majority (Markov)
+    total = sum(r["n_exact"] for r in rows)
+    eps_n = 2.7182818 / sketches.CMS_WIDTH * total * 4
+    assert sum(r["overestimate"] > eps_n for r in rows) < len(rows) * 0.1
+
+
+def test_woe_iv_accounting(spark):
+    rows = textstats.q_woe_iv(spark, SF_DIR).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == docs
+    for r in rows:
+        assert r["n_pos"] + r["n_neg"] == r["n"]
+        # each IV term is non-negative by construction ((p−q)·ln(p/q))
+        assert r["iv_term"] >= -1e-9
+
+
+def test_conformal_coverage_and_set_accounting(spark):
+    row = nb.q_nb_conformal(spark, SF_DIR).collect()[0]
+    assert row["n_calib_pos"] > 0 and row["n_calib_neg"] > 0
+    # marginal coverage ≥ 1−α up to finite-sample noise on the
+    # fixed eval split
+    assert row["coverage"] >= 1.0 - nb.CONF_ALPHA - 0.08
+    assert 0.0 <= row["avg_set_size"] <= 2.0
+    assert row["frac_empty"] + row["frac_both"] <= 1.0
+    # set-size identity: avg_set = 2·frac_both + 1·frac_single
+    frac_single = 1.0 - row["frac_empty"] - row["frac_both"]
+    assert (
+        abs(row["avg_set_size"] - (2 * row["frac_both"] + frac_single))
+        < 5e-6
+    )
+
+
+@pytest.mark.slow
+def test_conformal_coverage_at_bench_scale(spark):
+    row = nb.q_nb_conformal(spark, "/root/testdata/sf0.1").collect()[0]
+    assert row["coverage"] >= 1.0 - nb.CONF_ALPHA - 0.03

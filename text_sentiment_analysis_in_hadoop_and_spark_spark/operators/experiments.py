@@ -1368,3 +1368,395 @@ def _kappa_sql() -> str:
 
 ORACLES["nb_cohens_kappa"] = _kappa_sql()
 QUERIES["nb_cohens_kappa"] = q_nb_cohens_kappa
+
+
+# --- difference-in-differences (r6) --------------------------------------
+#
+# The quasi-experimental workhorse when a clean A/B split is not
+# available: compare the treated group's pre→post change against the
+# control group's, so any shared time trend cancels.  Cells reuse the
+# CUPED conventions (treat = user_id % 2, period cut = midpoint of
+# the observed epoch range).  Reported: the four cell sizes and
+# means, the DiD point estimate, its pooled standard error
+# (sqrt of Σ cell_var/cell_n — the unequal-variance Welch form over
+# the 2×2), and the t statistic.
+#
+# Scale shape: ONE full-scan groupBy onto FOUR rows (map-side
+# combinable conditional sums), folded to a single row with
+# conditional aggregation — never a driver loop.  Determinism: cell
+# sums are exact integers (cents, and cents² in decimal(38,0) ↔
+# DuckDB HUGEINT); floats only enter in the final scalar formulas on
+# identical inputs, and every exposed double rounds to 6.
+
+
+def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "epoch_sec",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cut = ev.agg(
+        F.expr("(min(epoch_sec) + max(epoch_sec)) DIV 2").alias("cut")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(cut))
+        .select(
+            (F.col("user_id") % 2 == 1).cast("int").alias("treated"),
+            (F.col("epoch_sec") > F.col("cut")).cast("int").alias("post"),
+            "cents",
+        )
+        .groupBy("treated", "post")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum(
+                (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+    )
+
+    def cell(name: str, t: int, p: int):
+        return F.sum(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col(name),
+            )
+        ).alias(f"{name}_{t}{p}")
+
+    one = cells.agg(
+        *[
+            cell(c, t, p)
+            for t in (0, 1)
+            for p in (0, 1)
+            for c in ("n", "s1", "s2")
+        ]
+    )
+
+    def mean(t: int, p: int):
+        return F.col(f"s1_{t}{p}") / F.col(f"n_{t}{p}") / 100.0
+
+    def var_over_n(t: int, p: int):
+        # sample variance of the dollar value, divided by n (the
+        # cell's contribution to var(DiD)); exact integer sums enter
+        # the float formula once
+        n = F.col(f"n_{t}{p}").cast("double")
+        s1 = F.col(f"s1_{t}{p}").cast("double")
+        s2 = F.col(f"s2_{t}{p}").cast("double")
+        var_cents = (s2 - s1 * s1 / n) / (n - 1.0)
+        return var_cents / 10000.0 / n
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    se = F.sqrt(
+        var_over_n(0, 0)
+        + var_over_n(0, 1)
+        + var_over_n(1, 0)
+        + var_over_n(1, 1)
+    )
+    return one.select(
+        *[F.col(f"n_{t}{p}") for t in (0, 1) for p in (0, 1)],
+        *[
+            F.round(mean(t, p), 6).alias(f"mean_{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+        ],
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 6).alias("t_stat"),
+    )
+
+
+def _did_sql() -> str:
+    cells = (
+        "WITH e AS (SELECT user_id, "
+        "CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS es, "
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events), "
+        "cut AS (SELECT (min(es) + max(es)) // 2 AS cut FROM e), "
+        "c AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END "
+        "AS treated, CASE WHEN es > cut.cut THEN 1 ELSE 0 END AS post, "
+        "cents FROM e CROSS JOIN cut), "
+        "g AS (SELECT treated, post, CAST(count(*) AS BIGINT) AS n, "
+        "sum(cents) AS s1, sum(cents * cents) AS s2 "
+        "FROM c GROUP BY treated, post), "
+        "one AS (SELECT "
+        + ", ".join(
+            f"sum(CASE WHEN treated = {t} AND post = {p} "
+            f"THEN {c} END) AS {c}_{t}{p}"
+            for t in (0, 1)
+            for p in (0, 1)
+            for c in ("n", "s1", "s2")
+        )
+        + " FROM g) "
+    )
+
+    def mean(t, p):
+        return f"(CAST(s1_{t}{p} AS DOUBLE) / n_{t}{p} / 100.0)"
+
+    def von(t, p):
+        return (
+            f"((CAST(s2_{t}{p} AS DOUBLE) - CAST(s1_{t}{p} AS DOUBLE) * "
+            f"CAST(s1_{t}{p} AS DOUBLE) / n_{t}{p}) / (n_{t}{p} - 1.0) "
+            f"/ 10000.0 / n_{t}{p})"
+        )
+
+    did = (
+        f"(({mean(1, 1)} - {mean(1, 0)}) - ({mean(0, 1)} - {mean(0, 0)}))"
+    )
+    se = f"sqrt({von(0, 0)} + {von(0, 1)} + {von(1, 0)} + {von(1, 1)})"
+    return (
+        cells
+        + "SELECT "
+        + ", ".join(
+            f"CAST(n_{t}{p} AS BIGINT) AS n_{t}{p}"
+            for t in (0, 1)
+            for p in (0, 1)
+        )
+        + ", "
+        + ", ".join(
+            f"round({mean(t, p)}, 6) AS mean_{t}{p}"
+            for t in (0, 1)
+            for p in (0, 1)
+        )
+        + f", round({did}, 6) AS did, round({se}, 6) AS se, "
+        f"round({did} / {se}, 6) AS t_stat FROM one"
+    )
+
+
+ORACLES["events_diff_in_diff"] = _did_sql()
+QUERIES["events_diff_in_diff"] = q_events_diff_in_diff
+
+
+# --- mixture sequential probability ratio test (r6) ----------------------
+#
+# The always-valid p-value for continuously monitored experiments
+# (Johari et al., "Peeking at A/B tests", KDD'17): a fixed-horizon
+# t-test is invalid when the dashboard is checked daily, while the
+# mSPRT's p_n = min(1, min_{m≤n} 1/Λ_m) is a supermartingale bound
+# that stays valid under ANY stopping rule.  Λ uses the normal
+# mixture with τ² = σ² (the scale-free default): with
+# k_n = 1/n_t + 1/n_c,  Λ_n = sqrt(k_n/(k_n+1)) ·
+# exp(θ̂_n² / (2σ²·k_n·(k_n+1))).  σ² is the pooled variance over the
+# whole horizon (two-pass; a production monitor would plug in a
+# pre-experiment estimate).
+#
+# Scale shape: the full scan reduces to |days| rows via ONE partial-agg
+# groupBy (conditional integer sums per arm); the cumulative/running-
+# min windows then run over that tiny day table — a global window is
+# fine at |days| cardinality, and is explicitly NOT applied to the
+# event-grain data.  Determinism: cumulative sums are exact integers;
+# sqrt/exp apply once to identical doubles, and outputs round to 6.
+
+
+def q_events_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        F.expr("epoch_sec DIV 86400").cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    glob = ev.agg(
+        F.count("*").cast("long").alias("gn"),
+        F.sum("cents").alias("gs1"),
+        F.sum(
+            (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+        ).alias("gs2"),
+    ).select(
+        (
+            (
+                F.col("gs2").cast("double")
+                - F.col("gs1").cast("double")
+                * F.col("gs1").cast("double")
+                / F.col("gn")
+            )
+            / (F.col("gn") - 1.0)
+            / 10000.0
+        ).alias("sigma2")
+    )
+    t_arm = (F.col("user_id") % 2 == 1).cast("long")
+    daily = ev.groupBy("day").agg(
+        F.sum(t_arm).cast("long").alias("dn_t"),
+        F.sum(F.col("cents") * t_arm).alias("ds_t"),
+        F.sum(1 - t_arm).cast("long").alias("dn_c"),
+        F.sum(F.col("cents") * (1 - t_arm)).alias("ds_c"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = daily.select(
+        "day",
+        F.sum("dn_t").over(wcum).cast("long").alias("n_t"),
+        F.sum("ds_t").over(wcum).alias("s_t"),
+        F.sum("dn_c").over(wcum).cast("long").alias("n_c"),
+        F.sum("ds_c").over(wcum).alias("s_c"),
+    ).filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    theta = (
+        F.col("s_t") / F.col("n_t") - F.col("s_c") / F.col("n_c")
+    ) / 100.0
+    k = 1.0 / F.col("n_t") + 1.0 / F.col("n_c")
+    inv_lam = (
+        F.sqrt((k + 1.0) / k)
+        * F.exp(
+            -(theta * theta) / (2.0 * F.col("sigma2") * k * (k + 1.0))
+        )
+    )
+    scored = cum.crossJoin(F.broadcast(glob)).select(
+        "day",
+        "n_t",
+        "n_c",
+        F.round(theta, 6).alias("theta_hat"),
+        inv_lam.alias("_inv_lam"),
+    )
+    return scored.select(
+        "day",
+        "n_t",
+        "n_c",
+        "theta_hat",
+        F.round(F.col("_inv_lam"), 6).alias("inv_lambda"),
+        F.round(
+            F.least(F.lit(1.0), F.min("_inv_lam").over(wcum)), 6
+        ).alias("p_always_valid"),
+    )
+
+
+def _msprt_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, "
+        "CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day, "
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events), "
+        "gstats AS (SELECT (CAST(sum(cents * cents) AS DOUBLE) - "
+        "CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE) "
+        "/ count(*)) / (count(*) - 1.0) / 10000.0 AS sigma2 FROM e), "
+        "daily AS (SELECT day, "
+        "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS dn_t, "
+        "sum(CASE WHEN user_id % 2 = 1 THEN cents ELSE 0 END) AS ds_t, "
+        "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) "
+        "AS BIGINT) AS dn_c, "
+        "sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE cents END) AS ds_c "
+        "FROM e GROUP BY day), "
+        "cum AS (SELECT day, "
+        "CAST(sum(dn_t) OVER w AS BIGINT) AS n_t, "
+        "CAST(sum(ds_t) OVER w AS BIGINT) AS s_t, "
+        "CAST(sum(dn_c) OVER w AS BIGINT) AS n_c, "
+        "CAST(sum(ds_c) OVER w AS BIGINT) AS s_c FROM daily "
+        "WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW)), "
+        "sc AS (SELECT day, n_t, n_c, "
+        "(CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c) "
+        "/ 100.0 AS theta, "
+        "1.0 / n_t + 1.0 / n_c AS k FROM cum "
+        "WHERE n_t > 0 AND n_c > 0), "
+        "lam AS (SELECT day, n_t, n_c, theta, "
+        "sqrt((k + 1.0) / k) * exp(-(theta * theta) / "
+        "(2.0 * gstats.sigma2 * k * (k + 1.0))) AS inv_lam "
+        "FROM sc CROSS JOIN gstats) "
+        "SELECT day, n_t, n_c, round(theta, 6) AS theta_hat, "
+        "round(inv_lam, 6) AS inv_lambda, "
+        "round(least(1.0, min(inv_lam) OVER (ORDER BY day ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS p_always_valid "
+        "FROM lam"
+    )
+
+
+ORACLES["events_msprt"] = _msprt_sql()
+QUERIES["events_msprt"] = q_events_msprt
+
+
+# --- inverse-propensity off-policy evaluation (r6) ------------------------
+#
+# Counterfactual policy value from logged interaction data (Horvitz-
+# Thompson / IPS, and the self-normalized SNIPS variant): "what value
+# per impression would the ALWAYS-RECOMMEND-CLICK policy have earned,
+# judged only from the logged stream?"  The logging policy's
+# propensities are estimated empirically PER USER SEGMENT
+# (user_id % 4), so weights vary by context and IPS genuinely differs
+# from both the naive mean and SNIPS.  Also reported: Kish's
+# effective sample size (Σw)²/Σw² — the overlap diagnostic that says
+# how many logged rows actually support the counterfactual.
+#
+# Scale shape: segment propensities are a 4-row broadcast aggregate
+# (the S5 scalar-side-input shape); the weighted pass is ONE partial-
+# agg reduce.  Determinism: propensities round to 6 BEFORE weighting,
+# weights are then micro-scaled integers (round(1e6/p)), so every sum
+# is exact integer/decimal arithmetic — float enters once, in the
+# final 1-row formulas.
+
+IPS_TARGET_ACTION = "click"
+IPS_SEG_MOD = 4
+
+
+def q_events_ips_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        (F.col("user_id") % IPS_SEG_MOD).alias("seg"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    prop = ev.groupBy("seg").agg(
+        F.round(
+            F.sum((F.col("event_type") == IPS_TARGET_ACTION).cast("long"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("p_log")
+    )
+    w = F.round(1000000.0 / F.col("p_log")).cast("long")
+    hit = (F.col("event_type") == IPS_TARGET_ACTION).cast("long")
+    agg = (
+        ev.join(F.broadcast(prop), "seg")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").alias("s_all"),
+            F.sum(
+                (hit * w * F.col("cents")).cast("decimal(38,0)")
+            ).alias("swr"),
+            F.sum(hit * w).cast("decimal(38,0)").alias("sw"),
+            F.sum((hit * w * w).cast("decimal(38,0)")).alias("sw2"),
+        )
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("s_all") / F.col("n") / 100.0, 6).alias(
+            "naive_mean"
+        ),
+        F.round(
+            F.col("swr").cast("double") / 1000000.0 / F.col("n") / 100.0,
+            6,
+        ).alias("ips_value"),
+        F.round(
+            F.col("swr").cast("double") / F.col("sw").cast("double")
+            / 100.0,
+            6,
+        ).alias("snips_value"),
+        F.round(
+            F.col("sw").cast("double") * F.col("sw").cast("double")
+            / F.col("sw2").cast("double"),
+            2,
+        ).alias("effective_n"),
+    )
+
+
+def _ips_sql() -> str:
+    return (
+        "WITH e AS (SELECT "
+        f"user_id % {IPS_SEG_MOD} AS seg, event_type, "
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events), "
+        "prop AS (SELECT seg, round(sum(CASE WHEN event_type = "
+        f"'{IPS_TARGET_ACTION}' THEN 1 ELSE 0 END) "
+        "/ CAST(count(*) AS DOUBLE), 6) AS p_log FROM e GROUP BY seg), "
+        "j AS (SELECT e.*, CAST(round(1000000.0 / p.p_log, 0) AS BIGINT) "
+        "AS w, CASE WHEN e.event_type = "
+        f"'{IPS_TARGET_ACTION}' THEN 1 ELSE 0 END AS hit "
+        "FROM e JOIN prop p USING (seg)), "
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(cents) AS s_all, "
+        "sum(hit * w * cents) AS swr, sum(hit * w) AS sw, "
+        "sum(hit * w * w) AS sw2 FROM j) "
+        "SELECT n, round(CAST(s_all AS DOUBLE) / n / 100.0, 6) "
+        "AS naive_mean, "
+        "round(CAST(swr AS DOUBLE) / 1000000.0 / n / 100.0, 6) "
+        "AS ips_value, "
+        "round(CAST(swr AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0, 6) "
+        "AS snips_value, "
+        "round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / "
+        "CAST(sw2 AS DOUBLE), 2) AS effective_n FROM a"
+    )
+
+
+ORACLES["events_ips_value"] = _ips_sql()
+QUERIES["events_ips_value"] = q_events_ips_value

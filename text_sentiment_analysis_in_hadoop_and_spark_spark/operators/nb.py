@@ -1394,3 +1394,144 @@ def _null_calibration_sql() -> str:
 
 QUERIES_LATE["nb_null_calibration"] = q_nb_null_calibration
 ORACLES_LATE["nb_null_calibration"] = _null_calibration_sql()
+
+
+# --- split-conformal prediction sets (r6) -----------------------------
+#
+# Distribution-free uncertainty for the flagship classifier (Vovk's
+# split/inductive conformal, the Angelopoulos-Bates recipe): hold out
+# a calibration split, take each calibration doc's nonconformity
+# (minus the true class's log-odds margin), set q̂_c = the
+# ⌈(n_c+1)(1−α)⌉-th smallest per class (Mondrian/class-conditional,
+# so the guarantee holds per label), and emit, on the disjoint eval
+# split, the prediction SET {c : s_c(x) ≤ q̂_c}.  Marginal coverage
+# ≥ 1−α holds by construction — the readout shows it, plus the price
+# paid in set size (abstention = both classes; empty = neither).
+#
+# Splits: calibration = (doc_id DIV 8) % 2 = 0, eval = 1.  The test
+# split is doc_id % 8 < 2, i.e. doc_ids ≡ {0,1} (mod 8) — so a DIV-2
+# or DIV-4 key is CONSTANT on it (the same trap as the % 4
+# train/test gotcha); DIV-8 parity alternates per 8-block, keeping
+# both label classes on both sides.
+#
+# Scale shape: nonconformities derive from the memoized 6-rounded
+# scores (one narrow map); the exact per-class order statistic is a
+# window over the CALIBRATION split only — bounded by design (a
+# production pipeline calibrates on a sample, not the corpus); the
+# eval pass is one broadcast of the 2-value q̂ row and a 1-row
+# reduce.  All comparisons happen on 6-rounded doubles, so set
+# membership cannot straddle an engine-specific float edge.
+
+CONF_ALPHA = 0.1
+
+
+def q_nb_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = q_nb_scores(spark, sf_dir).select(
+        "doc_id", "label", "pos_score", "neg_score"
+    )
+    # nonconformity of class c = -(margin toward c); margins from the
+    # 6-rounded scores are engine-identical
+    nc_pos = F.round(F.col("neg_score") - F.col("pos_score"), 6)
+    nc_neg = F.round(F.col("pos_score") - F.col("neg_score"), 6)
+    nc_true = F.when(F.col("label") == 1, nc_pos).otherwise(nc_neg)
+    half = F.expr("doc_id DIV 8") % 2
+    calib = s.filter(half == 0).select(
+        "doc_id", "label", nc_true.alias("nc")
+    )
+    wcls = Window.partitionBy("label").orderBy("nc", "doc_id")
+    ranked = calib.withColumn(
+        "rn", F.row_number().over(wcls).cast("long")
+    )
+    sizes = calib.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_c")
+    )
+    idx = F.least(
+        F.col("n_c"),
+        F.ceil((1.0 - CONF_ALPHA) * (F.col("n_c") + 1)).cast("long"),
+    )
+    qhat = (
+        ranked.join(sizes, "label")
+        .filter(F.col("rn") == idx)
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("label") == 1, F.col("nc"))).alias(
+                "q_pos"
+            ),
+            F.sum(F.when(F.col("label") == 0, F.col("nc"))).alias(
+                "q_neg"
+            ),
+            F.sum(F.when(F.col("label") == 1, F.col("n_c")))
+            .cast("long")
+            .alias("n_calib_pos"),
+            F.sum(F.when(F.col("label") == 0, F.col("n_c")))
+            .cast("long")
+            .alias("n_calib_neg"),
+        )
+    )
+    ev = s.filter(half == 1).crossJoin(F.broadcast(qhat))
+    in_pos = (nc_pos <= F.col("q_pos")).cast("long")
+    in_neg = (nc_neg <= F.col("q_neg")).cast("long")
+    covered = F.when(F.col("label") == 1, in_pos).otherwise(in_neg)
+    return ev.agg(
+        F.max("n_calib_pos").alias("n_calib_pos"),
+        F.max("n_calib_neg").alias("n_calib_neg"),
+        F.round(F.max("q_pos"), 6).alias("q_hat_pos"),
+        F.round(F.max("q_neg"), 6).alias("q_hat_neg"),
+        F.count("*").cast("long").alias("n_eval"),
+        F.round(F.avg(covered), 6).alias("coverage"),
+        F.round(F.avg(in_pos + in_neg), 6).alias("avg_set_size"),
+        F.round(
+            F.avg(((in_pos + in_neg) == 0).cast("double")), 6
+        ).alias("frac_empty"),
+        F.round(
+            F.avg(((in_pos + in_neg) == 2).cast("double")), 6
+        ).alias("frac_both"),
+    )
+
+
+def _conformal_sql() -> str:
+    a = 1.0 - CONF_ALPHA
+    return (
+        "WITH sc AS (" + ORACLES["nb_scores"] + "), "
+        "s2 AS (SELECT doc_id, label, "
+        "round(neg_score - pos_score, 6) AS nc_pos, "
+        "round(pos_score - neg_score, 6) AS nc_neg, "
+        "(doc_id // 8) % 2 AS half FROM sc), "
+        "calib AS (SELECT doc_id, label, "
+        "CASE WHEN label = 1 THEN nc_pos ELSE nc_neg END AS nc "
+        "FROM s2 WHERE half = 0), "
+        "ranked AS (SELECT label, nc, row_number() OVER "
+        "(PARTITION BY label ORDER BY nc, doc_id) AS rn FROM calib), "
+        "sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS n_c "
+        "FROM calib GROUP BY label), "
+        "qh AS (SELECT "
+        "sum(CASE WHEN r.label = 1 THEN nc END) AS q_pos, "
+        "sum(CASE WHEN r.label = 0 THEN nc END) AS q_neg, "
+        "CAST(sum(CASE WHEN r.label = 1 THEN n_c END) AS BIGINT) "
+        "AS n_calib_pos, "
+        "CAST(sum(CASE WHEN r.label = 0 THEN n_c END) AS BIGINT) "
+        "AS n_calib_neg "
+        "FROM ranked r JOIN sizes s ON r.label = s.label "
+        f"AND r.rn = least(s.n_c, CAST(ceil({a} * (s.n_c + 1)) "
+        "AS BIGINT))), "
+        "ev AS (SELECT s2.label, "
+        "CASE WHEN nc_pos <= q_pos THEN 1 ELSE 0 END AS in_pos, "
+        "CASE WHEN nc_neg <= q_neg THEN 1 ELSE 0 END AS in_neg, "
+        "qh.* FROM s2 CROSS JOIN qh WHERE half = 1) "
+        "SELECT max(n_calib_pos) AS n_calib_pos, "
+        "max(n_calib_neg) AS n_calib_neg, "
+        "round(max(q_pos), 6) AS q_hat_pos, "
+        "round(max(q_neg), 6) AS q_hat_neg, "
+        "CAST(count(*) AS BIGINT) AS n_eval, "
+        "round(avg(CASE WHEN label = 1 THEN in_pos ELSE in_neg END), 6) "
+        "AS coverage, "
+        "round(avg(in_pos + in_neg), 6) AS avg_set_size, "
+        "round(avg(CASE WHEN in_pos + in_neg = 0 THEN 1.0 ELSE 0.0 "
+        "END), 6) AS frac_empty, "
+        "round(avg(CASE WHEN in_pos + in_neg = 2 THEN 1.0 ELSE 0.0 "
+        "END), 6) AS frac_both FROM ev"
+    )
+
+
+QUERIES_LATE["nb_conformal"] = q_nb_conformal
+ORACLES_LATE["nb_conformal"] = _conformal_sql()

@@ -191,3 +191,111 @@ QUERIES = {
 
 # all rows-only: engine-specific sketch estimates (SURVEY §5 split)
 ORACLES: dict[str, str] = {}
+
+
+# --- count-min sketch token counter (r6) ---------------------------------
+#
+# The classic bounded-memory frequency summary (Cormode & Muthu-
+# krishnan 2005): d=4 hash rows × w=1024 counters hold APPROXIMATE
+# counts for an unbounded vocabulary in 16 KB of state — the shape a
+# 100 TB token-frequency pass wants when the exact per-token groupBy's
+# shuffle (vocabulary-sized) is the bottleneck.  Estimates are
+# min over rows of the hashed cell counts, and are ONE-SIDED:
+# n_cms ≥ n_exact always, with overestimate ≤ ε·N (ε = e/w) at
+# probability 1-δ (δ = e^-d) — the invariant the test pins row by row.
+#
+# Unlike the library sketches above (theta/KLL/HLL — engine-specific
+# binary states, rows-only by design), THIS sketch is built from the
+# repo's portable md5-derived hashes, so the DuckDB oracle rebuilds
+# the identical 4×1024 table and the estimates are exactly
+# reproducible — a fully oracle-checked sketch.
+#
+# Scale shape: the cell build is ONE partial-agg groupBy whose state
+# is capped at d·w rows per task REGARDLESS of vocabulary (the whole
+# point); the probe side joins the top-K candidates against the
+# broadcast 4096-row cell table.  The d× row multiplication happens
+# map-side and collapses in the combiner.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_PROBE_K = 500  # probe the exact top-K so overestimates are visible
+
+
+def _cms_salted(r_col, token_col):
+    from ..functions.hashing import hex32
+
+    return hex32(
+        F.concat(
+            F.lit("cms"), r_col.cast("string"), F.lit(":"), token_col
+        )
+    )
+
+
+def q_text_cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    rs = F.array([F.lit(r) for r in range(CMS_DEPTH)])
+    cells = (
+        toks.select("token", F.explode(rs).alias("r"))
+        .groupBy(
+            "r",
+            (_cms_salted(F.col("r"), F.col("token")) % CMS_WIDTH).alias(
+                "c"
+            ),
+        )
+        .agg(F.count("*").cast("long").alias("cell_n"))
+    )
+    cand = textstats.q_top_tokens(spark, sf_dir).select(
+        "token", F.col("n").alias("n_exact")
+    )
+    probe = cand.select(
+        "token", "n_exact", F.explode(rs).alias("r")
+    ).withColumn(
+        "c", _cms_salted(F.col("r"), F.col("token")) % CMS_WIDTH
+    )
+    est = probe.join(F.broadcast(cells), ["r", "c"]).groupBy(
+        "token", "n_exact"
+    ).agg(F.min("cell_n").cast("long").alias("n_cms"))
+    return est.select(
+        "token",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") - F.col("n_exact")).cast("long").alias(
+            "overestimate"
+        ),
+    )
+
+
+def _cms_sql() -> str:
+    from ..functions.hashing import hex32_sql
+
+    cell_hash = hex32_sql(
+        "'cms' || CAST(r AS VARCHAR) || ':' || token"
+    )
+    return (
+        "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token "
+        "FROM documents), "
+        f"rws AS (SELECT token, r FROM toks CROSS JOIN "
+        f"(SELECT unnest(range({CMS_DEPTH})) AS r) t), "
+        f"cells AS (SELECT r, {cell_hash} % {CMS_WIDTH} AS c, "
+        "CAST(count(*) AS BIGINT) AS cell_n FROM rws GROUP BY 1, 2), "
+        "exact AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact "
+        "FROM toks GROUP BY token "
+        f"ORDER BY n_exact DESC, token LIMIT {CMS_PROBE_K}), "
+        "probe AS (SELECT e.token, e.n_exact, t.r, "
+        f"{cell_hash} % {CMS_WIDTH} AS c FROM exact e CROSS JOIN "
+        f"(SELECT unnest(range({CMS_DEPTH})) AS r) t), "
+        "j AS (SELECT p.token, p.n_exact, cells.cell_n "
+        "FROM probe p JOIN cells ON cells.r = p.r AND cells.c = p.c) "
+        "SELECT token, n_exact, CAST(min(cell_n) AS BIGINT) AS n_cms, "
+        "CAST(min(cell_n) - n_exact AS BIGINT) AS overestimate "
+        "FROM j GROUP BY token, n_exact"
+    )
+
+
+QUERIES["text_cms_top_tokens"] = q_text_cms_top_tokens
+ORACLES["text_cms_top_tokens"] = _cms_sql()

@@ -1323,3 +1323,85 @@ ORACLES_LATE["text_lexical_sophistication"] = (
     "FROM tok t JOIN rs USING (token) GROUP BY t.doc_id"
 )
 QUERIES_LATE["text_lexical_sophistication"] = q_lexical_sophistication
+
+
+# --- weight-of-evidence / information value (r6) --------------------------
+#
+# The credit-scoring-era feature screen, still the fastest "is this
+# feature predictive of the label?" readout before any model run: for
+# each bucket b of a candidate feature, WOE_b = ln(p_b/q_b) with p/q
+# the label-conditional bucket shares (0.5-smoothed so empty cells
+# stay finite), and IV = Σ_b (p_b − q_b)·WOE_b (rule of thumb:
+# < 0.02 useless, > 0.3 strong).  Feature: document length in
+# fixed 100-char buckets capped at 10 — FIXED-WIDTH buckets, not
+# ntile deciles, because a global ntile is a single-partition window
+# sort at corpus scale while `least(9, n_chars DIV 100)` is a narrow
+# map.  Label: the documented doc_id % 2 sentiment stand-in
+# (sources/csv.py P9 note).  Engineered independent of length, so the
+# expected IV here is ≈ 0 — the math, not the signal, is the test.
+#
+# Scale shape: ONE partial-agg groupBy to ≤10 rows; totals attach via
+# a broadcast 1-row aggregate.  ln() applies once per bucket to
+# identical smoothed ratios; exposed doubles round to 6.
+
+WOE_BUCKET_CHARS = 100
+WOE_MAX_BUCKET = 9
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.least(
+            F.lit(WOE_MAX_BUCKET),
+            F.expr(f"n_chars DIV {WOE_BUCKET_CHARS}"),
+        )
+        .cast("long")
+        .alias("bucket"),
+        (F.col("doc_id") % 2).cast("long").alias("pos"),
+    )
+    per = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("long").alias("t_pos"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("long").alias("t_neg"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    p = (F.col("n_pos") + 0.5) / (
+        F.col("t_pos") + 0.5 * F.col("n_buckets")
+    )
+    q = (F.col("n") - F.col("n_pos") + 0.5) / (
+        F.col("t_neg") + 0.5 * F.col("n_buckets")
+    )
+    woe = F.log(p / q)
+    return j.select(
+        "bucket",
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        F.round(woe, 6).alias("woe"),
+        F.round((p - q) * woe, 6).alias("iv_term"),
+    )
+
+
+ORACLES_LATE["text_woe_iv"] = (
+    "WITH b AS (SELECT least("
+    f"{WOE_MAX_BUCKET}, n_chars // {WOE_BUCKET_CHARS}) AS bucket, "
+    "doc_id % 2 AS pos FROM documents), "
+    "per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(pos) AS BIGINT) AS n_pos FROM b GROUP BY bucket), "
+    "tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS t_pos, "
+    "CAST(sum(n - n_pos) AS BIGINT) AS t_neg, "
+    "CAST(count(*) AS BIGINT) AS n_buckets FROM per) "
+    "SELECT bucket, n, n_pos, CAST(n - n_pos AS BIGINT) AS n_neg, "
+    "round(ln(((n_pos + 0.5) / (t_pos + 0.5 * n_buckets)) / "
+    "((n - n_pos + 0.5) / (t_neg + 0.5 * n_buckets))), 6) AS woe, "
+    "round(((n_pos + 0.5) / (t_pos + 0.5 * n_buckets) - "
+    "(n - n_pos + 0.5) / (t_neg + 0.5 * n_buckets)) * "
+    "ln(((n_pos + 0.5) / (t_pos + 0.5 * n_buckets)) / "
+    "((n - n_pos + 0.5) / (t_neg + 0.5 * n_buckets))), 6) AS iv_term "
+    "FROM per CROSS JOIN tot"
+)
+QUERIES_LATE["text_woe_iv"] = q_woe_iv
