@@ -16,6 +16,7 @@ from types import SimpleNamespace
 
 from pyspark.sql import DataFrame, SparkSession
 
+from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import bucketing as bucketing_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import csv as csv_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import evolution as evolution_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import fixedwidth as fixedwidth_source
@@ -225,6 +226,7 @@ _MODULE_ORDER = (
     _asof_late,
     sketches,
     pystream_source,
+    bucketing_source,
 )
 
 

@@ -124,3 +124,21 @@ def test_bucketed_join_exchange_free_at_bench_scale(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_b01")
         spark.sql("DROP TABLE IF EXISTS ord_b01")
+
+
+def test_registered_bucketed_query_single_exchange(spark):
+    """The DECLARED rel_bucketed_join_agg plan: the fact⋈fact join
+    consumes the bucketed layout (no join Exchange — the merge hint
+    pins SMJ even at toy scale); the ONLY Exchange left is the final
+    o_orderpriority rollup, which is unavoidable (different key) and
+    tiny (post-join partial agg)."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import (
+        bucketing,
+    )
+
+    df = bucketing.q_rel_bucketed_join_agg(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    for t in ("tsa_li_bucketed_sf0_001", "tsa_ord_bucketed_sf0_001"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -50,3 +50,126 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table THROUGH the catalog (required: the path
     alone carries no bucketing metadata)."""
     return spark.table(table)
+
+
+# --- registered bucketed-join query (r6) ------------------------------
+#
+# The write-once/join-free-forever path exercised as a DECLARED query
+# (r4 verdict stretch item asked for the bucketed path at bench
+# scale; tests/test_bucketing.py proves the plan property, this entry
+# runs it in the driver's correctness gate and in bench.py):
+# both fact tables persist bucketed by the join key, the recurring
+# fact⋈fact join then SortMergeJoins with NO Exchange — the 100 TB
+# shuffle paid once at write time.  The ``merge`` hint pins SMJ even
+# where the sf0.01 planner would broadcast, so the bucketed scan is
+# what actually runs.  The DuckDB oracle computes the identical
+# aggregate from the raw parquet — bucketing must be invisible to
+# results.
+#
+# Money math follows the relational-suite discipline: exact integer
+# cents per row (price_cents · (100 − discount_pct)), summed as
+# BIGINT.
+
+import os as _os
+import re as _re
+
+from pyspark.sql import functions as F
+
+from .tables import load_table
+
+BUCKET_N = 16
+
+
+def _tag(sf_dir: str) -> str:
+    return _re.sub(
+        r"[^0-9A-Za-z]", "_", _os.path.basename(_os.path.normpath(sf_dir))
+    )
+
+
+def _fresh_external_path(spark: SparkSession, table: str) -> str:
+    """Location for an EXTERNAL bucketed table under the warehouse
+    dir, cleared of any leftovers from a PREVIOUS session: the
+    in-memory catalog forgets tables at session end but their files
+    survive, and a managed saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = _os.path.join(wh, table)
+    if _os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def ensure_bucketed_facts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Create (once per session/sf) the bucketed lineitem+orders
+    tables; idempotent — re-entry reuses the catalog entry."""
+    tag = _tag(sf_dir)
+    li_t, ord_t = f"tsa_li_bucketed_{tag}", f"tsa_ord_bucketed_{tag}"
+    if not spark.catalog.tableExists(li_t):
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+            ),
+            li_t,
+            ["l_orderkey"],
+            BUCKET_N,
+            path=_fresh_external_path(spark, li_t),
+        )
+    if not spark.catalog.tableExists(ord_t):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            ord_t,
+            ["o_orderkey"],
+            BUCKET_N,
+            path=_fresh_external_path(spark, ord_t),
+        )
+    return li_t, ord_t
+
+
+def q_rel_bucketed_join_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li_t, ord_t = ensure_bucketed_facts(spark, sf_dir)
+    li, orders = read_table(spark, li_t), read_table(spark, ord_t)
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    j = li.hint("merge").join(
+        orders, li.l_orderkey == orders.o_orderkey
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum(cents("l_quantity")).cast("long").alias("qty_cents"),
+        F.sum(
+            cents("l_extendedprice") * (100 - cents("l_discount"))
+        )
+        .cast("long")
+        .alias("revenue_cents_pct"),
+    )
+
+
+ORACLES = {
+    "rel_bucketed_join_agg": (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) "
+        "AS qty_cents, "
+        "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * "
+        "(100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) "
+        "AS revenue_cents_pct "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority"
+    )
+}
+
+QUERIES = {"rel_bucketed_join_agg": q_rel_bucketed_join_agg}
+
+# bench bills the one-off bucketed write as its own entry, like the
+# IVF quantizer fit — an index/layout BUILD cost, not a query cost
+BENCH_PREPARE = {
+    "rel_bucketed_build": lambda spark, sf_dir: ensure_bucketed_facts(
+        spark, sf_dir
+    )
+}
