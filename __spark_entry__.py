@@ -17,6 +17,7 @@ from types import SimpleNamespace
 from pyspark.sql import DataFrame, SparkSession
 
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import bucketing as bucketing_source
+from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import catalog as catalog_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import csv as csv_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import evolution as evolution_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import fixedwidth as fixedwidth_source
@@ -128,11 +129,22 @@ def entry(spark: SparkSession) -> DataFrame:
 #   audit, variant funnel, pipe-syntax/collation pins, threshold
 #   sweep, packing scoreboard, CLI front door) — all registered past
 #   the cap via late namespaces or past-cap modules, each parity-green
-#   at BOTH sf0.001 and sf0.01 before its commit.  r6 rotation TODO:
-#   promote the never-driver-checked r5 additions (~160 queries —
-#   multiple windows; lead with the oldest-added, mechanically via
-#   tools/rotation.py) into the window the way r5 promoted the r4
-#   tail.
+#   at BOTH sf0.001 and sf0.01 before its commit.
+#   r6 (NOW): the window is the next 50 never-driver-checked names,
+#   derived MECHANICALLY by tools/rotation.py (which now counts
+#   rows-only names with a recorded no_oracle driver row as checked —
+#   their check cannot get stronger, so re-promoting them wasted ~10
+#   slots).  The r5 failures (sim_embedding_quantize /
+#   sim_group_centroids — array-typed results broke the driver's
+#   pandas canonicalizer) lead the window with scalar-CSV fixes; an
+#   output-schema sweep found and fixed the only other complex-typed
+#   results (events_journey_sample, sim_pq_codes).  A full
+#   tools/parity.py sweep opened the round 379/379 green at sf0.01.
+#   r6 additions (DiD, mSPRT, IPS, CMS, WOE/IV, conformal, bucketed
+#   join, catalog partition pruning, …) all register past the cap,
+#   each parity-green at BOTH sf0.001 and sf0.01 before its commit.
+#   ~190 never-checked remain after this window — r7-r10 windows,
+#   via tools/rotation.py each round.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
@@ -227,6 +239,7 @@ _MODULE_ORDER = (
     sketches,
     pystream_source,
     bucketing_source,
+    catalog_source,
 )
 
 

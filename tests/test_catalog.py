@@ -1,0 +1,62 @@
+"""Partitioned catalog tables: the o_year filter must prune at
+planning time — exactly one partition directory scanned."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import catalog
+
+
+def _drop(spark):
+    spark.sql(
+        "DROP TABLE IF EXISTS tsa_orders_by_year_sf0_001"
+    )
+
+
+def test_partition_filter_reaches_the_scan(spark):
+    try:
+        df = catalog.q_catalog_partition_pruning(spark, SF_DIR)
+        import re
+
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan, plan
+        # columns print with expr-ids (o_year#NN = 1997)
+        assert re.search(
+            rf"o_year#\d+ = {catalog.PRUNE_YEAR}\)", plan
+        ), plan
+        # the file index already narrowed to the single surviving
+        # partition directory — pruning happened before any IO
+        assert f"o_year={catalog.PRUNE_YEAR}" in plan, plan
+    finally:
+        _drop(spark)
+
+
+def test_partitioned_read_matches_flat_read(spark):
+    from pyspark.sql import functions as F
+
+    try:
+        got = {
+            r["month"]: (r["n_orders"], r["total_cents"])
+            for r in catalog.q_catalog_partition_pruning(
+                spark, SF_DIR
+            ).collect()
+        }
+        flat = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .filter(F.year("o_orderdate") == catalog.PRUNE_YEAR)
+            .groupBy(F.month("o_orderdate").cast("int").alias("month"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                )
+                .cast("long")
+                .alias("c"),
+            )
+            .collect()
+        )
+        want = {r["month"]: (r["n"], r["c"]) for r in flat}
+        assert got == want
+    finally:
+        _drop(spark)

@@ -98,6 +98,8 @@ def test_journey_sample_orders_by_time_then_id(spark):
     assert set(by_user) == set(rows)
     for u, evs in by_user.items():
         evs.sort()
-        assert rows[u]["journey"] == [t for _, _, t in evs]
+        # journey is now the '>'-joined string (scalar columns only —
+        # the driver canonicalizer can't hash list cells)
+        assert rows[u]["journey"] == ">".join(t for _, _, t in evs)
         assert rows[u]["n_events"] == len(evs)
         assert rows[u]["span_sec"] == evs[-1][0] - evs[0][0]
