@@ -2345,3 +2345,92 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES_LATE["pipe_packing_efficiency"] = q_packing_efficiency
+
+
+# --- leakage-safe target encoding (r6) ------------------------------------
+#
+# The mean-encoding feature every tabular-ML pipeline wants for
+# high-cardinality categoricals, built the only safe way: OUT-OF-FOLD
+# — each fold's encoding of a category is the target mean computed
+# from the OTHER folds, so a row never sees its own label (the same
+# leakage contract as pipe_split_leakage_safe and the PIT features).
+# Category: the customer's nation; target: order value; folds:
+# o_orderkey % 5 (deterministic, hash-stable).
+#
+# Scale shape: encodings need only the (category × fold) sum/count
+# table — one partial-agg groupBy to |nations|·K rows; the leave-
+# fold-out subtraction (enc = (S_cat − S_cat,f)/(n_cat − n_cat,f))
+# is pure arithmetic on that tiny table, with per-category totals
+# attached by a same-key window over it (no second shuffle of the
+# facts, no per-fold re-aggregation — the naive K-pass form scans the
+# facts K times).  The fact table shuffles ONCE.  Zero-guarded: a
+# category living entirely in one fold falls back to the global
+# out-of-fold mean.  Exact integer cents; round 6 at the edge.
+
+TE_FOLDS = 5
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderkey") % TE_FOLDS).cast("int").alias("fold"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    dim = F.broadcast(
+        cust.join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        ).select("c_custkey", "n_name")
+    )
+    per = (
+        orders.join(dim, orders.o_custkey == F.col("c_custkey"))
+        .groupBy("n_name", "fold")
+        .agg(
+            F.count("*").cast("long").alias("n_nf"),
+            F.sum("cents").alias("s_nf"),
+        )
+    )
+    wcat = Window.partitionBy("n_name")
+    wall = Window.partitionBy()
+    oof_n = F.sum("n_nf").over(wcat) - F.col("n_nf")
+    oof_s = F.sum("s_nf").over(wcat) - F.col("s_nf")
+    gn = F.sum("n_nf").over(wall) - F.col("n_nf")
+    gs = F.sum("s_nf").over(wall) - F.col("s_nf")
+    enc = F.when(
+        oof_n > 0, oof_s.cast("double") / oof_n / 100.0
+    ).otherwise(gs.cast("double") / gn / 100.0)
+    return per.select(
+        "n_name",
+        "fold",
+        "n_nf",
+        F.round(enc, 6).alias("encoding"),
+    )
+
+
+ORACLES_LATE["pipe_target_encoding"] = (
+    "WITH o AS (SELECT o_custkey, "
+    f"CAST(o_orderkey % {TE_FOLDS} AS INTEGER) AS fold, "
+    "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents "
+    "FROM orders), "
+    "d AS (SELECT c_custkey, n_name FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey), "
+    "per AS (SELECT n_name, fold, CAST(count(*) AS BIGINT) AS n_nf, "
+    "sum(cents) AS s_nf FROM o JOIN d ON o_custkey = c_custkey "
+    "GROUP BY n_name, fold), "
+    "w AS (SELECT n_name, fold, n_nf, "
+    "sum(n_nf) OVER (PARTITION BY n_name) - n_nf AS oof_n, "
+    "sum(s_nf) OVER (PARTITION BY n_name) - s_nf AS oof_s, "
+    "sum(n_nf) OVER () - n_nf AS g_n, "
+    "sum(s_nf) OVER () - s_nf AS g_s FROM per) "
+    "SELECT n_name, fold, n_nf, "
+    "round(CASE WHEN oof_n > 0 THEN CAST(oof_s AS DOUBLE) / oof_n "
+    "ELSE CAST(g_s AS DOUBLE) / g_n END / 100.0, 6) AS encoding "
+    "FROM w"
+)
+QUERIES_LATE["pipe_target_encoding"] = q_target_encoding
