@@ -1,0 +1,71 @@
+"""Invariant pins for the r6 Holt forecaster and the k-NN hubness
+audit (both also oracle-checked via tools/parity.py)."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+    similarity,
+    timeseries,
+)
+
+
+def test_holt_matches_independent_recursion(spark):
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["seg"], r["day"]): r
+        for r in timeseries.q_events_holt_forecast(
+            spark, SF_DIR
+        ).collect()
+    }
+    daily = (
+        timeseries.load_events(spark, SF_DIR)
+        .select(
+            (F.col("user_id") % timeseries.HOLT_SEG_MOD)
+            .cast("int")
+            .alias("seg"),
+            F.expr("epoch_sec DIV 86400").cast("long").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("seg", "day")
+        .agg(F.sum("c").alias("cents"))
+        .collect()
+    )
+    import collections
+
+    series = collections.defaultdict(list)
+    for r in daily:
+        series[r["seg"]].append((r["day"], r["cents"]))
+    assert set(series) == {0, 1, 2, 3}
+    for seg, pts in series.items():
+        pts.sort()
+        lvl = trd = 0.0
+        for i, (day, cents) in enumerate(pts):
+            y = cents / 100.0
+            if i == 0:
+                lvl, trd = y, 0.0
+            else:
+                prev = lvl
+                lvl = 0.5 * y + 0.5 * (lvl + trd)
+                trd = 0.3 * (lvl - prev) + 0.7 * trd
+            row = got[(seg, day)]
+            assert abs(row["level"] - lvl) < 5e-6
+            assert abs(row["trend"] - trd) < 5e-6
+            assert (
+                abs(row["forecast_next"] - (lvl + trd)) < 5e-6
+            )
+    assert len(got) == sum(len(p) for p in series.values())
+
+
+def test_hubness_histogram_accounting(spark):
+    rows = similarity.q_sim_knn_hubness(spark, SF_DIR).collect()
+    n_vec = spark.read.parquet(
+        f"{SF_DIR}/embeddings.parquet"
+    ).count()
+    assert sum(r["n_vectors"] for r in rows) == n_vec
+    edges = sum(r["in_degree"] * r["n_vectors"] for r in rows)
+    # every source contributes at most TOP_K edges
+    assert 0 < edges <= n_vec * similarity.TOP_K
+    assert all(r["in_degree"] >= 0 for r in rows)

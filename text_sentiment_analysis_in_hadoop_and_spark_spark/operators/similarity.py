@@ -2452,3 +2452,110 @@ def _silhouette_sql() -> str:
 
 ORACLES_LATE["sim_silhouette"] = _silhouette_sql()
 QUERIES_LATE["sim_silhouette"] = q_silhouette
+
+
+# --- k-NN graph hubness audit (r6) ------------------------------------
+#
+# The embedding-pathology diagnostic retrieval teams run before
+# shipping an index (Radovanović et al., JMLR'10): in high dimensions
+# some vectors become HUBS that appear in a disproportionate share of
+# other vectors' top-k lists, silently dominating retrieval results
+# and nearest-neighbor training signals.  Readout: the in-degree
+# HISTOGRAM of the k-NN digraph over ALL vectors (antihubs at
+# in-degree 0 included via the left join) — a long right tail is the
+# pathology.
+#
+# Scale shape: the graph is built the ANN way, not the O(N²) way —
+# candidate pairs come from the SAME portable 4×256 LSH bucket tables
+# the serving index uses (per-table self-equi-joins, bucket-bounded),
+# exact cosine only on candidates, per-source top-k via the ranked
+# window that compiles to WindowGroupLimit.  Cosines round to 6
+# BEFORE ranking (ties break on dst id) so the graph is
+# engine-identical; the DuckDB oracle replays the identical buckets,
+# candidates, and ranking.
+
+
+def q_sim_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_with_norm(spark, sf_dir)
+    br = _bucket_rows(spark, sf_dir)
+    a = br.select(F.col("vec_id").alias("src"), "tbl", "bucket")
+    b = br.select(F.col("vec_id").alias("dst"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    es = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("s_emb"),
+        F.col("nrm").alias("s_nrm"),
+    )
+    ed = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("d_emb"),
+        F.col("nrm").alias("d_nrm"),
+    )
+    scored = (
+        cand.join(es, "src")
+        .join(ed, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(
+                dot(F.col("s_emb"), F.col("d_emb"))
+                / (F.col("s_nrm") * F.col("d_nrm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("cos"), F.asc("dst")
+    )
+    knn = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= TOP_K
+    )
+    indeg = knn.groupBy("dst").agg(
+        F.count("*").cast("long").alias("n_in")
+    )
+    deg = (
+        emb.select(F.col("vec_id").alias("dst"))
+        .join(indeg, "dst", "left")
+        .select(
+            F.coalesce("n_in", F.lit(0)).cast("long").alias("in_degree")
+        )
+    )
+    return deg.groupBy("in_degree").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+
+
+def _hubness_sql() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT a.vec_id AS src, c.vec_id AS dst FROM b a JOIN b c "
+        f"ON a.bucket{t} = c.bucket{t} AND a.vec_id <> c.vec_id"
+        for t in range(N_TABLES)
+    )
+    return (
+        "WITH " + _B_CTE + ", "
+        "cand AS (SELECT DISTINCT src, dst FROM (" + unions + ")), "
+        "sc AS (SELECT cand.src, cand.dst, "
+        "round(" + _cos_sql("e1.embedding", "e2.embedding") + ", 6) "
+        "AS cos FROM cand "
+        "JOIN embeddings e1 ON e1.vec_id = cand.src "
+        "JOIN embeddings e2 ON e2.vec_id = cand.dst), "
+        "rk AS (SELECT src, dst, row_number() OVER "
+        "(PARTITION BY src ORDER BY cos DESC, dst ASC) AS r FROM sc), "
+        f"knn AS (SELECT dst FROM rk WHERE r <= {TOP_K}), "
+        "ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_in "
+        "FROM knn GROUP BY dst), "
+        "deg AS (SELECT coalesce(ind.n_in, 0) AS in_degree "
+        "FROM embeddings v LEFT JOIN ind ON v.vec_id = ind.dst) "
+        "SELECT CAST(in_degree AS BIGINT) AS in_degree, "
+        "CAST(count(*) AS BIGINT) AS n_vectors "
+        "FROM deg GROUP BY in_degree"
+    )
+
+
+QUERIES_LATE["sim_knn_hubness"] = q_sim_knn_hubness
+ORACLES_LATE["sim_knn_hubness"] = _hubness_sql()

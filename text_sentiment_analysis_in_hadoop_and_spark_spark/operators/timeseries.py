@@ -1456,3 +1456,112 @@ ORACLES["events_revenue_volatility"] = (
 )
 
 QUERIES["events_revenue_volatility"] = q_events_revenue_volatility
+
+
+# --- Holt double-exponential smoothing (r6) -------------------------------
+#
+# Level+trend forecasting, one notch up from events_ewma_anomaly's
+# simple smoothing and the model the snaive backtest is usually
+# compared against.  Per user-segment (user_id % 4) daily-revenue
+# series: l_1 = y_1, b_1 = 0, then
+#   l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1})
+#   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+# with the one-step-ahead forecast l_t + b_t.
+#
+# Scale shape: the full scan reduces to |segs|·|days| rows via ONE
+# partial-agg groupBy (exact integer cents); the recursion then runs
+# per segment inside an Arrow-batched ``applyInPandas`` — the
+# documented inherently-sequential path (cf. pipe_pack_nextfit):
+# sequential WITHIN a day-grain series, all series in parallel.
+# Determinism: both engines execute the identical IEEE-double ops in
+# the identical order (the smoothing constants appear as the SAME
+# literals 0.5/0.7 on both sides — never recomputed as 1−β, whose
+# rounding could differ from the literal), so the recursion is
+# bit-reproducible; outputs round to 6.  DuckDB replays it as a
+# depth-|days| recursive CTE stepping one row per series per
+# iteration.
+
+HOLT_ALPHA = 0.5   # level gain; 1-α written as literal 0.5
+HOLT_BETA = 0.3    # trend gain; 1-β written as literal 0.7
+HOLT_SEG_MOD = 4
+
+
+def _round6_half_away(v: float) -> float:
+    """SQL ROUND semantics (half away from zero) — Python's round()
+    is banker's and would diverge from both engines on .5e-6 ties."""
+    import math
+
+    return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+
+def _holt_segment(pdf):
+    import pandas as pd
+
+    pdf = pdf.sort_values("day").reset_index(drop=True)
+    lvl = trd = 0.0
+    out = []
+    for i in range(len(pdf)):
+        y = pdf.at[i, "cents"] / 100.0
+        if i == 0:
+            lvl, trd = y, 0.0
+        else:
+            prev = lvl
+            lvl = 0.5 * y + 0.5 * (lvl + trd)
+            trd = 0.3 * (lvl - prev) + 0.7 * trd
+        out.append(
+            (
+                int(pdf.at[i, "seg"]),
+                int(pdf.at[i, "day"]),
+                _round6_half_away(lvl),
+                _round6_half_away(trd),
+                _round6_half_away(lvl + trd),
+            )
+        )
+    return pd.DataFrame(
+        out, columns=["seg", "day", "level", "trend", "forecast_next"]
+    )
+
+
+def q_events_holt_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        (F.col("user_id") % HOLT_SEG_MOD).cast("int").alias("seg"),
+        F.expr("epoch_sec DIV 86400").cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    daily = ev.groupBy("seg", "day").agg(
+        F.sum("c").cast("long").alias("cents")
+    )
+    return daily.groupBy("seg").applyInPandas(
+        _holt_segment,
+        schema=(
+            "seg int, day long, level double, trend double, "
+            "forecast_next double"
+        ),
+    )
+
+
+ORACLES["events_holt_forecast"] = (
+    "WITH RECURSIVE e AS (SELECT "
+    f"CAST(user_id % {HOLT_SEG_MOD} AS INTEGER) AS seg, "
+    "CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day, "
+    "CAST(round(value * 100, 0) AS BIGINT) AS c FROM events), "
+    "daily AS (SELECT seg, day, sum(c) AS cents "
+    "FROM e GROUP BY seg, day), "
+    "d AS (SELECT seg, day, cents / 100.0 AS y, "
+    "row_number() OVER (PARTITION BY seg ORDER BY day) AS rn "
+    "FROM daily), "
+    "h AS ("
+    "SELECT seg, day, rn, y, y AS l, CAST(0.0 AS DOUBLE) AS b "
+    "FROM d WHERE rn = 1 "
+    "UNION ALL "
+    "SELECT d.seg, d.day, d.rn, d.y, "
+    "0.5 * d.y + 0.5 * (h.l + h.b), "
+    "0.3 * ((0.5 * d.y + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b "
+    "FROM h JOIN d ON d.seg = h.seg AND d.rn = h.rn + 1) "
+    "SELECT seg, day, round(l, 6) AS level, round(b, 6) AS trend, "
+    "round(l + b, 6) AS forecast_next FROM h"
+)
+
+QUERIES["events_holt_forecast"] = q_events_holt_forecast
