@@ -69,3 +69,24 @@ def test_hubness_histogram_accounting(spark):
     # every source contributes at most TOP_K edges
     assert 0 < edges <= n_vec * similarity.TOP_K
     assert all(r["in_degree"] >= 0 for r in rows)
+
+
+def test_absorption_probabilities_are_probabilities(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import (
+        windowed,
+    )
+
+    rows = {
+        r["state"]: r["p_absorb"]
+        for r in windowed.q_events_absorption_prob(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert rows[windowed.ABSORB_TARGET] == 1.0
+    # every state observed before another event is a from-state here
+    assert len(rows) >= 2
+    for s, p in rows.items():
+        assert 0.0 <= p <= 1.0 + 1e-6, (s, p)
+    # with a dense chain every state eventually converts with
+    # probability ~1-ish > 0
+    assert all(p > 0 for p in rows.values())

@@ -2158,3 +2158,99 @@ ORACLES_LATE["events_journey_sample"] = (
     "AS journey FROM b GROUP BY user_id"
 )
 QUERIES_LATE["events_journey_sample"] = q_events_journey_sample
+
+
+# --- absorbing-state conversion probability (r6) --------------------------
+#
+# The funnel question the one-step transition matrix can't answer:
+# starting from each event type, what is the probability the user
+# EVENTUALLY reaches a purchase (within ABSORB_ITERS steps of the
+# estimated first-order chain)?  Classic absorbing-Markov value
+# iteration: V(purchase) ≡ 1, V_k(s) = Σ_t P(s,t)·V_{k−1}(t), run a
+# fixed 30 steps (geometric convergence; the tail beyond 30 is below
+# the 1e-6 rounding floor for any spectral gap this data shows).
+#
+# Scale shape: ALL the data work is the transition estimation
+# (events_transitions — one user-partitioned lag window + a
+# types²-bounded groupBy); the value iteration then runs driver-side
+# on the collected ≤ types² matrix — the S5 scalar-side-input
+# precedent (collecting a 25-number aggregate is not a driver-loop
+# anti-pattern).  The DuckDB oracle replays the SAME iteration as a
+# depth-30 recursive CTE with per-iteration round-to-6 on both
+# engines, so float accumulation order cannot drift the compare.
+# States are the observed FROM-states (a type that never precedes
+# anything has no outgoing row and no defined value; dense event
+# streams have none — degenerate corpora would need a left-join
+# variant).
+
+ABSORB_TARGET = "purchase"
+ABSORB_ITERS = 30
+
+
+def q_events_absorption_prob(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    def r6(v: float) -> float:
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+    tr = q_events_transitions(spark, sf_dir).select(
+        "from_type", "to_type", "p"
+    )
+    rows = tr.collect()  # ≤ |types|² — the S5 tiny-side-input shape
+    pm: dict[str, list[tuple[str, float]]] = {}
+    states = set()
+    for r in rows:
+        pm.setdefault(r["from_type"], []).append(
+            (r["to_type"], r["p"])
+        )
+        states.add(r["from_type"])
+        states.add(r["to_type"])
+    v_prev = {
+        s: (1.0 if s == ABSORB_TARGET else 0.0) for s in states
+    }
+    froms = sorted(pm)
+    for _ in range(ABSORB_ITERS):
+        v_new = {}
+        for s in froms:
+            if s == ABSORB_TARGET:
+                v_new[s] = 1.0
+            else:
+                v_new[s] = r6(
+                    sum(
+                        p * v_prev.get(t, 0.0)
+                        for t, p in sorted(pm[s])
+                    )
+                )
+        v_prev = v_new
+    out = [(s, float(v_prev[s])) for s in froms]
+    return spark.createDataFrame(
+        out, schema="state string, p_absorb double"
+    )
+
+
+ORACLES_LATE["events_absorption_prob"] = (
+    "WITH RECURSIVE tr AS ("
+    + ORACLES_LATE["events_transitions"]
+    + "), "
+    # NOTE: inside WITH RECURSIVE, a bare "a UNION b" CTE is parsed as
+    # the base/recursive pattern and skips the global dedup — wrap in
+    # a subquery with DISTINCT instead
+    "states AS (SELECT DISTINCT st FROM ("
+    "SELECT from_type AS st FROM tr "
+    "UNION ALL SELECT to_type AS st FROM tr) u), "
+    "v AS ("
+    "SELECT st, CAST(CASE WHEN st = "
+    f"'{ABSORB_TARGET}' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS val, "
+    "0 AS k FROM states "
+    "UNION ALL "
+    "SELECT tr.from_type, "
+    f"CASE WHEN tr.from_type = '{ABSORB_TARGET}' THEN 1.0 "
+    "ELSE round(sum(tr.p * v.val), 6) END, v.k + 1 "
+    f"FROM v JOIN tr ON tr.to_type = v.st WHERE v.k < {ABSORB_ITERS} "
+    "GROUP BY tr.from_type, v.k) "
+    "SELECT st AS state, val AS p_absorb FROM v "
+    f"WHERE k = {ABSORB_ITERS}"
+)
+QUERIES_LATE["events_absorption_prob"] = q_events_absorption_prob
