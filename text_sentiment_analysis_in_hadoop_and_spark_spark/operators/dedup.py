@@ -2632,3 +2632,86 @@ def _quality_by_dupsize_sql() -> str:
 
 ORACLES["dedup_quality_by_dupsize"] = _quality_by_dupsize_sql()
 QUERIES["dedup_quality_by_dupsize"] = q_quality_by_dupsize
+
+
+# --- keep-gate ablation (r6) ----------------------------------------------
+#
+# The data-governance readout on top of dedup_corpus_keep: the corpus
+# partitioned by the FULL 2³ combination of the three independent
+# keep-gates (quality ∧ exact-canonical ∧ neardup-canonical), so the
+# marginal and JOINT costs of each gate are visible — "near-dedup
+# mostly removes docs quality already rejects" vs "the gates bite
+# disjoint sets" changes which stage is worth its compute at corpus
+# scale, and dedup_savings (exact only) can't see the overlap.
+#
+# Scale shape: each gate is the SAME memoized artifact corpus_keep
+# uses (narrow quality map, one exact groupBy, CC labels over the
+# candidate subgraph); flags attach via doc_id-keyed left joins in
+# one co-partitioned family, and the rollup is 8 rows.
+
+def q_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .quality import q_repetition
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    quality = q_repetition(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("pass_quality")
+    )
+    exact = (
+        q_dedup_keep_first(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("pe", F.lit(True))
+    )
+    clusters = q_dedup_clusters(spark, sf_dir)
+    flags = (
+        docs.join(quality, "doc_id")
+        .join(exact, "doc_id", "left")
+        .join(clusters, "doc_id")
+        .select(
+            "pass_quality",
+            F.coalesce("pe", F.lit(False)).alias("pass_exact"),
+            (F.col("doc_id") == F.col("cluster_id")).alias(
+                "pass_canon"
+            ),
+        )
+    )
+    total = docs.count()  # 1-number side input (S5 shape)
+    return flags.groupBy(
+        "pass_quality", "pass_exact", "pass_canon"
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.count("*") / F.lit(float(total)), 6).alias(
+            "frac_corpus"
+        ),
+    )
+
+
+def _gate_ablation_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(
+            _CLUSTER_CTES
+            + (
+                "rep AS (SELECT doc_id, keep FROM ("
+                + _QUALITY_ORACLES["text_repetition"]
+                + "))",
+                "exact_keep AS (SELECT min(doc_id) AS doc_id "
+                "FROM documents GROUP BY md5(text))",
+                "tot AS (SELECT count(*) AS n FROM documents)",
+            )
+        )
+        + "\nSELECT rep.keep AS pass_quality, "
+        "(e.doc_id IS NOT NULL) AS pass_exact, "
+        "(coalesce(m.label, d.doc_id) = d.doc_id) AS pass_canon, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(count(*) / CAST(tot.n AS DOUBLE), 6) AS frac_corpus "
+        "FROM documents d "
+        "JOIN rep ON d.doc_id = rep.doc_id "
+        "LEFT JOIN exact_keep e ON d.doc_id = e.doc_id "
+        "LEFT JOIN dlabels m ON d.doc_id = m.node "
+        "CROSS JOIN tot "
+        "GROUP BY 1, 2, 3, tot.n"
+    )
+
+
+ORACLES["dedup_gate_ablation"] = _gate_ablation_sql()
+QUERIES["dedup_gate_ablation"] = q_gate_ablation
