@@ -90,3 +90,50 @@ def test_absorption_probabilities_are_probabilities(spark):
     # with a dense chain every state eventually converts with
     # probability ~1-ish > 0
     assert all(p > 0 for p in rows.values())
+
+
+def test_price_index_fisher_between_bounds(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        relational2,
+    )
+
+    rows = relational2.q_price_index(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_parts"] > 0
+        lo, hi = sorted((r["laspeyres"], r["paasche"]))
+        assert lo - 1e-6 <= r["fisher"] <= hi + 1e-6
+        assert r["laspeyres"] > 0 and r["paasche"] > 0
+
+
+def test_entropy_rate_accounting(spark):
+    import math
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import (
+        windowed,
+    )
+
+    rows = windowed.q_events_entropy_rate(spark, SF_DIR).collect()
+    n_types = len(rows)
+    assert n_types >= 2
+    pi_sum = sum(r["pi"] for r in rows)
+    # stationary distribution sums to 1 up to the per-iteration
+    # rounding the determinism contract applies
+    assert abs(pi_sum - 1.0) < 1e-3
+    for r in rows:
+        # conditional entropy bounded by log2(#states)
+        assert 0.0 <= r["h_cond_bits"] <= math.log2(n_types) + 1e-6
+        assert abs(r["h_contrib_bits"] - round(r["pi"] * r["h_cond_bits"], 5)) < 1e-4
+
+
+def test_fano_factor_positive_and_counts_consistent(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import (
+        windowed,
+    )
+
+    rows = windowed.q_events_fano_factor(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["h_obs"] <= r["n_hours"]
+        assert r["mean_per_hour"] > 0
+        assert r["fano_factor"] >= 0

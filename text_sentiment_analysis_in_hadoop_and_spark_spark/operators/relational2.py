@@ -2611,3 +2611,114 @@ ORACLES["rel_fill_rate"] = (
 )
 
 QUERIES["rel_fill_rate"] = q_fill_rate
+
+
+# --- Laspeyres / Paasche / Fisher price indices (r6) -----------------------
+#
+# The economics readout over the fact table: how much did the
+# EFFECTIVE price level move per year, holding the basket fixed?
+# Laspeyres weights by the BASE year's part quantities (overstates
+# inflation under substitution), Paasche by the CURRENT year's
+# (understates), Fisher is their geometric mean.  Unit price per
+# (part, year) = Σ extendedprice / Σ quantity — the volume-weighted
+# realized price, not the list price.  The basket is the inner join
+# of parts trading in BOTH years (the standard matched-basket
+# discipline; composition drift is the documented Laspeyres caveat).
+#
+# Scale shape: the fact table reduces to the (part × year) price
+# table in ONE partial-agg groupBy; every index is then arithmetic
+# over that dimension-sized table self-joined on part (base year vs
+# y).  Determinism: unit prices integer-scale to micro-cents
+# (round(Σext_cents·1e6/Σqty) — exact BIGINT), so the basket sums are
+# exact integer dot products (decimal ↔ HUGEINT); one double
+# division at the edge, rounded 6.  The micro-scaling itself passes
+# through a double, exact while ext_cents·1e6 < 2^53 (≈ $90M revenue
+# per part-year — upgrade to decimal division if a corpus exceeds
+# it; both engines use the identical op either way).
+
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("yr")
+    )
+    py = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_partkey", "yr")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).alias("ext_cents"),
+            F.sum(F.round("l_quantity").cast("long")).alias("qty"),
+        )
+        .select(
+            "l_partkey",
+            "yr",
+            "qty",
+            F.round(
+                F.col("ext_cents") * 1000000.0 / F.col("qty")
+            )
+            .cast("long")
+            .alias("uprice_micro"),
+        )
+    )
+    base_yr = py.agg(F.min("yr").alias("b")).first()["b"]  # scalar
+    base = py.filter(F.col("yr") == base_yr).select(
+        "l_partkey",
+        F.col("qty").alias("q0"),
+        F.col("uprice_micro").alias("p0"),
+    )
+    cur = py.filter(F.col("yr") != base_yr)
+    j = cur.join(F.broadcast(base), "l_partkey")
+    dec = "decimal(38,0)"
+    agg = j.groupBy("yr").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum((F.col("uprice_micro") * F.col("q0")).cast(dec)).alias(
+            "l_num"
+        ),
+        F.sum((F.col("p0") * F.col("q0")).cast(dec)).alias("l_den"),
+        F.sum((F.col("uprice_micro") * F.col("qty")).cast(dec)).alias(
+            "p_num"
+        ),
+        F.sum((F.col("p0") * F.col("qty")).cast(dec)).alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den").cast("double")
+    paas = F.col("p_num").cast("double") / F.col("p_den").cast("double")
+    return agg.select(
+        "yr",
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+ORACLES["rel_price_index"] = (
+    "WITH py AS (SELECT l_partkey, "
+    "CAST(year(o_orderdate) AS INTEGER) AS yr, "
+    "CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty, "
+    "CAST(round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) "
+    "* 1000000.0 / sum(CAST(round(l_quantity, 0) AS BIGINT)), 0) "
+    "AS BIGINT) AS uprice_micro "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY l_partkey, year(o_orderdate)), "
+    "b AS (SELECT min(yr) AS byr FROM py), "
+    "base AS (SELECT l_partkey, qty AS q0, uprice_micro AS p0 "
+    "FROM py CROSS JOIN b WHERE yr = byr), "
+    "j AS (SELECT py.yr, py.qty, py.uprice_micro, base.q0, base.p0 "
+    "FROM py CROSS JOIN b JOIN base USING (l_partkey) "
+    "WHERE py.yr <> byr), "
+    "a AS (SELECT yr, CAST(count(*) AS BIGINT) AS n_parts, "
+    "sum(uprice_micro * q0) AS l_num, sum(p0 * q0) AS l_den, "
+    "sum(uprice_micro * qty) AS p_num, sum(p0 * qty) AS p_den "
+    "FROM j GROUP BY yr) "
+    "SELECT yr, n_parts, "
+    "round(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE), 6) "
+    "AS laspeyres, "
+    "round(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE), 6) "
+    "AS paasche, "
+    "round(sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)) * "
+    "(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE))), 6) AS fisher "
+    "FROM a"
+)
+
+QUERIES["rel_price_index"] = q_price_index

@@ -2254,3 +2254,158 @@ ORACLES_LATE["events_absorption_prob"] = (
     f"WHERE k = {ABSORB_ITERS}"
 )
 QUERIES_LATE["events_absorption_prob"] = q_events_absorption_prob
+
+
+# --- Markov entropy rate of the event stream (r6) -------------------------
+#
+# How predictable is user behavior?  The chain's entropy rate
+# H = Σ_s π(s)·H(next|s), with H(next|s) = −Σ_t P(s,t)·log2 P(s,t)
+# and π the stationary distribution — the information-theoretic
+# ceiling for any next-event predictor, and the baseline a sequence
+# model must beat.  π comes from 40 power-iteration steps starting
+# uniform (same fixed-step discipline as events_absorption_prob:
+# per-iteration round-to-6 on BOTH engines so accumulation order
+# cannot drift the compare).  Per state: π, the conditional entropy
+# in bits, and the π-weighted contribution (their sum is the rate).
+
+ENTROPY_ITERS = 40
+
+
+def q_events_entropy_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    def r6(v: float) -> float:
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+    tr = q_events_transitions(spark, sf_dir).select(
+        "from_type", "to_type", "p"
+    )
+    rows = tr.collect()  # types² tiny side input (S5 shape)
+    out_p: dict[str, list[tuple[str, float]]] = {}
+    for r in rows:
+        out_p.setdefault(r["from_type"], []).append(
+            (r["to_type"], r["p"])
+        )
+    froms = sorted(out_p)
+    pi = {s: r6(1.0 / len(froms)) for s in froms}
+    for _ in range(ENTROPY_ITERS):
+        nxt: dict[str, float] = {}
+        for s in froms:
+            for t, p in sorted(out_p[s]):
+                nxt[t] = nxt.get(t, 0.0) + pi.get(s, 0.0) * p
+        pi = {t: r6(v) for t, v in sorted(nxt.items())}
+    data = []
+    for s in froms:
+        h = r6(
+            -sum(
+                p * math.log2(p)
+                for _, p in sorted(out_p[s])
+                if p > 0
+            )
+        )
+        pis = pi.get(s, 0.0)
+        data.append((s, float(pis), float(h), float(r6(pis * h))))
+    return spark.createDataFrame(
+        data,
+        schema=(
+            "state string, pi double, h_cond_bits double, "
+            "h_contrib_bits double"
+        ),
+    )
+
+
+ORACLES_LATE["events_entropy_rate"] = (
+    "WITH RECURSIVE tr AS ("
+    + ORACLES_LATE["events_transitions"]
+    + "), "
+    "froms AS (SELECT DISTINCT from_type AS st FROM tr), "
+    "nf AS (SELECT count(*) AS n FROM froms), "
+    "v AS ("
+    "SELECT st, round(1.0 / nf.n, 6) AS val, 0 AS k "
+    "FROM froms CROSS JOIN nf "
+    "UNION ALL "
+    "SELECT tr.to_type, round(sum(v.val * tr.p), 6), v.k + 1 "
+    f"FROM v JOIN tr ON tr.from_type = v.st WHERE v.k < {ENTROPY_ITERS} "
+    "GROUP BY tr.to_type, v.k), "
+    f"pi AS (SELECT st, val AS pi FROM v WHERE k = {ENTROPY_ITERS}), "
+    "h AS (SELECT from_type AS st, "
+    "round(-sum(CASE WHEN p > 0 THEN p * log2(p) ELSE 0 END), 6) "
+    "AS h_cond FROM tr GROUP BY from_type) "
+    "SELECT h.st AS state, coalesce(pi.pi, 0.0) AS pi, "
+    "h.h_cond AS h_cond_bits, "
+    "round(coalesce(pi.pi, 0.0) * h.h_cond, 6) AS h_contrib_bits "
+    "FROM h LEFT JOIN pi ON h.st = pi.st"
+)
+QUERIES_LATE["events_entropy_rate"] = q_events_entropy_rate
+
+
+# --- Fano-factor burstiness audit (r6) ------------------------------------
+#
+# Count-process dispersion per event type: the Fano factor
+# var/mean of HOURLY event counts.  A Poisson-ish process sits near
+# 1; >> 1 is bursty arrivals (campaigns, bot storms, retry loops) —
+# the signal that decides whether rate alerts need burst-robust
+# thresholds, complementary to events_inter_arrival (time-domain) and
+# text_token_burstiness (the document-side twin).  Empty hours count:
+# the denominator is the full observed hour span, not just hours with
+# events — computed from the global span, not a gap-fill join.
+#
+# Scale shape: one (type × hour) partial-agg groupBy, then a
+# types-bounded rollup; variance from exact integer Σn, Σn² with the
+# zero-hour mass folded in closed form ((H−H_obs) zero terms change
+# nothing in Σn, Σn²).  The hour span is a 1-row broadcast aggregate.
+
+def q_events_fano_factor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.expr("epoch_sec DIV 3600").cast("long").alias("hr"),
+    )
+    span = ev.agg(
+        (F.max("hr") - F.min("hr") + 1).cast("long").alias("n_hours")
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    per = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("h_obs"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    j = per.crossJoin(F.broadcast(span))
+    h = F.col("n_hours").cast("double")
+    mean = F.col("s1") / h
+    # population variance over ALL hours incl. empty ones: zero terms
+    # contribute nothing to s1/s2, only to the count
+    var = F.col("s2") / h - mean * mean
+    return j.select(
+        "event_type",
+        "n_hours",
+        "h_obs",
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(var / mean, 6).alias("fano_factor"),
+    )
+
+
+ORACLES_LATE["events_fano_factor"] = (
+    "WITH e AS (SELECT event_type, "
+    "CAST(epoch_ns(ts) // 1000000000 // 3600 AS BIGINT) AS hr "
+    "FROM events), "
+    "span AS (SELECT CAST(max(hr) - min(hr) + 1 AS BIGINT) "
+    "AS n_hours FROM e), "
+    "hourly AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n "
+    "FROM e GROUP BY event_type, hr), "
+    "per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS h_obs, "
+    "CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2 "
+    "FROM hourly GROUP BY event_type) "
+    "SELECT event_type, n_hours, h_obs, "
+    "round(s1 / CAST(n_hours AS DOUBLE), 6) AS mean_per_hour, "
+    "round((s2 / CAST(n_hours AS DOUBLE) - "
+    "(s1 / CAST(n_hours AS DOUBLE)) * (s1 / CAST(n_hours AS DOUBLE))) "
+    "/ (s1 / CAST(n_hours AS DOUBLE)), 6) AS fano_factor "
+    "FROM per CROSS JOIN span"
+)
+QUERIES_LATE["events_fano_factor"] = q_events_fano_factor
