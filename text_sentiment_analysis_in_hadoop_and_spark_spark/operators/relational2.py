@@ -2722,3 +2722,89 @@ ORACLES["rel_price_index"] = (
 )
 
 QUERIES["rel_price_index"] = q_price_index
+
+
+# --- BG/NBD P(alive) — buy-till-you-die CLV (r6) --------------------------
+#
+# The probabilistic-CLV workhorse (Fader, Hardie & Lee 2005,
+# "Counting your customers the easy way"): under the BG/NBD model a
+# customer with frequency x (repeat purchases), recency t_x and
+# observation span T is still alive with closed-form probability
+#   P(alive) = 1 / (1 + a/(b+x−1) · ((α+T)/(α+t_x))^(r+x)),  x ≥ 1
+# (x = 0 ⇒ 1 under the model's "churn only at a purchase"
+# assumption).  The shape parameters (r, α, a, b) are MODEL inputs —
+# fitted offline by MLE in practice; the documented defaults here are
+# the classic CDNOW-magnitude values, making the query the SCORING
+# pass a fitted model ships to.
+#
+# Scale shape: one orders groupBy to per-customer (x, t_x, T) RFM
+# sufficient statistics (integer day arithmetic), the corpus horizon
+# a 1-row broadcast; the formula is a narrow map with one pow per
+# row.  Rounding: t_x/T are exact integer days; pow applies once to
+# identical doubles; output rounds to 6.
+
+BTYD_R = 0.25
+BTYD_ALPHA = 4.0
+BTYD_A = 0.8
+BTYD_B = 2.5
+
+
+def q_btyd_palive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)"
+        ).alias("d"),
+    )
+    per = orders.groupBy("o_custkey").agg(
+        (F.count("*") - 1).cast("long").alias("x"),
+        F.min("d").alias("first_d"),
+        F.max("d").alias("last_d"),
+    )
+    horizon = orders.agg(F.max("d").alias("end_d"))
+    j = per.crossJoin(F.broadcast(horizon)).select(
+        F.col("o_custkey").alias("custkey"),
+        "x",
+        (F.col("last_d") - F.col("first_d")).cast("long").alias("t_x"),
+        (F.col("end_d") - F.col("first_d")).cast("long").alias("t_obs"),
+    )
+    ratio = (F.lit(BTYD_ALPHA) + F.col("t_obs")) / (
+        F.lit(BTYD_ALPHA) + F.col("t_x")
+    )
+    odds = (
+        F.lit(BTYD_A)
+        / (F.lit(BTYD_B) + F.col("x") - 1)
+        * F.pow(ratio, F.lit(BTYD_R) + F.col("x"))
+    )
+    palive = F.when(F.col("x") == 0, F.lit(1.0)).otherwise(
+        1.0 / (1.0 + odds)
+    )
+    return j.select(
+        "custkey",
+        "x",
+        "t_x",
+        "t_obs",
+        F.round(palive, 6).alias("p_alive"),
+    )
+
+
+ORACLES["rel_btyd_palive"] = (
+    "WITH o AS (SELECT o_custkey, "
+    "CAST(epoch_ns(o_orderdate) // 1000000000 // 86400 AS BIGINT) "
+    "AS d FROM orders), "
+    "per AS (SELECT o_custkey, CAST(count(*) - 1 AS BIGINT) AS x, "
+    "min(d) AS first_d, max(d) AS last_d FROM o GROUP BY o_custkey), "
+    "h AS (SELECT max(d) AS end_d FROM o), "
+    "j AS (SELECT o_custkey AS custkey, x, "
+    "CAST(last_d - first_d AS BIGINT) AS t_x, "
+    "CAST(end_d - first_d AS BIGINT) AS t_obs "
+    "FROM per CROSS JOIN h) "
+    "SELECT custkey, x, t_x, t_obs, "
+    "round(CASE WHEN x = 0 THEN 1.0 ELSE "
+    f"1.0 / (1.0 + {BTYD_A} / ({BTYD_B} + x - 1) * "
+    f"power(({BTYD_ALPHA} + t_obs) / ({BTYD_ALPHA} + t_x), "
+    f"{BTYD_R} + x)) END, 6) AS p_alive "
+    "FROM j"
+)
+
+QUERIES["rel_btyd_palive"] = q_btyd_palive
