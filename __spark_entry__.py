@@ -143,8 +143,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   r6 additions (DiD, mSPRT, IPS, CMS, WOE/IV, conformal, bucketed
 #   join, catalog partition pruning, …) all register past the cap,
 #   each parity-green at BOTH sf0.001 and sf0.01 before its commit.
-#   ~190 never-checked remain after this window — r7-r10 windows,
-#   via tools/rotation.py each round.
+#   257 never-checked remain at r6 close (including this round's 17
+#   new queries) — the r6 window covers 50, leaving ~207 for r7-r11
+#   windows, via tools/rotation.py each round.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,

@@ -29,18 +29,39 @@ FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 def all_plans(spark):
     import __spark_entry__ as entrymod
 
-    plans = {}
+    plans, schemas = {}, {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF_DIR)
         plans[name] = df._jdf.queryExecution().executedPlan().toString()
-    return plans
+        schemas[name] = df.schema
+    return plans, schemas
+
+
+def test_no_complex_typed_result_columns(all_plans):
+    """Driver-contract guard: the correctness gate's pandas
+    canonicalizer cannot hash list/map/struct cells (the r5
+    sim_embedding_quantize failure) — every registered query must emit
+    scalar columns only (CSV-render arrays; see the _flat wrappers in
+    operators/similarity.py)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    _, schemas = all_plans
+    bad = [
+        (n, f.name)
+        for n, sch in schemas.items()
+        for f in sch.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, bad
 
 
 def test_no_cartesian_products_anywhere(all_plans):
-    bad = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    plans, _ = all_plans
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
     assert not bad, bad
 
 
 def test_no_row_at_a_time_python_udfs_anywhere(all_plans):
-    bad = [n for n, p in all_plans.items() if "BatchEvalPython" in p]
+    plans, _ = all_plans
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
     assert not bad, bad
