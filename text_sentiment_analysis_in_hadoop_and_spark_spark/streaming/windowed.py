@@ -43,6 +43,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.common import register_cache
+
 WINDOW = "1 hour"
 WATERMARK = "1 hour"
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
@@ -673,6 +675,13 @@ ORACLES_LATE["events_winsorized"] = (
 QUERIES_LATE["events_winsorized"] = q_events_winsorized
 
 
+# transition matrix memo: three queries consume it (transitions
+# itself, absorption, entropy rate) — without the memo each re-runs
+# the full per-user lag window (the r6 bench billed 9.7 s of cold
+# window scan to the first consumer)
+_TRANSITIONS_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
 def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     sequence: P(next_type | type) with counts — the sequence-mining
@@ -680,7 +689,13 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle for the lag window ((epoch_sec, event_id) total order, so
     ties are deterministic), then a types²-bounded groupBy; the row
     normalizer re-aggregates from the transition counts themselves
-    (no second pass) and joins back broadcast."""
+    (no second pass) and joins back broadcast.  The types²-sized
+    RESULT is cached (register_cache eviction discipline) for its
+    three consumers."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _TRANSITIONS_CACHE.get(key)
+    if memo is not None:
+        return memo
     ev = load_events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("epoch_sec", "event_id")
     steps = (
@@ -698,12 +713,18 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_type").alias("to_type"),
     ).agg(F.count("*").cast("long").alias("n"))
     totals = counts.groupBy("from_type").agg(F.sum("n").alias("tot"))
-    return counts.join(F.broadcast(totals), "from_type").select(
-        "from_type",
-        "to_type",
-        "n",
-        F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+    out = (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        )
+        .cache()
     )
+    _TRANSITIONS_CACHE[key] = out
+    return out
 
 
 ORACLES_LATE["events_transitions"] = (
