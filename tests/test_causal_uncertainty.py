@@ -103,3 +103,36 @@ def test_conformal_coverage_and_set_accounting(spark):
 def test_conformal_coverage_at_bench_scale(spark):
     row = nb.q_nb_conformal(spark, "/root/testdata/sf0.1").collect()[0]
     assert row["coverage"] >= 1.0 - nb.CONF_ALPHA - 0.03
+
+
+def test_qi_subset_audit_monotone_risk(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        privacy,
+    )
+
+    rows = {
+        r["qi_subset"]: r
+        for r in privacy.q_qi_subset_audit(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 7  # 2^3 - 1 subsets
+    full = rows["nation+segment+bal_band"]
+    for name, r in rows.items():
+        # adding QI columns can only refine classes: the full subset
+        # has the most classes and the highest identifiable share
+        assert r["n_classes"] <= full["n_classes"]
+        assert (
+            r["identifiable_share"]
+            <= full["identifiable_share"] + 1e-9
+        )
+        assert r["min_k"] >= 1
+
+
+def test_adstock_fit_shape(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        experiments,
+    )
+
+    row = experiments.q_events_adstock_mmm(spark, SF_DIR).collect()[0]
+    assert row["n_days"] > 1
+    assert row["lam"] == experiments.ADSTOCK_LAMBDA
+    assert 0.0 <= row["r2"] <= 1.0

@@ -1760,3 +1760,145 @@ def _ips_sql() -> str:
 
 ORACLES["events_ips_value"] = _ips_sql()
 QUERIES["events_ips_value"] = q_events_ips_value
+
+
+# --- adstock marketing-mix regression (r6) --------------------------------
+#
+# The MMM building block: advertising exposure carries over, so
+# response regresses on the ADSTOCK a_t = x_t + λ·a_{t−1} (geometric
+# carryover, λ = 0.7 literal on both engines) rather than on raw
+# daily exposure.  Here: daily click volume → adstock → closed-form
+# OLS of daily purchase revenue on adstock, with R².  λ is a model
+# input (fitted by grid search in practice); the query is the
+# transform+fit pass a fixed λ ships to.
+#
+# Scale shape: the full scan reduces to the |days| table in ONE
+# partial-agg groupBy; the recursion + closed-form OLS then run
+# driver-side on the collected day table (the S5 tiny-aggregate
+# shape, like events_absorption_prob) with per-iteration round-to-6 —
+# the DuckDB oracle replays the identical recursion as a recursive
+# CTE.  Sums for the OLS are exact integers (adstock micro-scaled —
+# exact while a_t·1e6 < 2⁶³ per day and Σa² < 2¹²⁷; drop to
+# milli-scaling beyond), floats only at the closed-form edge.
+
+ADSTOCK_LAMBDA = 0.7  # carryover per day, literal on both engines
+
+
+def q_events_adstock_mmm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    def r6(v: float) -> float:
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+    ev = load_events(spark, sf_dir).select(
+        F.expr("epoch_sec DIV 86400").cast("long").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = (
+        ev.groupBy("day")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long"))
+            .cast("long")
+            .alias("clicks"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("cents")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("rev_cents"),
+        )
+        .orderBy("day")
+        .collect()
+    )  # |days| rows — the S5 tiny-aggregate shape
+    a = 0.0
+    n = len(daily)
+    sa = saa = sy = say = syy = 0
+    first = True
+    for r in daily:
+        if first:
+            a = float(r["clicks"])
+            first = False
+        else:
+            a = r6(r["clicks"] + 0.7 * a)
+        ai = int(math.copysign(math.floor(abs(a) * 1e6 + 0.5), a))
+        y = int(r["rev_cents"])
+        sa += ai
+        saa += ai * ai
+        sy += y
+        say += ai * y
+        syy += y * y
+    den = n * saa - sa * sa
+    beta = (n * say - sa * sy) / float(den)  # cents per micro-adstock
+    alpha = (sy - beta * sa) / n / 100.0
+    r2 = (
+        beta * beta * den / float(n * syy - sy * sy)
+        if n * syy - sy * sy > 0
+        else 0.0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                float(ADSTOCK_LAMBDA),
+                float(r6(beta * 1e6 / 100.0)),
+                float(r6(alpha)),
+                float(r6(r2)),
+            )
+        ],
+        schema=(
+            "n_days long, lam double, beta_rev_per_adstock double, "
+            "alpha_rev double, r2 double"
+        ),
+    )
+
+
+def _adstock_sql() -> str:
+    return (
+        "WITH RECURSIVE e AS (SELECT "
+        "CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day, "
+        "event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents "
+        "FROM events), "
+        "daily AS (SELECT day, "
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS clicks, "
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN cents "
+        "ELSE 0 END) AS BIGINT) AS rev_cents FROM e GROUP BY day), "
+        "d AS (SELECT *, row_number() OVER (ORDER BY day) AS rn "
+        "FROM daily), "
+        "ad AS ("
+        "SELECT rn, CAST(clicks AS DOUBLE) AS a, rev_cents "
+        "FROM d WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT d.rn, round(d.clicks + 0.7 * ad.a, 6), d.rev_cents "
+        "FROM ad JOIN d ON d.rn = ad.rn + 1), "
+        "s AS (SELECT count(*) AS n, "
+        "sum(CAST(round(a * 1000000, 0) AS BIGINT)) AS sa, "
+        "sum(CAST(round(a * 1000000, 0) AS BIGINT) * "
+        "CAST(round(a * 1000000, 0) AS BIGINT)) AS saa, "
+        "sum(rev_cents) AS sy, "
+        "sum(CAST(round(a * 1000000, 0) AS BIGINT) * rev_cents) AS say, "
+        "sum(rev_cents * rev_cents) AS syy FROM ad), "
+        "fit AS (SELECT n, "
+        "(n * CAST(say AS DOUBLE) - CAST(sa AS DOUBLE) * "
+        "CAST(sy AS DOUBLE)) / (n * CAST(saa AS DOUBLE) - "
+        "CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) AS beta, "
+        "CAST(sa AS DOUBLE) AS sad, CAST(sy AS DOUBLE) AS syd, "
+        "n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * "
+        "CAST(sa AS DOUBLE) AS den, "
+        "n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * "
+        "CAST(sy AS DOUBLE) AS deny FROM s) "
+        "SELECT CAST(n AS BIGINT) AS n_days, "
+        f"CAST({ADSTOCK_LAMBDA} AS DOUBLE) AS lam, "
+        "round(beta * 1000000 / 100.0, 6) AS beta_rev_per_adstock, "
+        "round((syd - beta * sad) / n / 100.0, 6) AS alpha_rev, "
+        "round(CASE WHEN deny > 0 THEN beta * beta * den / deny "
+        "ELSE 0.0 END, 6) AS r2 FROM fit"
+    )
+
+
+ORACLES["events_adstock_mmm"] = _adstock_sql()
+QUERIES["events_adstock_mmm"] = q_events_adstock_mmm

@@ -306,3 +306,94 @@ def _erasure_sql() -> str:
 
 ORACLES["priv_erasure_audit"] = _erasure_sql()
 QUERIES["priv_erasure_audit"] = q_erasure_audit
+
+
+# --- quasi-identifier subset audit (r6) ------------------------------------
+#
+# priv_k_anonymity measures re-identification risk for ONE fixed QI
+# set; this audit asks the prior question a data-release review
+# actually needs answered: WHICH combination of candidate columns is
+# identifying?  For every non-empty subset of {nation, market
+# segment, balance band} it reports the equivalence-class count, the
+# singletons (k = 1 — unique, re-identifiable rows), and the
+# identifiable share — the marginal-risk table that decides which
+# column must be generalized or dropped.
+#
+# Scale shape: all 2³−1 subsets come from ONE scan via CUBE (Spark
+# expands grouping sets map-side; no per-subset re-aggregation), the
+# per-class rows collapse in a second subset-keyed partial agg, and
+# the balance band is a fixed-width narrow map (never an ntile).
+# GROUPING bit conventions agree between engines (last column = LSB,
+# 1 = aggregated-away), pinned by the shared gid → label expression.
+
+QI_BAL_BAND = 1000  # acctbal band width
+
+
+def q_qi_subset_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = cust.join(
+        F.broadcast(nation),
+        cust.c_nationkey == nation.n_nationkey,
+    ).select(
+        "n_name",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / QI_BAL_BAND)
+        .cast("long")
+        .alias("bal_band"),
+    )
+    classes = base.cube("n_name", "c_mktsegment", "bal_band").agg(
+        F.count("*").cast("long").alias("k"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+    per = (
+        classes.filter(F.col("gid") != 7)  # drop the global total row
+        .groupBy("gid")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum((F.col("k") == 1).cast("long"))
+            .cast("long")
+            .alias("n_singletons"),
+            F.sum("k").cast("long").alias("n_rows"),
+            F.min("k").cast("long").alias("min_k"),
+        )
+    )
+    label = F.concat_ws(
+        "+",
+        F.when(F.col("gid").bitwiseAND(4) == 0, F.lit("nation")),
+        F.when(F.col("gid").bitwiseAND(2) == 0, F.lit("segment")),
+        F.when(F.col("gid").bitwiseAND(1) == 0, F.lit("bal_band")),
+    )
+    return per.select(
+        label.alias("qi_subset"),
+        "n_classes",
+        "n_singletons",
+        "min_k",
+        F.round(
+            F.col("n_singletons") / F.col("n_rows").cast("double"), 6
+        ).alias("identifiable_share"),
+    )
+
+
+ORACLES["priv_qi_subset_audit"] = (
+    "WITH base AS (SELECT n_name, c_mktsegment, "
+    f"CAST(floor(c_acctbal / {QI_BAL_BAND}) AS BIGINT) AS bal_band "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey), "
+    "classes AS (SELECT n_name, c_mktsegment, bal_band, "
+    "CAST(count(*) AS BIGINT) AS k, "
+    "CAST(GROUPING(n_name, c_mktsegment, bal_band) AS INTEGER) AS gid "
+    "FROM base GROUP BY CUBE (n_name, c_mktsegment, bal_band)), "
+    "per AS (SELECT gid, CAST(count(*) AS BIGINT) AS n_classes, "
+    "CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_singletons, sum(k) AS n_rows, "
+    "CAST(min(k) AS BIGINT) AS min_k "
+    "FROM classes WHERE gid <> 7 GROUP BY gid) "
+    "SELECT concat_ws('+', "
+    "CASE WHEN gid & 4 = 0 THEN 'nation' END, "
+    "CASE WHEN gid & 2 = 0 THEN 'segment' END, "
+    "CASE WHEN gid & 1 = 0 THEN 'bal_band' END) AS qi_subset, "
+    "n_classes, n_singletons, min_k, "
+    "round(n_singletons / CAST(n_rows AS DOUBLE), 6) "
+    "AS identifiable_share FROM per"
+)
+QUERIES["priv_qi_subset_audit"] = q_qi_subset_audit
