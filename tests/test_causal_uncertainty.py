@@ -136,3 +136,30 @@ def test_adstock_fit_shape(spark):
     assert row["n_days"] > 1
     assert row["lam"] == experiments.ADSTOCK_LAMBDA
     assert 0.0 <= row["r2"] <= 1.0
+
+
+def test_newsvendor_service_level_meets_critical_ratio(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        relational2,
+    )
+
+    rows = relational2.q_newsvendor_stock(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # stocking at the CR-quantile serves at least CR of days
+        assert (
+            r["service_level"] >= relational2.NEWSVENDOR_CR - 1e-9
+        ), r
+        assert r["q_star"] > 0 and r["n_days"] > 0
+
+
+def test_corpus_health_fractions(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        pipeline,
+    )
+
+    row = pipeline.q_corpus_health(spark, SF_DIR).collect()[0]
+    assert row["n_docs"] > 0 and row["total_tokens"] > 0
+    assert 0 < row["n_kept"] <= row["n_exact_unique"] <= row["n_docs"]
+    assert 0 < row["kept_frac"] <= row["exact_unique_frac"] <= 1.0
+    assert row["lang_entropy_bits"] >= 0.0

@@ -2434,3 +2434,88 @@ ORACLES_LATE["pipe_target_encoding"] = (
     "FROM w"
 )
 QUERIES_LATE["pipe_target_encoding"] = q_target_encoding
+
+
+# --- corpus health one-liner (r6 capstone) --------------------------------
+#
+# The single-row dashboard a data curator checks before a training
+# run — corpus size, exact-unique and fully-kept fractions (the
+# dedup+quality capstone gates), token volume, and the language-mix
+# Shannon entropy (a collapsed mix is the classic silent failure of a
+# filtered crawl).  Everything reuses the memoized family caches;
+# five 1-row aggregates broadcast-joined — the S5 scalar shape
+# end-to-end, no data-sized join anywhere.
+
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import q_corpus_keep, q_dedup_keep_first
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("total_tokens"),
+    )
+    uniq = q_dedup_keep_first(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_exact_unique")
+    )
+    kept = q_corpus_keep(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_kept")
+    )
+    lang_counts = docs.groupBy("lang").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    lang_tot = lang_counts.agg(F.sum("n").alias("t"))
+    share = F.col("n") / F.col("t")
+    lang_h = lang_counts.crossJoin(F.broadcast(lang_tot)).agg(
+        F.round(-F.sum(share * F.log2(share)), 6).alias(
+            "lang_entropy_bits"
+        )
+    )
+    one = (
+        base.crossJoin(F.broadcast(uniq))
+        .crossJoin(F.broadcast(kept))
+        .crossJoin(F.broadcast(lang_h))
+    )
+    return one.select(
+        "n_docs",
+        "total_tokens",
+        "n_exact_unique",
+        "n_kept",
+        F.round(
+            F.col("n_exact_unique") / F.col("n_docs").cast("double"), 6
+        ).alias("exact_unique_frac"),
+        F.round(
+            F.col("n_kept") / F.col("n_docs").cast("double"), 6
+        ).alias("kept_frac"),
+        "lang_entropy_bits",
+    )
+
+
+def _corpus_health_sql() -> str:
+    from .dedup import ORACLES as _DEDUP_ORACLES
+
+    return (
+        "WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) "
+        "AS total_tokens FROM documents), "
+        "uniq AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_unique "
+        "FROM (SELECT min(doc_id) FROM documents GROUP BY md5(text))), "
+        "kept AS (SELECT CAST(count(*) AS BIGINT) AS n_kept FROM ("
+        + _DEDUP_ORACLES["dedup_corpus_keep"]
+        + ")), "
+        "lh AS (SELECT round(-sum((n / t) * log2(n / t)), 6) "
+        "AS lang_entropy_bits FROM (SELECT lang, "
+        "CAST(count(*) AS DOUBLE) AS n, "
+        "sum(count(*)) OVER () AS t FROM documents GROUP BY lang)) "
+        "SELECT n_docs, total_tokens, n_exact_unique, n_kept, "
+        "round(n_exact_unique / CAST(n_docs AS DOUBLE), 6) "
+        "AS exact_unique_frac, "
+        "round(n_kept / CAST(n_docs AS DOUBLE), 6) AS kept_frac, "
+        "lang_entropy_bits "
+        "FROM base CROSS JOIN uniq CROSS JOIN kept CROSS JOIN lh"
+    )
+
+
+ORACLES_LATE["pipe_corpus_health"] = _corpus_health_sql()
+QUERIES_LATE["pipe_corpus_health"] = q_corpus_health

@@ -2808,3 +2808,105 @@ ORACLES["rel_btyd_palive"] = (
 )
 
 QUERIES["rel_btyd_palive"] = q_btyd_palive
+
+
+# --- newsvendor stocking quantile (r6) ------------------------------------
+#
+# The operations-research classic: with underage cost c_u and overage
+# cost c_o, the optimal stock is the demand distribution's quantile
+# at the critical ratio c_u/(c_u+c_o) (here 0.8).  Per brand: the
+# exact 0.8 order statistic of DAILY demand (ceil(0.8·n)-th smallest
+# — integer rank, engine-exact, no interpolation), plus the realized
+# service level at that stock (share of days fully served) — ≥ 0.8 by
+# construction, the test's invariant.
+#
+# Scale shape: the fact scan reduces to (brand × day) demand in ONE
+# partial-agg groupBy (lineitem⋈part with the part dim broadcast);
+# the order statistic is a window over each brand's DAY-grain series
+# (bounded by the calendar, not the data), the same discipline as the
+# exact-percentile family.
+
+NEWSVENDOR_CR = 0.8  # critical ratio c_u / (c_u + c_o)
+
+
+def q_newsvendor_stock(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)"
+        ).alias("day"),
+    )
+    daily = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("p_brand", "day")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).alias("demand")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("demand", "day")
+    ranked = daily.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "n_days",
+        F.count("*").over(Window.partitionBy("p_brand")).cast("long"),
+    )
+    idx = F.ceil(F.lit(NEWSVENDOR_CR) * F.col("n_days")).cast("long")
+    qstar = ranked.filter(F.col("rn") == idx).select(
+        "p_brand",
+        "n_days",
+        F.col("demand").alias("q_star"),
+    )
+    served = (
+        daily.join(F.broadcast(qstar), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("q_star").alias("q_star"),
+            F.round(
+                F.avg(
+                    (F.col("demand") <= F.col("q_star")).cast("double")
+                ),
+                6,
+            ).alias("service_level"),
+            F.round(F.avg("demand"), 6).alias("mean_demand"),
+        )
+    )
+    return served.select(
+        "p_brand", "n_days", "q_star", "mean_demand", "service_level"
+    )
+
+
+ORACLES["rel_newsvendor_stock"] = (
+    "WITH daily AS (SELECT p_brand, "
+    "CAST(epoch_ns(o_orderdate) // 1000000000 // 86400 AS BIGINT) "
+    "AS day, "
+    "CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) "
+    "AS demand "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY p_brand, day), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY p_brand "
+    "ORDER BY demand, day) AS rn, "
+    "count(*) OVER (PARTITION BY p_brand) AS n_days FROM daily), "
+    "q AS (SELECT p_brand, CAST(n_days AS BIGINT) AS n_days, "
+    "demand AS q_star FROM r "
+    f"WHERE rn = CAST(ceil({NEWSVENDOR_CR} * n_days) AS BIGINT)) "
+    "SELECT d.p_brand, max(q.n_days) AS n_days, "
+    "max(q.q_star) AS q_star, "
+    "round(avg(d.demand), 6) AS mean_demand, "
+    "round(avg(CASE WHEN d.demand <= q.q_star THEN 1.0 ELSE 0.0 "
+    "END), 6) AS service_level "
+    "FROM daily d JOIN q ON d.p_brand = q.p_brand "
+    "GROUP BY d.p_brand"
+)
+
+QUERIES["rel_newsvendor_stock"] = q_newsvendor_stock
