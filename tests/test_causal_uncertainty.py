@@ -163,3 +163,17 @@ def test_corpus_health_fractions(spark):
     assert 0 < row["n_kept"] <= row["n_exact_unique"] <= row["n_docs"]
     assert 0 < row["kept_frac"] <= row["exact_unique_frac"] <= 1.0
     assert row["lang_entropy_bits"] >= 0.0
+
+
+def test_bass_fit_recovers_meaningful_params(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        relational2,
+    )
+
+    row = relational2.q_bass_diffusion(spark, SF_DIR).collect()[0]
+    assert row["n_days"] > 10
+    if row["m_hat"] is not None:
+        # recovered market size must cover the observed adopters and
+        # the innovation/imitation rates must be positive
+        assert row["m_hat"] > 0
+        assert row["p_hat"] > 0 and row["q_hat"] > 0

@@ -2910,3 +2910,169 @@ ORACLES["rel_newsvendor_stock"] = (
 )
 
 QUERIES["rel_newsvendor_stock"] = q_newsvendor_stock
+
+
+# --- Bass diffusion fit (r6) ----------------------------------------------
+#
+# New-product adoption analytics (Bass 1969): daily NEW-customer
+# counts y_t follow y = pM + (q−p)·N − (q/M)·N² in the cumulative
+# adopters N — quadratic in N, so the nonlinear (p, q, M) fit reduces
+# to 3-variable OLS (the classic discrete-Bass trick) followed by the
+# closed-form recovery M = (−b − √(b²−4ac))/(2c), p = a/M, q = −cM
+# and the adoption-peak time t* = ln(q/p)/(p+q).
+#
+# Scale shape: first-order day per customer is one groupBy; the daily
+# y series and its cumulative are DAY-grain windows (calendar-
+# bounded); the normal-equation sums are ONE exact-integer aggregate
+# (Σ N^k y^j as decimal ↔ HUGEINT — N⁴ stays inside 2¹²⁷ far past
+# bench scale), and Cramer's rule runs on those sums ONCE, with the
+# identical literal expression on both engines so every IEEE op
+# matches.  Days with zero new adopters don't appear as rows (the
+# regression runs over observed adoption days; identical on both
+# engines, documented).
+
+def q_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)"
+        ).alias("d"),
+    )
+    first = orders.groupBy("o_custkey").agg(
+        F.min("d").alias("fd")
+    )
+    daily = first.groupBy("fd").agg(
+        F.count("*").cast("long").alias("y")
+    )
+    wcum = Window.orderBy("fd").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    series = daily.select(
+        "fd",
+        "y",
+        F.coalesce(F.sum("y").over(wcum), F.lit(0))
+        .cast("long")
+        .alias("n_prev"),
+    )
+    dec = "decimal(38,0)"
+    s = series.agg(
+        F.count("*").cast("long").alias("s0"),
+        F.sum(F.col("n_prev").cast(dec)).alias("s1"),
+        F.sum((F.col("n_prev") * F.col("n_prev")).cast(dec)).alias(
+            "s2"
+        ),
+        F.sum(
+            (
+                F.col("n_prev") * F.col("n_prev") * F.col("n_prev")
+            ).cast(dec)
+        ).alias("s3"),
+        F.sum(
+            (
+                F.col("n_prev")
+                * F.col("n_prev")
+                * F.col("n_prev")
+                * F.col("n_prev")
+            ).cast(dec)
+        ).alias("s4"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("n_prev") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum(
+            (F.col("n_prev") * F.col("n_prev") * F.col("y")).cast(dec)
+        ).alias("sx2y"),
+    )
+    d = {
+        k: F.col(k).cast("double")
+        for k in ("s0", "s1", "s2", "s3", "s4", "sy", "sxy", "sx2y")
+    }
+    det = (
+        d["s0"] * (d["s2"] * d["s4"] - d["s3"] * d["s3"])
+        - d["s1"] * (d["s1"] * d["s4"] - d["s3"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["s3"] - d["s2"] * d["s2"])
+    )
+    det_a = (
+        d["sy"] * (d["s2"] * d["s4"] - d["s3"] * d["s3"])
+        - d["s1"] * (d["sxy"] * d["s4"] - d["s3"] * d["sx2y"])
+        + d["s2"] * (d["sxy"] * d["s3"] - d["s2"] * d["sx2y"])
+    )
+    det_b = (
+        d["s0"] * (d["sxy"] * d["s4"] - d["sx2y"] * d["s3"])
+        - d["sy"] * (d["s1"] * d["s4"] - d["s3"] * d["s2"])
+        + d["s2"] * (d["s1"] * d["sx2y"] - d["s2"] * d["sxy"])
+    )
+    det_c = (
+        d["s0"] * (d["s2"] * d["sx2y"] - d["s3"] * d["sxy"])
+        - d["s1"] * (d["s1"] * d["sx2y"] - d["s3"] * d["sy"])
+        + d["sy"] * (d["s1"] * d["s3"] - d["s2"] * d["s2"])
+    )
+    a, b, c = det_a / det, det_b / det, det_c / det
+    disc = b * b - 4.0 * a * c
+    m = F.when(
+        (disc >= 0) & (c < 0),
+        (-b - F.sqrt(disc)) / (2.0 * c),
+    )
+    p = a / m
+    q = -c * m
+    return s.select(
+        F.col("s0").alias("n_days"),
+        F.round(a, 6).alias("coef_a"),
+        F.round(b, 6).alias("coef_b"),
+        F.round(c, 6).alias("coef_c"),
+        F.round(m, 2).alias("m_hat"),
+        F.round(p, 6).alias("p_hat"),
+        F.round(q, 6).alias("q_hat"),
+        F.round(F.log(q / p) / (p + q), 4).alias("t_peak_days"),
+    )
+
+
+ORACLES["rel_bass_diffusion"] = (
+    "WITH o AS (SELECT o_custkey, "
+    "CAST(epoch_ns(o_orderdate) // 1000000000 // 86400 AS BIGINT) "
+    "AS d FROM orders), "
+    "fst AS (SELECT o_custkey, min(d) AS fd FROM o GROUP BY o_custkey), "
+    "daily AS (SELECT fd, CAST(count(*) AS BIGINT) AS y "
+    "FROM fst GROUP BY fd), "
+    "series AS (SELECT fd, y, "
+    "CAST(coalesce(sum(y) OVER (ORDER BY fd ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_prev FROM daily), "
+    "s AS (SELECT CAST(count(*) AS BIGINT) AS s0, sum(n_prev) AS s1, "
+    "sum(n_prev * n_prev) AS s2, "
+    "sum(n_prev * n_prev * n_prev) AS s3, "
+    "sum(n_prev * n_prev * n_prev * n_prev) AS s4, "
+    "sum(y) AS sy, sum(n_prev * y) AS sxy, "
+    "sum(n_prev * n_prev * y) AS sx2y FROM series), "
+    "dd AS (SELECT s0, CAST(s0 AS DOUBLE) AS s0d, "
+    "CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d, "
+    "CAST(s3 AS DOUBLE) AS s3d, CAST(s4 AS DOUBLE) AS s4d, "
+    "CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd, "
+    "CAST(sx2y AS DOUBLE) AS sx2yd FROM s), "
+    "f AS (SELECT s0, "
+    "(syd * (s2d * s4d - s3d * s3d) "
+    "- s1d * (sxyd * s4d - s3d * sx2yd) "
+    "+ s2d * (sxyd * s3d - s2d * sx2yd)) / "
+    "(s0d * (s2d * s4d - s3d * s3d) "
+    "- s1d * (s1d * s4d - s3d * s2d) "
+    "+ s2d * (s1d * s3d - s2d * s2d)) AS a, "
+    "(s0d * (sxyd * s4d - sx2yd * s3d) "
+    "- syd * (s1d * s4d - s3d * s2d) "
+    "+ s2d * (s1d * sx2yd - s2d * sxyd)) / "
+    "(s0d * (s2d * s4d - s3d * s3d) "
+    "- s1d * (s1d * s4d - s3d * s2d) "
+    "+ s2d * (s1d * s3d - s2d * s2d)) AS b, "
+    "(s0d * (s2d * sx2yd - s3d * sxyd) "
+    "- s1d * (s1d * sx2yd - s3d * syd) "
+    "+ syd * (s1d * s3d - s2d * s2d)) / "
+    "(s0d * (s2d * s4d - s3d * s3d) "
+    "- s1d * (s1d * s4d - s3d * s2d) "
+    "+ s2d * (s1d * s3d - s2d * s2d)) AS c FROM dd), "
+    "g AS (SELECT s0, a, b, c, "
+    "CASE WHEN b * b - 4.0 * a * c >= 0 AND c < 0 THEN "
+    "(-b - sqrt(b * b - 4.0 * a * c)) / (2.0 * c) END AS m FROM f) "
+    "SELECT s0 AS n_days, round(a, 6) AS coef_a, "
+    "round(b, 6) AS coef_b, round(c, 6) AS coef_c, "
+    "round(m, 2) AS m_hat, round(a / m, 6) AS p_hat, "
+    "round(-c * m, 6) AS q_hat, "
+    "round(ln((-c * m) / (a / m)) / (a / m + -c * m), 4) "
+    "AS t_peak_days FROM g"
+)
+
+QUERIES["rel_bass_diffusion"] = q_bass_diffusion
