@@ -177,3 +177,16 @@ def test_bass_fit_recovers_meaningful_params(spark):
         # the innovation/imitation rates must be positive
         assert row["m_hat"] > 0
         assert row["p_hat"] > 0 and row["q_hat"] > 0
+
+
+def test_pot_return_levels_ordered(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (
+        timeseries,
+    )
+
+    row = timeseries.q_events_pot_tail(spark, SF_DIR).collect()[0]
+    assert row["n_exceed"] > 0 and row["mean_excess"] > 0
+    # longer return periods extrapolate to higher levels, all above u
+    rls = [row[f"return_level_{m}d"] for m in timeseries.POT_RETURN_DAYS]
+    assert rls == sorted(rls)
+    assert rls[-1] > row["u_threshold"]

@@ -1565,3 +1565,104 @@ ORACLES["events_holt_forecast"] = (
 )
 
 QUERIES["events_holt_forecast"] = q_events_holt_forecast
+
+
+# --- peak-over-threshold tail analysis (r6) -------------------------------
+#
+# Extreme-value readout over daily revenue: classic POT with an
+# exponential excess model (the GPD ξ→0 case — one closed-form
+# parameter, no iterative MLE): threshold u = the exact 95th
+# percentile order statistic of daily revenue, σ̂ = mean excess over
+# u, and the m-day return level u + σ̂·ln(m·ζ_u) with ζ_u the
+# exceedance rate — "the daily revenue spike you should expect once
+# per m days".  Complements events_cvar (empirical tail mean) by
+# EXTRAPOLATING beyond the observed maximum, which is the point of
+# EVT.
+#
+# Scale shape: the scan reduces to the day table; the threshold is an
+# exact order statistic (integer rank over the calendar-bounded day
+# series), excess sums are exact integer cents, and ln applies once
+# to identical doubles.
+
+POT_Q = 0.95
+POT_RETURN_DAYS = (30, 100, 365)
+
+
+def q_events_pot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        F.expr("epoch_sec DIV 86400").cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.sum("cents").cast("long").alias("rev")
+    )
+    w = Window.orderBy("rev", "day")
+    ranked = daily.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "n", F.count("*").over(Window.partitionBy()).cast("long")
+    )
+    thr = ranked.filter(
+        F.col("rn")
+        == F.ceil(F.lit(POT_Q) * F.col("n")).cast("long")
+    ).select(F.col("rev").alias("u"), "n")
+    exc = (
+        daily.crossJoin(F.broadcast(thr))
+        .filter(F.col("rev") > F.col("u"))
+        .agg(
+            F.max("u").alias("u"),
+            F.max("n").alias("n_days"),
+            F.count("*").cast("long").alias("n_exceed"),
+            F.sum(F.col("rev") - F.col("u")).cast("long").alias(
+                "sum_excess"
+            ),
+        )
+    )
+    sigma = F.col("sum_excess") / F.col("n_exceed").cast("double")
+    zeta = F.col("n_exceed") / F.col("n_days").cast("double")
+    cols = [
+        F.round(F.col("u") / 100.0, 2).alias("u_threshold"),
+        F.col("n_days"),
+        F.col("n_exceed"),
+        F.round(sigma / 100.0, 6).alias("mean_excess"),
+    ]
+    for m in POT_RETURN_DAYS:
+        cols.append(
+            F.round(
+                (F.col("u") + sigma * F.log(F.lit(float(m)) * zeta))
+                / 100.0,
+                4,
+            ).alias(f"return_level_{m}d")
+        )
+    return exc.select(*cols)
+
+
+def _pot_sql() -> str:
+    rl = ", ".join(
+        f"round((u + sum_excess / CAST(n_exceed AS DOUBLE) * "
+        f"ln({float(m)} * (n_exceed / CAST(n_days AS DOUBLE)))) "
+        f"/ 100.0, 4) AS return_level_{m}d"
+        for m in POT_RETURN_DAYS
+    )
+    return (
+        "WITH e AS (SELECT "
+        "CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day, "
+        "CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events), "
+        "daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS rev "
+        "FROM e GROUP BY day), "
+        "r AS (SELECT *, row_number() OVER (ORDER BY rev, day) AS rn, "
+        "count(*) OVER () AS n FROM daily), "
+        "thr AS (SELECT rev AS u, CAST(n AS BIGINT) AS n FROM r "
+        f"WHERE rn = CAST(ceil({POT_Q} * n) AS BIGINT)), "
+        "exc AS (SELECT max(u) AS u, max(n) AS n_days, "
+        "CAST(count(*) AS BIGINT) AS n_exceed, "
+        "CAST(sum(rev - u) AS BIGINT) AS sum_excess "
+        "FROM daily CROSS JOIN thr WHERE rev > u) "
+        "SELECT round(u / 100.0, 2) AS u_threshold, n_days, n_exceed, "
+        "round(sum_excess / CAST(n_exceed AS DOUBLE) / 100.0, 6) "
+        f"AS mean_excess, {rl} FROM exc"
+    )
+
+
+ORACLES["events_pot_tail"] = _pot_sql()
+QUERIES["events_pot_tail"] = q_events_pot_tail
