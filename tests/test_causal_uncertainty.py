@@ -178,6 +178,47 @@ def test_bass_fit_recovers_meaningful_params(spark):
         assert row["m_hat"] > 0
         assert row["p_hat"] > 0 and row["q_hat"] > 0
 
+    # Independent cross-check (r6 advice): the Cramer-rule coefficients
+    # must match numpy.linalg.lstsq on the same (y, N, N²) day table —
+    # a wrong cofactor copied into both the query and its oracle would
+    # pass parity but fail here.
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    orders = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select(
+            "o_custkey",
+            F.expr(
+                "CAST(unix_timestamp(o_orderdate) DIV 86400 AS BIGINT)"
+            ).alias("d"),
+        )
+    )
+    daily = (
+        orders.groupBy("o_custkey")
+        .agg(F.min("d").alias("fd"))
+        .groupBy("fd")
+        .agg(F.count("*").cast("long").alias("y"))
+    )
+    wcum = Window.orderBy("fd").rowsBetween(Window.unboundedPreceding, -1)
+    pts = (
+        daily.select(
+            "y",
+            F.coalesce(F.sum("y").over(wcum), F.lit(0)).alias("n_prev"),
+        )
+        .orderBy("n_prev")
+        .collect()
+    )
+    n_prev = np.array([r["n_prev"] for r in pts], dtype=float)
+    y = np.array([r["y"] for r in pts], dtype=float)
+    X = np.column_stack([np.ones_like(n_prev), n_prev, n_prev * n_prev])
+    coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(row["coef_a"] - coef[0]) < 1e-4 * max(1.0, abs(coef[0]))
+    assert abs(row["coef_b"] - coef[1]) < 1e-4 * max(1.0, abs(coef[1]))
+    assert abs(row["coef_c"] - coef[2]) < 1e-4 * max(1.0, abs(coef[2]))
+
 
 def test_pot_return_levels_ordered(spark):
     from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import (

@@ -25,16 +25,68 @@ from conftest import SF_DIR
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 
+# Physical nodes that bound the row count flowing into a window: any
+# aggregation (histogram / top-k / 1-row stats), an explicit limit, or
+# a memoized cache of one of those.  An unpartitioned Window whose
+# subtree contains none of these is sorting something corpus-sized on
+# a single partition — the exact failure the r6 verdict asked to guard
+# mechanically (today every such window sits over value histograms,
+# token top-ks, or daily series; this keeps it that way).
+_BOUNDED_PRODUCERS = {
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "LocalLimit",
+}
+
+
+def _subtree_has_bounded_producer(node) -> bool:
+    if node.nodeName() == "AdaptiveSparkPlan":
+        return _subtree_has_bounded_producer(node.inputPlan())
+    for i in range(node.children().size()):
+        c = node.children().apply(i)
+        name = c.nodeName()
+        if name == "AdaptiveSparkPlan":
+            c = c.inputPlan()
+            name = c.nodeName()
+        if name in _BOUNDED_PRODUCERS or name.startswith("InMemory"):
+            return True
+        if _subtree_has_bounded_producer(c):
+            return True
+    return False
+
+
+def _unbounded_global_windows(node, hits: list) -> None:
+    if node.nodeName() == "AdaptiveSparkPlan":
+        _unbounded_global_windows(node.inputPlan(), hits)
+        return
+    if (
+        node.nodeName() == "Window"
+        and node.partitionSpec().size() == 0
+        and not _subtree_has_bounded_producer(node)
+    ):
+        hits.append(node.nodeName())
+    for i in range(node.children().size()):
+        _unbounded_global_windows(node.children().apply(i), hits)
+
+
 @pytest.fixture(scope="module")
 def all_plans(spark):
     import __spark_entry__ as entrymod
 
-    plans, schemas = {}, {}
+    plans, schemas, window_hits = {}, {}, {}
     for name, fn in entrymod.queries().items():
         df = fn(spark, SF_DIR)
-        plans[name] = df._jdf.queryExecution().executedPlan().toString()
+        jplan = df._jdf.queryExecution().executedPlan()
+        plans[name] = jplan.toString()
         schemas[name] = df.schema
-    return plans, schemas
+        hits: list = []
+        _unbounded_global_windows(jplan, hits)
+        if hits:
+            window_hits[name] = len(hits)
+    return plans, schemas, window_hits
 
 
 def test_no_complex_typed_result_columns(all_plans):
@@ -45,7 +97,7 @@ def test_no_complex_typed_result_columns(all_plans):
     operators/similarity.py)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    _, schemas = all_plans
+    _, schemas, _ = all_plans
     bad = [
         (n, f.name)
         for n, sch in schemas.items()
@@ -56,12 +108,23 @@ def test_no_complex_typed_result_columns(all_plans):
 
 
 def test_no_cartesian_products_anywhere(all_plans):
-    plans, _ = all_plans
+    plans, _, _ = all_plans
     bad = [n for n, p in plans.items() if "CartesianProduct" in p]
     assert not bad, bad
 
 
 def test_no_row_at_a_time_python_udfs_anywhere(all_plans):
-    plans, _ = all_plans
+    plans, _, _ = all_plans
     bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
     assert not bad, bad
+
+
+def test_unpartitioned_windows_sit_over_bounded_inputs(all_plans):
+    """r6 verdict item 5: every ``Window.orderBy`` without a
+    ``partitionBy`` must consume a bounded (aggregated / limited /
+    cached-aggregate) input — true today by convention for the value
+    histograms, token top-ks, and daily series; this makes it a pinned
+    invariant so a future query can't ship a corpus-sized
+    single-partition sort."""
+    _, _, window_hits = all_plans
+    assert not window_hits, window_hits

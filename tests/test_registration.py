@@ -23,14 +23,20 @@ def test_window_is_exactly_the_promoted_fifty():
     assert q[:50] == list(entrymod._PROMOTED)
 
 
-def test_promoted_head_leads_with_the_r5_failures():
-    """The two r5 CORRECTNESS failures (array-typed results broke the
-    driver canonicalizer; both now emit scalar CSV renderings) must
-    lead the r6 window so their fix gets a driver-green row."""
-    assert entrymod._PROMOTED[:2] == (
-        "sim_embedding_quantize",
-        "sim_group_centroids",
-    )
+def test_promoted_matches_mechanical_rotation():
+    """Since r7 the window is derived at import time from the
+    CORRECTNESS_r*.json union; it must agree with tools/rotation.py's
+    independent derivation (same green rule, registration order) so
+    neither can silently drift."""
+    import tools.rotation as rotation
+
+    green = rotation.driver_green(entrymod.rows_only())
+    names = list(entrymod.queries())
+    never = [n for n in names if n not in green]
+    expected = never[:50]
+    if len(expected) < 50:
+        expected.extend(n for n in names if n not in never)
+    assert list(entrymod._PROMOTED) == expected[:50]
 
 
 def test_promoted_are_all_never_driver_checked():

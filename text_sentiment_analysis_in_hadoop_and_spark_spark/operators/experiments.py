@@ -925,13 +925,15 @@ def q_events_power_analysis(
     )
     # integer moments, not var_pop: the aggregate's float accumulation
     # noise (~1e-6 relative on 1e10-scale variances) can flip the ceil
-    # at a boundary between engines; BIGINT Σx and Σx² are EXACT and
-    # make mu/var bit-identical everywhere (Σx² ≈ 1e17 at sf0.1 —
-    # far inside int64)
+    # at a boundary between engines; Σx (BIGINT) and Σx²
+    # (decimal(38,0) ↔ HUGEINT — the cents operand is widened BEFORE
+    # the multiply, so per-user squares can't wrap in LONG) are EXACT
+    # and make mu/var bit-identical everywhere
     base = per_user.agg(
         F.count("*").cast("long").alias("n_users"),
         F.sum("cents").cast("long").alias("sx"),
-        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("sxx"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .alias("sxx"),
     ).select(
         "n_users",
         (F.col("sx").cast("double") / F.col("n_users")).alias("mu"),
@@ -964,7 +966,7 @@ ORACLES["events_power_analysis"] = " UNION ALL ".join(
     "WHERE event_type = 'purchase' GROUP BY user_id), "
     "m AS (SELECT CAST(count(*) AS BIGINT) AS n_users, "
     "CAST(sum(cents) AS BIGINT) AS sx, "
-    "CAST(sum(cents * cents) AS BIGINT) AS sxx FROM pu), "
+    "sum(CAST(cents AS HUGEINT) * cents) AS sxx FROM pu), "
     "b AS (SELECT n_users, CAST(sx AS DOUBLE) / n_users AS mu, "
     "(CAST(sxx AS DOUBLE) * n_users - CAST(sx AS DOUBLE) * sx) "
     "/ (CAST(n_users AS DOUBLE) * n_users) AS var FROM m) "
@@ -1410,7 +1412,7 @@ def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n"),
             F.sum("cents").alias("s1"),
             F.sum(
-                (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+                F.col("cents").cast("decimal(38,0)") * F.col("cents")
             ).alias("s2"),
         )
     )
@@ -1475,7 +1477,7 @@ def _did_sql() -> str:
         "AS treated, CASE WHEN es > cut.cut THEN 1 ELSE 0 END AS post, "
         "cents FROM e CROSS JOIN cut), "
         "g AS (SELECT treated, post, CAST(count(*) AS BIGINT) AS n, "
-        "sum(cents) AS s1, sum(cents * cents) AS s2 "
+        "sum(cents) AS s1, sum(CAST(cents AS HUGEINT) * cents) AS s2 "
         "FROM c GROUP BY treated, post), "
         "one AS (SELECT "
         + ", ".join(
@@ -1556,7 +1558,7 @@ def q_events_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("gn"),
         F.sum("cents").alias("gs1"),
         F.sum(
-            (F.col("cents") * F.col("cents")).cast("decimal(38,0)")
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
         ).alias("gs2"),
     ).select(
         (
@@ -1621,7 +1623,7 @@ def _msprt_sql() -> str:
         "WITH e AS (SELECT user_id, "
         "CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day, "
         "CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events), "
-        "gstats AS (SELECT (CAST(sum(cents * cents) AS DOUBLE) - "
+        "gstats AS (SELECT (CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) - "
         "CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE) "
         "/ count(*)) / (count(*) - 1.0) / 10000.0 AS sigma2 FROM e), "
         "daily AS (SELECT day, "
@@ -1696,18 +1698,26 @@ def q_events_ips_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_log")
     )
-    w = F.round(1000000.0 / F.col("p_log")).cast("long")
+    # Zero-guard (r6 advice): a segment with no target-action events
+    # has p_log = 0 — an unguarded 1e6/p_log saturates to
+    # Long.MaxValue in Spark while DuckDB errors on CAST(inf AS
+    # BIGINT).  NULL weight on both engines instead; hit = 0 on every
+    # such row anyway, so the NULLs drop out of the weighted sums.
+    # The weight is decimal(38,0) (HUGEINT in the oracle) so hit·w·w
+    # — up to 1e24 at the 1e-6 propensity floor — stays exact instead
+    # of wrapping in LONG.
+    w = F.when(
+        F.col("p_log") > 0, F.round(1000000.0 / F.col("p_log"))
+    ).cast("decimal(38,0)")
     hit = (F.col("event_type") == IPS_TARGET_ACTION).cast("long")
     agg = (
         ev.join(F.broadcast(prop), "seg")
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum("cents").alias("s_all"),
-            F.sum(
-                (hit * w * F.col("cents")).cast("decimal(38,0)")
-            ).alias("swr"),
-            F.sum(hit * w).cast("decimal(38,0)").alias("sw"),
-            F.sum((hit * w * w).cast("decimal(38,0)")).alias("sw2"),
+            F.sum(hit * w * F.col("cents")).alias("swr"),
+            F.sum(hit * w).alias("sw"),
+            F.sum(hit * w * w).alias("sw2"),
         )
     )
     return agg.select(
@@ -1740,7 +1750,8 @@ def _ips_sql() -> str:
         "prop AS (SELECT seg, round(sum(CASE WHEN event_type = "
         f"'{IPS_TARGET_ACTION}' THEN 1 ELSE 0 END) "
         "/ CAST(count(*) AS DOUBLE), 6) AS p_log FROM e GROUP BY seg), "
-        "j AS (SELECT e.*, CAST(round(1000000.0 / p.p_log, 0) AS BIGINT) "
+        "j AS (SELECT e.*, CASE WHEN p.p_log > 0 THEN "
+        "CAST(round(1000000.0 / p.p_log, 0) AS HUGEINT) END "
         "AS w, CASE WHEN e.event_type = "
         f"'{IPS_TARGET_ACTION}' THEN 1 ELSE 0 END AS hit "
         "FROM e JOIN prop p USING (seg)), "
@@ -1832,21 +1843,27 @@ def q_events_adstock_mmm(
         say += ai * y
         syy += y * y
     den = n * saa - sa * sa
-    beta = (n * say - sa * sy) / float(den)  # cents per micro-adstock
-    alpha = (sy - beta * sa) / n / 100.0
-    r2 = (
-        beta * beta * den / float(n * syy - sy * sy)
-        if n * syy - sy * sy > 0
-        else 0.0
-    )
+    deny = n * syy - sy * sy
+    # Degenerate corpora (no events, or a constant adstock series)
+    # give den == 0; DuckDB's DOUBLE/0 is NULL, so mirror NULL
+    # coefficients here instead of raising ZeroDivisionError (r6
+    # advice: the registered query and its oracle must fail — or not
+    # fail — the same way).
+    if n == 0 or den == 0:
+        beta = alpha = None
+        r2 = None if (n > 0 and deny > 0) else 0.0
+    else:
+        beta = (n * say - sa * sy) / float(den)  # cents per micro-adstock
+        alpha = (sy - beta * sa) / n / 100.0
+        r2 = beta * beta * den / float(deny) if deny > 0 else 0.0
     return spark.createDataFrame(
         [
             (
                 int(n),
                 float(ADSTOCK_LAMBDA),
-                float(r6(beta * 1e6 / 100.0)),
-                float(r6(alpha)),
-                float(r6(r2)),
+                None if beta is None else float(r6(beta * 1e6 / 100.0)),
+                None if alpha is None else float(r6(alpha)),
+                None if r2 is None else float(r6(r2)),
             )
         ],
         schema=(

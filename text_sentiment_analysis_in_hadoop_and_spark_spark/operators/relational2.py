@@ -3001,7 +3001,7 @@ def q_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     det_c = (
         d["s0"] * (d["s2"] * d["sx2y"] - d["s3"] * d["sxy"])
-        - d["s1"] * (d["s1"] * d["sx2y"] - d["s3"] * d["sy"])
+        - d["s1"] * (d["s1"] * d["sx2y"] - d["s2"] * d["sxy"])
         + d["sy"] * (d["s1"] * d["s3"] - d["s2"] * d["s2"])
     )
     a, b, c = det_a / det, det_b / det, det_c / det
@@ -3059,7 +3059,7 @@ ORACLES["rel_bass_diffusion"] = (
     "- s1d * (s1d * s4d - s3d * s2d) "
     "+ s2d * (s1d * s3d - s2d * s2d)) AS b, "
     "(s0d * (s2d * sx2yd - s3d * sxyd) "
-    "- s1d * (s1d * sx2yd - s3d * syd) "
+    "- s1d * (s1d * sx2yd - s2d * sxyd) "
     "+ syd * (s1d * s3d - s2d * s2d)) / "
     "(s0d * (s2d * s4d - s3d * s3d) "
     "- s1d * (s1d * s4d - s3d * s2d) "
