@@ -93,3 +93,24 @@ def test_qlm_smoothing_scores_all_docs_and_prefers_matches(spark, tmp_path):
     assert q0[12][0] > q0[11][0]
     # no query doc leaks into any result list
     assert all(doc >= 8 for (_, doc) in out)
+
+
+def test_qlm_plan_is_candidate_bounded(spark):
+    """r6 verdict item 6: the QLM dense arm must never materialize
+    docs×queries.  The plan's shape is pinned instead of the old
+    full cross join: one global k-smallest-(dl, doc_id) pass
+    (TakeOrderedAndProject) supplies every query's unmatched
+    candidates, unioned with the matched pairs."""
+    from tests.conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.retrieval import (
+        q_qlm_topk,
+    )
+
+    plan = (
+        q_qlm_topk(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Union" in plan

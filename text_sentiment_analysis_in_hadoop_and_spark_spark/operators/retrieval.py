@@ -211,11 +211,13 @@ QUERIES["text_hybrid_topk"] = q_hybrid_topk
 # smoothed background mass), so the naive join is |Q|·N·|terms|.  The
 # standard decomposition restores sparsity:
 #   score = qconst_q  −  |Q|·ln(dl_d + μ)  +  Σ_{t: tf>0} ln(1 + tf/(μ·P_t))
-# where qconst_q = Σ_{t∈Q} ln(μ·P_t) is a per-QUERY scalar.  The dense
-# part is a (q_id × doc) expression over the doc-length table (8 query
-# rows broadcast — linear in N, scaling with the bounded query count,
-# never with vocab), and only the third term touches the posting list
-# (the same broadcast-probe sparse join BM25 uses).
+# where qconst_q = Σ_{t∈Q} ln(μ·P_t) is a per-QUERY scalar.  Only the
+# third term touches the posting list (the same broadcast-probe
+# sparse join BM25 uses); the first two are candidate-pruned à la
+# WAND/max-score: among UNMATCHED docs the score is monotone
+# decreasing in dl, so one global k-smallest-(dl, doc_id)
+# TakeOrderedAndProject covers every query's unmatched candidates and
+# nothing docs×queries is ever materialized (r6 verdict item 6).
 
 QLM_MU = 2000.0
 
@@ -250,17 +252,6 @@ def q_qlm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.log(F.lit(QLM_MU) * F.col("p_t"))).alias("qconst"),
         )
     )
-    # dense part: every (query, doc) pair off the doc-length table
-    base = dlen.filter(F.col("doc_id") >= N_QUERY_DOCS).crossJoin(
-        F.broadcast(q_scal)
-    ).select(
-        "q_id",
-        "doc_id",
-        (
-            F.col("qconst")
-            - F.col("q_size") * F.log(F.col("dl") + QLM_MU)
-        ).alias("base"),
-    )
     # sparse part: matched terms only
     match = (
         postings.join(F.broadcast(q_terms), "token")
@@ -276,12 +267,44 @@ def q_qlm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bonus")
         )
     )
-    scored = base.join(match, ["q_id", "doc_id"], "left").select(
-        "q_id",
-        "doc_id",
-        F.round(
-            F.col("base") + F.coalesce("bonus", F.lit(0.0)), 6
-        ).alias("score"),
+    # Candidate bound (r6 verdict item 6): the old dense arm
+    # materialized |docs|×|queries| base rows.  Exact pruning instead:
+    # a doc with NO matched term scores qconst − |Q|·ln(dl + μ),
+    # monotone DECREASING in dl for every query (q_size > 0), and the
+    # final ranking tie-breaks by ascending doc_id — so the only
+    # unmatched docs that can reach ANY query's top-k are the k
+    # lexicographically-smallest (dl, doc_id) docs, ONE global
+    # TakeOrderedAndProject shared by all queries (every matched-term
+    # bonus is ln(1 + x) ≥ 0, so matched docs only move UP from their
+    # base).  Candidates = matched pairs ∪ |Q|·k small-dl rows —
+    # linear in the posting matches, never docs×queries.
+    small_k = (
+        dlen.filter(F.col("doc_id") >= N_QUERY_DOCS)
+        .orderBy(F.asc("dl"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+        .select("doc_id")
+    )
+    cand = (
+        match.select("q_id", "doc_id")
+        .unionByName(
+            q_scal.select("q_id").crossJoin(F.broadcast(small_k))
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(dlen, "doc_id")
+        .join(F.broadcast(q_scal), "q_id")
+        .join(match, ["q_id", "doc_id"], "left")
+        .select(
+            "q_id",
+            "doc_id",
+            F.round(
+                F.col("qconst")
+                - F.col("q_size") * F.log(F.col("dl") + QLM_MU)
+                + F.coalesce("bonus", F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
