@@ -86,7 +86,70 @@ def q_catalog_partition_pruning(
     )
 
 
+def ensure_managed_customers(spark: SparkSession, sf_dir: str) -> str:
+    """MANAGED twin of the external table above (r6 verdict item 7):
+    no ``path`` option, so the table lives wherever the session
+    catalog's warehouse puts it and is owned by the metastore — the
+    ``spark-hive`` capability the reference left commented out
+    (/root/reference/Spark/NB/build.sbt:14).  Partitioned by market
+    segment (5 values — bounded partition count); pruning must be
+    proven through ``spark.table`` + catalog API alone, no file paths
+    anywhere in the consumer."""
+    t = f"tsa_customer_by_segment_{_tag(sf_dir)}"
+    if not spark.catalog.tableExists(t):
+        # a stale managed LOCATION from a previous session breaks
+        # saveAsTable (in-memory catalog forgets tables, files
+        # survive) — drop through the catalog first, then scrub
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+            "file:"
+        )
+        stale = _os.path.join(wh, t)
+        if _os.path.exists(stale):
+            _shutil.rmtree(stale, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "customer")
+            .write.mode("overwrite")
+            .partitionBy("c_mktsegment")
+            .format("parquet")
+            .saveAsTable(t)
+        )
+    return t
+
+
+PRUNE_SEGMENT = "BUILDING"
+
+
+def q_catalog_managed_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-nation customer count + balance for ONE market segment,
+    read through a MANAGED partitioned table: the segment filter
+    prunes 4 of 5 partition directories at planning time (plan shows
+    ``PartitionFilters: [... (c_mktsegment = BUILDING)]``), proving
+    the metastore path end-to-end — create via ``saveAsTable``,
+    discover via ``spark.catalog``, read via ``spark.table``."""
+    t = ensure_managed_customers(spark, sf_dir)
+    c = spark.table(t).filter(
+        F.col("c_mktsegment") == PRUNE_SEGMENT
+    )
+    return c.groupBy(F.col("c_nationkey").cast("long").alias("nationkey")).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+        .cast("long")
+        .alias("acctbal_cents"),
+    )
+
+
 ORACLES = {
+    "catalog_managed_pruning": (
+        "SELECT CAST(c_nationkey AS BIGINT) AS nationkey, "
+        "CAST(count(*) AS BIGINT) AS n_customers, "
+        "CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) "
+        "AS BIGINT) AS acctbal_cents FROM customer "
+        f"WHERE c_mktsegment = '{PRUNE_SEGMENT}' "
+        "GROUP BY c_nationkey"
+    ),
     "catalog_partition_pruning": (
         "SELECT CAST(month(o_orderdate) AS INTEGER) AS month, "
         "CAST(count(*) AS BIGINT) AS n_orders, "
@@ -97,11 +160,17 @@ ORACLES = {
     )
 }
 
-QUERIES = {"catalog_partition_pruning": q_catalog_partition_pruning}
+QUERIES = {
+    "catalog_partition_pruning": q_catalog_partition_pruning,
+    "catalog_managed_pruning": q_catalog_managed_pruning,
+}
 
-# bench bills the one-off partitioned write as a layout-build entry
+# bench bills the one-off partitioned writes as layout-build entries
 BENCH_PREPARE = {
     "catalog_partition_build": lambda spark, sf_dir: (
         ensure_partitioned_orders(spark, sf_dir)
-    )
+    ),
+    "catalog_managed_build": lambda spark, sf_dir: (
+        ensure_managed_customers(spark, sf_dir)
+    ),
 }
