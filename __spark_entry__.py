@@ -191,6 +191,16 @@ _asof_late = SimpleNamespace(
     QUERIES=asof.QUERIES_LATE,
     ORACLES=asof.ORACLES_LATE,
 )
+# r7 additions register at the END of _MODULE_ORDER so they land past
+# the driver's 50-slot window (the import-time _PROMOTED derivation
+# orders never-checked names by registration position — an early-
+# module addition would evict a backlog query from this round's
+# window)
+_multimodal_r7 = SimpleNamespace(
+    __name__="multimodal_r7",
+    QUERIES=multimodal.QUERIES_R7,
+    ORACLES=multimodal.ORACLES_R7,
+)
 
 
 _MODULE_ORDER = (
@@ -241,6 +251,7 @@ _MODULE_ORDER = (
     pystream_source,
     bucketing_source,
     catalog_source,
+    _multimodal_r7,
 )
 
 

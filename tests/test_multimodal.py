@@ -407,3 +407,119 @@ def test_ahash_near_pairs_pigeonhole_exact(spark):
     # corpus query runs end-to-end (the synthetic corpus collapses to
     # one perceptual family, so zero near pairs is the honest answer)
     assert q_mm_ahash_pairs(spark, SF_DIR).count() >= 0
+
+
+# --- r7: stdlib-zlib PNG codec ------------------------------------------
+
+
+def _rand_rgb(h, w, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype="uint8")
+
+
+def test_png_roundtrip_every_filter_type():
+    """encode→decode is identity for each scanline filter alone and
+    for a mixed cycle — exercises None/Sub/Up/Average/Paeth on random
+    pixels where any unfilter bug shows immediately."""
+    import numpy as np
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    px = _rand_rgb(11, 7, seed=42)
+    for f in range(5):
+        got = decode_png_pixels(encode_png(px, filters=[f]))
+        assert np.array_equal(got, px), f"filter {f}"
+    got = decode_png_pixels(encode_png(px, filters=[0, 1, 2, 3, 4]))
+    assert np.array_equal(got, px)
+
+
+def test_png_decode_gray_palette_alpha_variants():
+    """Hand-built PNGs for the non-RGB color types: gray broadcasts,
+    alpha drops, palette indexes resolve through PLTE."""
+    import zlib
+
+    import numpy as np
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png_pixels,
+    )
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    def build(w, h, color, raw, plte=b""):
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes([8, color, 0, 0, 0])
+        )
+        body = chunk(b"IHDR", ihdr)
+        if plte:
+            body += chunk(b"PLTE", plte)
+        body += chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        return _PNG_SIG + body
+
+    # grayscale 2x2: values 10,20 / 30,40 → broadcast to RGB
+    gray = build(2, 2, 0, b"\x00\x0a\x14" + b"\x00\x1e\x28")
+    got = decode_png_pixels(gray)
+    assert got.shape == (2, 2, 3)
+    assert got[0, 0].tolist() == [10, 10, 10]
+    assert got[1, 1].tolist() == [40, 40, 40]
+
+    # gray+alpha 1x2: alpha dropped
+    ga = build(2, 1, 4, b"\x00\x0a\xff\x14\x00")
+    assert decode_png_pixels(ga)[0, 1].tolist() == [20, 20, 20]
+
+    # RGBA 1x1: alpha dropped
+    rgba = build(1, 1, 6, b"\x00\x01\x02\x03\x80")
+    assert decode_png_pixels(rgba)[0, 0].tolist() == [1, 2, 3]
+
+    # palette 1x2: indexes 1, 0 into a 2-entry PLTE
+    pal = build(
+        2, 1, 3, b"\x00\x01\x00", plte=bytes([9, 8, 7, 100, 101, 102])
+    )
+    got = decode_png_pixels(pal)
+    assert got[0, 0].tolist() == [100, 101, 102]
+    assert got[0, 1].tolist() == [9, 8, 7]
+
+    # exotic profiles stay honestly gated
+    import pytest
+
+    bad_depth = build(1, 1, 0, b"\x00\x00")
+    bad_depth = bad_depth.replace(
+        bytes([8, 0, 0, 0, 0]), bytes([16, 0, 0, 0, 0]), 1
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png_pixels(bad_depth)
+    interlaced = build(1, 1, 0, b"\x00\x00").replace(
+        bytes([8, 0, 0, 0, 0]), bytes([8, 0, 0, 0, 1]), 1
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png_pixels(interlaced)
+
+
+def test_decode_pixels_routes_png_and_bmp():
+    """decode_pixels picks the right dependency-free decoder per
+    container and the two paths agree on the shared gradient."""
+    import numpy as np
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.multimodal import (
+        decode_pixels,
+        encode_png,
+        make_bmp,
+    )
+
+    bmp_px = decode_pixels(make_bmp(12345))
+    png_px = decode_pixels(encode_png(bmp_px, filters=[3, 4, 1]))
+    assert np.array_equal(bmp_px, png_px)
