@@ -201,6 +201,16 @@ _multimodal_r7 = SimpleNamespace(
     QUERIES=multimodal.QUERIES_R7,
     ORACLES=multimodal.ORACLES_R7,
 )
+_bpe_r7 = SimpleNamespace(
+    __name__="bpe_r7",
+    QUERIES=bpe.QUERIES_R7,
+    ORACLES=bpe.ORACLES_R7,
+)
+_er_r7 = SimpleNamespace(
+    __name__="er_r7",
+    QUERIES=er.QUERIES_R7,
+    ORACLES=er.ORACLES_R7,
+)
 
 
 _MODULE_ORDER = (
@@ -252,6 +262,8 @@ _MODULE_ORDER = (
     bucketing_source,
     catalog_source,
     _multimodal_r7,
+    _bpe_r7,
+    _er_r7,
 )
 
 
@@ -343,6 +355,8 @@ _ROWS_ONLY = frozenset(
         "tfidf_df_approx",  # HLL sketch — exact-twin comparison test
         "text_bpe_merges",  # iterative greedy trainer — golden tests
         "text_bpe_tokenize",
+        "text_bpe_merges_sampled",  # same trainer, hash-sampled corpus
+        "text_bpe_tokenize_sampled",  # — mod-1 identity + ratio tests
         "dedup_pagerank",  # damped float recursion — closed-form tests
         "sim_pq_codes",  # per-subspace KMeans codebooks — recall tests
         "sim_topk_pq",

@@ -54,3 +54,54 @@ def test_training_is_deterministic(spark):
     a = [tuple(r) for r in q_bpe_merges(spark, sf).collect()]
     b = [tuple(r) for r in q_bpe_merges(spark, sf).collect()]
     assert a == b and len(a) > 0
+
+
+def test_sampled_trainer_mod1_is_identical_to_full(spark):
+    """sample_mod=1 keeps every doc, so the sampled trainer must
+    reduce EXACTLY to the full trainer — the identity that pins the
+    sampling layer as pure input selection, not a different
+    algorithm."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.bpe import (
+        train_bpe_sampled,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low low low lower", "newest newest widest", "low newest"]
+        )],
+        "doc_id BIGINT, text STRING",
+    ).select("text")
+    full = train_bpe(docs, 5)
+    sampled = train_bpe_sampled(docs, 5, sample_mod=1)
+    assert sampled == full and len(full) > 0
+
+
+def test_sampled_tokenizer_compression_tracks_full(spark):
+    """The production pairing: sample-trained merges applied to the
+    FULL corpus.  On the testdata the sampled tokenizer's overall
+    compression (bpe tokens per word) must stay within 20% of the
+    full-trained tokenizer's — the transfer property that justifies
+    sampling at scale; also pins determinism of the sampled path."""
+    from pyspark.sql import functions as F
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.bpe import (
+        q_bpe_merges_sampled,
+        q_bpe_tokenize,
+        q_bpe_tokenize_sampled,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def ratio(df):
+        r = df.agg(
+            F.sum("n_bpe_tokens").alias("t"), F.sum("n_words").alias("w")
+        ).collect()[0]
+        return r["t"] / r["w"]
+
+    r_full = ratio(q_bpe_tokenize(spark, sf))
+    r_sampled = ratio(q_bpe_tokenize_sampled(spark, sf))
+    assert abs(r_sampled - r_full) / r_full < 0.20, (r_sampled, r_full)
+
+    a = [tuple(r) for r in q_bpe_merges_sampled(spark, sf).collect()]
+    b = [tuple(r) for r in q_bpe_merges_sampled(spark, sf).collect()]
+    assert a == b and len(a) > 0

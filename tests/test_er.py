@@ -154,3 +154,37 @@ def test_blocking_quality_bounds(spark):
     assert 0.0 <= r["reduction_ratio"] <= 1.0
     # blocking must actually block: candidate space far below quadratic
     assert r["reduction_ratio"] > 0.5
+
+
+def test_survivorship_attribute_rules(spark, tmp_path):
+    """Golden record per entity (r7): text provenance from the
+    longest member, lang/source by majority vote with value-asc
+    tie-break, correct member counts — on a planted 3-member entity
+    plus a singleton."""
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.er import (
+        q_er_survivorship,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        # one fuzzy family: the block key includes lang, so members
+        # share it by construction — the vote under test is source
+        (1, base, "en", "web"),
+        (2, base + " x", "en", "book"),
+        (3, base + " yy", "en", "book"),
+        # singleton far away
+        (9, "completely different text entirely unrelated", "fr", "web"),
+    ]
+    sf = _write_docs(tmp_path, rows, name="surv")
+    out = {
+        r["entity_id"]: r for r in q_er_survivorship(spark, sf).collect()
+    }
+    fam = out[1]
+    assert fam["n_members"] == 3
+    # longest member (doc 3) wins text provenance
+    assert fam["canon_doc_id"] == 3
+    # source: book beats web 2-1; lang unanimous within a block
+    assert fam["lang"] == "en" and fam["source"] == "book"
+    solo = out[9]
+    assert solo["n_members"] == 1 and solo["canon_doc_id"] == 9
+    assert solo["lang"] == "fr" and solo["source"] == "web"

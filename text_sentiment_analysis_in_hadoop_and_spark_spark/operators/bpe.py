@@ -172,3 +172,77 @@ QUERIES = {
     "text_bpe_merges": q_bpe_merges,
     "text_bpe_tokenize": q_bpe_tokenize,
 }
+
+
+# --------------------------------------------------------------------------
+# r7: sampled-corpus trainer — the production-vocab scale path
+# --------------------------------------------------------------------------
+#
+# The full trainer's per-round cost is one groupBy over the WHOLE
+# corpus's vocab segmentations; at a production 50k-merge vocab that
+# is 50k sequential vocab-wide rounds (the r6 verdict's named watch
+# item).  Standard practice (SentencePiece/GPT-2 tokenizer training
+# alike) trains merges on a bounded SAMPLE of the corpus: pair
+# statistics are Zipf-concentrated, so a deterministic hash-sample of
+# documents preserves the top-pair ordering while shrinking every
+# round's vocab table to the sample's.  The merges then apply to the
+# FULL corpus exactly like the full trainer's (apply_merges is
+# trainer-agnostic).
+
+BPE_SAMPLE_MOD = 2  # keep docs with xxhash64(text) % MOD == 0 — deterministic
+
+
+def train_bpe_sampled(
+    docs: DataFrame,
+    n_merges: int = N_MERGES,
+    sample_mod: int = BPE_SAMPLE_MOD,
+) -> list[dict]:
+    """Learn merges from a deterministic hash-sample of documents.
+    ``sample_mod=1`` keeps every doc (reduces exactly to
+    :func:`train_bpe` — pinned by a test); larger mods bound the
+    trainer's per-round vocab independent of corpus size."""
+    sampled = docs.filter(
+        F.abs(F.xxhash64(F.col("text"))) % sample_mod == 0
+    )
+    return train_bpe(sampled, n_merges)
+
+
+_SAMPLED_CACHE: dict[tuple[str, str], list] = register_cache({})
+
+
+def _trained_merges_sampled(
+    spark: SparkSession, sf_dir: str
+) -> list[dict]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    merges = _SAMPLED_CACHE.get(key)
+    if merges is None:
+        docs = load_table(spark, sf_dir, "documents").select("text")
+        merges = train_bpe_sampled(docs)
+        _SAMPLED_CACHE[key] = merges
+    return merges
+
+
+def q_bpe_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _trained_merges_sampled(spark, sf_dir)
+    return spark.createDataFrame(
+        rows or [],
+        "round INT, left STRING, right STRING, merged STRING, pair_count LONG",
+    ).select("round", "left", "right", "merged", "pair_count")
+
+
+def q_bpe_tokenize_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-corpus tokenization with SAMPLE-trained merges — the
+    pairing a production pipeline ships (train bounded, apply
+    everywhere).  The agreement test bounds its compression ratio
+    against the full-trained tokenizer's."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return apply_merges(docs, _trained_merges_sampled(spark, sf_dir))
+
+
+QUERIES_R7 = {
+    "text_bpe_merges_sampled": q_bpe_merges_sampled,
+    "text_bpe_tokenize_sampled": q_bpe_tokenize_sampled,
+}
+ORACLES_R7: dict[str, str] = {}

@@ -324,3 +324,126 @@ def _blocking_quality_sql() -> str:
 
 ORACLES["er_blocking_quality"] = _blocking_quality_sql()
 QUERIES["er_blocking_quality"] = q_er_blocking_quality
+
+
+# --- attribute-level survivorship (r7): the golden record ------------
+#
+# er_entities elects one canonical RECORD; real MDM survivorship
+# elects per-ATTRIBUTE winners with per-attribute rules (Talend/
+# Informatica-style: "longest" for free text, "most frequent" for
+# categorical fields).  One entity-keyed aggregate over the labeled
+# corpus — no new shuffle beyond the CC labels the entity query
+# already pays for.
+
+
+def q_er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden record per entity: text provenance from the LONGEST
+    member (n_chars desc, doc_id tie-break), lang and source by
+    MAJORITY VOTE (count desc, value asc tie-break), plus member
+    count — the per-attribute survivorship matrix of MDM
+    consolidation.  Scale shape: CC labels (matched subgraph only) +
+    two grouped votes + one entity window; every stage keys on
+    entity_id/attribute, partial-agg friendly, no corpus² anywhere."""
+    from .dedup import connected_components
+
+    pairs = q_er_fuzzy_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    ent = docs.join(
+        labels, docs.doc_id == labels.node, "left"
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.coalesce("label", "doc_id").cast("long").alias("entity_id"),
+    )
+
+    def vote(col: str) -> DataFrame:
+        w = Window.partitionBy("entity_id").orderBy(
+            F.desc("n"), F.asc(col)
+        )
+        return (
+            ent.groupBy("entity_id", col)
+            .agg(F.count("*").alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("entity_id", F.col(col).alias(f"{col}_won"))
+        )
+
+    canon_w = Window.partitionBy("entity_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    canon = (
+        ent.withColumn("rn", F.row_number().over(canon_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "entity_id",
+            F.col("doc_id").alias("canon_doc_id"),
+            F.col("n_chars").cast("long").alias("canon_n_chars"),
+        )
+    )
+    members = ent.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return (
+        canon.join(vote("lang"), "entity_id")
+        .join(vote("source"), "entity_id")
+        .join(members, "entity_id")
+        .select(
+            "entity_id",
+            "canon_doc_id",
+            "canon_n_chars",
+            F.col("lang_won").alias("lang"),
+            F.col("source_won").alias("source"),
+            "n_members",
+        )
+    )
+
+
+def _er_survivorship_sql() -> str:
+    pairs = ORACLES["er_fuzzy_pairs"]
+    return (
+        "WITH RECURSIVE "
+        f"epairs AS (SELECT doc_a, doc_b FROM ({pairs})), "
+        "eedges AS (SELECT doc_a AS src, doc_b AS dst FROM epairs "
+        "UNION ALL SELECT doc_b, doc_a FROM epairs), "
+        "ecc(node, label) AS (SELECT src, src FROM eedges "
+        "UNION "
+        "SELECT e.dst, ecc.label FROM ecc JOIN eedges e "
+        "ON ecc.node = e.src), "
+        "elab AS (SELECT node, min(label) AS label FROM ecc "
+        "GROUP BY node), "
+        "ent AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, "
+        "CAST(coalesce(l.label, d.doc_id) AS BIGINT) AS entity_id "
+        "FROM documents d LEFT JOIN elab l ON d.doc_id = l.node), "
+        "lv AS (SELECT entity_id, lang, count(*) AS n FROM ent "
+        "GROUP BY entity_id, lang), "
+        "lw AS (SELECT entity_id, lang, row_number() OVER "
+        "(PARTITION BY entity_id ORDER BY n DESC, lang) AS rn FROM lv), "
+        "sv AS (SELECT entity_id, source, count(*) AS n FROM ent "
+        "GROUP BY entity_id, source), "
+        "sw AS (SELECT entity_id, source, row_number() OVER "
+        "(PARTITION BY entity_id ORDER BY n DESC, source) AS rn "
+        "FROM sv), "
+        "can AS (SELECT entity_id, doc_id AS canon_doc_id, "
+        "n_chars AS canon_n_chars, row_number() OVER "
+        "(PARTITION BY entity_id ORDER BY n_chars DESC, doc_id) AS rn "
+        "FROM ent), "
+        "mem AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS "
+        "n_members FROM ent GROUP BY entity_id) "
+        "SELECT c.entity_id, CAST(c.canon_doc_id AS BIGINT) AS "
+        "canon_doc_id, CAST(c.canon_n_chars AS BIGINT) AS "
+        "canon_n_chars, l.lang, s.source, m.n_members "
+        "FROM can c "
+        "JOIN lw l ON l.entity_id = c.entity_id AND l.rn = 1 "
+        "JOIN sw s ON s.entity_id = c.entity_id AND s.rn = 1 "
+        "JOIN mem m ON m.entity_id = c.entity_id "
+        "WHERE c.rn = 1"
+    )
+
+
+QUERIES_R7 = {"er_survivorship": q_er_survivorship}
+ORACLES_R7 = {"er_survivorship": _er_survivorship_sql()}
