@@ -211,6 +211,11 @@ _er_r7 = SimpleNamespace(
     QUERIES=er.QUERIES_R7,
     ORACLES=er.ORACLES_R7,
 )
+_privacy_r7 = SimpleNamespace(
+    __name__="privacy_r7",
+    QUERIES=privacy.QUERIES_R7,
+    ORACLES=privacy.ORACLES_R7,
+)
 
 
 _MODULE_ORDER = (
@@ -264,6 +269,7 @@ _MODULE_ORDER = (
     _multimodal_r7,
     _bpe_r7,
     _er_r7,
+    _privacy_r7,
 )
 
 

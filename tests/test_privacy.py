@@ -146,3 +146,32 @@ def test_erasure_audit_is_complete_and_idempotent(spark):
         assert d["n_rows"] == len(users)  # one row per user
         assert d["n_affected_rows"] == d["n_affected_users"] == len(del_users)
         assert d["post_scrub_remaining"] == 0
+
+
+def test_dp_error_budget_calibration(spark):
+    """Laplace calibration (r7): noise scale is exactly 1/ε for a
+    sensitivity-1 count; the release bar flips monotonically in both
+    ε and the cell count."""
+    from tests.conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.privacy import (
+        DP_EPSILONS,
+        DP_REL_ERR_BAR,
+        q_dp_error_budget,
+    )
+
+    rows = q_dp_error_budget(spark, SF_DIR).collect()
+    assert rows
+    by_cell = {}
+    for r in rows:
+        assert abs(r["noise_scale"] - 1.0 / r["epsilon"]) < 1e-9
+        assert (
+            r["releasable"] == 1
+        ) == (r["expected_rel_err"] <= DP_REL_ERR_BAR)
+        by_cell.setdefault((r["nationkey"], r["segment"]), []).append(
+            (r["epsilon"], r["releasable"])
+        )
+    # every cell covers the full ε grid; releasability is monotone in ε
+    for v in by_cell.values():
+        assert sorted(e for e, _ in v) == sorted(DP_EPSILONS)
+        flags = [rel for _, rel in sorted(v)]
+        assert flags == sorted(flags)

@@ -397,3 +397,64 @@ ORACLES["priv_qi_subset_audit"] = (
     "AS identifiable_share FROM per"
 )
 QUERIES["priv_qi_subset_audit"] = q_qi_subset_audit
+
+
+# --- DP release-error budget (r7) -------------------------------------
+#
+# Before a histogram release under ε-differential privacy, the privacy
+# engineer asks: at which ε does each cell stay USEFUL?  A count
+# histogram has L1-sensitivity 1, so the Laplace mechanism adds noise
+# of scale b = 1/ε with expected absolute error exactly b.  This audit
+# computes, per (nation, segment) cell and per candidate ε, the noise
+# scale, the expected relative error b/count, and whether the cell
+# clears a 10% relative-error release bar — the deterministic
+# CALIBRATION side of DP (Dwork & Roth §3.3); no noise is drawn, so
+# the audit is exactly reproducible and oracle-checkable.  (Actual
+# noisy release would draw Laplace samples at publish time — a
+# one-pass map over this table.)
+#
+# Scale: one QI-keyed partial agg (|cells| state), crossed with the
+# 3-row ε grid — bounded everywhere.
+
+DP_EPSILONS = (0.1, 1.0, 10.0)
+DP_REL_ERR_BAR = 0.10
+
+
+def q_dp_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    eps = spark.createDataFrame(
+        [(e,) for e in DP_EPSILONS], "epsilon double"
+    )
+    out = cells.crossJoin(F.broadcast(eps))
+    b = F.lit(1.0) / F.col("epsilon")  # Laplace scale, sensitivity 1
+    rel = b / F.col("n")
+    return out.select(
+        "nationkey",
+        "segment",
+        "n",
+        "epsilon",
+        F.round(b, 6).alias("noise_scale"),
+        F.round(rel, 6).alias("expected_rel_err"),
+        (rel <= DP_REL_ERR_BAR).cast("int").alias("releasable"),
+    )
+
+
+ORACLES_R7 = {}
+QUERIES_R7 = {}
+ORACLES_R7["priv_dp_error_budget"] = (
+    "WITH cells AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, "
+    "c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n "
+    "FROM customer GROUP BY c_nationkey, c_mktsegment), "
+    "eps AS (SELECT CAST(unnest([0.1, 1.0, 10.0]) AS DOUBLE) "
+    "AS epsilon) "
+    "SELECT nationkey, segment, n, epsilon, "
+    "round(1.0 / epsilon, 6) AS noise_scale, "
+    "round(1.0 / epsilon / n, 6) AS expected_rel_err, "
+    "CAST(1.0 / epsilon / n <= 0.10 AS INTEGER) AS releasable "
+    "FROM cells CROSS JOIN eps"
+)
+QUERIES_R7["priv_dp_error_budget"] = q_dp_error_budget
