@@ -216,6 +216,11 @@ _privacy_r7 = SimpleNamespace(
     QUERIES=privacy.QUERIES_R7,
     ORACLES=privacy.ORACLES_R7,
 )
+_graph_r7 = SimpleNamespace(
+    __name__="graph_r7",
+    QUERIES=graph.QUERIES_R7,
+    ORACLES=graph.ORACLES_R7,
+)
 
 
 _MODULE_ORDER = (
@@ -270,6 +275,7 @@ _MODULE_ORDER = (
     _bpe_r7,
     _er_r7,
     _privacy_r7,
+    _graph_r7,
 )
 
 

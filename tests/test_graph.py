@@ -223,3 +223,42 @@ def test_neighbor_sample_respects_fanout_and_determinism(spark):
     # reproducible: a second run returns the identical sample
     again = sorted(map(tuple, q_graph_neighbor_sample(spark, SF_DIR).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_degree_powerlaw_closed_form(spark):
+    """r7: α̂ on a planted 3-bin degree histogram matches the
+    hand-computed log-log OLS, and a 2-bin graph yields NULL (no
+    meaningful fit)."""
+    import math
+
+    import numpy as np
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.graph import (
+        degree_powerlaw,
+    )
+
+    # planted: degree histogram {1: 8, 2: 4, 4: 1}
+    #   eight deg-1 nodes: four disjoint dangles off two deg-2 chains…
+    # easier to construct directly: hub h(deg 4) + chain — build edges
+    # whose degree multiset is exactly {1×8, 2×4, 4×1}:
+    #   hub 100 — 1,2,3,4            (hub deg 4; 1..4 get deg 1 so far)
+    #   chains: 1-11, 2-12, 3-13, 4-14  (1..4 now deg 2; 11..14 deg 1)
+    edges = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 100),
+         (1, 11), (2, 12), (3, 13), (4, 14)],
+        "a long, b long",
+    )
+    row = degree_powerlaw(edges).collect()[0]
+    assert row["n_nodes"] == 9 and row["max_degree"] == 4
+    assert row["n_degree_bins"] == 3
+    xs = np.log([1.0, 2.0, 4.0])
+    ys = np.log([4.0, 4.0, 1.0])
+    slope = np.polyfit(xs, ys, 1)[0]
+    assert abs(row["alpha_hat"] - (-slope)) < 1e-6
+    assert 0.0 <= row["r2"] <= 1.0
+
+    two_bin = spark.createDataFrame(
+        [(1, 2), (2, 3)], "a long, b long"
+    )
+    r2b = degree_powerlaw(two_bin).collect()[0]
+    assert r2b["alpha_hat"] is None and r2b["r2"] is None

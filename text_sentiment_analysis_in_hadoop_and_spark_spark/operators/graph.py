@@ -749,3 +749,105 @@ def _neighbor_sample_sql() -> str:
 
 ORACLES["graph_neighbor_sample"] = _neighbor_sample_sql()
 QUERIES["graph_neighbor_sample"] = q_graph_neighbor_sample
+
+
+# --- degree power-law fit (r7) ----------------------------------------
+#
+# Real similarity graphs are heavy-tailed (template/boilerplate hubs);
+# the standard one-number summary is the power-law exponent α of
+# P(deg = k) ∝ k^-α, estimated here by log-log OLS over the DEGREE
+# HISTOGRAM (Newman 2005's binned-regression baseline — the histogram
+# estimator a pipeline can afford at any scale, since the regression
+# runs over |distinct degrees| rows, never |nodes|).
+#
+# Scale shape: degrees = one groupBy over directed edges; histogram =
+# one groupBy over degrees (≤ max-degree rows); the OLS moments are a
+# 1-row aggregate.  Everything partial-agg, nothing corpus-sized past
+# the first groupBy.
+
+
+def degree_powerlaw(edges: DataFrame) -> DataFrame:
+    """Canonical (a < b) edges → 1-row (n_nodes, max_degree,
+    n_degree_bins, alpha_hat, r2).  alpha_hat = −slope of
+    ln(count) on ln(deg); NULL when under 3 distinct degrees (no
+    meaningful fit)."""
+    directed = edges.select("a").unionAll(
+        edges.select(F.col("b").alias("a"))
+    )
+    deg = directed.groupBy("a").agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    hist = deg.groupBy("deg").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    pts = hist.select(
+        F.log(F.col("deg").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    mom = pts.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    tot = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.max("deg").cast("long").alias("max_degree"),
+    )
+    kd = F.col("k").cast("double")
+    den = kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (kd * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    deny = kd * F.col("syy") - F.col("sy") * F.col("sy")
+    r2 = (
+        (kd * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (kd * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (den * deny)
+    )
+    fit = mom.select(
+        F.col("k").alias("n_degree_bins"),
+        F.when((F.col("k") >= 3) & (den > 0), F.round(-slope, 6)).alias(
+            "alpha_hat"
+        ),
+        F.when(
+            (F.col("k") >= 3) & (den > 0) & (deny > 0), F.round(r2, 6)
+        ).alias("r2"),
+    )
+    return tot.crossJoin(F.broadcast(fit)).select(
+        "n_nodes", "max_degree", "n_degree_bins", "alpha_hat", "r2"
+    )
+
+
+def q_graph_degree_powerlaw(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return degree_powerlaw(_verified_edges(spark, sf_dir))
+
+
+ORACLES_R7 = {
+    "graph_degree_powerlaw": (
+        _with(
+            *_TRI_CTES,
+            "pl_hist AS (SELECT deg, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM gdeg GROUP BY deg)",
+            "pl_pts AS (SELECT ln(CAST(deg AS DOUBLE)) AS x, "
+            "ln(CAST(cnt AS DOUBLE)) AS y FROM pl_hist)",
+            "pl_mom AS (SELECT CAST(count(*) AS BIGINT) AS k, "
+            "sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, "
+            "sum(x * x) AS sxx, sum(y * y) AS syy FROM pl_pts)",
+            "pl_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes, "
+            "CAST(max(deg) AS BIGINT) AS max_degree FROM gdeg)",
+        )
+        + "SELECT n_nodes, max_degree, k AS n_degree_bins, "
+        "CASE WHEN k >= 3 AND k * sxx - sx * sx > 0 THEN "
+        "round(-(k * sxy - sx * sy) / (k * sxx - sx * sx), 6) "
+        "END AS alpha_hat, "
+        "CASE WHEN k >= 3 AND k * sxx - sx * sx > 0 "
+        "AND k * syy - sy * sy > 0 THEN "
+        "round((k * sxy - sx * sy) * (k * sxy - sx * sy) / "
+        "((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) "
+        "END AS r2 FROM pl_mom CROSS JOIN pl_tot"
+    )
+}
+QUERIES_R7 = {"graph_degree_powerlaw": q_graph_degree_powerlaw}
