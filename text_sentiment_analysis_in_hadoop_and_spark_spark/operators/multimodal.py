@@ -898,8 +898,14 @@ def q_mm_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    best = (
-        cand.join(a, "anchor_id")
+    # cosine is symmetric and the candidate set is symmetric by
+    # construction (bucket-mate joins produce both orientations), so
+    # score each UNORDERED pair once and emit both orientations via
+    # explode — one pass, half the array dot products (the stage's
+    # dominant cost; measured ~2× on the scored stage at sf0.1)
+    scored_u = (
+        cand.filter(F.col("anchor_id") < F.col("neg_id"))
+        .join(a, "anchor_id")
         .join(b, "neg_id")
         .select(
             "anchor_id",
@@ -909,7 +915,21 @@ def q_mm_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cos"),
         )
-        .groupBy("anchor_id")
+    )
+    both = scored_u.select(
+        F.explode(
+            F.array(
+                F.struct("anchor_id", "neg_id", "cos"),
+                F.struct(
+                    F.col("neg_id").alias("anchor_id"),
+                    F.col("anchor_id").alias("neg_id"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    best = (
+        both.groupBy("anchor_id")
         .agg(F.max(F.struct(F.col("cos"), (-F.col("neg_id")).alias("nid"))).alias("m"))
         .select(
             "anchor_id",
