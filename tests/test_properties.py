@@ -115,3 +115,30 @@ def test_fidelity_csv_parse_matches_java_split_semantics(spark, texts):
         cols = line.split(",")
         expect = cols[3] + "".join(cols[4:]) if len(cols) > 4 else cols[3]
         assert iid == cols[0] and text == expect, line
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.lists(
+        st.integers(min_value=0, max_value=4), min_size=1, max_size=6
+    ),
+)
+def test_png_codec_roundtrip_property(h, w, seed, filters):
+    """encode→decode is the identity for ANY image shape, pixel
+    content, and per-row filter schedule — the codec property that
+    makes the PNG decoder trustworthy on payloads it didn't
+    synthesize itself (pure Python/numpy, no Spark job needed)."""
+    import numpy as np
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype="uint8")
+    got = decode_png_pixels(encode_png(px, filters=filters))
+    assert np.array_equal(got, px)
