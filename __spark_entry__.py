@@ -146,6 +146,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #   257 never-checked remain at r6 close (including this round's 17
 #   new queries) — the r6 window covers 50, leaving ~207 for r7-r11
 #   windows, via tools/rotation.py each round.
+#   r7 (NOW): _PROMOTED is no longer a hand-maintained tuple — it is
+#   DERIVED AT IMPORT TIME from the CORRECTNESS_r*.json union (see
+#   _derive_promoted below), so the r6 failure mode (the static list
+#   going stale the moment the driver's own artifact lands, red-lining
+#   tests/test_registration.py at every round boundary) cannot recur.
+#   The r7 window leads with the rel/pipe/mm stragglers then 34 events
+#   queries.  r7 additions (PNG pixel stats, sampled BPE pair,
+#   er_survivorship, priv_dp_error_budget, graph_degree_powerlaw,
+#   catalog_managed_pruning) register through end-of-order _r7
+#   namespaces, past the cap.  BACKLOG at r7 close: 220 never-checked
+#   of 409 declared (the 50-slot window covers the head; ~4 more
+#   windows to drain, after which the derivation pads with
+#   already-green names — a standing re-verification rotation).
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
