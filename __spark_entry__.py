@@ -234,6 +234,11 @@ _graph_r7 = SimpleNamespace(
     QUERIES=graph.QUERIES_R7,
     ORACLES=graph.ORACLES_R7,
 )
+_relational2_r7 = SimpleNamespace(
+    __name__="relational2_r7",
+    QUERIES=relational2.QUERIES_R7,
+    ORACLES=relational2.ORACLES_R7,
+)
 
 
 _MODULE_ORDER = (
@@ -289,6 +294,7 @@ _MODULE_ORDER = (
     _er_r7,
     _privacy_r7,
     _graph_r7,
+    _relational2_r7,
 )
 
 

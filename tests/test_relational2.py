@@ -1,0 +1,56 @@
+
+
+def test_referential_audit_clean_and_injected_orphans(spark, tmp_path):
+    """r7 data-contract audit: the shipped TPC-H-ish testdata is
+    referentially clean (all 7 edges, zero orphans); dropping one
+    nation from a doctored copy surfaces orphans on exactly the two
+    nation edges, with exact counts."""
+    import os
+    import shutil
+
+    from tests.conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.relational2 import (
+        _FK_EDGES,
+        q_referential_audit,
+    )
+
+    rows = {r["edge"]: r for r in q_referential_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {e[0] for e in _FK_EDGES}
+    assert all(r["n_orphans"] == 0 and r["orphan_rate"] == 0.0 for r in rows.values())
+    assert all(r["n_child"] > 0 for r in rows.values())
+
+    # doctored copy: drop nationkey 0 from the nation dimension
+    d = tmp_path / "doctored"
+    d.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        src = os.path.join(SF_DIR, f"{t}.parquet")
+        if t == "nation":
+            (
+                spark.read.parquet(src)
+                .filter("n_nationkey <> 0")
+                .write.mode("overwrite")
+                .parquet(str(d / "nation.parquet"))
+            )
+        else:
+            os.symlink(src, str(d / f"{t}.parquet"))
+    doctored = {
+        r["edge"]: r
+        for r in q_referential_audit(spark, str(d)).collect()
+    }
+    cust0 = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .filter("c_nationkey = 0")
+        .count()
+    )
+    supp0 = (
+        spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+        .filter("s_nationkey = 0")
+        .count()
+    )
+    assert doctored["customer->nation"]["n_orphans"] == cust0 > 0
+    # the tiny sf may have no supplier in the dropped nation — the
+    # audit must agree with the exact count either way
+    assert doctored["supplier->nation"]["n_orphans"] == supp0
+    clean_edges = set(doctored) - {"customer->nation", "supplier->nation"}
+    assert all(doctored[e]["n_orphans"] == 0 for e in clean_edges)

@@ -3076,3 +3076,66 @@ ORACLES["rel_bass_diffusion"] = (
 )
 
 QUERIES["rel_bass_diffusion"] = q_bass_diffusion
+
+
+# --- referential-integrity audit (r7) ----------------------------------
+#
+# The dbt-test / data-contract staple a warehouse runs before every
+# publish: per foreign-key edge, how many child rows point at a
+# missing parent?  Each edge is ONE left-anti join (Catalyst plans
+# broadcast-anti for the dimension edges, shuffle-anti for
+# fact→fact) plus a 1-row count — no row ever widens, so the audit is
+# scan-bound at any scale and the per-edge aggregates union into a
+# fixed |edges|-row report.
+
+_FK_EDGES = (
+    # (edge label, child table, child key, parent table, parent key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+def q_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for label, child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(
+            F.col(ck).alias("k")
+        )
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("k")
+        )
+        orphans = c.join(p, "k", "left_anti").agg(
+            F.count("*").cast("long").alias("n_orphans")
+        )
+        total = c.agg(F.count("*").cast("long").alias("n_child"))
+        row = total.crossJoin(F.broadcast(orphans)).select(
+            F.lit(label).alias("edge"),
+            "n_child",
+            "n_orphans",
+            F.round(
+                F.col("n_orphans") / F.col("n_child"), 6
+            ).alias("orphan_rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLES_R7 = {
+    "rel_referential_audit": " UNION ALL ".join(
+        f"SELECT '{label}' AS edge, "
+        f"CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child, "
+        f"CAST((SELECT count(*) FROM {child} c WHERE NOT EXISTS "
+        f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})) AS BIGINT) "
+        "AS n_orphans, "
+        f"round(CAST((SELECT count(*) FROM {child} c WHERE NOT EXISTS "
+        f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{ck})) AS DOUBLE) "
+        f"/ (SELECT count(*) FROM {child}), 6) AS orphan_rate"
+        for label, child, ck, parent, pk in _FK_EDGES
+    )
+}
+QUERIES_R7 = {"rel_referential_audit": q_referential_audit}
