@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .common import register_cache
 
 LEN_BUCKET = 100  # n_chars DIV 100 → same-length-scale docs only
 BLOCK_CAP = 500  # quadratic-verify bound per block
@@ -62,7 +63,29 @@ def q_er_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the blocked edit-distance verify is the family's expensive stage and
+# feeds FOUR consumers (pairs, entities, blocking quality, r7
+# survivorship) — memoize it like dedup's banded signatures so the
+# family pays the quadratic DP once per (session, sf)
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+def _fuzzy_pairs_cached(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PAIRS_CACHE.get(key)
+    if df is None:
+        df = _fuzzy_pairs_plan(spark, sf_dir).cache()
+        _PAIRS_CACHE[key] = df
+    return df
+
+
 def q_er_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fuzzy_pairs_cached(spark, sf_dir)
+
+
+def _fuzzy_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _blocked(spark, sf_dir)
     sizes = b.groupBy("b_lang", "b_len").agg(F.count("*").alias("n"))
     small = b.join(
