@@ -54,3 +54,28 @@ def test_referential_audit_clean_and_injected_orphans(spark, tmp_path):
     assert doctored["supplier->nation"]["n_orphans"] == supp0
     clean_edges = set(doctored) - {"customer->nation", "supplier->nation"}
     assert all(doctored[e]["n_orphans"] == 0 for e in clean_edges)
+
+
+def test_release_gate_composes_its_audits(spark):
+    """r7 capstone: the gate's evidence numbers must agree with the
+    underlying audits, and release_ok must be the AND of the three
+    per-gate flags."""
+    from tests.conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.relational2 import (
+        q_referential_audit,
+        q_release_gate,
+    )
+
+    g = q_release_gate(spark, SF_DIR).collect()[0]
+    orphans = sum(
+        r["n_orphans"]
+        for r in q_referential_audit(spark, SF_DIR).collect()
+    )
+    assert g["n_orphans"] == orphans
+    assert g["release_ok"] == int(
+        g["referential_ok"] and g["fd_ok"] and g["kanon_ok"]
+    )
+    assert g["referential_ok"] == int(g["n_orphans"] == 0)
+    assert g["fd_ok"] == int(g["n_fd_violations"] == 0)
+    # the shipped testdata must clear the structural gates
+    assert g["referential_ok"] == 1 and g["fd_ok"] == 1

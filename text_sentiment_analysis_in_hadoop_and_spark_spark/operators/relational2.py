@@ -3139,3 +3139,96 @@ ORACLES_R7 = {
     )
 }
 QUERIES_R7 = {"rel_referential_audit": q_referential_audit}
+
+
+# --- release gate (r7 capstone) ----------------------------------------
+#
+# The publish-time one-liner a warehouse runs before sharing the
+# dataset: compose the referential audit (orphan FKs), the
+# key-dependency audit (the two true-key FDs below must HOLD), and
+# the k-anonymity floor into one PASS/FAIL row with each gate's
+# evidence number.  All three inputs are already bounded rollups, so
+# the gate is three 1-row broadcast aggregates — the same S5 scalar
+# shape the corpus-health capstone uses on the documents side.
+
+# true-key dependencies only (the FD_CANDIDATES list also carries
+# deliberately-violated hypotheses for the audit's sake)
+_GATE_FDS = (
+    ("orders", "o_orderkey", "o_custkey"),
+    ("customer", "c_custkey", "c_nationkey"),
+)
+_GATE_MIN_K = 2  # release floor: no singleton QI class
+
+
+def q_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .privacy import _classes
+
+    orphans = q_referential_audit(spark, sf_dir).agg(
+        F.sum("n_orphans").cast("long").alias("n_orphans")
+    )
+    fd_bad = None
+    for table, det, dep in _GATE_FDS:
+        per = (
+            load_table(spark, sf_dir, table)
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("n_dep"))
+            .agg(
+                F.sum((F.col("n_dep") > 1).cast("long")).alias("v")
+            )
+        )
+        fd_bad = per if fd_bad is None else fd_bad.unionByName(per)
+    fd = fd_bad.agg(F.sum("v").cast("long").alias("n_fd_violations"))
+    kmin = _classes(spark, sf_dir).agg(
+        F.min("class_size").cast("long").alias("min_class_size")
+    )
+    return (
+        orphans.crossJoin(F.broadcast(fd))
+        .crossJoin(F.broadcast(kmin))
+        .select(
+            "n_orphans",
+            "n_fd_violations",
+            "min_class_size",
+            (F.col("n_orphans") == 0).cast("int").alias("referential_ok"),
+            (F.col("n_fd_violations") == 0).cast("int").alias("fd_ok"),
+            (F.col("min_class_size") >= _GATE_MIN_K)
+            .cast("int")
+            .alias("kanon_ok"),
+            (
+                (F.col("n_orphans") == 0)
+                & (F.col("n_fd_violations") == 0)
+                & (F.col("min_class_size") >= _GATE_MIN_K)
+            )
+            .cast("int")
+            .alias("release_ok"),
+        )
+    )
+
+
+def _release_gate_sql() -> str:
+    ref = ORACLES_R7["rel_referential_audit"]
+    fd_parts = " + ".join(
+        f"(SELECT CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) "
+        f"AS BIGINT) FROM (SELECT {det}, count(DISTINCT {dep}) AS "
+        f"n_dep FROM {table} GROUP BY {det}))"
+        for table, det, dep in _GATE_FDS
+    )
+    return (
+        f"WITH ref AS (SELECT CAST(sum(n_orphans) AS BIGINT) AS "
+        f"n_orphans FROM ({ref})), "
+        f"fd AS (SELECT {fd_parts} AS n_fd_violations), "
+        "kv AS (SELECT CAST(min(class_size) AS BIGINT) AS "
+        "min_class_size FROM (SELECT count(*) AS class_size "
+        "FROM customer GROUP BY c_nationkey, c_mktsegment, "
+        "CAST(floor(c_acctbal / 1000.0) AS BIGINT))) "
+        "SELECT n_orphans, n_fd_violations, min_class_size, "
+        "CAST(n_orphans = 0 AS INTEGER) AS referential_ok, "
+        "CAST(n_fd_violations = 0 AS INTEGER) AS fd_ok, "
+        f"CAST(min_class_size >= {_GATE_MIN_K} AS INTEGER) AS kanon_ok, "
+        "CAST(n_orphans = 0 AND n_fd_violations = 0 AND "
+        f"min_class_size >= {_GATE_MIN_K} AS INTEGER) AS release_ok "
+        "FROM ref, fd, kv"
+    )
+
+
+ORACLES_R7["rel_release_gate"] = _release_gate_sql()
+QUERIES_R7["rel_release_gate"] = q_release_gate
