@@ -154,9 +154,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   The r7 window leads with the rel/pipe/mm stragglers then 34 events
 #   queries.  r7 additions (PNG pixel stats, sampled BPE pair,
 #   er_survivorship, priv_dp_error_budget, graph_degree_powerlaw,
-#   catalog_managed_pruning) register through end-of-order _r7
-#   namespaces, past the cap.  BACKLOG at r7 close: 220 never-checked
-#   of 409 declared (the 50-slot window covers the head; ~4 more
+#   catalog_managed_pruning, rel_referential_audit, rel_release_gate,
+#   priv_dp_error_budget, graph_degree_powerlaw) register through
+#   end-of-order _r7 namespaces, past the cap.  BACKLOG at r7 close:
+#   222 never-checked of 411 declared (the 50-slot window covers the head; ~4 more
 #   windows to drain, after which the derivation pads with
 #   already-green names — a standing re-verification rotation).
 _pipeline_late = SimpleNamespace(
