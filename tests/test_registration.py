@@ -65,5 +65,14 @@ def test_every_query_has_oracle_or_manifest_entry():
     assert not (set(entrymod.rows_only()) - q)
 
 
+def test_no_orphan_oracles():
+    """The inverse guard: an ORACLES entry whose QUERIES twin was
+    renamed or forgotten would silently never be driver-checked —
+    every oracle must belong to a declared query."""
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert not (o - q), sorted(o - q)
+
+
 def test_oracles_reference_declared_queries_only():
     assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
