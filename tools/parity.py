@@ -110,8 +110,10 @@ def compare(name, spark_df, oracle_rows, oracle_cols) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    window_only = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     import __spark_entry__ as entrymod
     from text_sentiment_analysis_in_hadoop_and_spark_spark.session import get_spark
 
@@ -119,6 +121,10 @@ def main() -> int:
     con = duck_connection(sf_dir)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if window_only:
+        # pre-flight exactly the driver's correctness gate: the first
+        # 50 registered queries (the rotation window)
+        only |= set(list(queries)[:50])
     # The rows-only manifest must match reality exactly: every declared
     # query either has an oracle or is documented as intentionally
     # oracle-free (r4 verdict item 7).
