@@ -117,3 +117,28 @@ def test_managed_table_prunes_and_is_catalog_owned(spark):
         assert got == {r["k"]: (r["n"], r["c"]) for r in flat}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_managed_table_build_is_idempotent(spark):
+    """ensure_managed_customers called twice returns the same table
+    without rewriting (tableExists short-circuit) — the property that
+    lets bench bill the build once and consumers stay cheap."""
+    import os
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.catalog import (
+        ensure_managed_customers,
+    )
+
+    t1 = ensure_managed_customers(spark, SF_DIR)
+    try:
+        loc = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {t1}")
+            .filter("col_name = 'Location'")
+            .collect()[0]["data_type"]
+        ).removeprefix("file:")
+        mtime = os.path.getmtime(loc)
+        t2 = ensure_managed_customers(spark, SF_DIR)
+        assert t2 == t1
+        assert os.path.getmtime(loc) == mtime  # no rewrite
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")

@@ -79,3 +79,23 @@ def test_release_gate_composes_its_audits(spark):
     assert g["fd_ok"] == int(g["n_fd_violations"] == 0)
     # the shipped testdata must clear the structural gates
     assert g["referential_ok"] == 1 and g["fd_ok"] == 1
+
+
+def test_referential_audit_plans_broadcast_anti_joins(spark):
+    """Scale pin: every FK edge resolves as a LeftAnti join, and the
+    dimension-parent edges (nation/region, broadcast-sized at any SF)
+    broadcast — the orphan check must never shuffle a fact table
+    against a tiny dimension."""
+    from tests.conftest import SF_DIR
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.relational2 import (
+        q_referential_audit,
+    )
+
+    plan = (
+        q_referential_audit(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti, BuildRight" in plan
