@@ -219,6 +219,8 @@ _bpe_r7 = SimpleNamespace(
     __name__="bpe_r7",
     QUERIES=bpe.QUERIES_R7,
     ORACLES=bpe.ORACLES_R7,
+    # sampled-merges rerun is a driver-memo dict hit (see bpe.BENCH_ONE_OFF)
+    BENCH_ONE_OFF=("text_bpe_merges_sampled",),
 )
 _er_r7 = SimpleNamespace(
     __name__="er_r7",

@@ -58,6 +58,7 @@ def main() -> int:
     from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import common
     from text_sentiment_analysis_in_hadoop_and_spark_spark.session import get_spark
 
+    load_start = os.getloadavg()
     spark = get_spark("tsa_bench")
     # warm up the JVM paths every query shares so they aren't billed to
     # whichever query happens to run first: codegen (range), the
@@ -123,8 +124,11 @@ def main() -> int:
     # against whatever caches the first run warmed (same as a repeat
     # within a round), which is exactly the steady-state cost a plan
     # regression would move.
+    # r7 verdict item 5: at 2.0 s the re-run set covered only 46% of
+    # wall time; 0.5 s covers ~94% (measured on the r7 per-query map),
+    # so sub-threshold noise is bounded to a few percent of the total.
     MIN_OF_K = 2
-    MIN_OF_K_THRESHOLD_SEC = 2.0
+    MIN_OF_K_THRESHOLD_SEC = 0.5
 
     def timed(name: str, thunk, rerunnable: bool = True) -> None:
         t0 = time.perf_counter()
@@ -160,10 +164,21 @@ def main() -> int:
             # one-off build steps billed as their own entries (e.g. the
             # IVF quantizer fit — r4 billed it to sim_ivf_assign, which
             # made an index-build cost look like a query regression)
+            # build entries are NOT rerunnable (ADVICE r7): a rerun hits
+            # the tableExists/idempotency short-circuit and min_of_k
+            # would record the no-op instead of the real build cost
             for name, fn in getattr(mod, "BENCH_PREPARE", {}).items():
-                timed(name, lambda fn=fn: fn(spark, sf_dir))
+                timed(name, lambda fn=fn: fn(spark, sf_dir), rerunnable=False)
+            # driver-memoized trainer queries (module opt-out, ADVICE
+            # r7): their rerun is a pure dict hit, not a steady-state
+            # re-execution, so min_of_k keeps the honest first run
+            one_off = set(getattr(mod, "BENCH_ONE_OFF", ()))
             for name, fn in mod.QUERIES.items():
-                timed(name, lambda fn=fn: _force(fn(spark, sf_dir)))
+                timed(
+                    name,
+                    lambda fn=fn: _force(fn(spark, sf_dir)),
+                    rerunnable=name not in one_off,
+                )
         # retire this group's cached artifacts before the next group
         common.clear_caches()
 
@@ -188,6 +203,7 @@ def main() -> int:
         shutil.rmtree(workdir, ignore_errors=True)
     common.clear_caches()
 
+    load_end = os.getloadavg()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     failed = sum(1 for t in timings.values() if t < 0)
     # failures are surfaced in the JSON ("failed" count + the -1.0
@@ -199,6 +215,9 @@ def main() -> int:
     total_min = round(
         sum(min_of_k.get(n, t) for n, t in timings.items() if t >= 0), 3
     )
+    # fraction of total wall time the load-insensitive min-of-k signal
+    # actually covers (r7 verdict item 5 asks ≥80%)
+    covered = sum(t for n, t in timings.items() if t >= 0 and n in min_of_k)
     record = {
         "metric": "total_wall_sec",
         "value": total,
@@ -207,18 +226,37 @@ def main() -> int:
         "min_of_k": min_of_k,
         "min_of_k_runs": MIN_OF_K,
         "min_of_k_threshold_sec": MIN_OF_K_THRESHOLD_SEC,
+        "min_of_k_coverage": round(covered / total, 3) if total else None,
         "value_min_of_k": total_min,
+        "load_avg_start": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in load_end],
         "failed": failed,
         "sf": sf,
     }
     queries_file = os.path.join(REPO, "bench_queries.json")
     with open(queries_file, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
+    # round-stamped copy so per-query history survives round-over-round
+    # (r7 verdict item 2: bench_queries.json alone is overwritten each
+    # round, so a single-query regression can hide inside a better
+    # total).  Round number = 1 past the newest committed BENCH_r*.json;
+    # compare any two with tools/bench_diff.py.
+    rounds = [
+        int(mm.group(1))
+        for f_ in os.listdir(REPO)
+        if (mm := re.match(r"BENCH_r(\d+)\.json$", f_))
+    ]
+    this_round = (max(rounds) + 1) if rounds else 0
+    with open(
+        os.path.join(REPO, f"bench_queries_r{this_round:02d}.json"), "w"
+    ) as f:
+        json.dump(record, f, indent=1, sort_keys=True)
     summary = {
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
         "value_min_of_k": total_min,
+        "min_of_k_coverage": record["min_of_k_coverage"],
         "failed": failed,
         "sf": sf,
         "queries_file": "bench_queries.json",

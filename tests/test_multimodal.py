@@ -508,6 +508,15 @@ def test_png_decode_gray_palette_alpha_variants():
     with pytest.raises(NotImplementedError):
         decode_png_pixels(interlaced)
 
+    # truncation fails loudly as 'corrupt PNG', not a downstream
+    # reshape/size error (ADVICE r7: chunk lengths are attacker/
+    # corruption-controlled, so the slice must be bounds-checked)
+    whole = build(2, 2, 0, b"\x00\x0a\x14" + b"\x00\x1e\x28")
+    # cut 4 bytes INTO the IDAT payload (the trailing 16 bytes are
+    # IDAT-crc + the whole IEND chunk, which a lazy walk just skips)
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        decode_png_pixels(whole[:-20])
+
 
 def test_decode_pixels_routes_png_and_bmp():
     """decode_pixels picks the right dependency-free decoder per

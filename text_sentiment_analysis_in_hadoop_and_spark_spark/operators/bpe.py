@@ -173,6 +173,12 @@ QUERIES = {
     "text_bpe_tokenize": q_bpe_tokenize,
 }
 
+# bench.py min-of-k opt-out (ADVICE r7): the merges query's cost is the
+# driver-memoized trainer loop; a rerun is a pure dict hit, so min_of_k
+# would record ~0 s and hide a real trainer regression.  (tokenize is
+# NOT listed — apply_merges re-executes the full plan on rerun.)
+BENCH_ONE_OFF = ("text_bpe_merges",)
+
 
 # --------------------------------------------------------------------------
 # r7: sampled-corpus trainer — the production-vocab scale path

@@ -446,6 +446,14 @@ def decode_png_pixels(payload: bytes):
     while pos + 8 <= len(payload):
         ln = int.from_bytes(payload[pos : pos + 4], "big")
         ctype = payload[pos + 4 : pos + 8]
+        # a truncated/corrupt chunk must fail LOUDLY here (ADVICE r7):
+        # an unchecked short slice surfaces later as a reshape-size
+        # error or silently-short pixel data
+        if pos + 8 + ln > len(payload):
+            raise ValueError(
+                f"corrupt PNG: chunk {ctype!r} claims {ln} bytes but "
+                f"only {len(payload) - pos - 8} remain"
+            )
         data = payload[pos + 8 : pos + 8 + ln]
         pos += 12 + ln  # skip crc
         if ctype == b"IHDR":

@@ -291,6 +291,12 @@ def q_qlm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Rank on the UNROUNDED score (ADVICE r7): pruning above is exact
+    # on raw scores, so ranking must be too — ranking on the rounded
+    # value let a pruned unmatched doc round-tie into the full-scan
+    # oracle's top-k (needs dl ~ q_size·1e6, theoretical here, but the
+    # raw ranking closes it for every corpus).  Only the EMITTED score
+    # column rounds, mirrored in the oracle.
     scored = (
         cand.join(dlen, "doc_id")
         .join(F.broadcast(q_scal), "q_id")
@@ -298,19 +304,25 @@ def q_qlm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "doc_id",
-            F.round(
+            (
                 F.col("qconst")
                 - F.col("q_size") * F.log(F.col("dl") + QLM_MU)
-                + F.coalesce("bonus", F.lit(0.0)),
-                6,
-            ).alias("score"),
+                + F.coalesce("bonus", F.lit(0.0))
+            ).alias("score_raw"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("score_raw"), F.asc("doc_id")
+    )
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= BM25_TOP_K)
-        .select("q_id", "doc_id", "score", F.col("rk").cast("int").alias("rk"))
+        .select(
+            "q_id",
+            "doc_id",
+            F.round("score_raw", 6).alias("score"),
+            F.col("rk").cast("int").alias("rk"),
+        )
     )
 
 
@@ -335,11 +347,12 @@ ORACLES["text_qlm_topk"] = (
     "FROM postings p JOIN q USING (token) JOIN pc ON p.token = pc.token "
     f"WHERE p.doc_id >= {N_QUERY_DOCS} GROUP BY q.q_id, p.doc_id), "
     "scored AS (SELECT b.q_id, b.doc_id, "
-    "round(b.base + coalesce(mt.bonus, 0), 6) AS score "
+    "b.base + coalesce(mt.bonus, 0) AS score_raw "
     "FROM base b LEFT JOIN mt ON b.q_id = mt.q_id "
     "AND b.doc_id = mt.doc_id), "
-    "rk AS (SELECT q_id, doc_id, score, CAST(row_number() OVER "
-    "(PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS rk "
+    "rk AS (SELECT q_id, doc_id, round(score_raw, 6) AS score, "
+    "CAST(row_number() OVER "
+    "(PARTITION BY q_id ORDER BY score_raw DESC, doc_id) AS INTEGER) AS rk "
     "FROM scored) "
     f"SELECT * FROM rk WHERE rk <= {BM25_TOP_K}"
 )

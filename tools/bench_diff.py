@@ -1,0 +1,72 @@
+"""Per-query bench diff between two rounds (r7 verdict item 2).
+
+Usage::
+
+    python tools/bench_diff.py bench_queries_r07.json bench_queries_r08.json
+    python tools/bench_diff.py BENCH_r07.json BENCH_r08.json   # same schema
+
+Compares on the load-insensitive value — ``min_of_k`` where both
+rounds measured it, first-run seconds otherwise — and prints the top
+regressions/improvements plus added/removed entries.  Exit code 0
+always (it is a reporting tool, not a gate; BENCH_NOTES.md documents
+~1.5× uniform drift on the shared box, so regressions need a human
+eye, not a hard threshold).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _best(rec: dict, name: str) -> float:
+    """Load-insensitive per-query seconds: min_of_k if measured."""
+    mk = rec.get("min_of_k", {})
+    return mk.get(name, rec["queries"][name])
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) != 3:
+        print(__doc__, file=sys.stderr)
+        return 2
+    old = json.load(open(argv[1]))
+    new = json.load(open(argv[2]))
+    oq = {k: v for k, v in old["queries"].items() if v >= 0}
+    nq = {k: v for k, v in new["queries"].items() if v >= 0}
+
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    common = sorted(set(oq) & set(nq))
+
+    deltas = []
+    for name in common:
+        a, b = _best(old, name), _best(new, name)
+        deltas.append((b - a, a, b, name))
+    deltas.sort(reverse=True)
+
+    ot = sum(_best(old, n) for n in common)
+    nt = sum(_best(new, n) for n in common)
+    print(
+        f"common entries: {len(common)}  "
+        f"old {ot:.1f}s -> new {nt:.1f}s ({nt / ot - 1:+.1%} vs old)"
+        if ot
+        else "no common entries"
+    )
+    if added:
+        a_tot = sum(_best(new, n) for n in added)
+        print(f"added ({len(added)}, {a_tot:.1f}s): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+
+    def show(rows, label):
+        print(f"\ntop {label}:")
+        for d, a, b, name in rows:
+            print(f"  {name:42s} {a:7.2f}s -> {b:7.2f}s  ({d:+.2f}s)")
+
+    show([r for r in deltas[:15] if r[0] > 0.05], "regressions")
+    show([r for r in sorted(deltas)[:15] if r[0] < -0.05], "improvements")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

@@ -123,8 +123,15 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     if window_only:
         # pre-flight exactly the driver's correctness gate: the first
-        # 50 registered queries (the rotation window)
-        only |= set(list(queries)[:50])
+        # 50 registered queries (the rotation window).  Print the
+        # derived window so a checkout whose CORRECTNESS_r*.json set
+        # differs from the committed one is VISIBLE (ADVICE r7: the
+        # import-time _PROMOTED derivation depends on those artifacts)
+        window = list(queries)[:50]
+        print("derived driver window (first 50, registration order):")
+        for n in window:
+            print(f"  {n}")
+        only |= set(window)
     # The rows-only manifest must match reality exactly: every declared
     # query either has an oracle or is documented as intentionally
     # oracle-free (r4 verdict item 7).
