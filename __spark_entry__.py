@@ -242,6 +242,12 @@ _relational2_r7 = SimpleNamespace(
     QUERIES=relational2.QUERIES_R7,
     ORACLES=relational2.ORACLES_R7,
 )
+# r8 additions — same end-of-order policy as the r7 namespaces
+_similarity_r8 = SimpleNamespace(
+    __name__="similarity_r8",
+    QUERIES=similarity.QUERIES_R8,
+    ORACLES=similarity.ORACLES_R8,
+)
 
 
 _MODULE_ORDER = (
@@ -298,6 +304,7 @@ _MODULE_ORDER = (
     _privacy_r7,
     _graph_r7,
     _relational2_r7,
+    _similarity_r8,
 )
 
 
@@ -412,6 +419,7 @@ _ROWS_ONLY = frozenset(
         "sim_ivf_nprobe_profile",  # k-means quantizer — monotonicity test
         "sim_semdedup",  # k-means cells + CC — agreement/idempotence tests
         "mm_ahash_pairs",  # pixel-space hash banding — exact-recall test
+        "sim_topk_ivfpq",  # IVFADC: kmeans cells + PQ codebooks — recall test
     }
 )
 

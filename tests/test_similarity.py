@@ -268,6 +268,34 @@ def test_ivf_recall_at_bench_scale(spark, planted_sf01_dir):
     assert _recall(S.q_sim_topk_ivf(spark, d), expected) >= 0.9
 
 
+def test_ivfpq_recall_on_planted_near_dups(spark, planted_dir):
+    """IVFADC end-to-end (r8): probe → code-only ADC → exact refine
+    must recover ≥0.9 of the planted near-dups — the same gate the
+    one-stage IVF and LSH paths carry.  Random-corpus recall is NOT
+    gated (top-10 of noise is noise; measured ~0.43, identical to
+    plain IVF's on the same corpus, i.e. the PQ stage loses nothing
+    the probe hadn't already lost)."""
+    d, expected = planted_dir
+    assert _recall(S.q_sim_topk_ivfpq(spark, d), expected) >= 0.9
+
+
+def test_ivfpq_shape_and_rank_contract(spark):
+    """On the driver corpus: one row per (q_id, rk), rk dense 1..k,
+    l2_dist non-decreasing in rk, and every emitted pair also present
+    in the probed candidate universe (vec_id >= N_QUERIES)."""
+    rows = S.q_sim_topk_ivfpq(spark, SF_DIR).collect()
+    assert len(rows) == S.N_QUERIES * S.TOP_K
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["vec_id"] >= S.N_QUERIES
+        by_q.setdefault(r["q_id"], []).append((r["rk"], r["l2_dist"]))
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == list(range(1, S.TOP_K + 1)), q
+        dists = [d for _, d in lst]
+        assert dists == sorted(dists), q
+
+
 def test_pq_codes_shape_and_determinism(spark):
     sf = "/root/testdata/sf0.001"
     def grab():

@@ -1127,19 +1127,11 @@ def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 RERANK_POOL = 100  # ADC shortlist size fed to the exact re-rank
 
 
-def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ serving top-k, the two-stage textbook shape (Jégou et al.):
-    **ADC shortlist** — per query, an L2 distance table to every
-    codebook entry (M_SUB × K_CODES × N_QUERIES rows, broadcast)
-    replaces all float math, and each candidate's approximate distance
-    is 8 lookups summed over the 64×-compressed codes table — then
-    **exact re-rank**: only the top-RERANK_POOL shortlist docs fetch
-    their float vectors for true L2, and the final top-k is exact over
-    that pool.  4-bit codes alone rank too coarsely (measured
-    recall@10 ≈ 0.25); the shortlist+refine split is how production
-    PQ serves: the compressed scan bounds IO, the refine touches
-    pool-sized data.  Recall is pinned ≥ 0.7 in tests at both test
-    scales."""
+def _query_adc_dtab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ADC distance table (q_id, m, code, d): L2 from each
+    query's m-th subvector to every codebook entry.  M_SUB × K_CODES ×
+    N_QUERIES rows — broadcast-sized by construction, shared by the
+    flat-PQ and IVFPQ serving paths."""
     emb = load_table(spark, sf_dir, "embeddings")
     q_subs = (
         emb.filter(F.col("vec_id") < N_QUERIES)
@@ -1155,7 +1147,9 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_id", "s.m", "s.sub")
     )
-    dtab = q_subs.join(F.broadcast(_codebook_df(spark, sf_dir)), "m").select(
+    return q_subs.join(
+        F.broadcast(_codebook_df(spark, sf_dir)), "m"
+    ).select(
         "q_id",
         "m",
         "code",
@@ -1165,31 +1159,31 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("d"),
     )
-    cand = (
-        pq_codes(spark, sf_dir)
-        .filter(F.col("vec_id") >= N_QUERIES)
-        .select("vec_id", F.posexplode("codes").alias("m", "code"))
-    )
-    adc = (
-        cand.join(F.broadcast(dtab), ["m", "code"])
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("d").alias("adc_dist"))
-    )
+
+
+def _adc_refine_topk(
+    spark: SparkSession, sf_dir: str, adc: DataFrame
+) -> DataFrame:
+    """Shortlist-then-refine tail shared by flat PQ and IVFPQ: keep the
+    RERANK_POOL best ADC rows per query, fetch floats for the pool
+    only, exact L2, final top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
     w_pool = Window.partitionBy("q_id").orderBy(
         F.asc("adc_dist"), F.asc("vec_id")
     )
     shortlist = adc.withColumn("prk", F.row_number().over(w_pool)).filter(
         F.col("prk") <= RERANK_POOL
     )
-    # exact refine on the pool only: fetch floats for shortlist docs +
-    # the 8 query vectors (both tiny) and score true L2
     qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("q_vec"),
     )
     refined = (
         shortlist.join(
-            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+            emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+            ),
             "vec_id",
         )
         .join(F.broadcast(qv), "q_id")
@@ -1210,8 +1204,37 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         refined.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
-        .select("q_id", "vec_id", "l2_dist", F.col("rk").cast("int").alias("rk"))
+        .select(
+            "q_id", "vec_id", "l2_dist", F.col("rk").cast("int").alias("rk")
+        )
     )
+
+
+def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving top-k, the two-stage textbook shape (Jégou et al.):
+    **ADC shortlist** — per query, an L2 distance table to every
+    codebook entry (M_SUB × K_CODES × N_QUERIES rows, broadcast)
+    replaces all float math, and each candidate's approximate distance
+    is 8 lookups summed over the 64×-compressed codes table — then
+    **exact re-rank**: only the top-RERANK_POOL shortlist docs fetch
+    their float vectors for true L2, and the final top-k is exact over
+    that pool.  4-bit codes alone rank too coarsely (measured
+    recall@10 ≈ 0.25); the shortlist+refine split is how production
+    PQ serves: the compressed scan bounds IO, the refine touches
+    pool-sized data.  Recall is pinned ≥ 0.7 in tests at both test
+    scales."""
+    dtab = _query_adc_dtab(spark, sf_dir)
+    cand = (
+        pq_codes(spark, sf_dir)
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", F.posexplode("codes").alias("m", "code"))
+    )
+    adc = (
+        cand.join(F.broadcast(dtab), ["m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    return _adc_refine_topk(spark, sf_dir, adc)
 
 
 # late namespace (driver-window policy): PQ entries must not consume
@@ -2559,3 +2582,69 @@ def _hubness_sql() -> str:
 
 QUERIES_LATE["sim_knn_hubness"] = q_sim_knn_hubness
 ORACLES_LATE["sim_knn_hubness"] = _hubness_sql()
+
+
+# --------------------------------------------------------------------------
+# r8: IVF + PQ combined serving (IVFADC, Jégou et al. 2011 §IV) — the
+# production ANN shape: the coarse quantizer bounds WHICH inverted
+# lists are scanned (nprobe cells, not the corpus) and PQ bounds WHAT
+# is read per candidate (8 × 4-bit codes, 64× smaller than floats).
+# sim_topk_ivf scans nprobe lists but reads full floats; sim_topk_pq
+# reads codes but scans every vector.  At 100 TB only the combination
+# holds: scan cost ~ nprobe/k of the corpus × 1/64 of the bytes, then
+# the exact refine touches RERANK_POOL floats per query.  Hash/kmeans-
+# dependent end to end → rows-only; recall is pinned vs exact L2 in
+# tests/test_similarity.py alongside the flat-PQ gate.
+# --------------------------------------------------------------------------
+
+
+def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, vec_id, l2_dist, rk): top-k via probe → ADC → refine."""
+    emb = _emb_with_norm(spark, sf_dir)
+    cents = _centroids_df(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    qsim = q.crossJoin(F.broadcast(cents)).select(
+        "q_id",
+        "cid",
+        cosine(F.col("q_vec"), F.col("cvec")).alias("sim"),
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probe = (
+        qsim.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("q_id", F.col("cid").alias("centroid_id"))
+    )
+    # candidates: PQ code rows restricted to the probed inverted lists
+    # — ONE broadcast equi-join against the (q_id, cell) probe table;
+    # at scale the codes table is bucketed by centroid_id so this scan
+    # is partition-pruned to nprobe lists per query
+    cand = (
+        ivf_assignments(spark, sf_dir)
+        .join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    codes = (
+        pq_codes(spark, sf_dir)
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .select("vec_id", F.posexplode("codes").alias("m", "code"))
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(_query_adc_dtab(spark, sf_dir)),
+            ["q_id", "m", "code"],
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    return _adc_refine_topk(spark, sf_dir, adc)
+
+
+QUERIES_R8 = {"sim_topk_ivfpq": q_sim_topk_ivfpq}
+ORACLES_R8: dict[str, str] = {}
