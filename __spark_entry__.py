@@ -160,6 +160,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #   222 never-checked of 411 declared (the 50-slot window covers the head; ~4 more
 #   windows to drain, after which the derivation pads with
 #   already-green names — a standing re-verification rotation).
+#   r8 (NOW): CORRECTNESS_r07 landed 50 green rows → BACKLOG at r8
+#   open: 172 never-checked of 412 declared (committed each round as
+#   ROTATION_r{N}.json via tools/rotation.py --status).  The r8 window
+#   is text/sim/graph-heavy (pre-flighted 50/50 by parity --window,
+#   which now PRINTS the derived window so checkout drift is visible).
+#   r9 plan per the r7 verdict: sim+nb+sql; r10: graph+priv+er+tail.
+#   r8 additions (sim_topk_ivfpq) register through the end-of-order
+#   _similarity_r8 namespace, past the cap.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
