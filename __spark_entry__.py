@@ -256,6 +256,11 @@ _similarity_r8 = SimpleNamespace(
     QUERIES=similarity.QUERIES_R8,
     ORACLES=similarity.ORACLES_R8,
 )
+_windowed_r8 = SimpleNamespace(
+    __name__="windowed_r8",
+    QUERIES=streaming_windowed.QUERIES_R8,
+    ORACLES=streaming_windowed.ORACLES_R8,
+)
 
 
 _MODULE_ORDER = (
@@ -313,6 +318,7 @@ _MODULE_ORDER = (
     _graph_r7,
     _relational2_r7,
     _similarity_r8,
+    _windowed_r8,
 )
 
 

@@ -99,7 +99,16 @@ def main() -> int:
         # pagerank/link-prediction edges and the recursive k-hop
         # traversal): in their own groups they re-pay the cold
         # shingle→minhash→verify chain (~3 s each at sf0.1)
-        "dedup": ("similarity", "pipeline_late", "graph", "sqlapi"),
+        "dedup": (
+            "similarity",
+            "pipeline_late",
+            "graph",
+            "sqlapi",
+            # r8: IVFPQ consumes the IVF-assignment + PQ-code memos the
+            # similarity family warms; its own group would re-bill both
+            # one-off fits to the query
+            "similarity_r8",
+        ),
     }
     mods = {m.__name__.rsplit(".", 1)[-1]: m for m in entrymod._MODULE_ORDER}
     member_names = {n for ms in _SHARED_GROUPS.values() for n in ms}

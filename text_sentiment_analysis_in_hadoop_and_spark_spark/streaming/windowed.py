@@ -496,7 +496,15 @@ def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES_LATE["events_gap_fill"] = (
+# r8: renamed to events_gap_fill_locf — operators/timeseries.py had
+# registered a DIFFERENT events_gap_fill (global bounds, volume ffill,
+# gap flag) later in _MODULE_ORDER, silently shadowing this per-type-
+# bounds LOCF variant in queries()/oracle_sql() AND double-billing one
+# bench entry name.  Both semantics are useful, so this one lives on
+# under its own name, registered end-of-order (window policy).
+QUERIES_R8 = {"events_gap_fill_locf": q_events_gap_fill}
+ORACLES_R8 = {}
+ORACLES_R8["events_gap_fill_locf"] = (
     "WITH hourly AS (SELECT event_type, "
     "CAST(epoch_ns(ts) // 1000000000 // 3600 * 3600 AS BIGINT) AS hour_epoch, "
     "CAST(count(*) AS BIGINT) AS n, round(avg(value), 6) AS hour_mean "
@@ -513,7 +521,6 @@ ORACLES_LATE["events_gap_fill"] = (
     "FROM spine s LEFT JOIN hourly h USING (event_type, hour_epoch)"
 )
 
-QUERIES_LATE["events_gap_fill"] = q_events_gap_fill
 
 
 def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
