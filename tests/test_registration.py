@@ -76,3 +76,26 @@ def test_no_orphan_oracles():
 
 def test_oracles_reference_declared_queries_only():
     assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
+
+
+def test_no_cross_module_name_shadowing():
+    """A query name registered by TWO modules is a silent bug: the
+    later module wins in queries()/oracle_sql(), the earlier variant
+    becomes dead-but-executed weight in bench.py, and its oracle can
+    pair with the wrong implementation.  Found live in r8
+    (events_gap_fill in both streaming/windowed.py and
+    operators/timeseries.py) — this pins the invariant mechanically."""
+    from collections import Counter
+
+    counts = Counter(
+        name for mod in entrymod._MODULE_ORDER for name in mod.QUERIES
+    )
+    dupes = sorted(n for n, c in counts.items() if c > 1)
+    assert not dupes, dupes
+    o_counts = Counter(
+        name
+        for mod in entrymod._MODULE_ORDER
+        for name in getattr(mod, "ORACLES", {})
+    )
+    o_dupes = sorted(n for n, c in o_counts.items() if c > 1)
+    assert not o_dupes, o_dupes
