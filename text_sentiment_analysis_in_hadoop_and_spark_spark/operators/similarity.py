@@ -1874,31 +1874,48 @@ def q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = q_sim_topk_brute(spark, sf_dir).select(
         "q_id", "vec_id", F.col("rank").alias("frank"), "cosine"
     )
-    overlap = topq.join(full, ["q_id", "vec_id"]).agg(
-        F.count("*").cast("long").alias("n_overlap")
-    )
-    top1 = (
-        topq.filter(F.col("rank") == 1)
-        .join(full.filter(F.col("frank") == 1), ["q_id", "vec_id"])
-        .agg(F.count("*").cast("long").alias("top1_agree"))
-    )
-    distortion = (
-        full.join(scored, ["q_id", "vec_id"])
-        .agg(
-            F.round(F.avg(F.abs(F.col("qcos") - F.col("cosine"))), 6)
-            .alias("mean_abs_cos_err")
-        )
-    )
-    return (
-        overlap.crossJoin(top1)
-        .crossJoin(distortion)
+    # r8 single-pass rewrite: the three metrics previously ran as three
+    # 1-row arms, and each re-evaluated the O(N·Q) quantized scan (and
+    # the brute baseline) — four corpus passes for one output row.  All
+    # three are aggregates over the TRUE top-10 pairs left-joined with
+    # the quantized ranking, so: recompute qcos for just those
+    # |Q|·k pairs directly from the quantized vectors (same expression,
+    # bit-identical doubles — never through the big `scored` table),
+    # left-join the quantized top-k, and fold everything in ONE
+    # aggregation — the expensive scan now runs exactly once.
+    pairq = (
+        F.broadcast(full)
+        .join(qn.select("vec_id", "qvec", "qnrm"), "vec_id")
+        .join(F.broadcast(qside), "q_id")
         .select(
-            "top1_agree",
-            F.round(
-                F.col("n_overlap") / F.lit(float(N_QUERIES * TOP_K)), 6
-            ).alias("mean_overlap10"),
-            "mean_abs_cos_err",
+            "q_id",
+            "vec_id",
+            "frank",
+            "cosine",
+            (
+                dot(F.col("qvec"), F.col("q_q"))
+                / (F.col("qnrm") * F.col("q_qnrm"))
+            ).alias("qcos"),
         )
+    )
+    j = pairq.join(
+        topq.select("q_id", "vec_id", "rank"), ["q_id", "vec_id"], "left"
+    )
+    return j.agg(
+        F.coalesce(
+            F.sum(
+                ((F.col("rank") == 1) & (F.col("frank") == 1)).cast("long")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("top1_agree"),
+        F.round(
+            F.count("rank") / F.lit(float(N_QUERIES * TOP_K)), 6
+        ).alias("mean_overlap10"),
+        F.round(F.avg(F.abs(F.col("qcos") - F.col("cosine"))), 6).alias(
+            "mean_abs_cos_err"
+        ),
     )
 
 
