@@ -2123,32 +2123,84 @@ def q_sim_ivf_nprobe_profile(
     the right production setting (the engine's default nprobe=4 sits
     on it).
 
-    Shape: the quantizer and assignments are the memoized one-off
-    index; each grid point re-runs only the probe→score→top-K search
-    (cost ∝ nprobe · |cell|), and the recall join is O(queries · K).
-    Rows-only (k-means quantizer, SURVEY §5); monotonicity pinned in
-    tests/test_similarity.py."""
-    brute = q_sim_topk_brute(spark, sf_dir).select(
-        "q_id", "vec_id"
-    )
+    Shape (r8 single-pass rewrite): the quantizer and assignments are
+    the memoized one-off index.  The four grid points previously ran
+    four independent probe→score→top-K searches; but the probe sets
+    are NESTED (top-8 cells ⊇ top-4 ⊇ …), so one pass suffices —
+    score every candidate in the top-max(grid) cells ONCE, tag it
+    with its cell's probe rank, explode it into the arms that cover
+    it (rank ≤ nprobe), and rank all arms in one (arm, q) window.
+    One candidate scan + one shuffle over ≤|grid|× candidate rows
+    instead of four of each.  Rows-only (k-means quantizer, SURVEY
+    §5); monotonicity pinned in tests/test_similarity.py."""
+    brute = q_sim_topk_brute(spark, sf_dir).select("q_id", "vec_id")
     n_true = brute.groupBy().agg(F.count("*").alias("n_true"))
-    out = None
-    for nprobe in NPROBE_GRID:
-        hits = (
-            _ivf_topk(spark, sf_dir, nprobe)
-            .select("q_id", "vec_id")
-            .join(brute, ["q_id", "vec_id"], "left_semi")
-            .groupBy()
-            .agg(F.count("*").alias("n_hit"))
+    emb = _emb_with_norm(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    qsim = q.crossJoin(F.broadcast(_centroids_df(spark, sf_dir))).select(
+        "q_id", "cid", cosine(F.col("q_vec"), F.col("cvec")).alias("sim")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probe = (
+        qsim.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= max(NPROBE_GRID))
+        .select("q_id", F.col("cid").alias("centroid_id"), "rn")
+    )
+    scored = (
+        ivf_assignments(spark, sf_dir)
+        .join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(emb, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "rn",
+            (
+                dot(F.col("embedding"), F.col("q_vec"))
+                / (F.col("nrm") * F.col("q_nrm"))
+            ).alias("cos"),
         )
-        row = hits.join(F.broadcast(n_true)).select(
-            F.lit(nprobe).cast("long").alias("nprobe"),
+    )
+    grid = F.array(*[F.lit(a) for a in NPROBE_GRID])
+    armed = scored.select(
+        F.explode(
+            F.filter(grid, lambda a: a >= F.col("rn"))
+        ).alias("arm"),
+        "q_id",
+        "vec_id",
+        "cos",
+    )
+    wa = Window.partitionBy("arm", "q_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    hits = (
+        armed.withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= TOP_K)
+        .join(brute, ["q_id", "vec_id"], "left_semi")
+        .groupBy("arm")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    arms = spark.createDataFrame(
+        [(a,) for a in NPROBE_GRID], "arm INT"
+    )
+    return (
+        arms.join(hits, "arm", "left")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            F.col("arm").cast("long").alias("nprobe"),
             F.round(
-                F.col("n_hit").cast("double") / F.col("n_true"), 6
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_true"),
+                6,
             ).alias("recall"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        .orderBy("nprobe")
+    )
 
 
 QUERIES_LATE["sim_ivf_nprobe_profile"] = q_sim_ivf_nprobe_profile
