@@ -148,10 +148,35 @@ def streaming_bench_entries(
             q.stop()
         assert closed and closed[0] > 0
 
+    # Probe-scale state partitioning (r8), JOIN PROBES ONLY: a
+    # stream-stream join keeps FOUR state stores per shuffle partition,
+    # so at the session's 32 partitions each micro-batch schedules
+    # 128 state-store tasks around KB-sized state — that fixed
+    # machinery dominated both join probes (A/B/A measured 12.4 s at
+    # 32 vs 2.3 s at 8 for the interval join, identical results).
+    # The work-heavy probes (upsert/ingest/scd2: real per-key state
+    # over the whole events table) measured NEUTRAL-to-WORSE at 8, so
+    # they stay at the session default — this is noise removal, not a
+    # blanket knob.  The partition count bakes into each (always
+    # fresh) checkpoint; the batch≡stream equivalence tests still run
+    # at the session default.
+    probe_parts = "8"
+
+    def _at_probe_scale(fn: Callable[[], None]) -> Callable[[], None]:
+        def wrapped() -> None:
+            before = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", probe_parts)
+            try:
+                fn()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", before)
+
+        return wrapped
+
     return {
         "stream_ingest_probe": ingest_probe,
-        "stream_interval_join": interval_join,
-        "stream_outer_join": outer_join,
+        "stream_interval_join": _at_probe_scale(interval_join),
+        "stream_outer_join": _at_probe_scale(outer_join),
         "stream_exactly_once_sink": exactly_once_sink,
         "stream_upsert_view": upsert_view,
         "stream_scd2_builder": scd2_builder,
