@@ -1747,24 +1747,34 @@ def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = None
     for d in MRL_DIMS:
+        # both metrics fold into ONE aggregation over td LEFT JOIN full
+        # (r8): the two-arm form re-evaluated the O(N·Q) prefix scan
+        # per metric — 8 corpus passes for 4 output rows
         td = _topk_at_dim(spark, sf_dir, d)
-        overlap = td.join(full, ["q_id", "vec_id"]).agg(
-            F.count("*").cast("long").alias("n_overlap")
-        )
-        top1 = (
-            td.filter(F.col("rank") == 1)
-            .join(
-                full.filter(F.col("full_rank") == 1),
-                ["q_id", "vec_id"],
+        row = (
+            td.join(full, ["q_id", "vec_id"], "left")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        (
+                            (F.col("rank") == 1)
+                            & (F.col("full_rank") == 1)
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("top1_agree"),
+                F.count("full_rank").alias("n_overlap"),
             )
-            .agg(F.count("*").cast("long").alias("top1_agree"))
-        )
-        row = overlap.crossJoin(top1).select(
-            F.lit(d).cast("int").alias("dims"),
-            "top1_agree",
-            F.round(
-                F.col("n_overlap") / F.lit(float(N_QUERIES * TOP_K)), 6
-            ).alias("mean_overlap10"),
+            .select(
+                F.lit(d).cast("int").alias("dims"),
+                "top1_agree",
+                F.round(
+                    F.col("n_overlap") / F.lit(float(N_QUERIES * TOP_K)),
+                    6,
+                ).alias("mean_overlap10"),
+            )
         )
         out = row if out is None else out.unionByName(row)
     return out
