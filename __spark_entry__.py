@@ -166,8 +166,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   is text/sim/graph-heavy (pre-flighted 50/50 by parity --window,
 #   which now PRINTS the derived window so checkout drift is visible).
 #   r9 plan per the r7 verdict: sim+nb+sql; r10: graph+priv+er+tail.
-#   r8 additions (sim_topk_ivfpq) register through the end-of-order
-#   _similarity_r8 namespace, past the cap.
+#   r8 additions (sim_topk_ivfpq, rel_q12_priority_class,
+#   sql_variant_props, text_quality_ols) register through
+#   end-of-order _r8 namespaces (sqlfn's variant rides its module but
+#   lands past the window boundary — verified window-stable), past
+#   the cap.  BACKLOG mid-r8: 178 never-checked of 417 declared.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
@@ -261,6 +264,21 @@ _windowed_r8 = SimpleNamespace(
     QUERIES=streaming_windowed.QUERIES_R8,
     ORACLES=streaming_windowed.ORACLES_R8,
 )
+_relational_r8 = SimpleNamespace(
+    __name__="relational_r8",
+    QUERIES=relational.QUERIES_R8,
+    ORACLES=relational.ORACLES_R8,
+)
+_quality_r8 = SimpleNamespace(
+    __name__="quality_r8",
+    QUERIES=quality.QUERIES_R8,
+    ORACLES=quality.ORACLES_R8,
+)
+_pipeline_r8 = SimpleNamespace(
+    __name__="pipeline_r8",
+    QUERIES=pipeline.QUERIES_R8,
+    ORACLES=pipeline.ORACLES_R8,
+)
 
 
 _MODULE_ORDER = (
@@ -319,6 +337,9 @@ _MODULE_ORDER = (
     _relational2_r7,
     _similarity_r8,
     _windowed_r8,
+    _relational_r8,
+    _quality_r8,
+    _pipeline_r8,
 )
 
 

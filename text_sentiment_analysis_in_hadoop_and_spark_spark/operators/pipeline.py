@@ -2519,3 +2519,93 @@ def _corpus_health_sql() -> str:
 
 ORACLES_LATE["pipe_corpus_health"] = _corpus_health_sql()
 QUERIES_LATE["pipe_corpus_health"] = q_corpus_health
+
+
+# --------------------------------------------------------------------------
+# r8: observed metrics — quality counters piggybacked on the main pass
+# --------------------------------------------------------------------------
+
+# `DataFrame.observe` attaches named aggregates to a plan node and
+# reports them as a SIDE EFFECT of whatever action runs the plan — at
+# 100 TB this is how a pipeline collects corpus-health counters
+# without paying a second full scan: the keep-gate write is the
+# action, the metrics ride along.  Two observation points (pre-gate
+# and post-gate) measure the gate itself.  The query's "action" is a
+# `noop`-format write (Spark's built-in v2 sink that scans everything
+# and stores nothing), then the observed values come back as one row —
+# which the DuckDB oracle recomputes as plain aggregates, proving the
+# observe path reports EXACT values, not samples.
+
+OBS_MIN_TOKENS = 5  # gate: docs shorter than this carry no signal
+
+
+def q_observed_gate_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    n_tok = F.size(F.split(F.col("text"), " "))
+    pre = Observation("pre_gate")
+    post = Observation("post_gate")
+    flow = (
+        docs.observe(
+            pre,
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("n_chars")).alias("chars_total"),
+        )
+        .filter(n_tok >= OBS_MIN_TOKENS)
+        .observe(
+            post,
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(n_tok.cast("long")).alias("tokens_kept"),
+            F.sum(F.col("n_chars")).alias("chars_kept"),
+        )
+    )
+    flow.write.format("noop").mode("overwrite").save()
+    m = {**pre.get, **post.get}
+    out = spark.createDataFrame(
+        [
+            (
+                int(m["n_total"]),
+                int(m["chars_total"]),
+                int(m["n_kept"]),
+                int(m["tokens_kept"]),
+                int(m["chars_kept"]),
+            )
+        ],
+        "n_total bigint, chars_total bigint, n_kept bigint, "
+        "tokens_kept bigint, chars_kept bigint",
+    )
+    # the ratio is derived ON the 1-row result with the same literal
+    # expression the oracle uses, so the IEEE division happens once,
+    # identically, in both engines
+    return out.selectExpr(
+        "n_total",
+        "chars_total",
+        "n_kept",
+        "tokens_kept",
+        "chars_kept",
+        "round(CAST(n_kept AS DOUBLE) / n_total, 6) AS keep_rate",
+    )
+
+
+ORACLES_R8: dict[str, str] = {
+    "pipe_observed_gate_metrics": (
+        "WITH t AS (SELECT n_chars, "
+        "len(string_split(text, ' ')) AS n_tok FROM documents), "
+        "pre AS (SELECT CAST(count(*) AS BIGINT) AS n_total, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars_total FROM t), "
+        "post AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, "
+        "CAST(sum(n_tok) AS BIGINT) AS tokens_kept, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars_kept FROM t "
+        f"WHERE n_tok >= {OBS_MIN_TOKENS}) "
+        "SELECT n_total, chars_total, n_kept, tokens_kept, chars_kept, "
+        "round(CAST(n_kept AS DOUBLE) / n_total, 6) AS keep_rate "
+        "FROM pre CROSS JOIN post"
+    ),
+}
+
+QUERIES_R8 = {
+    "pipe_observed_gate_metrics": q_observed_gate_metrics,
+}

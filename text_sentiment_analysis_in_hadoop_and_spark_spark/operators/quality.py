@@ -1219,3 +1219,178 @@ def _threshold_sweep_sql() -> str:
 
 ORACLES_LATE["pipe_quality_threshold_sweep"] = _threshold_sweep_sql()
 QUERIES_LATE["pipe_quality_threshold_sweep"] = q_quality_threshold_sweep
+
+
+# --------------------------------------------------------------------------
+# r8: distilled quality regressor — closed-form OLS in ONE aggregate pass
+# --------------------------------------------------------------------------
+
+# Quality-classifier distillation without MLlib iteration: regress the
+# bigram-LM cross-entropy (the expensive signal — needs the corpus LM)
+# on two cheap narrow-map signals (stopword ratio, type-token ratio).
+# At 100 TB the trained (β₀, β₁, β₂) lets the first-pass filter
+# approximate the LM score for a few Column ops per doc — the same
+# motivation as fastText quality classifiers, but the training run is
+# ONE partial-aggregating pass producing 10 scalar moments, exactly
+# reproducible on any executor count.
+#
+# Determinism contract (same trick as the r5 Pearson matrix): each
+# per-doc signal is quantized to integer MICRO-UNITS first, the
+# moments are exact decimal(38,0) integer sums (order-independent),
+# and the normal-equation solve is a literal-identical scalar SQL
+# fragment both engines execute — so the only IEEE ops happen ONCE,
+# on identical inputs, after all distributed math is exact.
+
+OLS_SCALE = 1_000_000  # micro-units; signals ∈ [0, ~12] fit easily
+
+_EN_STOP_OLS = ("the", "a", "and", "of", "to", "in", "is", "it", "you", "that")
+
+# unit-space doubles from the integer moments — identical text both engines
+_OLS_UNIT_EXPRS = (
+    "CAST(n_docs AS DOUBLE) AS nn",
+    "CAST(s1_i AS DOUBLE) / 1e6 AS s1",
+    "CAST(s2_i AS DOUBLE) / 1e6 AS s2",
+    "CAST(s11_i AS DOUBLE) / 1e12 AS s11",
+    "CAST(s12_i AS DOUBLE) / 1e12 AS s12",
+    "CAST(s22_i AS DOUBLE) / 1e12 AS s22",
+    "CAST(sy_i AS DOUBLE) / 1e6 AS sy",
+    "CAST(s1y_i AS DOUBLE) / 1e12 AS s1y",
+    "CAST(s2y_i AS DOUBLE) / 1e12 AS s2y",
+    "CAST(syy_i AS DOUBLE) / 1e12 AS syy",
+)
+
+# Cramer's rule for the symmetric 3×3 normal equations
+# [nn s1 s2; s1 s11 s12; s2 s12 s22]·β = [sy, s1y, s2y]
+_OLS_DET_EXPRS = (
+    "nn", "sy", "s1y", "s2y", "syy",
+    "nn*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) "
+    "+ s2*(s1*s12 - s11*s2) AS det",
+    "sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) "
+    "+ s2*(s1y*s12 - s11*s2y) AS det0",
+    "nn*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) "
+    "+ s2*(s1*s2y - s1y*s2) AS det1",
+    "nn*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) "
+    "+ sy*(s1*s12 - s11*s2) AS det2",
+)
+_OLS_BETA_EXPRS = (
+    "nn", "sy", "s1y", "s2y", "syy",
+    "CASE WHEN det = 0 THEN NULL ELSE det0 / det END AS b0",
+    "CASE WHEN det = 0 THEN NULL ELSE det1 / det END AS b1",
+    "CASE WHEN det = 0 THEN NULL ELSE det2 / det END AS b2",
+)
+_OLS_OUT_EXPRS = (
+    "CAST(nn AS BIGINT) AS n_docs",
+    "round(b0, 6) AS beta0",
+    "round(b1, 6) AS beta1",
+    "round(b2, 6) AS beta2",
+    "CASE WHEN syy - sy*sy/nn = 0 THEN NULL ELSE "
+    "round(1 - (syy - (b0*sy + b1*s1y + b2*s2y)) "
+    "/ (syy - sy*sy/nn), 6) END AS r_squared",
+)
+
+
+def q_quality_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled quality regressor: cross_entropy ~ β₀ + β₁·stopword_ratio
+    + β₂·ttr, solved in closed form from one exact-integer moment pass.
+
+    Scale shape: the y signal reuses the memoized corpus bigram table
+    (one corpus scan shared with `text_lm_score`); the x signals are a
+    shuffle-free narrow map; the ONLY reduction is a single 10-column
+    partial aggregate, and the 3×3 solve runs once on the driver-free
+    1-row result.  No iteration, no feature matrix materialization,
+    no MLlib — the plan is two scans and one agg at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    x1 = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOP_OLS))) / n
+    x2 = F.size(F.array_distinct(toks)) / n
+    feats = docs.select(
+        "doc_id",
+        F.round(x1 * OLS_SCALE, 0).cast("long").alias("x1_i"),
+        F.round(x2 * OLS_SCALE, 0).cast("long").alias("x2_i"),
+    )
+    bgc = _bigrams_cached(spark, sf_dir)
+    c12 = bgc.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    lnp = F.log(F.col("c12") / F.col("c1"))
+    xent = (
+        bgc.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(F.col("n") * lnp) / F.sum("n") * OLS_SCALE, 0
+            )
+            .cast("long")
+            .alias("y_i")
+        )
+    )
+    dec = "decimal(38,0)"
+    rows = feats.join(xent, "doc_id", "left").select(
+        "x1_i", "x2_i", F.coalesce(F.col("y_i"), F.lit(0)).alias("y_i")
+    )
+    moments = rows.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("x1_i").cast(dec)).alias("s1_i"),
+        F.sum(F.col("x2_i").cast(dec)).alias("s2_i"),
+        F.sum((F.col("x1_i") * F.col("x1_i")).cast(dec)).alias("s11_i"),
+        F.sum((F.col("x1_i") * F.col("x2_i")).cast(dec)).alias("s12_i"),
+        F.sum((F.col("x2_i") * F.col("x2_i")).cast(dec)).alias("s22_i"),
+        F.sum(F.col("y_i").cast(dec)).alias("sy_i"),
+        F.sum((F.col("x1_i") * F.col("y_i")).cast(dec)).alias("s1y_i"),
+        F.sum((F.col("x2_i") * F.col("y_i")).cast(dec)).alias("s2y_i"),
+        F.sum((F.col("y_i") * F.col("y_i")).cast(dec)).alias("syy_i"),
+    )
+    return (
+        moments.selectExpr(*_OLS_UNIT_EXPRS)
+        .selectExpr(*_OLS_DET_EXPRS)
+        .selectExpr(*_OLS_BETA_EXPRS)
+        .selectExpr(*_OLS_OUT_EXPRS)
+    )
+
+
+_OLS_STOP_IN = ", ".join(f"'{w}'" for w in _EN_STOP_OLS)
+ORACLES_R8: dict[str, str] = {
+    "text_quality_ols": (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk "
+        "FROM documents), "
+        "feats AS (SELECT doc_id, "
+        "CAST(round(CAST(len(list_filter(tk, t -> t IN "
+        f"({_OLS_STOP_IN}))) AS DOUBLE) / len(tk) * {OLS_SCALE}, 0) "
+        "AS BIGINT) AS x1_i, "
+        "CAST(round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) "
+        f"* {OLS_SCALE}, 0) AS BIGINT) AS x2_i FROM toks), "
+        "bg AS (SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2 "
+        "FROM (SELECT doc_id, tk, "
+        "unnest(range(0, greatest(len(tk) - 1, 0))) AS i FROM toks)), "
+        "bgc AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg "
+        "GROUP BY doc_id, w1, w2), "
+        "c12 AS (SELECT w1, w2, sum(n) AS c12 FROM bgc GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1), "
+        "xent AS (SELECT bgc.doc_id, CAST(round(-sum(bgc.n * "
+        "ln(CAST(c12.c12 AS DOUBLE) / c1.c1)) / sum(bgc.n) "
+        f"* {OLS_SCALE}, 0) AS BIGINT) AS y_i "
+        "FROM bgc JOIN c12 USING (w1, w2) JOIN c1 USING (w1) "
+        "GROUP BY bgc.doc_id), "
+        "rows_ AS (SELECT x1_i, x2_i, coalesce(y_i, 0) AS y_i "
+        "FROM feats LEFT JOIN xent USING (doc_id)), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "sum(CAST(x1_i AS HUGEINT)) AS s1_i, "
+        "sum(CAST(x2_i AS HUGEINT)) AS s2_i, "
+        "sum(CAST(x1_i AS HUGEINT) * x1_i) AS s11_i, "
+        "sum(CAST(x1_i AS HUGEINT) * x2_i) AS s12_i, "
+        "sum(CAST(x2_i AS HUGEINT) * x2_i) AS s22_i, "
+        "sum(CAST(y_i AS HUGEINT)) AS sy_i, "
+        "sum(CAST(x1_i AS HUGEINT) * y_i) AS s1y_i, "
+        "sum(CAST(x2_i AS HUGEINT) * y_i) AS s2y_i, "
+        "sum(CAST(y_i AS HUGEINT) * y_i) AS syy_i FROM rows_), "
+        f"u AS (SELECT {', '.join(_OLS_UNIT_EXPRS)} FROM m), "
+        f"dt AS (SELECT {', '.join(_OLS_DET_EXPRS)} FROM u), "
+        f"bt AS (SELECT {', '.join(_OLS_BETA_EXPRS)} FROM dt) "
+        f"SELECT {', '.join(_OLS_OUT_EXPRS)} FROM bt"
+    ),
+}
+
+QUERIES_R8 = {
+    "text_quality_ols": q_quality_ols,
+}

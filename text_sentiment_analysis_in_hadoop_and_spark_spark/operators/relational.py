@@ -826,3 +826,74 @@ QUERIES = {
     "rel_waiting_suppliers": q_waiting_suppliers,
     "rel_idle_customers": q_idle_customers,
 }
+
+
+# --- r8: TPC-H Q12 shape (the last of the 22 classic shapes) ---------
+
+Q12_FROM = "1996-01-01"   # one ship-year window, non-empty at every SF
+Q12_TO = "1997-01-01"
+Q12_LATE_DAYS = 90        # commit-date stand-in: shipped >90d after order
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): for late
+    lineitems shipped inside one year, split each line-status bucket
+    into high-priority and low-priority order counts.
+
+    The synthetic lineitem carries no l_shipmode / l_commitdate /
+    l_receiptdate, so the ADAPTED shape groups by ``l_linestatus``
+    (the categorical axis available) and defines "late" as shipped
+    more than ``Q12_LATE_DAYS`` after the order date — the same
+    join-then-two-conditional-counts skeleton as the official query
+    (completes the 22/22 TPC-H shape inventory; see SURVEY §8).
+
+    Scale shape: the shipdate-window filter prunes lineitem BEFORE
+    the join (pushed to the parquet scan); the join is
+    orderkey⋈orderkey fact⋈fact left to AQE; the two conditional
+    counts are one partial-aggregating groupBy on a 2-value key —
+    no Expand, no distinct."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q12_FROM))
+            & (F.col("l_shipdate") < F.lit(Q12_TO))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_HIGH_IN = ", ".join(f"'{p}'" for p in Q12_HIGH)
+ORACLES_R8: dict[str, str] = {
+    "rel_q12_priority_class": (
+        "SELECT l_linestatus, "
+        f"CAST(sum(CASE WHEN o_orderpriority IN ({_Q12_HIGH_IN}) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        f"CAST(sum(CASE WHEN o_orderpriority IN ({_Q12_HIGH_IN}) "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        f"WHERE l_shipdate >= TIMESTAMP '{Q12_FROM}' "
+        f"AND l_shipdate < TIMESTAMP '{Q12_TO}' "
+        f"AND l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY "
+        "GROUP BY l_linestatus"
+    ),
+}
+
+QUERIES_R8 = {
+    "rel_q12_priority_class": q_q12_priority_class,
+}

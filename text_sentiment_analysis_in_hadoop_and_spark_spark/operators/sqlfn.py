@@ -339,3 +339,53 @@ ORACLES["sql_identifier_rollup"] = (
     "AS total_cents FROM orders GROUP BY o_orderpriority"
 )
 QUERIES["sql_identifier_rollup"] = q_sql_identifier_rollup
+
+
+# --- r8: VARIANT (Spark 4 semi-structured type) ----------------------
+
+# The modern path for semi-structured columns: parse ONCE into the
+# binary VARIANT encoding, then typed `variant_get` paths — at 100 TB
+# this replaces per-query JSON string re-parsing (and, on writers
+# that support it, shreds into columnar storage).  The query keeps
+# the parse inside a projected subquery so the plan shows one
+# `parse_json` per row feeding N typed extractions, which is the
+# shape users should write; the DuckDB oracle runs its native JSON
+# extraction over the same strings.
+
+_VARIANT_PROPS_SQL = (
+    "SELECT event_type, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(count(k) AS BIGINT) AS n_with_k, "
+    "CAST(sum(k) AS BIGINT) AS sum_k, "
+    "round(avg(k), 6) AS avg_k, "
+    "CAST(min(k) AS BIGINT) AS min_k, "
+    "CAST(max(k) AS BIGINT) AS max_k "
+    "FROM (SELECT event_type, "
+    "variant_get(parse_json(props), '$.k', 'bigint') AS k "
+    "FROM events) GROUP BY event_type"
+)
+
+
+def q_sql_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats over a JSON payload column lifted into
+    Spark 4's VARIANT type: ``parse_json`` → typed ``variant_get``
+    path extraction, aggregated JVM-side.  Pins the engine's
+    semi-structured surface (the reference has none; its payloads
+    are fixed CSV columns — Spark/NB/src/main/scala/NB.scala:57)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_VARIANT_PROPS_SQL)
+
+
+ORACLES["sql_variant_props"] = (
+    "SELECT event_type, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(count(k) AS BIGINT) AS n_with_k, "
+    "CAST(sum(k) AS BIGINT) AS sum_k, "
+    "round(avg(k), 6) AS avg_k, "
+    "CAST(min(k) AS BIGINT) AS min_k, "
+    "CAST(max(k) AS BIGINT) AS max_k "
+    "FROM (SELECT event_type, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events) GROUP BY event_type"
+)
+QUERIES["sql_variant_props"] = q_sql_variant_props
