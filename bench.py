@@ -109,6 +109,10 @@ def main() -> int:
             # one-off fits to the query
             "similarity_r8",
         ),
+        # r8: the quality OLS consumes the corpus bigram memo the
+        # quality family warms (same sharing as text_lm_score); its
+        # own end-of-order group would re-bill the bigram build
+        "quality": ("quality_r8",),
     }
     mods = {m.__name__.rsplit(".", 1)[-1]: m for m in entrymod._MODULE_ORDER}
     member_names = {n for ms in _SHARED_GROUPS.values() for n in ms}

@@ -117,6 +117,13 @@ SHOWCASE: list[tuple[str, str]] = [
         "one shuffle join (assignments×codes on vec_id) is the pair "
         "a production layout co-buckets.",
     ),
+    (
+        "text_quality_ols",
+        "Closed-form model training (r8): the entire fit is narrow "
+        "maps + ONE partial→final HashAggregate producing 10 exact "
+        "decimal moments; the Cramer solve runs on the 1-row result. "
+        "No iteration, no Python, no feature-matrix materialization.",
+    ),
 ]
 
 
