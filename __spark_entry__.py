@@ -24,6 +24,7 @@ from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import fixedwidth
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import jsonl as jsonl_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import orc as orc_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import pystream as pystream_source
+from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import pywriter as pywriter_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import sqlapi as sqlapi_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import xmlsrc as xml_source
 from text_sentiment_analysis_in_hadoop_and_spark_spark.streaming import enrich as streaming_enrich
@@ -170,7 +171,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   sql_variant_props, text_quality_ols) register through
 #   end-of-order _r8 namespaces (sqlfn's variant rides its module but
 #   lands past the window boundary — verified window-stable), past
-#   the cap.  BACKLOG mid-r8: 178 never-checked of 417 declared.
+#   the cap.  BACKLOG mid-r8: 179 never-checked of 418 declared.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
@@ -340,6 +341,7 @@ _MODULE_ORDER = (
     _relational_r8,
     _quality_r8,
     _pipeline_r8,
+    pywriter_source,
 )
 
 

@@ -1,0 +1,70 @@
+"""Commit/abort contract of the Python manifest-sink writer."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from tests.conftest import SF_DIR
+from text_sentiment_analysis_in_hadoop_and_spark_spark.sources import pywriter
+
+
+def test_commit_publishes_manifest_matching_parts(spark):
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    with tempfile.TemporaryDirectory(prefix="tsa_pyw_") as d:
+        m = pywriter.write_manifest(spark, docs, d)
+        parts = sorted(
+            n for n in os.listdir(d) if n.startswith("part-")
+        )
+        assert m["n_parts"] == pywriter.N_WRITE_PARTS == len(parts)
+        # recount from the staged files themselves: the manifest must
+        # describe exactly the bytes on disk
+        rows = chars = 0
+        for p in parts:
+            with open(os.path.join(d, p)) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    rows += 1
+                    chars += rec["n_chars"]
+        assert m["rows_total"] == rows == docs.count()
+        assert m["chars_total"] == chars
+        # per-part stats in the manifest agree with the files
+        for name, n_rows, _ in m["parts"]:
+            with open(os.path.join(d, name)) as fh:
+                assert n_rows == sum(1 for _ in fh)
+
+
+def test_abort_leaves_nothing_visible(spark):
+    """A failing task must abort the job with NO manifest published —
+    the failed write is INVISIBLE to manifest-honoring readers (file
+    cleanup is best-effort: a concurrently-killed task can race the
+    abort sweep, exactly like Spark's own commit protocols).  A
+    subsequent successful write to the same path must then publish a
+    manifest describing only its own parts, garbage notwithstanding."""
+    poisoned = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "doc_id bigint, n_chars bigint"
+    )
+    with tempfile.TemporaryDirectory(prefix="tsa_pyw_abort_") as d:
+        with pytest.raises(Exception):
+            pywriter.write_manifest(spark, poisoned, d)
+        assert not os.path.exists(os.path.join(d, pywriter.MANIFEST_NAME))
+        # recovery over leftovers: a good write publishes a manifest
+        # whose listed parts re-sum exactly
+        good = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "doc_id bigint, n_chars bigint"
+        )
+        m = pywriter.write_manifest(spark, good, d)
+        assert m["rows_total"] == 3 and m["chars_total"] == 60
+        rows = 0
+        for name, n_rows, _ in m["parts"]:
+            with open(os.path.join(d, name)) as fh:
+                assert n_rows == sum(1 for _ in fh)
+            rows += n_rows
+        assert rows == 3

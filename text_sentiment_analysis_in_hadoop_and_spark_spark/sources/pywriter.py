@@ -1,0 +1,186 @@
+"""Custom Python batch data source WRITER: a manifest-committing sink
+(engine extension — the writer half of the Spark 4
+``pyspark.sql.datasource`` API; the batch reader half is proven by
+``sources/fixedwidth.py`` and the streaming reader by
+``sources/pystream.py``).
+
+``ManifestSinkDataSource`` demonstrates the two-phase commit contract
+every production sink needs: each task's ``write`` stages one part
+file and returns a :class:`WriterCommitMessage` carrying its stats;
+``commit`` runs ONCE on the driver only after every task succeeded
+and atomically publishes ``_MANIFEST.json`` aggregating them;
+``abort`` tears the staged parts down.  Readers that honor the
+manifest (only files it lists exist logically) get exactly-once
+visibility over plain files — the same protocol Spark's own
+FileOutputCommitter / commit coordinators implement, here expressed
+through the public Python API so a user can wire ANY external system
+(object store + ledger, vendor API with a finalize call) as a
+first-class sink.
+
+``pywrite_manifest_commit`` drives the full path: documents →
+deterministic 8-way hash repartition → the Python sink → read the
+COMMITTED manifest back and emit its totals, which the DuckDB oracle
+recomputes straight from the table — if any part were lost, doubled,
+or the commit aggregated wrongly, the totals hash-mismatch.
+
+Scale shape: one narrow pass per partition, one O(n_parts) driver
+aggregation at commit — the same cost profile as any file sink; the
+manifest is bytes-sized.  The Arrow batch path (``writeInArrow``) is
+not used so the per-row overhead is honest Python — at 100 TB you
+would flip the sink to Arrow batches, which changes none of the
+commit semantics this module pins.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+from .tables import load_table
+
+N_WRITE_PARTS = 8
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+class PartStats(WriterCommitMessage):
+    """Per-task commit message: which staged file, how much data."""
+
+    def __init__(self, part_id: int, filename: str, n_rows: int, n_chars: int):
+        self.part_id = part_id
+        self.filename = filename
+        self.n_rows = n_rows
+        self.n_chars = n_chars
+
+
+class ManifestWriter(DataSourceWriter):
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator):
+        """Task side: stage one part file, report stats upward.  The
+        write is staged-then-renamed so a crashed task never leaves a
+        half-written file that a listing could mistake for data."""
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n_rows = 0
+        n_chars = 0
+        final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        tmp = final + ".staging"
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                n_rows += 1
+                n_chars += row.n_chars
+                fh.write(
+                    json.dumps(
+                        {"doc_id": row.doc_id, "n_chars": row.n_chars}
+                    )
+                    + "\n"
+                )
+        os.rename(tmp, final)
+        return PartStats(pid, os.path.basename(final), n_rows, n_chars)
+
+    def commit(self, messages):
+        """Driver side, runs ONLY if every task succeeded: atomically
+        publish the manifest that makes the staged parts visible."""
+        manifest = {
+            "n_parts": len(messages),
+            "rows_total": sum(m.n_rows for m in messages),
+            "chars_total": sum(m.n_chars for m in messages),
+            "parts": sorted(
+                (m.filename, m.n_rows, m.n_chars) for m in messages
+            ),
+        }
+        tmp = os.path.join(self.path, MANIFEST_NAME + ".staging")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(self.path, MANIFEST_NAME))
+
+    def abort(self, messages):
+        """Any task failed: best-effort cleanup of staged parts.  The
+        HARD guarantee is that no manifest is ever written — a reader
+        that honors the manifest (the sink's visibility contract, same
+        as Spark's own commit protocols) can never observe the failed
+        write, even if a concurrently-killed task races this sweep and
+        leaves a file behind.  A later successful write to the same
+        path publishes a manifest listing ONLY its own parts."""
+        for name in os.listdir(self.path):
+            if name.startswith("part-"):
+                try:
+                    os.unlink(os.path.join(self.path, name))
+                except OSError:
+                    pass
+
+
+class ManifestSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tsa_manifest_sink"
+
+    def writer(self, schema, overwrite):
+        return ManifestWriter(self.options["path"])
+
+
+_REGISTERED: set[str] = set()
+
+
+def register(spark: SparkSession) -> None:
+    key = spark.sparkContext.applicationId
+    if key not in _REGISTERED:
+        spark.dataSource.register(ManifestSinkDataSource)
+        _REGISTERED.add(key)
+
+
+def write_manifest(spark: SparkSession, df: DataFrame, path: str) -> dict:
+    """Write ``df`` (doc_id, n_chars) through the manifest sink and
+    return the parsed committed manifest."""
+    register(spark)
+    os.makedirs(path, exist_ok=True)
+    (
+        df.repartition(N_WRITE_PARTS, "doc_id")
+        .write.format("tsa_manifest_sink")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    with open(os.path.join(path, MANIFEST_NAME)) as fh:
+        return json.load(fh)
+
+
+def q_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents through the Python writer; the returned row is the
+    COMMITTED manifest's totals (see module docstring)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    workdir = tempfile.mkdtemp(prefix="tsa_pywriter_")
+    try:
+        m = write_manifest(spark, docs, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    out = spark.createDataFrame(
+        [(int(m["n_parts"]), int(m["rows_total"]), int(m["chars_total"]))],
+        "n_parts bigint, rows_total bigint, chars_total bigint",
+    )
+    return out.select("n_parts", "rows_total", "chars_total")
+
+
+ORACLES: dict[str, str] = {
+    "pywrite_manifest_commit": (
+        f"SELECT CAST({N_WRITE_PARTS} AS BIGINT) AS n_parts, "
+        "CAST(count(*) AS BIGINT) AS rows_total, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars_total FROM documents"
+    ),
+}
+
+QUERIES = {
+    "pywrite_manifest_commit": q_manifest_commit,
+}
