@@ -389,3 +389,46 @@ ORACLES["sql_variant_props"] = (
     "FROM events) GROUP BY event_type"
 )
 QUERIES["sql_variant_props"] = q_sql_variant_props
+
+
+# --- r8: native recursive CTE (Spark 4) ------------------------------
+
+# Spark 4 executes WITH RECURSIVE natively (guarded by
+# spark.sql.cteRecursionLevelLimit, default 100).  Until now every
+# recursive CTE in this repo ran only on the DuckDB ORACLE side (the
+# oracle replay of iterative operators); this query runs ONE literal
+# recursive-SQL string on BOTH engines — the calendar-spine gap-fill
+# pattern, the most common legitimate use: recursion generates a
+# BOUNDED dimension (|days| rows, depth = |days| < the level limit),
+# never data-sized iteration, and the fact table joins against it to
+# surface zero-order days that GROUP BY alone would silently drop.
+# At 100 TB the spine stays ~90 rows — broadcast side of the join —
+# while the fact side aggregates with ordinary partial aggs.
+
+_RECURSIVE_SPINE_SQL = (
+    "WITH RECURSIVE spine(d) AS ("
+    "SELECT DATE '1995-01-01' "
+    "UNION ALL "
+    "SELECT d + INTERVAL 1 DAY FROM spine "
+    "WHERE d < DATE '1995-03-31') "
+    "SELECT CAST(s.d AS STRING) AS day, "
+    "CAST(count(o.o_orderkey) AS BIGINT) AS n_orders, "
+    "CAST(coalesce(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)), 0) "
+    "AS BIGINT) AS revenue_cents "
+    "FROM spine s LEFT JOIN orders o "
+    "ON CAST(o.o_orderdate AS DATE) = s.d "
+    "GROUP BY s.d"
+)
+
+
+def q_sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-1995 daily order counts over a recursively generated
+    calendar spine — zero-order days appear with n_orders = 0 (see
+    block comment; the string is executed CHARACTER-IDENTICAL by the
+    DuckDB oracle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+ORACLES["sql_recursive_spine"] = _RECURSIVE_SPINE_SQL  # identical string
+QUERIES["sql_recursive_spine"] = q_sql_recursive_spine
