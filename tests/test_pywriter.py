@@ -68,3 +68,23 @@ def test_abort_leaves_nothing_visible(spark):
                 assert n_rows == sum(1 for _ in fh)
             rows += n_rows
         assert rows == 3
+
+
+def test_stream_ledger_commit_is_batchid_idempotent(tmp_path):
+    """Exactly-once across restarts hinges on batchId idempotency: a
+    replayed micro-batch re-commits the SAME batchId and must converge
+    (atomic overwrite), never double-count."""
+    w = pywriter.LedgerStreamWriter(str(tmp_path))
+    msgs = [pywriter.BatchStats(10, 1000), None, pywriter.BatchStats(5, 500)]
+    w.commit(msgs, 7)
+    w.commit(msgs, 7)  # replay of the same batch
+    ledgers = [n for n in os.listdir(tmp_path) if n.startswith("_LEDGER-")]
+    assert len(ledgers) == 1
+    with open(os.path.join(tmp_path, ledgers[0])) as fh:
+        led = json.load(fh)
+    assert led == {
+        "batch_id": 7,
+        "n_parts": 2,
+        "n_rows": 15,
+        "cents_total": 1500,
+    }

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -123,12 +124,19 @@ class ManifestWriter(DataSourceWriter):
 
 
 class ManifestSinkDataSource(DataSource):
+    """One format name, both write paths — batch `writer` publishes a
+    manifest, streaming `streamWriter` appends per-batch ledgers
+    (defined in the streaming section below)."""
+
     @classmethod
     def name(cls) -> str:
         return "tsa_manifest_sink"
 
     def writer(self, schema, overwrite):
         return ManifestWriter(self.options["path"])
+
+    def streamWriter(self, schema, overwrite):
+        return LedgerStreamWriter(self.options["path"])
 
 
 _REGISTERED: set[str] = set()
@@ -184,3 +192,119 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "pywrite_manifest_commit": q_manifest_commit,
 }
+
+
+# --- streaming writer: per-batch ledger sink (the 4th quadrant) -------
+
+# With this, the Spark 4 Python DataSource API is covered on ALL FOUR
+# quadrants: batch reader (sources/fixedwidth.py), streaming reader
+# (sources/pystream.py), batch writer (ManifestWriter above), and this
+# streaming writer.  The contract differs from batch in one load-
+# bearing way: ``commit(messages, batchId)`` runs once per MICRO-BATCH,
+# and exactly-once across restarts hinges on batchId idempotency — a
+# replayed batch re-commits the SAME batchId, and the ledger write
+# below is an atomic overwrite, so replays converge instead of
+# double-counting.  This is the template for any external system with
+# a transactional/finalize call (payment ledger, vendor ingest API):
+# per-row payloads go out in ``write``; the visible side effect is
+# published only in ``commit``.
+
+
+class BatchStats(WriterCommitMessage):
+    def __init__(self, n_rows: int, cents: int):
+        self.n_rows = n_rows
+        self.cents = cents
+
+
+class LedgerStreamWriter(DataSourceStreamWriter):
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator):
+        n_rows = 0
+        cents = 0
+        for row in iterator:
+            n_rows += 1
+            cents += row.value_cents
+        return BatchStats(n_rows, cents)
+
+    def commit(self, messages, batchId):
+        stats = [m for m in messages if m is not None]
+        ledger = {
+            "batch_id": batchId,
+            "n_parts": len(stats),
+            "n_rows": sum(m.n_rows for m in stats),
+            "cents_total": sum(m.cents for m in stats),
+        }
+        final = os.path.join(self.path, f"_LEDGER-{batchId:010d}.json")
+        tmp = final + ".staging"
+        with open(tmp, "w") as fh:
+            json.dump(ledger, fh)
+        os.rename(tmp, final)  # atomic: replayed batchIds overwrite
+
+    def abort(self, messages, batchId):
+        # nothing staged outside commit — an aborted batch is invisible
+        pass
+
+
+def q_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PYTHON source → PYTHON sink streaming: the events
+    replay source (4 deterministic micro-batches) through the ledger
+    sink; the returned row aggregates the committed per-batch ledgers,
+    which must reproduce the batch truth exactly — a lost, doubled, or
+    partially-committed batch hash-mismatches the oracle."""
+    from . import pystream
+
+    pystream.register(spark)
+    register(spark)
+    workdir = tempfile.mkdtemp(prefix="tsa_pyw_stream_")
+    try:
+        stream = (
+            spark.readStream.format("events_replay")
+            .option("path", os.path.join(sf_dir, "events.parquet"))
+            .load()
+        )
+        shaped = stream.select(
+            F.round(F.col("value") * 100)
+            .cast("long")
+            .alias("value_cents")
+        )
+        q = (
+            shaped.writeStream.format("tsa_manifest_sink")
+            .option("path", workdir)
+            .option(
+                "checkpointLocation", os.path.join(workdir, "_ckpt")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        ledgers = []
+        for name in sorted(os.listdir(workdir)):
+            if name.startswith("_LEDGER-"):
+                with open(os.path.join(workdir, name)) as fh:
+                    ledgers.append(json.load(fh))
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    out = spark.createDataFrame(
+        [
+            (
+                len(ledgers),
+                int(sum(le["n_rows"] for le in ledgers)),
+                int(sum(le["cents_total"] for le in ledgers)),
+            )
+        ],
+        "n_batches bigint, rows_total bigint, cents_total bigint",
+    )
+    return out.select("n_batches", "rows_total", "cents_total")
+
+
+ORACLES["pywrite_stream_ledger"] = (
+    "SELECT CAST(4 AS BIGINT) AS n_batches, "
+    "CAST(count(*) AS BIGINT) AS rows_total, "
+    "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) "
+    "AS cents_total FROM events"
+)
+QUERIES["pywrite_stream_ledger"] = q_stream_ledger
