@@ -301,8 +301,11 @@ def q_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_batches", "rows_total", "cents_total")
 
 
+from .pystream import N_BATCHES as _REPLAY_BATCHES  # noqa: E402
+
 ORACLES["pywrite_stream_ledger"] = (
-    "SELECT CAST(4 AS BIGINT) AS n_batches, "
+    # one committed ledger per replay micro-batch, by construction
+    f"SELECT CAST({_REPLAY_BATCHES} AS BIGINT) AS n_batches, "
     "CAST(count(*) AS BIGINT) AS rows_total, "
     "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) "
     "AS cents_total FROM events"
