@@ -88,3 +88,29 @@ def test_stream_ledger_commit_is_batchid_idempotent(tmp_path):
         "n_rows": 15,
         "cents_total": 1500,
     }
+
+
+def test_failed_append_preserves_prior_commit(spark):
+    """r8 review regression: abort must clean ONLY what the failed job
+    staged — a previous successful write's committed parts and
+    manifest must survive a later failed append untouched."""
+    good = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "doc_id bigint, n_chars bigint"
+    )
+    poisoned = spark.createDataFrame(
+        [(4, None)], "doc_id bigint, n_chars bigint"
+    )
+    with tempfile.TemporaryDirectory(prefix="tsa_pyw_prior_") as d:
+        m = pywriter.write_manifest(spark, good, d)
+        with pytest.raises(Exception):
+            pywriter.write_manifest(spark, poisoned, d)
+        # every part the surviving manifest lists is still on disk
+        # with exactly the row count it recorded
+        with open(os.path.join(d, pywriter.MANIFEST_NAME)) as fh:
+            after = json.load(fh)
+        assert after == m
+        for name, n_rows, _ in after["parts"]:
+            with open(os.path.join(d, name)) as fh:
+                assert n_rows == sum(1 for _ in fh)
+        # and no staging garbage remains
+        assert not [n for n in os.listdir(d) if n.endswith(".staging")]

@@ -20,14 +20,19 @@ def _rec(queries, min_of_k=None):
     return {"queries": queries, "min_of_k": min_of_k or {}}
 
 
-def test_bench_diff_prefers_min_of_k():
-    old = _rec({"q1": 10.0}, {"q1": 4.0})
-    assert bd._best(old, "q1") == 4.0
-    assert bd._best(_rec({"q1": 10.0}), "q1") == 10.0
+def test_bench_diff_min_of_k_only_when_both_sides_measured():
+    """Cross-round comparability (r8 review): min_of_k is used only
+    when BOTH rounds recorded it — a one-sided minimum against the
+    other round's load-drifted first run prints spurious deltas."""
+    with_mk = _rec({"q1": 10.0}, {"q1": 4.0})
+    without_mk = _rec({"q1": 9.0})
+    assert bd._best(with_mk, with_mk, "q1") == 4.0
+    assert bd._best(with_mk, without_mk, "q1") == 10.0
+    assert bd._best(without_mk, with_mk, "q1") == 9.0
 
 
 def test_bench_diff_reports_added_removed_and_deltas(tmp_path, capsys):
-    old = _rec({"a": 1.0, "b": 5.0, "gone": 2.0, "failed": -1.0})
+    old = _rec({"a": 1.0, "b": 5.0, "gone": 2.0, "failed": -1.0}, {"b": 4.8})
     new = _rec({"a": 1.0, "b": 9.0, "fresh": 3.0}, {"b": 7.5})
     po, pn = tmp_path / "old.json", tmp_path / "new.json"
     po.write_text(json.dumps(old))
@@ -35,9 +40,9 @@ def test_bench_diff_reports_added_removed_and_deltas(tmp_path, capsys):
     assert bd.main(["bench_diff.py", str(po), str(pn)]) == 0
     out = capsys.readouterr().out
     # failed (-1) entries are excluded; added/removed named; the b
-    # regression reported on the min-of-k value (7.5, not 9.0)
+    # regression reported min-of-k vs min-of-k (both rounds have it)
     assert "fresh" in out and "gone" in out and "failed" not in out
-    assert "5.00s ->    7.50s" in out
+    assert "4.80s ->    7.50s" in out
 
 
 def test_rotation_status_manifest_is_consistent():
@@ -53,8 +58,20 @@ def test_rotation_status_manifest_is_consistent():
     assert (
         sum(st["never_checked_by_family"].values()) == st["never_checked"]
     )
-    # the manifest's window must BE the driver's derived window
-    assert st["next_window"] == names[: len(st["next_window"])]
+    # the manifest's window must BE the driver's derived window —
+    # which is the head of registration order while the backlog still
+    # fills it (the _PROMOTED hoist and rotation.status read the same
+    # CORRECTNESS artifacts with the same rule, so they stay coupled);
+    # once the backlog drops below WINDOW the _PROMOTED head pads with
+    # already-green names, so only the never-checked PREFIX must match
+    # (r8 review: the unconditional form would break on no code
+    # change the round the backlog drains)
+    if st["never_checked"] >= rotation.WINDOW:
+        assert st["next_window"] == names[: len(st["next_window"])]
+    else:
+        assert st["next_window"] == names[: len(st["next_window"])] or (
+            names[: st["never_checked"]] == st["next_window"]
+        )
     # every name is a declared query, in registration order
     pos = {n: i for i, n in enumerate(names)}
     order = [pos[n] for n in st["never_checked_names"]]

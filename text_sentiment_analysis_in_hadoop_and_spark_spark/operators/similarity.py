@@ -493,28 +493,50 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk(spark, sf_dir, N_PROBE)
 
 
+def _query_side(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, q_vec, q_nrm): the query vectors every ANN path probes."""
+    return _emb_with_norm(spark, sf_dir).filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+
+
+def _probe_cells(
+    spark: SparkSession, sf_dir: str, nprobe: int, keep_rank: bool = False
+) -> DataFrame:
+    """(q_id, centroid_id[, rn]): the coarse-quantizer probe set —
+    per query, the ``nprobe`` nearest centroids by cosine, tie-broken
+    by ascending cid.  ONE definition shared by the IVF top-k, the
+    nprobe tuning profile, and the IVFPQ serving path (r8 review:
+    three verbatim copies meant a probe-ranking change could silently
+    de-synchronize their candidate sets)."""
+    q = _query_side(spark, sf_dir)
+    qsim = q.crossJoin(
+        F.broadcast(_centroids_df(spark, sf_dir))
+    ).select(
+        "q_id", "cid", cosine(F.col("q_vec"), F.col("cvec")).alias("sim")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cid"))
+    cols = ["q_id", F.col("cid").alias("centroid_id")]
+    if keep_rank:
+        cols.append(F.col("rn"))
+    return (
+        qsim.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select(*cols)
+    )
+
+
 def _ivf_topk(
     spark: SparkSession, sf_dir: str, nprobe: int
 ) -> DataFrame:
     emb = _emb_with_norm(spark, sf_dir)
     asg = ivf_assignments(spark, sf_dir)
-    cents = _centroids_df(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    qsim = q.crossJoin(F.broadcast(cents)).select(
-        "q_id",
-        "cid",
-        cosine(F.col("q_vec"), F.col("cvec")).alias("sim"),
-    )
-    wp = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cid"))
-    probe = (
-        qsim.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= nprobe)
-        .select("q_id", F.col("cid").alias("centroid_id"))
-    )
+    q = _query_side(spark, sf_dir)
+    probe = _probe_cells(spark, sf_dir, nprobe)
     cand = (
         asg.join(F.broadcast(probe), "centroid_id")
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -2146,19 +2168,9 @@ def q_sim_ivf_nprobe_profile(
     brute = q_sim_topk_brute(spark, sf_dir).select("q_id", "vec_id")
     n_true = brute.groupBy().agg(F.count("*").alias("n_true"))
     emb = _emb_with_norm(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    qsim = q.crossJoin(F.broadcast(_centroids_df(spark, sf_dir))).select(
-        "q_id", "cid", cosine(F.col("q_vec"), F.col("cvec")).alias("sim")
-    )
-    wp = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cid"))
-    probe = (
-        qsim.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= max(NPROBE_GRID))
-        .select("q_id", F.col("cid").alias("centroid_id"), "rn")
+    q = _query_side(spark, sf_dir)
+    probe = _probe_cells(
+        spark, sf_dir, max(NPROBE_GRID), keep_rank=True
     )
     scored = (
         ivf_assignments(spark, sf_dir)
@@ -2680,32 +2692,18 @@ ORACLES_LATE["sim_knn_hubness"] = _hubness_sql()
 def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_id, vec_id, l2_dist, rk): top-k via probe → ADC → refine."""
     emb = _emb_with_norm(spark, sf_dir)
-    cents = _centroids_df(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    qsim = q.crossJoin(F.broadcast(cents)).select(
-        "q_id",
-        "cid",
-        cosine(F.col("q_vec"), F.col("cvec")).alias("sim"),
-    )
-    wp = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cid"))
-    probe = (
-        qsim.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= N_PROBE)
-        .select("q_id", F.col("cid").alias("centroid_id"))
-    )
+    q = _query_side(spark, sf_dir)
+    probe = _probe_cells(spark, sf_dir, N_PROBE)
     # candidates: PQ code rows restricted to the probed inverted lists
     # — ONE broadcast equi-join against the (q_id, cell) probe table;
     # at scale the codes table is bucketed by centroid_id so this scan
-    # is partition-pruned to nprobe lists per query
+    # is partition-pruned to nprobe lists per query.  (vec_id >=
+    # N_QUERIES already excludes every q_id, so no self-match filter
+    # is needed — r8 review dropped the dead predicate.)
     cand = (
         ivf_assignments(spark, sf_dir)
         .join(F.broadcast(probe), "centroid_id")
         .filter(F.col("vec_id") >= N_QUERIES)
-        .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id")
     )
     codes = (

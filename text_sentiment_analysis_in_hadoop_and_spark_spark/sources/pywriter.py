@@ -64,20 +64,32 @@ class PartStats(WriterCommitMessage):
 
 
 class ManifestWriter(DataSourceWriter):
-    def __init__(self, path: str):
+    def __init__(self, path: str, job_id: str):
         self.path = path
+        self.job_id = job_id
 
     def write(self, iterator):
         """Task side: stage one part file, report stats upward.  The
         write is staged-then-renamed so a crashed task never leaves a
-        half-written file that a listing could mistake for data."""
+        half-written file that a listing could mistake for data.  Two
+        isolation levels in the name (both r8-review findings, both
+        matching Spark's own ``part-00000-<uuid>`` committers):
+        the JOB id makes concurrent/sequential writes to one directory
+        collision-free — without it, a failed append's empty tasks
+        renamed onto a PRIOR commit's part names and destroyed them —
+        and the TASK ATTEMPT id keeps speculative/zombie duplicate
+        attempts of one partition from interleaving into one staging
+        file (rename is then last-attempt-wins on the final name)."""
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         n_rows = 0
         n_chars = 0
-        final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
-        tmp = final + ".staging"
+        final = os.path.join(
+            self.path, f"part-{self.job_id}-{pid:05d}.jsonl"
+        )
+        tmp = f"{final}.attempt-{ctx.taskAttemptId()}.staging"
         with open(tmp, "w") as fh:
             for row in iterator:
                 n_rows += 1
@@ -108,15 +120,26 @@ class ManifestWriter(DataSourceWriter):
         os.rename(tmp, os.path.join(self.path, MANIFEST_NAME))
 
     def abort(self, messages):
-        """Any task failed: best-effort cleanup of staged parts.  The
-        HARD guarantee is that no manifest is ever written — a reader
-        that honors the manifest (the sink's visibility contract, same
-        as Spark's own commit protocols) can never observe the failed
-        write, even if a concurrently-killed task races this sweep and
-        leaves a file behind.  A later successful write to the same
-        path publishes a manifest listing ONLY its own parts."""
+        """Any task failed: best-effort cleanup of ONLY what this job
+        staged — the renamed parts its completed tasks reported in
+        their commit messages, plus leftover ``.staging`` files from
+        in-flight attempts.  Never a blanket part-* sweep: a previous
+        successful write's committed parts belong to its manifest and
+        must survive a later failed append (bug caught in r8 review —
+        the sweep deleted a prior commit's data while leaving its
+        manifest pointing at missing files).  The HARD guarantee
+        stays: no manifest is ever written for the failed job, so a
+        manifest-honoring reader can never observe it, even if a
+        concurrently-killed task races this sweep."""
+        for m in messages:
+            if m is not None:
+                try:
+                    os.unlink(os.path.join(self.path, m.filename))
+                except OSError:
+                    pass
+        prefix = f"part-{self.job_id}-"
         for name in os.listdir(self.path):
-            if name.startswith("part-"):
+            if name.startswith(prefix) and name.endswith(".staging"):
                 try:
                     os.unlink(os.path.join(self.path, name))
                 except OSError:
@@ -133,7 +156,9 @@ class ManifestSinkDataSource(DataSource):
         return "tsa_manifest_sink"
 
     def writer(self, schema, overwrite):
-        return ManifestWriter(self.options["path"])
+        import uuid
+
+        return ManifestWriter(self.options["path"], uuid.uuid4().hex[:8])
 
     def streamWriter(self, schema, overwrite):
         return LedgerStreamWriter(self.options["path"])

@@ -19,10 +19,19 @@ import json
 import sys
 
 
-def _best(rec: dict, name: str) -> float:
-    """Load-insensitive per-query seconds: min_of_k if measured."""
+def _best(rec: dict, other: dict, name: str) -> float:
+    """Load-insensitive per-query seconds for a CROSS-ROUND diff:
+    min_of_k only when BOTH rounds measured it for this entry, else
+    first-run on both sides.  One-sided minima are not comparable —
+    r8 lowered the min-of-k threshold 2.0→0.5 s, so every 0.5–2 s
+    entry has a minimum in r8 but not r7; mixing r8's minimum against
+    r7's (up to 4× load-drifted) first run printed spurious deltas
+    for that whole band (r8 review finding)."""
     mk = rec.get("min_of_k", {})
-    return mk.get(name, rec["queries"][name])
+    omk = other.get("min_of_k", {})
+    if name in mk and name in omk:
+        return mk[name]
+    return rec["queries"][name]
 
 
 def main(argv: list[str]) -> int:
@@ -40,12 +49,12 @@ def main(argv: list[str]) -> int:
 
     deltas = []
     for name in common:
-        a, b = _best(old, name), _best(new, name)
+        a, b = _best(old, new, name), _best(new, old, name)
         deltas.append((b - a, a, b, name))
     deltas.sort(reverse=True)
 
-    ot = sum(_best(old, n) for n in common)
-    nt = sum(_best(new, n) for n in common)
+    ot = sum(_best(old, new, n) for n in common)
+    nt = sum(_best(new, old, n) for n in common)
     print(
         f"common entries: {len(common)}  "
         f"old {ot:.1f}s -> new {nt:.1f}s ({nt / ot - 1:+.1%} vs old)"
@@ -53,7 +62,7 @@ def main(argv: list[str]) -> int:
         else "no common entries"
     )
     if added:
-        a_tot = sum(_best(new, n) for n in added)
+        a_tot = sum(_best(new, new, n) for n in added)
         print(f"added ({len(added)}, {a_tot:.1f}s): {', '.join(added)}")
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
