@@ -171,7 +171,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   sql_variant_props, text_quality_ols) register through
 #   end-of-order _r8 namespaces (sqlfn's variant rides its module but
 #   lands past the window boundary — verified window-stable), past
-#   the cap.  BACKLOG mid-r8: 181 never-checked of 420 declared.
+#   the cap.  BACKLOG mid-r8: 182 never-checked of 421 declared.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,

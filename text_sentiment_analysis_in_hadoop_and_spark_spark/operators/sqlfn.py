@@ -432,3 +432,33 @@ def q_sql_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["sql_recursive_spine"] = _RECURSIVE_SPINE_SQL  # identical string
 QUERIES["sql_recursive_spine"] = q_sql_recursive_spine
+
+
+# --- r8: GROUP BY ALL (analyst-ergonomics SQL, Spark 3.4+) -----------
+
+# The "group by every non-aggregate select item" shorthand both Spark
+# and DuckDB support — ONE literal string, two engines, like the
+# LATERAL and recursive-spine pins.  Worth pinning because the
+# shorthand's resolution rule (which select items count as grouping
+# keys) is exactly the part two engines could disagree on; the
+# value-hash check proves they don't.
+
+_GROUP_BY_ALL_SQL = (
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(year(l_shipdate) AS BIGINT) AS ship_year, "
+    "CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) "
+    "AS BIGINT) AS price_cents "
+    "FROM lineitem GROUP BY ALL"
+)
+
+
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag × status × ship-year rollup via GROUP BY ALL (see block
+    comment; the identical string is the oracle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+ORACLES["sql_group_by_all"] = _GROUP_BY_ALL_SQL  # identical string
+QUERIES["sql_group_by_all"] = q_sql_group_by_all
