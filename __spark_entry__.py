@@ -355,16 +355,18 @@ _MODULE_ORDER = (
 # tests/test_registration.py at every round boundary).  Rows-only
 # names with a recorded no_oracle driver row count as checked (their
 # check cannot get stronger).  Once the never-checked backlog drops
-# below 50, the window pads with already-green names in registration
-# order — a re-verification rotation, so the driver keeps re-proving
-# old queries instead of idling slots.
+# below 50, the window pads with already-green names OLDEST GREEN ROW
+# FIRST (r8 verdict #5): a query last proven in r3 is five rounds
+# stale against a moving Spark/DuckDB stack, so the standing
+# re-verification rotation re-proves the oldest evidence before the
+# freshest; ties (same round file) break by registration order.
 def _derive_promoted(window: int = 50) -> tuple[str, ...]:
     import glob
     import json
     import os
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    green: dict[str, str] = {}  # name → basename of its FIRST green row
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -381,7 +383,7 @@ def _derive_promoted(window: int = 50) -> tuple[str, ...]:
                 if row.get("hash_match") is not None:
                     ok = ok and bool(row["hash_match"])
             if ok:
-                green.add(name)
+                green[name] = os.path.basename(path)
     names: list[str] = []
     seen: set[str] = set()
     for mod in _MODULE_ORDER:
@@ -392,7 +394,13 @@ def _derive_promoted(window: int = 50) -> tuple[str, ...]:
     never = [n for n in names if n not in green]
     head = never[:window]
     if len(head) < window:
-        head.extend(n for n in names if n not in never)
+        pos = {n: i for i, n in enumerate(names)}
+        head.extend(
+            sorted(
+                (n for n in names if n in green),
+                key=lambda n: (green[n], pos[n]),
+            )
+        )
     return tuple(head[:window])
 
 

@@ -247,8 +247,6 @@ def main() -> int:
         "sf": sf,
     }
     queries_file = os.path.join(REPO, "bench_queries.json")
-    with open(queries_file, "w") as f:
-        json.dump(record, f, indent=1, sort_keys=True)
     # round-stamped copy so per-query history survives round-over-round
     # (r7 verdict item 2: bench_queries.json alone is overwritten each
     # round, so a single-query regression can hide inside a better
@@ -260,6 +258,28 @@ def main() -> int:
         if (mm := re.match(r"BENCH_r(\d+)\.json$", f_))
     ]
     this_round = (max(rounds) + 1) if rounds else 0
+    # r8 verdict item 6: stamp the comparable-entries diff vs the
+    # prior round INTO the artifact, so the judge's round-over-round
+    # ratio is computed once at close instead of re-derived from
+    # whichever same-round run landed last
+    prior = os.path.join(
+        REPO, f"bench_queries_r{this_round - 1:02d}.json"
+    )
+    if not os.path.exists(prior):
+        prior = os.path.join(REPO, f"BENCH_r{this_round - 1:02d}.json")
+    record["vs_prior_comparable_pct"] = None
+    if os.path.exists(prior):
+        try:
+            from tools.bench_diff import comparable_pct
+
+            with open(prior) as f:
+                record["vs_prior_comparable_pct"] = comparable_pct(
+                    json.load(f), record
+                )
+        except (OSError, ValueError, KeyError):
+            pass
+    with open(queries_file, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
     with open(
         os.path.join(REPO, f"bench_queries_r{this_round:02d}.json"), "w"
     ) as f:
@@ -270,6 +290,7 @@ def main() -> int:
         "unit": "sec",
         "value_min_of_k": total_min,
         "min_of_k_coverage": record["min_of_k_coverage"],
+        "vs_prior_comparable_pct": record["vs_prior_comparable_pct"],
         "failed": failed,
         "sf": sf,
         "queries_file": "bench_queries.json",

@@ -90,6 +90,35 @@ def test_stream_ledger_commit_is_batchid_idempotent(tmp_path):
     }
 
 
+def test_second_append_merges_prior_manifest(spark):
+    """ADVICE r8: append mode means APPEND — a second successful write
+    must publish a manifest that still lists the first commit's parts
+    (before the fix it listed only its own, orphaning the prior rows
+    for any manifest-honoring reader)."""
+    first = spark.createDataFrame(
+        [(1, 10), (2, 20)], "doc_id bigint, n_chars bigint"
+    )
+    second = spark.createDataFrame(
+        [(3, 30), (4, 40), (5, 50)], "doc_id bigint, n_chars bigint"
+    )
+    with tempfile.TemporaryDirectory(prefix="tsa_pyw_append_") as d:
+        m1 = pywriter.write_manifest(spark, first, d)
+        m2 = pywriter.write_manifest(spark, second, d)
+        assert m2["rows_total"] == 5
+        assert m2["chars_total"] == 150
+        assert m2["n_parts"] == len(m2["parts"])
+        # the union is lossless: every part of the first manifest is
+        # still listed, and every listed part re-sums from disk
+        first_parts = {tuple(p) for p in m1["parts"]}
+        assert first_parts <= {tuple(p) for p in m2["parts"]}
+        rows = 0
+        for name, n_rows, _ in m2["parts"]:
+            with open(os.path.join(d, name)) as fh:
+                assert n_rows == sum(1 for _ in fh)
+            rows += n_rows
+        assert rows == 5
+
+
 def test_failed_append_preserves_prior_commit(spark):
     """r8 review regression: abort must clean ONLY what the failed job
     staged — a previous successful write's committed parts and

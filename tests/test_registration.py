@@ -32,22 +32,27 @@ def test_promoted_matches_mechanical_rotation():
 
     green = rotation.driver_green(entrymod.rows_only())
     names = list(entrymod.queries())
-    never = [n for n in names if n not in green]
-    expected = never[:50]
-    if len(expected) < 50:
-        expected.extend(n for n in names if n not in never)
+    expected = rotation.next_window(names, green)
     assert list(entrymod._PROMOTED) == expected[:50]
 
 
-def test_promoted_are_all_never_driver_checked():
-    """Window slots are scarce (50/round, ~190 never-checked in the
-    backlog): every promoted name must still NEED a driver row per
-    the mechanical derivation in tools/rotation.py."""
+def test_promoted_leads_with_every_never_checked_name():
+    """Window slots are scarce: every never-driver-checked name must
+    come BEFORE any already-green padding name (padding appears only
+    once the backlog no longer fills the window; it then re-proves
+    oldest green rows first per the r8-verdict policy)."""
     import tools.rotation as rotation
 
     green = rotation.driver_green(entrymod.rows_only())
-    stale = [n for n in entrymod._PROMOTED if n in green]
-    assert not stale, stale
+    flags = [n in green for n in entrymod._PROMOTED]
+    # monotone: once padding (green) starts, no never-checked follows
+    assert flags == sorted(flags), list(
+        zip(entrymod._PROMOTED, flags)
+    )
+    n_never_total = sum(
+        1 for n in entrymod.queries() if n not in green
+    )
+    assert flags.count(False) == min(50, n_never_total)
 
 
 def test_promoted_names_all_exist():

@@ -54,7 +54,11 @@ def test_rotation_status_manifest_is_consistent():
     )
     assert st["driver_green"] + st["never_checked"] == st["declared"]
     assert len(st["never_checked_names"]) == st["never_checked"]
-    assert st["next_window"] == st["never_checked_names"][:rotation.WINDOW]
+    # window = never-checked head; padded oldest-green-first once the
+    # backlog no longer fills it (r8 verdict #5)
+    k = min(st["never_checked"], rotation.WINDOW)
+    assert st["next_window"][:k] == st["never_checked_names"][:k]
+    assert len(st["next_window"]) == min(rotation.WINDOW, st["declared"])
     assert (
         sum(st["never_checked_by_family"].values()) == st["never_checked"]
     )
@@ -76,6 +80,41 @@ def test_rotation_status_manifest_is_consistent():
     pos = {n: i for i, n in enumerate(names)}
     order = [pos[n] for n in st["never_checked_names"]]
     assert order == sorted(order)
+
+
+def test_bench_diff_comparable_pct():
+    """The number bench.py stamps into the artifact at close (r8
+    verdict #6): signed percent on common entries, min-of-k only when
+    both rounds measured it, None when nothing is comparable."""
+    old = _rec({"a": 1.0, "b": 5.0, "gone": 2.0}, {"b": 4.0})
+    new = _rec({"a": 2.0, "b": 9.0, "fresh": 3.0}, {"b": 6.0})
+    # comparable: a first-run 1.0→2.0, b min-of-k 4.0→6.0 → 5.0→8.0
+    assert bd.comparable_pct(old, new) == 60.0
+    assert bd.comparable_pct(_rec({"x": 1.0}), _rec({"y": 1.0})) is None
+    # failed entries (-1) never count as comparable
+    assert (
+        bd.comparable_pct(_rec({"a": -1.0}), _rec({"a": 5.0})) is None
+    )
+
+
+def test_rotation_padding_is_oldest_green_first():
+    """Once the backlog no longer fills the window, padding re-proves
+    the OLDEST green rows first (ties by registration order) — pinned
+    on a synthetic green map so the policy can't silently regress
+    before the real backlog drains."""
+    names = ["q1", "q2", "q3", "q4", "q5"]
+    green = {
+        "q2": "CORRECTNESS_r05.json",
+        "q4": "CORRECTNESS_r03.json",
+        "q5": "CORRECTNESS_r03.json",
+    }
+    # backlog q1,q3 fills first; then r03 greens (q4,q5 in
+    # registration order), then the r05 green
+    assert rotation.next_window(names, green, window=5) == [
+        "q1", "q3", "q4", "q5", "q2",
+    ]
+    # window smaller than backlog: plain never-checked head
+    assert rotation.next_window(names, green, window=2) == ["q1", "q3"]
 
 
 def test_rotation_status_cli_writes_artifact(tmp_path):

@@ -871,9 +871,18 @@ def q_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
         )
         .groupBy("l_linestatus")
+        # F.when(...).otherwise(...) — NOT high.cast / (~high).cast: a
+        # NULL o_orderpriority makes `isin` NULL, which sum() would
+        # silently drop from BOTH counts, while the oracle's CASE ...
+        # ELSE 1 counts it as a low line (ADVICE r8).  The explicit
+        # otherwise() pins the ELSE semantics on the Spark side too.
         .agg(
-            F.sum(high.cast("long")).alias("high_line_count"),
-            F.sum((~high).cast("long")).alias("low_line_count"),
+            F.sum(F.when(high, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, F.lit(0)).otherwise(F.lit(1)))
+            .cast("long")
+            .alias("low_line_count"),
         )
     )
 

@@ -105,19 +105,42 @@ class ManifestWriter(DataSourceWriter):
 
     def commit(self, messages):
         """Driver side, runs ONLY if every task succeeded: atomically
-        publish the manifest that makes the staged parts visible."""
+        publish the manifest that makes the staged parts visible.
+
+        APPEND semantics (ADVICE r8): the new manifest is the UNION of
+        the surviving prior manifest's parts and this job's — before
+        this fix a second successful append published a manifest
+        listing only its own parts, silently orphaning the prior
+        commit's rows for any manifest-honoring reader.  Job-unique
+        part names make the union collision-free; the swap stays a
+        single atomic rename, so a reader sees either the old complete
+        manifest or the new complete one, never a mix."""
+        parts = sorted(
+            (m.filename, m.n_rows, m.n_chars) for m in messages
+        )
+        prior = os.path.join(self.path, MANIFEST_NAME)
+        if os.path.exists(prior):
+            with open(prior) as fh:
+                prev = json.load(fh)
+            mine = {p[0] for p in parts}
+            parts = sorted(
+                parts
+                + [
+                    tuple(p)
+                    for p in prev.get("parts", ())
+                    if p[0] not in mine
+                ]
+            )
         manifest = {
-            "n_parts": len(messages),
-            "rows_total": sum(m.n_rows for m in messages),
-            "chars_total": sum(m.n_chars for m in messages),
-            "parts": sorted(
-                (m.filename, m.n_rows, m.n_chars) for m in messages
-            ),
+            "n_parts": len(parts),
+            "rows_total": sum(p[1] for p in parts),
+            "chars_total": sum(p[2] for p in parts),
+            "parts": parts,
         }
         tmp = os.path.join(self.path, MANIFEST_NAME + ".staging")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.rename(tmp, os.path.join(self.path, MANIFEST_NAME))
+        os.rename(tmp, prior)
 
     def abort(self, messages):
         """Any task failed: best-effort cleanup of ONLY what this job

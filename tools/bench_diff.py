@@ -34,6 +34,23 @@ def _best(rec: dict, other: dict, name: str) -> float:
     return rec["queries"][name]
 
 
+def comparable_pct(old: dict, new: dict) -> float | None:
+    """Signed percent change of the new round vs the old on the
+    comparable-entries, load-insensitive signal (the number the r8
+    verdict adjudicated by hand; bench.py now stamps it into the
+    artifact at close — r8 verdict item 6 — so the judge's ratio no
+    longer depends on which same-round run landed last).  None when
+    the rounds share no entries."""
+    oq = {k for k, v in old.get("queries", {}).items() if v >= 0}
+    nq = {k for k, v in new.get("queries", {}).items() if v >= 0}
+    common = oq & nq
+    ot = sum(_best(old, new, n) for n in common)
+    nt = sum(_best(new, old, n) for n in common)
+    if not ot:
+        return None
+    return round((nt / ot - 1) * 100, 1)
+
+
 def main(argv: list[str]) -> int:
     if len(argv) != 3:
         print(__doc__, file=sys.stderr)

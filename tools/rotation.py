@@ -13,6 +13,15 @@ A name counts as "driver-green" if ANY CORRECTNESS_r*.json row for it
 has rows_match (and hash_match when an oracle was declared).  Names
 are emitted in REGISTRATION order (oldest modules first), which is
 the promotion order the policy prescribes.
+
+Padding policy (r8 verdict #5): once the never-checked backlog drops
+below the 50-slot window, remaining slots are filled with
+already-green names OLDEST FIRST GREEN ROW first (ties break by
+registration order) — a standing re-verification rotation that
+re-proves the stalest evidence against the moving Spark/DuckDB stack
+before re-proving anything fresh.  ``__spark_entry__._derive_promoted``
+implements the identical rule; ``tests/test_registration.py`` pins
+the two derivations together.
 """
 
 from __future__ import annotations
@@ -56,6 +65,24 @@ def driver_green(rows_only: frozenset[str] = frozenset()) -> dict[str, str]:
     return green
 
 
+def next_window(names: list[str], green: dict[str, str],
+                window: int = WINDOW) -> list[str]:
+    """Never-checked head (registration order), padded oldest-green-
+    first when the backlog no longer fills the window — the module
+    docstring's padding policy, shared by status() and main()."""
+    never = [n for n in names if n not in green]
+    head = never[:window]
+    if len(head) < window:
+        pos = {n: i for i, n in enumerate(names)}
+        head.extend(
+            sorted(
+                (n for n in names if n in green),
+                key=lambda n: (green[n], pos[n]),
+            )
+        )
+    return head[:window]
+
+
 def status(entry) -> dict:
     """Machine-readable backlog manifest (r7 verdict item 7) — the
     judge-facing accounting that was previously re-derived by hand."""
@@ -77,7 +104,7 @@ def status(entry) -> dict:
         "never_checked_by_family": dict(
             sorted(fam_never.items(), key=lambda kv: -kv[1])
         ),
-        "next_window": never[:WINDOW],
+        "next_window": next_window(names, green),
         "never_checked_names": never,
         "green_rounds": {
             os.path.basename(f): sum(1 for r in green.values() if r == f)
@@ -107,7 +134,7 @@ def main() -> int:
     rounds_needed = (len(never) + WINDOW - 1) // WINDOW
     print(f"windows needed at {WINDOW}/round: {rounds_needed}")
     print()
-    show = never if "--all" in sys.argv else never[:WINDOW]
+    show = never if "--all" in sys.argv else next_window(names, green)
     label = "all never-checked" if "--all" in sys.argv else f"next window ({len(show)})"
     print(f"{label}, in registration order:")
     for n in show:
