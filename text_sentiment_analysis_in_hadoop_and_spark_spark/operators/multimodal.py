@@ -879,7 +879,12 @@ def q_mm_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break, and anchors with no bucket-mate carry NULLs rather
     than silently dropping."""
     from .common import rebalance_scan as _  # noqa: F401 (doc parity)
-    from ..operators.similarity import _bucket_rows, _emb_with_norm, dot
+    from ..operators.similarity import (
+        _bucket_rows,
+        _emb_with_norm,
+        capped_bucket_rows,
+        dot,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -887,7 +892,11 @@ def q_mm_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "caption_tokens"
         ),
     )
-    bx = _bucket_rows(spark, sf_dir)
+    # hot-bucket cap before the mate self-join (r8 verdict #2): a
+    # degenerate embedding cluster would otherwise mine O(m²) negative
+    # candidates; anchors losing all mates fall back to NULLs exactly
+    # like anchors in singleton buckets
+    bx = capped_bucket_rows(_bucket_rows(spark, sf_dir))
     mate = bx.select(F.col("vec_id").alias("neg_id"), "tbl", "bucket")
     cand = (
         bx.join(mate, ["tbl", "bucket"])
@@ -958,18 +967,25 @@ def q_mm_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ..operators.similarity import _B_CTE as _SIM_B_CTE  # noqa: E402
 from ..operators.similarity import _cos_sql as _sim_cos_sql  # noqa: E402
+from ..operators.similarity import (  # noqa: E402
+    SIM_HOT_BUCKET_CAP as _SIM_CAP,
+)
+
+# oracle twin of capped_bucket_rows: over-cap buckets leave the
+# unpivoted mate table before the self-join (filtering one unpivot
+# side would suffice — the join is on bucket equality — but both
+# branches carry the WHERE so each UNION arm reads standalone)
+_MM_UNPIVOT = " UNION ALL ".join(
+    f"SELECT vec_id, bucket{t} AS bk, {t} AS tbl FROM b "
+    f"WHERE bucket{t} NOT IN (SELECT bucket{t} FROM b "
+    f"GROUP BY bucket{t} HAVING count(*) > {_SIM_CAP})"
+    for t in range(4)
+)
 
 ORACLES_LATE["mm_pair_manifest"] = (
     "WITH " + _SIM_B_CTE + ", "
     "cand AS (SELECT DISTINCT a.vec_id AS anchor_id, c.vec_id AS neg_id "
-    "FROM (" + " UNION ALL ".join(
-        f"SELECT vec_id, bucket{t} AS bk, {t} AS tbl FROM b"
-        for t in range(4)
-    ) + ") a JOIN ("
-    + " UNION ALL ".join(
-        f"SELECT vec_id, bucket{t} AS bk, {t} AS tbl FROM b"
-        for t in range(4)
-    )
+    "FROM (" + _MM_UNPIVOT + ") a JOIN (" + _MM_UNPIVOT
     + ") c ON a.bk = c.bk AND a.tbl = c.tbl AND a.vec_id <> c.vec_id), "
     "scored AS (SELECT cand.anchor_id, cand.neg_id, "
     "round(" + _sim_cos_sql("x.embedding", "y.embedding") + ", 6) AS cos "

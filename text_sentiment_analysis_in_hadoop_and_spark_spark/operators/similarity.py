@@ -50,6 +50,23 @@ N_QUERIES = 8
 TOP_K = 10
 N_TABLES = 4         # independent LSH tables (OR-amplification → recall)
 PLANES_PER_TABLE = 8  # planes per table → 256 buckets (AND → selectivity)
+# Hot-bucket cap for the CORPUS-side bucket SELF-joins (pairs, k-NN
+# hubness, hard-negative mining) — the sim twin of dedup.py's
+# HOT_BUCKET_CAP (r8 verdict #2).  Random hyperplanes make hot buckets
+# unlikely but not impossible: a degenerate embedding cluster (all
+# vectors one direction — a collapsed encoder, a constant-padding bug)
+# IS a hot bucket, and a bucket of size m contributes O(m²) candidate
+# pairs.  Buckets above the cap are dropped from the self-join — a
+# degenerate cluster is self-evidently near-duplicate and needs no
+# pairwise verification, so losing its pairs loses no information
+# while keeping the candidate set O(N·cap) instead of O(N²).
+# Query-probe joins (sim_topk_lsh) are NOT capped: each probe scans
+# at most its own bucket, linear per query, no quadratic risk.
+# SCALE RULE: per-bucket occupancy is ~N / 2^PLANES_PER_TABLE, so
+# PLANES_PER_TABLE must grow with log2(N) to hold occupancy flat —
+# at 10⁹ vectors use ~16-20 planes (65k-1M buckets/table), not 8;
+# the cap is the backstop for the buckets the hash can't spread.
+SIM_HOT_BUCKET_CAP = 1000
 
 
 def _plane_weight(r: int, j: int) -> float:
@@ -198,6 +215,24 @@ def _bucket_rows(
         F.col("vec_id").alias(id_col),
         F.posexplode(buckets).alias("tbl", "bucket"),
     )
+
+
+def capped_bucket_rows(bx: DataFrame, cap: int | None = None) -> DataFrame:
+    """Drop every row whose (tbl, bucket) group exceeds ``cap`` members
+    — the guard every corpus-side bucket SELF-join goes through (see
+    the SIM_HOT_BUCKET_CAP comment).  The hot list is at most
+    N_TABLES·2^PLANES_PER_TABLE rows (1024 here), so the exclusion is
+    a broadcast anti-join: one map-side pass, no extra shuffle on the
+    corpus."""
+    if cap is None:
+        cap = SIM_HOT_BUCKET_CAP
+    hot = (
+        bx.groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > cap)
+        .select("tbl", "bucket")
+    )
+    return bx.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
 
 
 def q_sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,9 +609,12 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     family — candidate→verify, never an all-pairs product).  True
     near-dups (cosine ~0.99) collide in some table w.p. ~0.99; random
     pairs w.p. ~0.01, so the candidate set stays ~N·(collisions) and
-    a hot cluster is bounded by its own size, not by N."""
+    a hot cluster is bounded by its own size, not by N — and a
+    DEGENERATE cluster above SIM_HOT_BUCKET_CAP is excluded outright
+    before the self-join (capped_bucket_rows), mirrored in the
+    oracle."""
     emb = _emb_with_norm(spark, sf_dir)
-    bx = _bucket_rows(spark, sf_dir)
+    bx = capped_bucket_rows(_bucket_rows(spark, sf_dir))
     right = bx.select(
         F.col("vec_id").alias("vec_b"), "tbl", "bucket"
     )
@@ -726,6 +764,17 @@ _B_CTE = (
     + " FROM embeddings)"
 )
 
+def _hot_excl_sql(t: int, alias: str = "a") -> str:
+    """Oracle twin of capped_bucket_rows for table ``t``: exclude
+    members of over-cap buckets.  Filtering ONE join side suffices —
+    the join is on bucket{t} equality, so killing the bucket on either
+    side kills all its pairs."""
+    return (
+        f"{alias}.bucket{t} NOT IN (SELECT bucket{t} FROM b "
+        f"GROUP BY bucket{t} HAVING count(*) > {SIM_HOT_BUCKET_CAP})"
+    )
+
+
 _LSH_CAND_CTE = (
     "cand AS (SELECT DISTINCT q_id, vec_id FROM ("
     + " UNION ALL ".join(
@@ -753,7 +802,8 @@ _PAIR_CAND_CTE = (
     "pairs AS (SELECT DISTINCT vec_a, vec_b FROM ("
     + " UNION ALL ".join(
         f"SELECT a.vec_id AS vec_a, c.vec_id AS vec_b FROM b a JOIN b c "
-        f"ON a.bucket{t} = c.bucket{t} AND a.vec_id < c.vec_id"
+        f"ON a.bucket{t} = c.bucket{t} AND a.vec_id < c.vec_id "
+        f"WHERE {_hot_excl_sql(t)}"
         for t in range(N_TABLES)
     )
     + "))"
@@ -2591,7 +2641,7 @@ QUERIES_LATE["sim_silhouette"] = q_silhouette
 
 def q_sim_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_with_norm(spark, sf_dir)
-    br = _bucket_rows(spark, sf_dir)
+    br = capped_bucket_rows(_bucket_rows(spark, sf_dir))
     a = br.select(F.col("vec_id").alias("src"), "tbl", "bucket")
     b = br.select(F.col("vec_id").alias("dst"), "tbl", "bucket")
     cand = (
@@ -2647,7 +2697,8 @@ def q_sim_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hubness_sql() -> str:
     unions = " UNION ALL ".join(
         f"SELECT a.vec_id AS src, c.vec_id AS dst FROM b a JOIN b c "
-        f"ON a.bucket{t} = c.bucket{t} AND a.vec_id <> c.vec_id"
+        f"ON a.bucket{t} = c.bucket{t} AND a.vec_id <> c.vec_id "
+        f"WHERE {_hot_excl_sql(t)}"
         for t in range(N_TABLES)
     )
     return (
