@@ -172,6 +172,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #   end-of-order _r8 namespaces (sqlfn's variant rides its module but
 #   lands past the window boundary — verified window-stable), past
 #   the cap.  BACKLOG mid-r8: 182 never-checked of 421 declared.
+#   r9 (NOW): CORRECTNESS_r08 landed 50 rows (41 oracle-green + 9
+#   no_oracle by design) → BACKLOG at r9 open: 132 of 421; the r9
+#   window (ROTATION_r09.json, pre-flighted 50/50 by parity) is
+#   dedup 20 + events 18 + text/sql/nb tail per the r8 verdict.
+#   r9 additions (sim_bucket_occupancy_audit — the hot-bucket cap's
+#   observability twin, sql_except_intersect, graph_bipartite_
+#   projection) register through end-of-order _r9 namespaces, past
+#   the cap (window-stability re-verified).  BACKLOG mid-r9: 135 of
+#   424 declared.  Padding policy upgraded to oldest-green-first
+#   (r8 verdict #5) ahead of the ~r10 backlog drain.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
@@ -254,7 +264,7 @@ _relational2_r7 = SimpleNamespace(
     QUERIES=relational2.QUERIES_R7,
     ORACLES=relational2.ORACLES_R7,
 )
-# r8 additions — same end-of-order policy as the r7 namespaces
+# r8/r9 additions — same end-of-order policy as the r7 namespaces
 _similarity_r8 = SimpleNamespace(
     __name__="similarity_r8",
     QUERIES=similarity.QUERIES_R8,
@@ -279,6 +289,21 @@ _pipeline_r8 = SimpleNamespace(
     __name__="pipeline_r8",
     QUERIES=pipeline.QUERIES_R8,
     ORACLES=pipeline.ORACLES_R8,
+)
+_similarity_r9 = SimpleNamespace(
+    __name__="similarity_r9",
+    QUERIES=similarity.QUERIES_R9,
+    ORACLES=similarity.ORACLES_R9,
+)
+_sqlfn_r9 = SimpleNamespace(
+    __name__="sqlfn_r9",
+    QUERIES=sqlfn.QUERIES_R9,
+    ORACLES=sqlfn.ORACLES_R9,
+)
+_graph_r9 = SimpleNamespace(
+    __name__="graph_r9",
+    QUERIES=graph.QUERIES_R9,
+    ORACLES=graph.ORACLES_R9,
 )
 
 
@@ -342,6 +367,9 @@ _MODULE_ORDER = (
     _quality_r8,
     _pipeline_r8,
     pywriter_source,
+    _similarity_r9,
+    _sqlfn_r9,
+    _graph_r9,
 )
 
 

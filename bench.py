@@ -108,6 +108,9 @@ def main() -> int:
             # similarity family warms; its own group would re-bill both
             # one-off fits to the query
             "similarity_r8",
+            # r9: the occupancy audit reads the similarity family's
+            # memoized wide bucket table
+            "similarity_r9",
         ),
         # r8: the quality OLS consumes the corpus bigram memo the
         # quality family warms (same sharing as text_lm_score); its

@@ -851,3 +851,112 @@ ORACLES_R7 = {
     )
 }
 QUERIES_R7 = {"graph_degree_powerlaw": q_graph_degree_powerlaw}
+
+
+# --- bipartite projection: user × event_type (r9) ---------------------
+#
+# The third graph construction next to the document near-dup graph
+# and its PageRank: PROJECT a bipartite graph (users on one side,
+# event types on the other, an edge when the user emitted the type)
+# onto the type side.  Edge weight between two types = co-engagement:
+# how many users touch BOTH, plus the Jaccard of their user sets —
+# the behavioral-similarity matrix recommender and funnel-design
+# teams read ("error co-occurs with purchase for 40% of buyers").
+#
+# Scale shape — the classic bipartite-projection trap is projecting
+# onto the LARGE side (users), which is |users|² in the worst case.
+# Projecting onto the small side is safe by construction, and the
+# pair stream needs NO self-join at all: ONE partial-aggregating
+# groupBy(user_id) collects each user's type set (bounded: ≤ |types|
+# elements), then narrow explode + array-filter emit the ≤ types²/2
+# ordered pairs per user map-side — one corpus-wide shuffle total,
+# where distinct + self-join would pay three.  The final rollup has
+# ≤ types² groups; the per-type marginals ride broadcast joins
+# (|types| rows each).
+
+
+def q_graph_bipartite_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    sets = ev.groupBy("user_id").agg(
+        F.collect_set("event_type").alias("ts")
+    )
+    # ONE exploded stream carries both readouts — ordered pairs (a, b)
+    # for co-engagement and sentinel rows (a, NULL) for the marginals —
+    # so the pair rollup and the marginal rollup groupBy the SAME key
+    # and Spark's ReuseExchange collapses the two branches onto one
+    # corpus scan + one shuffle (separate groupBys re-scanned the
+    # parquet: measured two Scan/Exchange pairs before this shape)
+    ts = F.col("ts")
+    pair_arr = F.flatten(
+        F.transform(
+            ts,
+            lambda a: F.transform(
+                F.filter(ts, lambda b: b > a),
+                lambda b: F.struct(
+                    a.alias("type_a"), b.alias("type_b")
+                ),
+            ),
+        )
+    )
+    sing_arr = F.transform(
+        ts,
+        lambda a: F.struct(
+            a.alias("type_a"),
+            F.lit(None).cast("string").alias("type_b"),
+        ),
+    )
+    counts = (
+        sets.select(F.explode(F.concat(pair_arr, sing_arr)).alias("p"))
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    pairs = counts.filter(F.col("type_b").isNotNull()).withColumnRenamed(
+        "n", "n_co_users"
+    )
+    marg = counts.filter(F.col("type_b").isNull()).select(
+        F.col("type_a").alias("event_type"), F.col("n").alias("n_users")
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_a"),
+                                    F.col("n_users").alias("na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("event_type").alias("type_b"),
+                                    F.col("n_users").alias("nb"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_co_users",
+            F.round(
+                F.col("n_co_users")
+                / (F.col("na") + F.col("nb") - F.col("n_co_users")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLES_R9 = {
+    "graph_bipartite_projection": (
+        "WITH ev AS (SELECT DISTINCT user_id, event_type FROM events), "
+        "pairs AS (SELECT a.event_type AS type_a, c.event_type AS type_b, "
+        "CAST(count(*) AS BIGINT) AS n_co_users "
+        "FROM ev a JOIN ev c ON a.user_id = c.user_id "
+        "AND a.event_type < c.event_type GROUP BY 1, 2), "
+        "marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users "
+        "FROM ev GROUP BY 1) "
+        "SELECT p.type_a, p.type_b, p.n_co_users, "
+        "round(CAST(p.n_co_users AS DOUBLE) / "
+        "(ma.n_users + mb.n_users - p.n_co_users), 6) AS jaccard "
+        "FROM pairs p JOIN marg ma ON ma.event_type = p.type_a "
+        "JOIN marg mb ON mb.event_type = p.type_b"
+    )
+}
+QUERIES_R9 = {"graph_bipartite_projection": q_graph_bipartite_projection}

@@ -2776,3 +2776,78 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_R8 = {"sim_topk_ivfpq": q_sim_topk_ivfpq}
 ORACLES_R8: dict[str, str] = {}
+
+
+# --- LSH index health audit (r9) --------------------------------------
+#
+# The observability twin of SIM_HOT_BUCKET_CAP: the per-table bucket
+# OCCUPANCY profile an operator watches before trusting the ANN /
+# near-dup candidate joins at a new corpus size.  One row per LSH
+# table: how many buckets are populated, the worst occupancy, how
+# many buckets the cap excludes, and the candidate-pair BOUNDS the
+# bucket shape implies — Σ c·(c−1)/2 over kept buckets is exactly the
+# per-table upper bound on self-join pairs, and the dropped-bound
+# column prices what the cap discards (0 on a healthy corpus).  This
+# is the number that tells you to grow PLANES_PER_TABLE with log2(N)
+# (see the scale rule at the constant) BEFORE a quadratic blowup, not
+# after.
+#
+# Scale shape: one partial-agg groupBy per (tbl, bucket) — ≤ 1024
+# groups — then a 4-group rollup; no joins, no window, nothing
+# corpus-quadratic.
+
+
+def q_sim_bucket_occupancy_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    occ = (
+        _bucket_rows(spark, sf_dir)
+        .groupBy("tbl", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    cap = F.lit(SIM_HOT_BUCKET_CAP)
+    pair_bound = (F.col("c") * (F.col("c") - 1) / F.lit(2)).cast("long")
+    return occ.groupBy("tbl").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.max("c").cast("long").alias("max_occupancy"),
+        F.round(F.avg("c"), 6).alias("avg_occupancy"),
+        F.sum(F.when(F.col("c") > cap, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hot_buckets"),
+        F.sum(F.when(F.col("c") <= cap, pair_bound).otherwise(0))
+        .cast("long")
+        .alias("pairs_kept_bound"),
+        F.sum(F.when(F.col("c") > cap, pair_bound).otherwise(0))
+        .cast("long")
+        .alias("pairs_dropped_bound"),
+    )
+
+
+_OCC_UNPIVOT = " UNION ALL ".join(
+    f"SELECT {t} AS tbl, bucket{t} AS bk FROM b" for t in range(N_TABLES)
+)
+
+_OCC_AUDIT_SQL = (
+    f"WITH {_B_CTE}, "
+    "occ AS (SELECT tbl, bk, count(*) AS c FROM ("
+    + _OCC_UNPIVOT
+    + ") GROUP BY tbl, bk) "
+    "SELECT CAST(tbl AS INTEGER) AS tbl, "
+    "CAST(count(*) AS BIGINT) AS n_buckets, "
+    "CAST(max(c) AS BIGINT) AS max_occupancy, "
+    "round(avg(c), 6) AS avg_occupancy, "
+    f"CAST(sum(CASE WHEN c > {SIM_HOT_BUCKET_CAP} THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_hot_buckets, "
+    f"CAST(sum(CASE WHEN c <= {SIM_HOT_BUCKET_CAP} "
+    "THEN CAST(c * (c - 1) / 2 AS BIGINT) ELSE 0 END) AS BIGINT) "
+    "AS pairs_kept_bound, "
+    f"CAST(sum(CASE WHEN c > {SIM_HOT_BUCKET_CAP} "
+    "THEN CAST(c * (c - 1) / 2 AS BIGINT) ELSE 0 END) AS BIGINT) "
+    "AS pairs_dropped_bound "
+    "FROM occ GROUP BY tbl"
+)
+
+QUERIES_R9 = {"sim_bucket_occupancy_audit": q_sim_bucket_occupancy_audit}
+ORACLES_R9: dict[str, str] = {
+    "sim_bucket_occupancy_audit": _OCC_AUDIT_SQL,
+}

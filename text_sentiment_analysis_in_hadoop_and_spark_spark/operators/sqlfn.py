@@ -462,3 +462,58 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["sql_group_by_all"] = _GROUP_BY_ALL_SQL  # identical string
 QUERIES["sql_group_by_all"] = q_sql_group_by_all
+
+
+# --- multiset set operations: EXCEPT ALL / INTERSECT ALL (r9) ---------
+#
+# The last ANSI set-operator class the surface didn't pin: bag
+# semantics (EXCEPT ALL keeps max(m_a − m_b, 0) copies, INTERSECT ALL
+# keeps min(m_a, m_b)) versus set semantics (plain EXCEPT dedups
+# first).  Segmentation jobs lean on these ("sessions with a click
+# but never a purchase"), and the multiset multiplicity rule is
+# exactly where two engines could quietly disagree — ONE literal
+# string runs on both, like the GROUP BY ALL / LATERAL / recursive
+# pins, so the value-hash proves they don't.
+#
+# Scale shape: Spark plans EXCEPT ALL / INTERSECT ALL as a hash
+# aggregation over a union with signed counts (one shuffle on
+# user_id, partial-agg combined) — no join, no window, and the
+# event_type filters push to the parquet scan.
+
+_SET_OPS_SQL = (
+    "WITH clickers AS (SELECT user_id FROM events "
+    "WHERE event_type = 'click'), "
+    "buyers AS (SELECT user_id FROM events "
+    "WHERE event_type = 'purchase') "
+    "SELECT 'click_not_buy_bag' AS segment, "
+    "CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM (SELECT user_id FROM clickers "
+    "EXCEPT ALL SELECT user_id FROM buyers) t1 "
+    "UNION ALL "
+    "SELECT 'click_and_buy_bag' AS segment, "
+    "CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM (SELECT user_id FROM clickers "
+    "INTERSECT ALL SELECT user_id FROM buyers) t2 "
+    "UNION ALL "
+    "SELECT 'click_not_buy_set' AS segment, "
+    "CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM (SELECT user_id FROM clickers "
+    "EXCEPT SELECT user_id FROM buyers) t3"
+)
+
+
+def q_sql_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-vs-purchase user segmentation through all three set-op
+    semantics (see block comment; the identical string is the
+    oracle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SET_OPS_SQL)
+
+
+QUERIES_R9 = {"sql_except_intersect": q_sql_except_intersect}
+ORACLES_R9: dict[str, str] = {
+    "sql_except_intersect": _SET_OPS_SQL,  # identical string
+}
