@@ -1357,11 +1357,30 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ranked.withColumnRenamed("doc_id", "doc_a")
     b = ranked.withColumnRenamed("doc_id", "doc_b")
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "n_sh", "n_a"
+    )
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "n_sh", "n_b"
+    )
+    # PPJoin's LENGTH FILTER (r9): J(A,B) ≥ t forces min(n_a, n_b) ≥
+    # t·max(n_a, n_b) (J ≤ min/max), so size-incompatible candidate
+    # pairs are pruned BEFORE the posting-expansion verify — the
+    # filter rides two broadcast size joins (|docs| rows), and
+    # carrying n_a/n_b here also retires the two post-aggregation
+    # size joins the final Jaccard used to pay.  Lossless: every
+    # pruned pair is below threshold by the bound.
     cands = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(
+            F.least("n_a", "n_b")
+            >= F.lit(PREFIX_JACCARD_T) * F.greatest("n_a", "n_b")
+        )
     )
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(
@@ -1374,19 +1393,16 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cands.doc_b == sh_b.doc_b)
             & (F.col("shingle") == F.col("shingle_b")),
         )
-        .groupBy("doc_a", cands.doc_b.alias("doc_b"))
+        .groupBy(
+            "doc_a",
+            cands.doc_b.alias("doc_b"),
+            cands.n_a.alias("n_a"),
+            cands.n_b.alias("n_b"),
+        )
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-        "n_sh", "n_a"
-    )
-    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-        "n_sh", "n_b"
-    )
     _ret = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter")
