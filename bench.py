@@ -78,6 +78,18 @@ def main() -> int:
         F.sum("l_quantity").alias("q"), F.count("*").alias("n")
     )
     _force(agg.join(F.broadcast(agg.select("l_returnflag")), "l_returnflag"))
+    # ... and the Python/Arrow worker pool: the first mapInPandas /
+    # pandas-UDF plan of the run pays worker-process spawn + Arrow
+    # import (~1-2 s, BENCH_NOTES §r8's mm_png_pixel_stats outlier —
+    # probed 1.5-2.2 s warm vs 3+ s when billed the spawn).  A 1-row
+    # ping brings the pool up so Python-boundary entries measure their
+    # plan, not interpreter startup — same rationale as the JVM warm-up
+    # above, and the same fixed cost any long-lived cluster pays once.
+    def _ping(it):
+        for pdf in it:
+            yield pdf
+
+    _force(spark.range(32).repartition(32).mapInPandas(_ping, "id long"))
 
     # eviction groups: caches clear between groups, not inside one.
     # Modules that share memoized artifacts bill as ONE group, anchored
