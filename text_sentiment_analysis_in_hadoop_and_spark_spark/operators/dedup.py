@@ -1378,8 +1378,17 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .filter(
+            # 1e-9 slack keeps the filter LOOSE at the boundary: with
+            # a threshold not exactly representable in binary (0.7,
+            # 0.9), t·max can land a hair ABOVE the true rational
+            # bound and wrongly prune an exactly-at-threshold pair —
+            # a loose filter only forwards a few extra pairs to the
+            # exact verify, a tight one silently loses true results
+            # (t = 0.5 is exact today; the slack makes the bound safe
+            # under any future threshold)
             F.least("n_a", "n_b")
             >= F.lit(PREFIX_JACCARD_T) * F.greatest("n_a", "n_b")
+            - F.lit(1e-9)
         )
     )
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

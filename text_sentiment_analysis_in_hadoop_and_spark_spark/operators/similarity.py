@@ -2806,7 +2806,11 @@ def q_sim_bucket_occupancy_audit(
         .agg(F.count("*").alias("c"))
     )
     cap = F.lit(SIM_HOT_BUCKET_CAP)
-    pair_bound = (F.col("c") * (F.col("c") - 1) / F.lit(2)).cast("long")
+    # integer DIV, not float /: c·(c−1) overflows double exactness
+    # past 2^53 (a ~10⁸-row bucket), and this column is exactly the
+    # number a capacity planner trusts; both engines use their
+    # integer-division operator so the value stays exact at any c
+    pair_bound = F.expr("(c * (c - 1)) DIV 2")
     return occ.groupBy("tbl").agg(
         F.count("*").cast("long").alias("n_buckets"),
         F.max("c").cast("long").alias("max_occupancy"),
@@ -2839,10 +2843,10 @@ _OCC_AUDIT_SQL = (
     f"CAST(sum(CASE WHEN c > {SIM_HOT_BUCKET_CAP} THEN 1 ELSE 0 END) "
     "AS BIGINT) AS n_hot_buckets, "
     f"CAST(sum(CASE WHEN c <= {SIM_HOT_BUCKET_CAP} "
-    "THEN CAST(c * (c - 1) / 2 AS BIGINT) ELSE 0 END) AS BIGINT) "
+    "THEN c * (c - 1) // 2 ELSE 0 END) AS BIGINT) "
     "AS pairs_kept_bound, "
     f"CAST(sum(CASE WHEN c > {SIM_HOT_BUCKET_CAP} "
-    "THEN CAST(c * (c - 1) / 2 AS BIGINT) ELSE 0 END) AS BIGINT) "
+    "THEN c * (c - 1) // 2 ELSE 0 END) AS BIGINT) "
     "AS pairs_dropped_bound "
     "FROM occ GROUP BY tbl"
 )
