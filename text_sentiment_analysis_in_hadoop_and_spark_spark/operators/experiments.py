@@ -736,16 +736,18 @@ def q_events_rate_ratio_test(
         F.min("epoch_sec").alias("t0"),
         F.max("epoch_sec").alias("t1"),
     )
+    # when/otherwise, not cond.cast + (1 − cond): a NULL epoch_sec
+    # makes the comparison NULL, which sum() drops from BOTH halves
+    # while the oracle's CASE ... ELSE 1 counts it late (same latent
+    # NULL class as rel_q12, ADVICE r8) — otherwise() pins the ELSE
+    early = F.col("epoch_sec") < (F.col("t0") + F.col("t1")) / 2
     tagged = ev.join(F.broadcast(agg)).select(
-        (
-            F.col("epoch_sec") < (F.col("t0") + F.col("t1")) / 2
-        ).cast("int").alias("early"),
-        "t0",
-        "t1",
+        F.when(early, 1).otherwise(0).alias("x1_inc"),
+        F.when(early, 0).otherwise(1).alias("x2_inc"),
     )
     c = tagged.groupBy().agg(
-        F.sum("early").cast("long").alias("x1"),
-        F.sum(1 - F.col("early")).cast("long").alias("x2"),
+        F.sum("x1_inc").cast("long").alias("x1"),
+        F.sum("x2_inc").cast("long").alias("x2"),
     )
     n = F.col("x1") + F.col("x2")
     # the midpoint split makes both exposures equal by construction,
@@ -1403,8 +1405,16 @@ def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         ev.crossJoin(F.broadcast(cut))
         .select(
-            (F.col("user_id") % 2 == 1).cast("int").alias("treated"),
-            (F.col("epoch_sec") > F.col("cut")).cast("int").alias("post"),
+            # when/otherwise, not cond.cast: a NULL user_id/epoch_sec
+            # would form a NULL group key here while the oracle's
+            # CASE ... ELSE 0 buckets it with the controls (latent
+            # NULL class of ADVICE r8's rel_q12 finding)
+            F.when(F.col("user_id") % 2 == 1, 1)
+            .otherwise(0)
+            .alias("treated"),
+            F.when(F.col("epoch_sec") > F.col("cut"), 1)
+            .otherwise(0)
+            .alias("post"),
             "cents",
         )
         .groupBy("treated", "post")
@@ -1572,12 +1582,15 @@ def q_events_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("sigma2")
     )
-    t_arm = (F.col("user_id") % 2 == 1).cast("long")
+    # when/otherwise pins the oracle's CASE ... ELSE semantics: a NULL
+    # user_id would otherwise vanish from BOTH arms' counts/sums while
+    # the oracle assigns it to control (rel_q12's latent NULL class)
+    t_flag = F.col("user_id") % 2 == 1
     daily = ev.groupBy("day").agg(
-        F.sum(t_arm).cast("long").alias("dn_t"),
-        F.sum(F.col("cents") * t_arm).alias("ds_t"),
-        F.sum(1 - t_arm).cast("long").alias("dn_c"),
-        F.sum(F.col("cents") * (1 - t_arm)).alias("ds_c"),
+        F.sum(F.when(t_flag, 1).otherwise(0)).cast("long").alias("dn_t"),
+        F.sum(F.when(t_flag, F.col("cents")).otherwise(0)).alias("ds_t"),
+        F.sum(F.when(t_flag, 0).otherwise(1)).cast("long").alias("dn_c"),
+        F.sum(F.when(t_flag, 0).otherwise(F.col("cents"))).alias("ds_c"),
     )
     wcum = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, 0

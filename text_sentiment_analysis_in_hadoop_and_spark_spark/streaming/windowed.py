@@ -1174,8 +1174,14 @@ def q_events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.when(~F.col("is_new"), F.col("user_id")))
         .cast("long")
         .alias("returning_users"),
-        F.sum(F.col("is_new").cast("long")).cast("long").alias("new_events"),
-        F.sum((~F.col("is_new")).cast("long"))
+        # when/otherwise, not is_new.cast + (~is_new).cast: a NULL
+        # is_new (NULL day) would drop the event from BOTH sides while
+        # the oracle's CASE ... ELSE 1 counts it returning (rel_q12's
+        # latent NULL class, ADVICE r8)
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_events"),
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1))
         .cast("long")
         .alias("returning_events"),
     )
