@@ -76,6 +76,25 @@ def _assert_parity(spark, sf_dir: str, names: list[str]):
         assert not errs, f"{name}: {errs}"
 
 
+def test_window_ordering_keys_honor_the_not_null_contract():
+    """Window ORDER BY keys carry a documented NOT-NULL contract
+    (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST — see the
+    tools/parity.py docstring): the raw columns those keys derive
+    from must be NULL-free in the corpus the oracles run over.  If a
+    future testdata drop breaks this, the failure should be THIS
+    loud assertion, not a silent cross-engine window divergence."""
+    for sf in ("sf0.001", "sf0.01"):
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) + "
+            f"sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) + "
+            f"sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) + "
+            f"sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) "
+            f"FROM '/root/testdata/{sf}/events.parquet'"
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} NULL ordering-key cells"
+
+
 def test_null_user_id_splits_like_the_oracle(spark, tmp_path):
     """NULL user_id rows land in the CONTROL arm (CASE ELSE) on both
     engines — before the r9 fix Spark dropped them from both arms of

@@ -7,6 +7,19 @@ oracle SQL over the same parquet tables and compares row count, column
 names, and (order-insensitively) values.  Floats compare with a 1e-9
 absolute tolerance — queries are expected to round exposed doubles so
 the driver's value-hash matches exactly.
+
+NULL-semantics boundaries (audited r9, tests/test_null_parity.py):
+conditional AGGREGATES pin the oracle's CASE-ELSE NULL behavior with
+explicit when/otherwise (the rel_q12 class — every divergent site was
+swept and fixed in r9, proven on NULL-injected tables).  WINDOW
+ordering keys are a documented assumption instead: Spark defaults ASC
+NULLS FIRST where DuckDB defaults NULLS LAST, so any OVER(ORDER BY)
+over a NULL key would diverge — both sides are written against the
+warehouse-standard contract that event timestamps and ordering keys
+are NOT NULL (a production ingest quarantines unparseable timestamps
+before sessionization; the synthetic tables honor it).  A query
+ordering a window over a genuinely nullable key must spell NULLS
+FIRST/LAST explicitly on BOTH engines.
 """
 
 from __future__ import annotations
