@@ -178,9 +178,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   dedup 20 + events 18 + text/sql/nb tail per the r8 verdict.
 #   r9 additions (sim_bucket_occupancy_audit — the hot-bucket cap's
 #   observability twin, sql_except_intersect, graph_bipartite_
-#   projection) register through end-of-order _r9 namespaces, past
-#   the cap (window-stability re-verified).  BACKLOG mid-r9: 135 of
-#   424 declared.  Padding policy upgraded to oldest-green-first
+#   projection, sql_try_semantics) register through end-of-order
+#   _r9 namespaces, past the cap (window-stability re-verified).
+#   BACKLOG mid-r9: 136 of 425 declared.  Padding policy upgraded to oldest-green-first
 #   (r8 verdict #5) ahead of the ~r10 backlog drain.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",

@@ -517,3 +517,63 @@ QUERIES_R9 = {"sql_except_intersect": q_sql_except_intersect}
 ORACLES_R9: dict[str, str] = {
     "sql_except_intersect": _SET_OPS_SQL,  # identical string
 }
+
+
+# --- ANSI-safe error handling: try_cast / try_divide (r9) --------------
+#
+# Spark 4 runs ANSI mode by default, where a malformed cast or a
+# division by zero THROWS — and at 100 TB one malformed row must not
+# kill a 1000-executor job.  The production idiom is the try_*
+# family (error → NULL, row survives); this query pins its semantics
+# against DuckDB's TRY_CAST and a CASE-guarded division over a
+# deliberately mixed-validity column (every third row numeric, the
+# rest castable-to-nothing event types).  Sums ride exact integer
+# micro-units (the repo's order-independent-sum discipline) so the
+# value-hash proves the NULL-shielding, not float luck.
+#
+# Scale shape: narrow map + one partial aggregate; nothing shuffles
+# but the 1-row result.
+
+_TRY_SPARK_SQL = (
+    "WITH s AS (SELECT CASE WHEN event_id % 3 = 0 "
+    "THEN CAST(value AS STRING) ELSE event_type END AS mixed, "
+    "value, event_id FROM events) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(try_cast(mixed AS DOUBLE)) AS BIGINT) AS n_numeric, "
+    "CAST(sum(CAST(round(try_cast(mixed AS DOUBLE) * 100, 0) AS BIGINT)) "
+    "AS BIGINT) AS numeric_cents, "
+    "CAST(count(try_divide(value, event_id % 5)) AS BIGINT) "
+    "AS n_divisible, "
+    "CAST(sum(CAST(round(try_divide(value, event_id % 5) * 1000000, 0) "
+    "AS BIGINT)) AS BIGINT) AS safe_div_micro "
+    "FROM s"
+)
+
+# DuckDB has TRY_CAST but no try_divide — the oracle spells the same
+# semantics with a CASE guard (divisor 0 → NULL, row survives)
+_TRY_ORACLE_SQL = (
+    "WITH s AS (SELECT CASE WHEN event_id % 3 = 0 "
+    "THEN CAST(value AS VARCHAR) ELSE event_type END AS mixed, "
+    "value, event_id FROM events) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(TRY_CAST(mixed AS DOUBLE)) AS BIGINT) AS n_numeric, "
+    "CAST(sum(CAST(round(TRY_CAST(mixed AS DOUBLE) * 100, 0) AS BIGINT)) "
+    "AS BIGINT) AS numeric_cents, "
+    "CAST(count(CASE WHEN event_id % 5 <> 0 "
+    "THEN value / (event_id % 5) END) AS BIGINT) AS n_divisible, "
+    "CAST(sum(CAST(round(CASE WHEN event_id % 5 <> 0 "
+    "THEN value / (event_id % 5) END * 1000000, 0) AS BIGINT)) "
+    "AS BIGINT) AS safe_div_micro "
+    "FROM s"
+)
+
+
+def q_sql_try_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast / try_divide NULL-shielding over a mixed-validity
+    column (see block comment)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_TRY_SPARK_SQL)
+
+
+QUERIES_R9["sql_try_semantics"] = q_sql_try_semantics
+ORACLES_R9["sql_try_semantics"] = _TRY_ORACLE_SQL
