@@ -180,8 +180,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   observability twin, sql_except_intersect, graph_bipartite_
 #   projection, sql_try_semantics) register through end-of-order
 #   _r9 namespaces, past the cap (window-stability re-verified).
-#   BACKLOG mid-r9: 136 of 425 declared.  Padding policy upgraded to oldest-green-first
-#   (r8 verdict #5) ahead of the ~r10 backlog drain.
+#   BACKLOG mid-r9: 136 of 425 declared.  Padding policy upgraded to
+#   oldest-green-first (r8 verdict #5) ahead of the backlog drain.
+#   r10 PLAN: CORRECTNESS_r09 should land 50 rows → backlog ~86; the
+#   r10 window leads with the remaining events/text/sql/nb/priv/sim
+#   head, r11 takes er/rel + the one-per-source tail (~36), and from
+#   r12 the window pads oldest-green-first — the r3-era nb/tfidf rows
+#   re-verify first (the standing rotation the r8 verdict asked for).
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
