@@ -124,6 +124,28 @@ SHOWCASE: list[tuple[str, str]] = [
         "decimal moments; the Cramer solve runs on the 1-row result. "
         "No iteration, no Python, no feature-matrix materialization.",
     ),
+    (
+        "dedup_embedding_pairs",
+        "Embedding near-dup candidates after the r9 hot-bucket cap: a "
+        "broadcast LEFT ANTI join (≤1024-row hot list) excludes "
+        "over-cap buckets BEFORE the bucket self-join, so a degenerate "
+        "cluster cannot go quadratic; exact cosine verifies only "
+        "candidates.",
+    ),
+    (
+        "graph_bipartite_projection",
+        "Bipartite projection onto the SMALL side (r9): one "
+        "groupBy(user_id) collects type sets, sentinel rows let the "
+        "pair rollup and the marginals groupBy the SAME key, so the "
+        "marginal branches come back as ReusedExchange at runtime — "
+        "one corpus scan, one wide shuffle.",
+    ),
+    (
+        "sim_bucket_occupancy_audit",
+        "LSH index-health telemetry (r9): two bounded aggregates "
+        "(≤1024 bucket groups, then 4 table groups) — integer-exact "
+        "pair bounds, nothing corpus-quadratic, no join.",
+    ),
 ]
 
 
