@@ -231,6 +231,7 @@ _asof_late = SimpleNamespace(
     __name__="asof_late",
     QUERIES=asof.QUERIES_LATE,
     ORACLES=asof.ORACLES_LATE,
+    BENCH_PROBE_SCALE=asof.BENCH_PROBE_SCALE,
 )
 # r7 additions register at the END of _MODULE_ORDER so they land past
 # the driver's 50-slot window (the import-time _PROMOTED derivation
@@ -399,7 +400,10 @@ def _derive_promoted(window: int = 50) -> tuple[str, ...]:
     import os
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    green: dict[str, str] = {}  # name → basename of its FIRST green row
+    # name → basename of its LATEST green row (r9 advice: the padding
+    # sort key must advance on re-verification or the standing
+    # rotation re-selects the same names forever once backlog = 0)
+    green: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -407,7 +411,7 @@ def _derive_promoted(window: int = 50) -> tuple[str, ...]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if not isinstance(row, dict) or name in green:
+            if not isinstance(row, dict):
                 continue
             if name in _ROWS_ONLY:
                 ok = row.get("spark_rows") is not None

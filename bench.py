@@ -201,7 +201,21 @@ def main() -> int:
             # r7): their rerun is a pure dict hit, not a steady-state
             # re-execution, so min_of_k keeps the honest first run
             one_off = set(getattr(mod, "BENCH_ONE_OFF", ()))
+            # probe-scale overrides (r9 verdict #4): a query whose full
+            # run prices a non-production twin benches a deterministic
+            # slice instead, recorded under `name@probe` so the
+            # artifact states the measurement scale (correctness runs
+            # still execute the FULL query)
+            probe_scale = getattr(mod, "BENCH_PROBE_SCALE", {})
             for name, fn in mod.QUERIES.items():
+                if name in probe_scale:
+                    pfn = probe_scale[name]
+                    timed(
+                        f"{name}@probe",
+                        lambda fn=pfn: _force(fn(spark, sf_dir)),
+                        rerunnable=name not in one_off,
+                    )
+                    continue
                 timed(
                     name,
                     lambda fn=fn: _force(fn(spark, sf_dir)),
@@ -277,11 +291,14 @@ def main() -> int:
     # prior round INTO the artifact, so the judge's round-over-round
     # ratio is computed once at close instead of re-derived from
     # whichever same-round run landed last
+    # bench_queries_r{N}.json is REQUIRED for the ratio: the driver's
+    # BENCH_r{N}.json carries only a summary ('parsed') and a truncated
+    # stdout 'tail' — no per-query record — so falling back to it can
+    # never find comparable entries (r9 advice: that fallback was dead
+    # code silently stamping None).
     prior = os.path.join(
         REPO, f"bench_queries_r{this_round - 1:02d}.json"
     )
-    if not os.path.exists(prior):
-        prior = os.path.join(REPO, f"BENCH_r{this_round - 1:02d}.json")
     record["vs_prior_comparable_pct"] = None
     if os.path.exists(prior):
         try:

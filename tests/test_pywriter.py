@@ -119,6 +119,25 @@ def test_second_append_merges_prior_manifest(spark):
         assert rows == 5
 
 
+def test_overwrite_mode_is_refused(spark):
+    """ADVICE r9: the union-merge commit would silently APPEND prior
+    parts into an .mode('overwrite') save — the sink must refuse
+    overwrite loudly instead of publishing a duplicate-bearing
+    manifest."""
+    df = spark.createDataFrame([(1, 10)], "doc_id bigint, n_chars bigint")
+    pywriter.register(spark)
+    with tempfile.TemporaryDirectory(prefix="tsa_pyw_ow_") as d:
+        with pytest.raises(Exception, match="append"):
+            (
+                df.write.format("tsa_manifest_sink")
+                .option("path", d)
+                .mode("overwrite")
+                .save()
+            )
+        # nothing published
+        assert pywriter.MANIFEST_NAME not in os.listdir(d)
+
+
 def test_failed_append_preserves_prior_commit(spark):
     """r8 review regression: abort must clean ONLY what the failed job
     staged — a previous successful write's committed parts and

@@ -117,6 +117,28 @@ def test_rotation_padding_is_oldest_green_first():
     assert rotation.next_window(names, green, window=2) == ["q1", "q3"]
 
 
+def test_driver_green_tracks_latest_row(tmp_path, monkeypatch):
+    """A name green in TWO rounds keys on the LATEST row (r9 advice):
+    re-verification must advance the padding sort key, or the
+    oldest-green-first rotation re-selects the same names forever
+    once the backlog drains.  A later FAILED row must NOT erase an
+    earlier green."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "qa": {"rows_match": True, "schema_match": True, "hash_match": True},
+        "qb": {"rows_match": True, "schema_match": True, "hash_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "qa": {"rows_match": True, "schema_match": True, "hash_match": True},
+        "qb": {"rows_match": False, "schema_match": True, "hash_match": False},
+    }))
+    monkeypatch.setattr(rotation, "REPO", str(tmp_path))
+    green = rotation.driver_green()
+    assert green["qa"] == "CORRECTNESS_r02.json"  # latest green wins
+    assert green["qb"] == "CORRECTNESS_r01.json"  # failure doesn't erase
+    # and the padding order now re-proves qb (stalest proof) before qa
+    assert rotation.next_window(["qa", "qb"], green, window=2) == ["qb", "qa"]
+
+
 def test_rotation_status_cli_writes_artifact(tmp_path):
     out = tmp_path / "ROTATION_test.json"
     res = subprocess.run(

@@ -385,7 +385,18 @@ def q_events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical shuffle to the JVM plan (one exchange per
     side on the key); per-key groups are bounded by per-user activity;
     Arrow moves each group across the boundary in one batch."""
+    return _asof_cogroup(spark, sf_dir)
+
+
+def _asof_cogroup(
+    spark: SparkSession, sf_dir: str, user_slice: int | None = None
+) -> DataFrame:
     ev = load_events(spark, sf_dir)
+    if user_slice is not None:
+        # deterministic 1-in-N user slice for the bench probe; sliced
+        # BEFORE the key shuffle so the probe pays 1/N of the Python
+        # boundary it prices
+        ev = ev.filter(F.col("user_id") % user_slice == 0)
     ts_us = epoch_us_col(ev)
     left = ev.filter(F.col("event_type") == LEFT_TYPE).select(
         F.col("event_id").cast("long"),
@@ -400,6 +411,21 @@ def q_events_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(right.groupBy("user_id"))
         .applyInPandas(_asof_cogroup_merge, _COGROUP_SCHEMA)
     )
+
+
+# r9 verdict #4: the full-corpus cogroup twin was the suite's single
+# most expensive bench entry (8.5 s committed) while pricing a
+# NON-production path (the JVM window plan `events_asof` is the
+# benchmarked production as-of).  The bench prices the Python cogroup
+# boundary at a deterministic 1-in-10 user slice instead — same plan,
+# same boundary, ~1/10 the rows — recorded as `events_asof_cogroup@probe`
+# so the artifact says explicitly that the measurement is probe-scale.
+# Correctness (parity/driver) still runs the FULL query.
+BENCH_PROBE_SCALE = {
+    "events_asof_cogroup": lambda spark, sf_dir: _asof_cogroup(
+        spark, sf_dir, user_slice=10
+    ),
+}
 
 
 # same oracle as the JVM composition — one contract, three

@@ -878,7 +878,16 @@ QUERIES_R7 = {"graph_degree_powerlaw": q_graph_degree_powerlaw}
 def q_graph_bipartite_projection(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    # NULL-user rows carry no identity to co-engage on: Spark's
+    # groupBy would keep the NULL-key group (emitting its pairs) while
+    # the oracle's equi-self-join drops it — pin identical semantics
+    # explicitly on BOTH sides (r9 advice; same class as the
+    # when/otherwise NULL sweep, marginals stay consistent too).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .filter(F.col("user_id").isNotNull())
+    )
     sets = ev.groupBy("user_id").agg(
         F.collect_set("event_type").alias("ts")
     )
@@ -945,7 +954,8 @@ def q_graph_bipartite_projection(
 
 ORACLES_R9 = {
     "graph_bipartite_projection": (
-        "WITH ev AS (SELECT DISTINCT user_id, event_type FROM events), "
+        "WITH ev AS (SELECT DISTINCT user_id, event_type FROM events "
+        "WHERE user_id IS NOT NULL), "
         "pairs AS (SELECT a.event_type AS type_a, c.event_type AS type_b, "
         "CAST(count(*) AS BIGINT) AS n_co_users "
         "FROM ev a JOIN ev c ON a.user_id = c.user_id "

@@ -961,36 +961,115 @@ ORACLES_LATE["nb_lift_gains"] = _lift_gains_sql()
 # represented in every fold on both sides of the split).
 #
 # Each fold retrains the full chain (clean docs are the shared cached
-# snapshot): the six corpus scalars per fold are 1-row collects — the
-# reference's Counter→Configuration relay (Hadoop/NB.java:305-316)
-# paid 5×, still the S5 scalar-side-input shape, never a data-sized
-# driver transfer.  The per-fold model stays a broadcast join exactly
-# like nb_scores; fold outputs are 1-row aggregates unioned at the
-# end, so the whole query ships 5 rows.
+# snapshot).  The corpus scalars for ALL five training complements
+# come from ONE stats job (r9 verdict #3 — this was five sequential
+# scan+agg collects, one per fold): a single groupBy(doc_id % 5) pass
+# gives per-fold doc/word contributions (train_k = total − fold_k,
+# sum-decomposable), and a single per-(word, fold) token rollup gives
+# both the five vocabulary sizes (a word counts for fold k's training
+# vocab iff it appears in ANY other fold) and the five models (the
+# complement re-aggregation runs over the tiny vocab×5 frame, and its
+# shared token-scan Exchange is reused across arms, not re-scanned).
+# Still the S5 scalar-side-input shape (reference's Counter→
+# Configuration relay, Hadoop/NB.java:305-316) — one driver round-trip
+# of 5 rows instead of five.  The per-fold model stays a broadcast
+# join exactly like nb_scores; fold outputs are 1-row aggregates
+# unioned at the end, so the whole query ships 5 rows.
 
 CV_FOLDS = 5
 
 
 def q_nb_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = labeled_docs(spark, sf_dir)
+    fold = (F.col("doc_id") % CV_FOLDS).cast("int")
+    tokens = doc_tokens(docs)
+    # one (word, fold) rollup feeds the vocab sizes AND the 5 models
+    wf = tokens.groupBy("word", fold.alias("fold")).agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("pos_count"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("neg_count"),
+    )
+    # ONE stats job: per-fold doc/word contributions × the five
+    # training-vocab sizes (empty-doc quirk preserved — same wc expr
+    # as corpus_stats_df: "".split("\\s+") has length 1)
+    wc = F.size(F.split(F.col("text"), WS_SPLIT))
+    per_fold = docs.groupBy(fold.alias("fold")).agg(
+        F.count("*").cast("long").alias("tweets"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("pos_tweets"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("neg_tweets"),
+        F.sum(F.when(F.col("label") == 1, wc).otherwise(0))
+        .cast("long")
+        .alias("pos_words"),
+        F.sum(F.when(F.col("label") == 0, wc).otherwise(0))
+        .cast("long")
+        .alias("neg_words"),
+    )
+    in_fold = wf.groupBy("word").agg(
+        *[
+            F.max(F.when(F.col("fold") == j, 1).otherwise(0)).alias(
+                f"in{j}"
+            )
+            for j in range(CV_FOLDS)
+        ]
+    )
+    vocab_row = in_fold.agg(
+        *[
+            F.sum(
+                F.when(
+                    sum(
+                        (F.col(f"in{j}") for j in range(CV_FOLDS) if j != k),
+                        F.lit(0),
+                    )
+                    > 0,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"v{k}")
+            for k in range(CV_FOLDS)
+        ]
+    )
+    rows = [r.asDict() for r in per_fold.crossJoin(vocab_row).collect()]
+    by_fold = {r["fold"]: r for r in rows}
+    tot = {
+        c: sum(r[c] for r in rows)
+        for c in ("tweets", "pos_tweets", "neg_tweets", "pos_words",
+                  "neg_words")
+    }
     arms = []
     for k in range(CV_FOLDS):
-        fold = F.col("doc_id") % CV_FOLDS
-        train_docs = docs.filter(fold != k)
+        # training stats = totals minus fold k's contribution
+        fr = by_fold.get(k, {})
+        stats = {
+            c: tot[c] - fr.get(c, 0)
+            for c in ("tweets", "pos_tweets", "neg_tweets", "pos_words",
+                      "neg_words")
+        }
+        v = rows[0][f"v{k}"]
         test_docs = docs.filter(fold == k)
-        train_tokens = doc_tokens(train_docs)
-        stats = (
-            corpus_stats_df(train_docs, train_tokens).collect()[0].asDict()
-        )
-        v = stats["vocab_size"]
-        model = vocab_counts(train_tokens).select(
-            "word",
-            F.log(
-                (F.col("pos_count") + 1) / F.lit(stats["pos_words"] + v)
-            ).alias("lpw_pos"),
-            F.log(
-                (F.col("neg_count") + 1) / F.lit(stats["neg_words"] + v)
-            ).alias("lpw_neg"),
+        model = (
+            wf.filter(F.col("fold") != k)
+            .groupBy("word")
+            .agg(
+                F.sum("pos_count").alias("pos_count"),
+                F.sum("neg_count").alias("neg_count"),
+            )
+            .select(
+                "word",
+                F.log(
+                    (F.col("pos_count") + 1) / F.lit(stats["pos_words"] + v)
+                ).alias("lpw_pos"),
+                F.log(
+                    (F.col("neg_count") + 1) / F.lit(stats["neg_words"] + v)
+                ).alias("lpw_neg"),
+            )
         )
         ttok = doc_tokens(test_docs).select("doc_id", "word")
         scored = (

@@ -181,6 +181,18 @@ class ManifestSinkDataSource(DataSource):
     def writer(self, schema, overwrite):
         import uuid
 
+        if overwrite:
+            # The union-merge commit APPENDS prior committed parts into
+            # the published manifest; honoring .mode('overwrite') would
+            # require replacing them (and cleaning prior part files)
+            # atomically with the manifest swap.  Only append is used
+            # in-repo — refuse loudly rather than silently append
+            # (r9 advice: latent data-duplication bug otherwise).
+            raise NotImplementedError(
+                "tsa_manifest_sink supports .mode('append') only: the "
+                "manifest commit union-merges prior parts, so overwrite "
+                "would silently keep them"
+            )
         return ManifestWriter(self.options["path"], uuid.uuid4().hex[:8])
 
     def streamWriter(self, schema, overwrite):

@@ -38,7 +38,13 @@ WINDOW = 50
 
 
 def driver_green(rows_only: frozenset[str] = frozenset()) -> dict[str, str]:
-    """name → round-file of its first green row.
+    """name → round-file of its LATEST green row.
+
+    Latest, not first (r9 advice): the padding sort key is this
+    round-file, so a re-verified query's key must ADVANCE or the
+    standing rotation would deterministically re-select the same ~50
+    stalest names forever once the backlog drains — staleness means
+    "latest proof", not "first proof".
 
     A rows-only name (no oracle BY DESIGN — see ``rows_only()`` in
     ``__spark_entry__``) can never earn ``rows_match``: the driver
@@ -52,7 +58,7 @@ def driver_green(rows_only: frozenset[str] = frozenset()) -> dict[str, str]:
         with open(path) as fh:
             data = json.load(fh)
         for name, row in data.items():
-            if not isinstance(row, dict) or name in green:
+            if not isinstance(row, dict):
                 continue
             if name in rows_only:
                 ok = row.get("spark_rows") is not None

@@ -21,6 +21,15 @@ every point pays its own full cost; each point is min-of-2.
     python tools/scale_probe.py --quick    # skip sf0.1 (fast sanity)
     python tools/scale_probe.py --max-alpha 1.1   # gate: exit 1 if any
                                            # fitted exponent exceeds it
+    python tools/scale_probe.py --decade [--max-alpha X]
+        # r9-verdict #5: extend ONE more decade for the two steepest
+        # curves (er_fuzzy_pairs 0.87, dedup_prefix_jaccard_join 0.78)
+        # against a synthesized sf1-equivalent corpus (documents
+        # inflated 10× from sf0.1 with VARIED per-copy lengths — the
+        # real corpus's near-uniform doc sizes understate the length
+        # filter, so this decade is the harder test).  Appends an
+        # "extended decade" section to SCALING.md; the --max-alpha
+        # gate covers these fits too.
 
 The ``--max-alpha`` gate is the r8-verdict ask: the two steepest
 curves are the quadratic-risk operators themselves (`er_fuzzy_pairs`,
@@ -64,11 +73,71 @@ PROBES = (
 )
 
 
+# the two steepest r9 curves — the quadratic-risk pair the extended
+# decade re-fits against the synthetic sf1 corpus
+DECADE_PROBES = ("er_fuzzy_pairs", "dedup_prefix_jaccard_join")
+SF1_DIR = os.path.join(REPO, ".sf1_synth")
+
+
+def build_sf1(spark) -> str:
+    """Synthesize an sf1-equivalent documents corpus: 10 variants per
+    sf0.1 doc (50k rows), each variant keeping a DIFFERENT deterministic
+    prefix fraction of the text (0.30–0.93, plus one full-length copy)
+    with a per-copy suffix token so no variant is byte-identical.
+
+    Why varied lengths: copies of one doc share long prefixes (real
+    near-dup structure for the prefix/LSH candidate stages) but land in
+    different length buckets, so the blocking and the r9 PPJoin length
+    filter do real work — the honest shape for the candidate-growth
+    decade the r9 verdict asked about.  Deterministic (no RNG): frac
+    keys on (doc_id + k) % 10.  Built once, reused (delete the dir to
+    rebuild)."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SF1_DIR, "documents.parquet")
+    if os.path.exists(out):
+        return SF1_DIR
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    variants = spark.range(10).select(F.col("id").cast("int").alias("k"))
+    frac = 0.30 + 0.07 * ((F.col("doc_id") + F.col("k")) % 10)
+    cut = F.when(F.col("k") == 0, F.length("text")).otherwise(
+        F.greatest(F.lit(40), F.round(F.length("text") * frac).cast("int"))
+    )
+    inflated = (
+        docs.crossJoin(variants)
+        .select(
+            (F.col("doc_id") * 10 + F.col("k")).alias("doc_id"),
+            F.concat(
+                F.substring(F.col("text"), 1, cut),
+                F.lit(" zv"),
+                F.col("k").cast("string"),
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    inflated.repartition(8, "doc_id").write.mode("overwrite").parquet(out)
+    return SF1_DIR
+
+
 def main() -> int:
     quick = "--quick" in sys.argv[1:]
+    decade = "--decade" in sys.argv[1:]
     max_alpha = None
     if "--max-alpha" in sys.argv[1:]:
-        max_alpha = float(sys.argv[sys.argv.index("--max-alpha") + 1])
+        # Validate BEFORE the expensive probe path: a missing or
+        # non-numeric value must exit with usage, not IndexError after
+        # Spark spins up (r9 advice).
+        idx = sys.argv.index("--max-alpha") + 1
+        try:
+            max_alpha = float(sys.argv[idx])
+        except (IndexError, ValueError):
+            print(
+                "usage: scale_probe.py [--quick] [--max-alpha FLOAT]",
+                file=sys.stderr,
+            )
+            return 2
     sfs = SFS[:-1] if quick else SFS
     import __spark_entry__ as entrymod
     from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import common
@@ -79,6 +148,72 @@ def main() -> int:
     # codegen to the first probe
     spark.range(1000).count()
     queries = entrymod.queries()
+
+    if decade:
+        sf1_dir = build_sf1(spark)
+        points: dict[str, dict[str, float]] = {n: {} for n in DECADE_PROBES}
+        for label, d in (("sf0.1", "/root/testdata/sf0.1"),
+                         ("sf1_synth", sf1_dir)):
+            for name in DECADE_PROBES:
+                best = math.inf
+                for _ in range(2):
+                    common.clear_caches()
+                    t0 = time.perf_counter()
+                    queries[name](spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                points[name][label] = round(best, 3)
+                print(f"  {label} {name}: {best:.2f}s", file=sys.stderr)
+        common.clear_caches()
+        sec = [
+            "## Extended decade — synthetic sf1 (r9 verdict #5)",
+            "",
+            "10× inflation of sf0.1 documents (50k docs, varied",
+            "per-copy lengths + shared prefixes = real near-dup",
+            "structure; see tools/scale_probe.py build_sf1) — the",
+            "decade where candidate growth starts to dominate for the",
+            "two steepest curves.  Same min-of-2 cold protocol.",
+            "",
+            "| operator | t(sf0.1) | t(sf1_synth) | alpha(0.1→1) |",
+            "|---|---|---|---|",
+        ]
+        d_alphas: dict[str, float] = {}
+        for name in DECADE_PROBES:
+            t = points[name]
+            d_alphas[name] = math.log10(t["sf1_synth"] / t["sf0.1"])
+            sec.append(
+                f"| {name} | {t['sf0.1']} | {t['sf1_synth']} "
+                f"| {d_alphas[name]:.2f} |"
+            )
+        sec.append("")
+        out = os.path.join(REPO, "SCALING.md")
+        body = ""
+        if os.path.exists(out):
+            with open(out) as fh:
+                body = fh.read()
+            marker = "## Extended decade"
+            if marker in body:
+                body = body[: body.index(marker)].rstrip() + "\n"
+        with open(out, "w") as fh:
+            fh.write(body.rstrip() + "\n\n" + "\n".join(sec))
+        print(f"appended extended decade to {out}", file=sys.stderr)
+        if max_alpha is not None:
+            over = {
+                n: round(a, 2) for n, a in d_alphas.items() if a > max_alpha
+            }
+            if over:
+                print(
+                    f"FAIL: decade alpha exceeds {max_alpha}: {over}",
+                    file=sys.stderr,
+                )
+                return 1
+            print(
+                f"decade alpha gate OK: max {max(d_alphas.values()):.2f} "
+                f"<= {max_alpha}",
+                file=sys.stderr,
+            )
+        return 0
     times: dict[str, dict[str, float]] = {n: {} for n in PROBES}
     for sf in sfs:
         sf_dir = f"/root/testdata/{sf}"
