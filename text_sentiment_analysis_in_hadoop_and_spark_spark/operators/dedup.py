@@ -1345,6 +1345,9 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.asc("df"), F.asc("shingle")
     )
+    # `pos` is each shingle's rank in the doc's GLOBAL sort order
+    # (df asc, shingle asc) — kept past the prefix cut because the
+    # positional filter below needs it
     ranked = (
         sh.join(df_tab, "shingle")
         .join(sizes, "doc_id")
@@ -1353,43 +1356,62 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos")
             <= F.col("n_sh") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n_sh")) + 1
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "pos", "n_sh")
     )
-    a = ranked.withColumnRenamed("doc_id", "doc_a")
-    b = ranked.withColumnRenamed("doc_id", "doc_b")
-    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-        "n_sh", "n_a"
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("pos").alias("pos_a"),
+        F.col("n_sh").alias("n_a"),
     )
-    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-        "n_sh", "n_b"
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("pos").alias("pos_b"),
+        F.col("n_sh").alias("n_b"),
     )
-    # PPJoin's LENGTH FILTER (r9): J(A,B) ≥ t forces min(n_a, n_b) ≥
-    # t·max(n_a, n_b) (J ≤ min/max), so size-incompatible candidate
-    # pairs are pruned BEFORE the posting-expansion verify — the
-    # filter rides two broadcast size joins (|docs| rows), and
-    # carrying n_a/n_b here also retires the two post-aggregation
-    # size joins the final Jaccard used to pay.  Lossless: every
-    # pruned pair is below threshold by the bound.
+    t = float(PREFIX_JACCARD_T)
+    # Required overlap for J ≥ t: |A∩B| ≥ t/(1+t)·(n_a+n_b).
+    alpha = F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b"))
+    # Both filters run INSIDE the prefix-posting join, before the
+    # candidate-distinct shuffle (r10 — the r9 decade probe showed the
+    # post-distinct placement going super-linear on a near-clique
+    # corpus: 15.3M distinct candidates for 161k true pairs at the
+    # synthetic sf1).  Both are LOSSLESS:
+    # - LENGTH (PPJoin): J ≤ min/max, so min(n_a,n_b) ≥ t·max(n_a,n_b)
+    #   for any true pair.
+    # - POSITIONAL (PPJoin): both docs sort tokens by the same global
+    #   order, so a shared token at ranks (pos_a, pos_b) splits the
+    #   intersection into elements before it — ≤ min(pos_a−1, pos_b−1)
+    #   — and the token plus elements after it — ≤ 1 + min(n_a−pos_a,
+    #   n_b−pos_b).  Every shared occurrence upper-bounds the SAME
+    #   |A∩B|, and for a true pair every bound ≥ α, so a pair is
+    #   pruned only when ALL its occurrences fail — never a true one.
+    # 1e-9 slack keeps both bounds LOOSE at the boundary: with a
+    # threshold not exactly representable in binary (0.7, 0.9), the
+    # rhs can land a hair ABOVE the true rational bound and wrongly
+    # prune an exactly-at-threshold pair — a loose filter only
+    # forwards a few extra pairs to the exact verify, a tight one
+    # silently loses true results (t = 0.5 is exact today; the slack
+    # makes the bounds safe under any future threshold).
     cands = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        .join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
         .filter(
-            # 1e-9 slack keeps the filter LOOSE at the boundary: with
-            # a threshold not exactly representable in binary (0.7,
-            # 0.9), t·max can land a hair ABOVE the true rational
-            # bound and wrongly prune an exactly-at-threshold pair —
-            # a loose filter only forwards a few extra pairs to the
-            # exact verify, a tight one silently loses true results
-            # (t = 0.5 is exact today; the slack makes the bound safe
-            # under any future threshold)
             F.least("n_a", "n_b")
-            >= F.lit(PREFIX_JACCARD_T) * F.greatest("n_a", "n_b")
-            - F.lit(1e-9)
+            >= F.lit(t) * F.greatest("n_a", "n_b") - F.lit(1e-9)
         )
+        .filter(
+            F.least(F.col("pos_a") - 1, F.col("pos_b") - 1)
+            + 1
+            + F.least(
+                F.col("n_a") - F.col("pos_a"),
+                F.col("n_b") - F.col("pos_b"),
+            )
+            >= alpha - F.lit(1e-9)
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
     )
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(
