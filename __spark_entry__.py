@@ -182,11 +182,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #   _r9 namespaces, past the cap (window-stability re-verified).
 #   BACKLOG mid-r9: 136 of 425 declared.  Padding policy upgraded to
 #   oldest-green-first (r8 verdict #5) ahead of the backlog drain.
-#   r10 PLAN: CORRECTNESS_r09 should land 50 rows → backlog ~86; the
-#   r10 window leads with the remaining events/text/sql/nb/priv/sim
-#   head, r11 takes er/rel + the one-per-source tail (~36), and from
+#   r10 (NOW): CORRECTNESS_r09 landed 50/50 green → backlog at r10
+#   open: 86 of 425; the derived window leads with the remaining
+#   priv/sim/er/events/nb/sql head (ROTATION_r10.json, pre-flighted by
+#   the round-opening 425/425 full sweep).  r10 additions
+#   (priv_generalization_ladder, catalog_stats_ndv_planner,
+#   events_markov_next) register through end-of-order _r10 namespaces,
+#   past the cap (window-stability re-verified) — backlog mid-r10: 89
+#   of 428.  r11 takes the er/rel + one-per-source remainder, and from
 #   r12 the window pads oldest-green-first — the r3-era nb/tfidf rows
-#   re-verify first (the standing rotation the r8 verdict asked for).
+#   re-verify first (the standing rotation the r8 verdict asked for;
+#   padding keys on each name's LATEST green row per the r9 advice so
+#   re-verification advances the rotation instead of freezing it).
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,
@@ -311,6 +318,21 @@ _graph_r9 = SimpleNamespace(
     QUERIES=graph.QUERIES_R9,
     ORACLES=graph.ORACLES_R9,
 )
+_privacy_r10 = SimpleNamespace(
+    __name__="privacy_r10",
+    QUERIES=privacy.QUERIES_R10,
+    ORACLES=privacy.ORACLES_R10,
+)
+_catalog_r10 = SimpleNamespace(
+    __name__="catalog_r10",
+    QUERIES=catalog_source.QUERIES_R10,
+    ORACLES=catalog_source.ORACLES_R10,
+)
+_timeseries_r10 = SimpleNamespace(
+    __name__="timeseries_r10",
+    QUERIES=timeseries.QUERIES_R10,
+    ORACLES=timeseries.ORACLES_R10,
+)
 
 
 _MODULE_ORDER = (
@@ -376,6 +398,9 @@ _MODULE_ORDER = (
     _similarity_r9,
     _sqlfn_r9,
     _graph_r9,
+    _privacy_r10,
+    _catalog_r10,
+    _timeseries_r10,
 )
 
 

@@ -458,3 +458,107 @@ ORACLES_R7["priv_dp_error_budget"] = (
     "FROM cells CROSS JOIN eps"
 )
 QUERIES_R7["priv_dp_error_budget"] = q_dp_error_budget
+
+
+# --- generalization ladder (r10) ---------------------------------------
+#
+# The STEP AFTER measuring k-anonymity: if the release fails k ≥ K at
+# the full QI, which generalization fixes it, and what does each rung
+# cost?  The standard lattice walk (Samarati 2001; the full-domain
+# generalization LaRS/Incognito search evaluates exactly these rungs)
+# over four nested QI coarsenings of the customer release:
+#
+#   L0  (nation, segment, balance-1000s)   — the priv_k_anonymity QI
+#   L1  (nation, segment)                  — suppress the balance
+#   L2  (region, segment)                  — generalize nation→region
+#   L3  (region)                           — drop the segment
+#
+# Per rung: class count, the achieved k (min class size), how many
+# records sit in sub-K classes (what SUPPRESSION would have to remove
+# to publish at this rung), that suppression rate, and whether the
+# rung meets k ≥ K outright.  Monotone by construction (coarser QI →
+# larger classes), so the first `meets_k = 1` row is the minimal
+# generalization — the number a privacy engineer actually asks for.
+#
+# Scale: four partial aggregations over the customer dimension (each
+# bounded by its QI cardinality, |QI| ≪ rows by construction), the
+# nation→region map rides a 25-row broadcast; the four rung rollups
+# are 1-row aggregates unioned — the whole query ships 4 rows.
+
+
+def q_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").cast("long").alias("regionkey"),
+    )
+    base = cust.join(F.broadcast(nat), "c_nationkey").select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "regionkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(_BAL_BUCKET).alias("bal_bucket"),
+    )
+    rungs = (
+        (0, "nation+segment+balance", ("nationkey", "segment", "bal_bucket")),
+        (1, "nation+segment", ("nationkey", "segment")),
+        (2, "region+segment", ("regionkey", "segment")),
+        (3, "region", ("regionkey",)),
+    )
+    arms = []
+    for lvl, desc, cols in rungs:
+        cls = base.groupBy(*cols).agg(F.count("*").alias("cs"))
+        subk = F.sum(
+            F.when(F.col("cs") < K_ANON, F.col("cs")).otherwise(F.lit(0))
+        ).cast("long")
+        arms.append(
+            cls.agg(
+                F.lit(lvl).cast("int").alias("level"),
+                F.lit(desc).alias("qi"),
+                F.count("*").cast("long").alias("n_classes"),
+                F.min("cs").cast("long").alias("min_k"),
+                subk.alias("subk_records"),
+                F.round(
+                    subk / F.sum("cs").cast("double"), 6
+                ).alias("suppressed_frac"),
+                (F.min("cs") >= K_ANON).cast("int").alias("meets_k"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def _ladder_sql() -> str:
+    base = (
+        "base AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, "
+        "CAST(n_regionkey AS BIGINT) AS regionkey, "
+        "c_mktsegment AS segment, "
+        f"{_BAL_BUCKET} AS bal_bucket "
+        "FROM customer JOIN nation ON n_nationkey = c_nationkey)"
+    )
+    rungs = (
+        (0, "nation+segment+balance", "nationkey, segment, bal_bucket"),
+        (1, "nation+segment", "nationkey, segment"),
+        (2, "region+segment", "regionkey, segment"),
+        (3, "region", "regionkey"),
+    )
+    arms = []
+    for lvl, desc, cols in rungs:
+        arms.append(
+            f"SELECT {lvl} AS level, '{desc}' AS qi, "
+            "CAST(count(*) AS BIGINT) AS n_classes, "
+            "CAST(min(cs) AS BIGINT) AS min_k, "
+            f"CAST(sum(CASE WHEN cs < {K_ANON} THEN cs ELSE 0 END) "
+            "AS BIGINT) AS subk_records, "
+            f"round(sum(CASE WHEN cs < {K_ANON} THEN cs ELSE 0 END) "
+            "/ CAST(sum(cs) AS DOUBLE), 6) AS suppressed_frac, "
+            f"CAST(min(cs) >= {K_ANON} AS INTEGER) AS meets_k "
+            f"FROM (SELECT count(*) AS cs FROM base GROUP BY {cols}) "
+            f"l{lvl}"
+        )
+    return "WITH " + base + " " + " UNION ALL ".join(arms)
+
+
+QUERIES_R10 = {"priv_generalization_ladder": q_generalization_ladder}
+ORACLES_R10 = {"priv_generalization_ladder": _ladder_sql()}

@@ -1666,3 +1666,72 @@ def _pot_sql() -> str:
 
 ORACLES["events_pot_tail"] = _pot_sql()
 QUERIES["events_pot_tail"] = q_events_pot_tail
+
+
+# --- first-order Markov model of the event stream (r10) ---------------
+#
+# The behavioral-sequence complement to rel_value_migration's tier
+# transitions: per USER JOURNEY, what follows what?  lead(event_type)
+# over each user's time-ordered stream gives the bigram stream; the
+# rollup is the Laplace-free empirical transition matrix P(next|cur)
+# with per-state ranks — the model behind "after an error, 40% of
+# sessions bounce", next-event prediction baselines, and funnel
+# anomaly detection (a transition probability moving is a product
+# incident).  Deterministic: the window orders by (ts, event_id) —
+# the same total-order tie-break every other events window here uses
+# (corpus ts collisions are real; event_id breaks them identically in
+# both engines) — and user_id/ts carry the documented NOT-NULL
+# contract, pinned EXPLICITLY on both sides anyway (r9 advice class:
+# never let the two engines disagree about NULL keys).
+#
+# Scale: one shuffle on user_id for the window (bounded per-user
+# state), one partial-aggregating rollup to ≤ |types|² rows, and the
+# ranking windows run over that bounded matrix — nothing here grows
+# with the corpus except the first exchange.
+
+
+def q_events_markov_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    bigrams = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = bigrams.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    state = Window.partitionBy("event_type")
+    rank_w = state.orderBy(F.desc("n"), F.asc("next_type"))
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(state).cast("double"), 6
+        ).alias("prob"),
+        F.row_number().over(rank_w).cast("int").alias("nxt_rank"),
+    )
+
+
+ORACLES_R10 = {}
+QUERIES_R10 = {}
+ORACLES_R10["events_markov_next"] = (
+    "WITH ev AS (SELECT user_id, event_type, ts, event_id FROM events "
+    "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+    "bg AS (SELECT event_type, lead(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM ev), "
+    "c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n "
+    "FROM bg WHERE next_type IS NOT NULL GROUP BY 1, 2) "
+    "SELECT event_type, next_type, n, "
+    "round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) "
+    "AS prob, "
+    "CAST(row_number() OVER (PARTITION BY event_type "
+    "ORDER BY n DESC, next_type) AS INTEGER) AS nxt_rank FROM c"
+)
+QUERIES_R10["events_markov_next"] = q_events_markov_next

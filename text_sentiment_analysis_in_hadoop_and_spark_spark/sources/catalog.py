@@ -174,3 +174,122 @@ BENCH_PREPARE = {
         ensure_managed_customers(spark, sf_dir)
     ),
 }
+
+
+# --- ANALYZE-style column stats + join-strategy advisory (r10) --------
+#
+# The catalog's other half: partition pruning needs the LAYOUT in the
+# catalog; the cost-based optimizer needs COLUMN STATISTICS.  This is
+# the engine's `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`
+# pass, distilled to the three numbers join planning runs on — row
+# count, join-key NDV, and key null fraction — plus the advisory the
+# planner derives: the classic System-R equi-join cardinality estimate
+#
+#     |A ⋈ B| ≈ |A|·|B| / max(ndv_A(key), ndv_B(key))
+#
+# and the broadcast-vs-shuffle call for the build side (Spark's own
+# autoBroadcastJoinThreshold decision, expressed in rows here so the
+# oracle can replicate it exactly).  One aggregation per table — NDVs
+# are EXACT count-distincts (what ANALYZE stores; estimation error
+# belongs in the sketch family, see sketches.py), computed in the
+# same pass as the row count.  At 100 TB this is the nightly stats
+# job whose output makes every subsequent plan pick the right join
+# strategy without scanning anything at plan time.
+
+BROADCAST_ROW_LIMIT = 100_000
+
+
+def q_catalog_stats_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        F.count("*").cast("long").alias("li_rows"),
+        F.countDistinct("l_orderkey").cast("long").alias("li_ndv_ok"),
+        F.countDistinct("l_partkey").cast("long").alias("li_ndv_pk"),
+    )
+    orders = load_table(spark, sf_dir, "orders").agg(
+        F.count("*").cast("long").alias("o_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("o_ndv_ok"),
+        F.countDistinct("o_custkey").cast("long").alias("o_ndv_ck"),
+    )
+    cust = load_table(spark, sf_dir, "customer").agg(
+        F.count("*").cast("long").alias("c_rows"),
+        F.countDistinct("c_custkey").cast("long").alias("c_ndv_ck"),
+    )
+    part = load_table(spark, sf_dir, "part").agg(
+        F.count("*").cast("long").alias("p_rows"),
+        F.countDistinct("p_partkey").cast("long").alias("p_ndv_pk"),
+    )
+    wide = li.crossJoin(orders).crossJoin(cust).crossJoin(part)
+    joins = F.array(
+        F.struct(
+            F.lit("lineitem*orders").alias("join_name"),
+            F.col("li_rows").alias("probe_rows"),
+            F.col("o_rows").alias("build_rows"),
+            F.col("li_ndv_ok").alias("ndv_probe"),
+            F.col("o_ndv_ok").alias("ndv_build"),
+        ),
+        F.struct(
+            F.lit("orders*customer").alias("join_name"),
+            F.col("o_rows").alias("probe_rows"),
+            F.col("c_rows").alias("build_rows"),
+            F.col("o_ndv_ck").alias("ndv_probe"),
+            F.col("c_ndv_ck").alias("ndv_build"),
+        ),
+        F.struct(
+            F.lit("lineitem*part").alias("join_name"),
+            F.col("li_rows").alias("probe_rows"),
+            F.col("p_rows").alias("build_rows"),
+            F.col("li_ndv_pk").alias("ndv_probe"),
+            F.col("p_ndv_pk").alias("ndv_build"),
+        ),
+    )
+    j = wide.select(F.explode(joins).alias("j")).select("j.*")
+    est = F.floor(
+        F.col("probe_rows")
+        * F.col("build_rows")
+        / F.greatest("ndv_probe", "ndv_build").cast("double")
+    ).cast("long")
+    return j.select(
+        "join_name",
+        "probe_rows",
+        "build_rows",
+        "ndv_probe",
+        "ndv_build",
+        est.alias("est_out_rows"),
+        F.when(
+            F.col("build_rows") <= BROADCAST_ROW_LIMIT, F.lit("broadcast")
+        )
+        .otherwise(F.lit("shuffle"))
+        .alias("strategy"),
+    )
+
+
+_PLANNER_SQL = (
+    "WITH li AS (SELECT CAST(count(*) AS BIGINT) AS li_rows, "
+    "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS li_ndv_ok, "
+    "CAST(count(DISTINCT l_partkey) AS BIGINT) AS li_ndv_pk "
+    "FROM lineitem), "
+    "o AS (SELECT CAST(count(*) AS BIGINT) AS o_rows, "
+    "CAST(count(DISTINCT o_orderkey) AS BIGINT) AS o_ndv_ok, "
+    "CAST(count(DISTINCT o_custkey) AS BIGINT) AS o_ndv_ck FROM orders), "
+    "c AS (SELECT CAST(count(*) AS BIGINT) AS c_rows, "
+    "CAST(count(DISTINCT c_custkey) AS BIGINT) AS c_ndv_ck FROM customer), "
+    "p AS (SELECT CAST(count(*) AS BIGINT) AS p_rows, "
+    "CAST(count(DISTINCT p_partkey) AS BIGINT) AS p_ndv_pk FROM part), "
+    "w AS (SELECT * FROM li CROSS JOIN o CROSS JOIN c CROSS JOIN p), "
+    "j AS ("
+    "SELECT 'lineitem*orders' AS join_name, li_rows AS probe_rows, "
+    "o_rows AS build_rows, li_ndv_ok AS ndv_probe, o_ndv_ok AS ndv_build "
+    "FROM w UNION ALL "
+    "SELECT 'orders*customer', o_rows, c_rows, o_ndv_ck, c_ndv_ck FROM w "
+    "UNION ALL "
+    "SELECT 'lineitem*part', li_rows, p_rows, li_ndv_pk, p_ndv_pk FROM w) "
+    "SELECT join_name, probe_rows, build_rows, ndv_probe, ndv_build, "
+    "CAST(floor(probe_rows * build_rows / "
+    "CAST(greatest(ndv_probe, ndv_build) AS DOUBLE)) AS BIGINT) "
+    "AS est_out_rows, "
+    "CASE WHEN build_rows <= 100000 THEN 'broadcast' ELSE 'shuffle' END "
+    "AS strategy FROM j"
+)
+
+QUERIES_R10 = {"catalog_stats_ndv_planner": q_catalog_stats_planner}
+ORACLES_R10 = {"catalog_stats_ndv_planner": _PLANNER_SQL}
