@@ -410,3 +410,75 @@ def test_quality_by_dupsize_tiles_the_corpus(spark):
     for r in rows.values():
         assert 0.0 <= r["mean_quality"] <= 1.0
         assert r["mean_chars"] > 0
+
+
+def test_prefix_filter_lossless_on_clique_corpus(spark, tmp_path):
+    """The r10 decade-probe shape, shrunk: variant FAMILIES with
+    varied lengths (each doc's text truncated to different prefix
+    fractions) stress both asymmetric prefixes, the generation-time
+    length filter, and the positional filter — exactly the structure
+    where a one-token-too-short prefix would silently lose pairs.
+    Brute force is the referee."""
+    import os
+    import shutil
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.common import (
+        clear_caches,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        PREFIX_JACCARD_T,
+        _shingles_cached,
+        q_prefix_jaccard_join,
+    )
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "clique_sf")
+    os.makedirs(d)
+    base = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    k = spark.range(4).select(F.col("id").cast("int").alias("k"))
+    frac = 0.30 + 0.17 * ((F.col("doc_id") + F.col("k")) % 4)
+    cut = F.when(F.col("k") == 0, F.length("text")).otherwise(
+        F.greatest(F.lit(40), F.round(F.length("text") * frac).cast("int"))
+    )
+    (
+        base.crossJoin(k)
+        .select(
+            (F.col("doc_id") * 4 + F.col("k")).alias("doc_id"),
+            F.concat(
+                F.substring(F.col("text"), 1, cut),
+                F.lit(" zv"),
+                F.col("k").cast("string"),
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "documents.parquet"))
+    )
+    clear_caches()
+    try:
+        sets: dict[int, set] = {}
+        for r in _shingles_cached(spark, d).collect():
+            sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+        ids = sorted(sets)
+        brute = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sets[a] & sets[b])
+                if inter:
+                    j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                    if j >= PREFIX_JACCARD_T:
+                        brute[(a, b)] = round(j, 6)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in q_prefix_jaccard_join(spark, d).collect()
+        }
+        assert got == brute
+        # non-vacuous: the clique corpus must actually produce
+        # cross-length near-dup pairs
+        assert len(brute) >= 100
+    finally:
+        clear_caches()
+        shutil.rmtree(d, ignore_errors=True)

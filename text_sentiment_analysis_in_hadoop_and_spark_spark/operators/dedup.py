@@ -1330,10 +1330,20 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: df table from ONE re-aggregation of the cached shingle
     postings, joined back shingle-keyed (co-partitioned); per-doc
     prefix via a bounded row_number window; candidates from the
-    prefix-posting self-join; exact intersection sizes from the full
-    posting join restricted to candidates.  At 100 TB the prefix
-    postings are the index a similarity-search service materializes —
-    frequency-ascending order keeps its hottest lists the shortest.
+    ASYMMETRIC prefix-posting join (small side probes with the
+    2t/(1+t) prefix, large side indexes with the t prefix — Xiao et
+    al., PPJoin), with the LENGTH and POSITIONAL filters applied
+    inside the join BEFORE the candidate-distinct shuffle (all three
+    lossless — proofs inline below and pinned by the brute-force
+    losslessness tests, including the r10 varied-length clique
+    corpus); exact intersection sizes from per-doc sorted shingle
+    ARRAYS joined to the candidates (array_intersect JVM-side — no
+    posting-expansion shuffle).  At 100 TB the prefix postings are the
+    index a similarity-search service materializes —
+    frequency-ascending order keeps its hottest lists the shortest,
+    and the r10 extended-decade probe (SCALING.md) is the measured
+    evidence the candidate stage stays sub-linear on a near-clique
+    corpus.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _PREFIX_TRUTH_CACHE.get(key)
@@ -1358,21 +1368,41 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "shingle", "pos", "n_sh")
     )
-    a = ranked.select(
-        F.col("doc_id").alias("doc_a"),
+    t = float(PREFIX_JACCARD_T)
+    # ASYMMETRIC prefixes (Xiao et al., PPJoin): `ranked` holds the
+    # INDEX prefix (n − ⌈t·n⌉ + 1 — valid because a true pair's
+    # overlap I ≥ t·max(n_a,n_b)).  The SMALLER side of a pair only
+    # needs the shorter PROBE prefix, n − ⌈2t/(1+t)·n⌉ + 1: with
+    # n_s ≤ n_l, I ≥ t/(1+t)·(n_s+n_l) ≥ 2t/(1+t)·n_s, and the
+    # first common token in global order sits within rank n − I + 1
+    # of BOTH docs — so probing small-side probe-prefix against
+    # large-side index-prefix is lossless while posting ~n/3 instead
+    # of ~n/2 tokens per probe doc at t = 0.5.  The −1e-9 INSIDE the
+    # ceil keeps the prefix LONG when 2t/(1+t) is not exactly
+    # representable (a too-long prefix only adds candidates; one too
+    # short silently loses true pairs).
+    probe = ranked.filter(
+        F.col("pos")
+        <= F.col("n_sh")
+        - F.ceil(
+            F.lit(2.0 * t / (1.0 + t)) * F.col("n_sh") - F.lit(1e-9)
+        )
+        + 1
+    )
+    a = probe.select(
+        F.col("doc_id").alias("doc_s"),
         "shingle",
-        F.col("pos").alias("pos_a"),
-        F.col("n_sh").alias("n_a"),
+        F.col("pos").alias("pos_s"),
+        F.col("n_sh").alias("n_s"),
     )
     b = ranked.select(
-        F.col("doc_id").alias("doc_b"),
+        F.col("doc_id").alias("doc_l"),
         "shingle",
-        F.col("pos").alias("pos_b"),
-        F.col("n_sh").alias("n_b"),
+        F.col("pos").alias("pos_l"),
+        F.col("n_sh").alias("n_l"),
     )
-    t = float(PREFIX_JACCARD_T)
-    # Required overlap for J ≥ t: |A∩B| ≥ t/(1+t)·(n_a+n_b).
-    alpha = F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b"))
+    # Required overlap for J ≥ t: |A∩B| ≥ t/(1+t)·(n_s+n_l).
+    alpha = F.lit(t / (1.0 + t)) * (F.col("n_s") + F.col("n_l"))
     # Both filters run INSIDE the prefix-posting join, before the
     # candidate-distinct shuffle (r10 — the r9 decade probe showed the
     # post-distinct placement going super-linear on a near-clique
@@ -1394,43 +1424,77 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # forwards a few extra pairs to the exact verify, a tight one
     # silently loses true results (t = 0.5 is exact today; the slack
     # makes the bounds safe under any future threshold).
+    small_first = (F.col("n_s") < F.col("n_l")) | (
+        (F.col("n_s") == F.col("n_l"))
+        & (F.col("doc_s") < F.col("doc_l"))
+    )
+    id_order = F.col("doc_s") < F.col("doc_l")
     cands = (
         a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        # size-ordered pairing: each unordered pair is generated
+        # exactly once, as (smaller doc via probe prefix, larger doc
+        # via index prefix) — the orientation the asymmetric-prefix
+        # theorem needs
+        .filter(small_first)
         .filter(
-            F.least("n_a", "n_b")
-            >= F.lit(t) * F.greatest("n_a", "n_b") - F.lit(1e-9)
+            F.col("n_s") >= F.lit(t) * F.col("n_l") - F.lit(1e-9)
         )
         .filter(
-            F.least(F.col("pos_a") - 1, F.col("pos_b") - 1)
+            F.least(F.col("pos_s") - 1, F.col("pos_l") - 1)
             + 1
             + F.least(
-                F.col("n_a") - F.col("pos_a"),
-                F.col("n_b") - F.col("pos_b"),
+                F.col("n_s") - F.col("pos_s"),
+                F.col("n_l") - F.col("pos_l"),
             )
             >= alpha - F.lit(1e-9)
         )
-        .select("doc_a", "doc_b", "n_a", "n_b")
+        # re-normalize to id order for the verify stage and the output
+        .select(
+            F.least("doc_s", "doc_l").alias("doc_a"),
+            F.greatest("doc_s", "doc_l").alias("doc_b"),
+            F.when(id_order, F.col("n_s")).otherwise(F.col("n_l")).alias(
+                "n_a"
+            ),
+            F.when(id_order, F.col("n_l")).otherwise(F.col("n_s")).alias(
+                "n_b"
+            ),
+        )
         .distinct()
     )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b")
+    # ARRAY verify (r10): the old verify expanded every candidate by
+    # its postings (Σ n_a rows — ~200M at the synthetic sf1 for 6.6M
+    # candidates) through TWO wide shuffles and a pair groupBy.  Each
+    # doc's shingle SET packs into one sorted array instead (bounded:
+    # SHINGLE-count per doc, the same bound `n_sh` measures), so the
+    # verify is two doc-keyed joins of |cands| rows and a JVM
+    # array_intersect per pair — no posting-expansion shuffle at all.
+    # Set semantics are exact: `sh` is distinct per (doc, shingle) by
+    # construction (n_sh IS the set size the Jaccard uses).
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("arr")
     )
     inter = (
-        cands.join(sh_a, "doc_a")
-        .join(
-            sh_b,
-            (cands.doc_b == sh_b.doc_b)
-            & (F.col("shingle") == F.col("shingle_b")),
-        )
-        .groupBy(
+        cands.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")
+            ),
             "doc_a",
-            cands.doc_b.alias("doc_b"),
-            cands.n_a.alias("n_a"),
-            cands.n_b.alias("n_b"),
         )
-        .agg(F.count("*").alias("n_inter"))
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            .cast("long")
+            .alias("n_inter"),
+        )
     )
     _ret = (
         inter.withColumn(
