@@ -298,33 +298,46 @@ def verify_jaccard(
     )
     sh_a = shingles_a if shingles_a is not None else sh
     sh_b = shingles_b if shingles_b is not None else sh
-    sizes_a = sh_a.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_sh")
+    # ARRAY verify (r10, same shape as the prefix-filter join): each
+    # side's shingle set packs into one sorted array, the pair joins
+    # pull both arrays, and array_intersect computes |A∩B| JVM-side —
+    # no posting-expansion shuffle.  The size joins stay INNER on
+    # purpose: a pair whose doc is absent from its shingle source
+    # drops, preserving the ADVICE-r4 semantics the docstring pins.
+    arrs_a = sh_a.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("arr")
     )
-    sizes_b = (
-        sizes_a
+    arrs_b = (
+        arrs_a
         if sh_b is sh_a
-        else sh_b.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
-    )
-    inter = (
-        pairs.join(sh_a.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(
-            sh_b.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
+        else sh_b.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("shingle")).alias("arr")
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_inter"))
     )
+    ni = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sizes_a.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes_b.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        pairs.join(
+            arrs_a.select(
+                F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs_b.select(
+                F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")
+            ),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.coalesce(F.col("n_inter"), F.lit(0))
-                / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                ni
+                / (
+                    F.size("arr_a").cast("long")
+                    + F.size("arr_b").cast("long")
+                    - ni
+                ),
                 6,
             ).alias("jaccard"),
         )
@@ -360,14 +373,31 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = candidate_pairs(_banded_cached(spark, sf_dir))
     sh = _shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    # same ARRAY verify as verify_jaccard (r10) — intersections from
+    # array_intersect over per-doc sorted sets, no posting expansion
+    arrs = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("arr")
+    )
     inter = (
-        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
+        pairs.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")
+            ),
+            "doc_a",
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("n_inter"))
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            .cast("long")
+            .alias("n_inter"),
+        )
     )
     ni = F.coalesce(F.col("n_inter"), F.lit(0))
     return (
