@@ -188,3 +188,56 @@ def test_survivorship_attribute_rules(spark, tmp_path):
     solo = out[9]
     assert solo["n_members"] == 1 and solo["canon_doc_id"] == 9
     assert solo["lang"] == "fr" and solo["source"] == "web"
+
+
+def test_overcap_block_refines_instead_of_dropping(spark, tmp_path):
+    """r10 hierarchical blocking: a level-1 block over BLOCK_CAP
+    REFINES by the prefix-4 sub-key (instead of dropping, which the
+    decade probe showed silencing the operator on a 10x corpus) —
+    within-sub-block pairs survive, cross-sub-block pairs are the
+    documented trade, and the DuckDB oracle mirrors the exact same
+    hierarchy."""
+    import duckdb
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.er import (
+        BLOCK_CAP,
+        ORACLES,
+    )
+
+    rows = []
+    n_groups, per_group = 26, 20  # 520 > BLOCK_CAP, sub-blocks of 20
+    assert n_groups * per_group > BLOCK_CAP
+    for g in range(n_groups):
+        for i in range(per_group):
+            text = f"g{chr(97 + g)}: " + "x" * 94 + f"{i:02d}"
+            rows.append((g * per_group + i, text, "en", "s0"))
+    # under-cap control block in another lang: level-1 path intact
+    rows.append((100000, "k" * 100, "de", "s0"))
+    rows.append((100001, "k" * 99 + "q", "de", "s0"))
+    sf = _write_docs(tmp_path, rows)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_er_fuzzy_pairs(spark, sf).collect()
+    }
+    # every within-sub-block pair, no cross-sub-block pair
+    expect = {
+        (g * per_group + i, g * per_group + j)
+        for g in range(n_groups)
+        for i in range(per_group)
+        for j in range(i + 1, per_group)
+    }
+    expect.add((100000, 100001))
+    assert got == expect
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet'"
+    )
+    oracle = {
+        (a, b) for a, b, *_ in con.execute(
+            ORACLES["er_fuzzy_pairs"]
+        ).fetchall()
+    }
+    assert oracle == expect

@@ -40,6 +40,9 @@ LEV_MAX = 10  # max edits over the compared prefix
 # (measured 21 s → ~4 s at sf0.1) while a 10-edit budget over 32
 # chars still admits the typo/OCR band the operator targets
 PREFIX_LEN = 32
+# level-2 blocking key for over-cap blocks (r10): first chars of the
+# prefix — refine instead of drop (see _fuzzy_pairs_plan)
+REFINE_LEN = 4
 
 
 def _blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,34 +89,58 @@ def q_er_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fuzzy_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical blocking (r10): over-cap level-1 blocks REFINE by
+    a second key (the first ``REFINE_LEN`` chars of the normalized
+    prefix) instead of dropping — the blocking-key-hierarchy answer
+    every production linkage system uses (a 10× corpus turned 21 of
+    30 level-1 blocks over-cap in the r10 decade probe; dropping them
+    silenced the operator exactly where it had work to do).  Level-2
+    blocks still over the cap drop under the original discipline.
+    Refinement trades the cross-sub-block pairs (docs differing in
+    their first chars) for boundedness — strictly better recall than
+    the drop it replaces, same worst-case cost bound."""
     b = _blocked(spark, sf_dir)
     sizes = b.groupBy("b_lang", "b_len").agg(F.count("*").alias("n"))
-    small = b.join(
-        F.broadcast(sizes.filter(F.col("n") <= BLOCK_CAP)),
-        ["b_lang", "b_len"],
-    ).drop("n")
-    left = small.select(
-        "b_lang",
-        "b_len",
-        F.col("doc_id").alias("doc_a"),
-        F.col("prefix").alias("pref_a"),
+    keyed = b.join(F.broadcast(sizes), ["b_lang", "b_len"])
+    small = keyed.filter(F.col("n") <= BLOCK_CAP).drop("n")
+    big = (
+        keyed.filter(F.col("n") > BLOCK_CAP)
+        .drop("n")
+        .withColumn("b_pre", F.substring(F.col("prefix"), 1, REFINE_LEN))
     )
-    right = small.select(
-        "b_lang",
-        "b_len",
-        F.col("doc_id").alias("doc_b"),
-        F.col("prefix").alias("pref_b"),
+    sizes2 = big.groupBy("b_lang", "b_len", "b_pre").agg(
+        F.count("*").alias("n2")
     )
-    return (
-        left.join(right, ["b_lang", "b_len"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        # threshold form runs the BANDED O(len·k) DP and returns -1
-        # past the budget — the verify kernel, not the full DP
-        .withColumn(
-            "lev", F.levenshtein("pref_a", "pref_b", LEV_MAX)
+    small2 = big.join(
+        F.broadcast(sizes2.filter(F.col("n2") <= BLOCK_CAP)),
+        ["b_lang", "b_len", "b_pre"],
+    ).drop("n2")
+
+    def _pairs(members: DataFrame, keys: list[str]) -> DataFrame:
+        left = members.select(
+            *keys,
+            F.col("doc_id").alias("doc_a"),
+            F.col("prefix").alias("pref_a"),
         )
-        .filter(F.col("lev") >= 0)
-        .select("doc_a", "doc_b", "b_lang", "b_len", "lev")
+        right = members.select(
+            *keys,
+            F.col("doc_id").alias("doc_b"),
+            F.col("prefix").alias("pref_b"),
+        )
+        return (
+            left.join(right, keys)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            # threshold form runs the BANDED O(len·k) DP and returns
+            # -1 past the budget — the verify kernel, not the full DP
+            .withColumn(
+                "lev", F.levenshtein("pref_a", "pref_b", LEV_MAX)
+            )
+            .filter(F.col("lev") >= 0)
+            .select("doc_a", "doc_b", "b_lang", "b_len", "lev")
+        )
+
+    return _pairs(small, ["b_lang", "b_len"]).unionByName(
+        _pairs(small2, ["b_lang", "b_len", "b_pre"])
     )
 
 
@@ -131,15 +158,33 @@ ORACLES: dict[str, str] = {
         f"CAST(count(*) > {BLOCK_CAP} AS INTEGER) AS capped "
         "FROM blk GROUP BY 1, 2"
     ),
+    # hierarchical blocking mirror (r10): level-1 blocks over the cap
+    # refine by the prefix-REFINE_LEN sub-key; level-2 blocks over the
+    # cap drop — identical to _fuzzy_pairs_plan
     "er_fuzzy_pairs": (
         f"WITH {_BLK}, "
         "sizes AS (SELECT b_lang, b_len, count(*) AS n FROM blk "
         "GROUP BY 1, 2), "
         "small AS (SELECT b.* FROM blk b JOIN sizes s USING (b_lang, b_len) "
-        f"WHERE s.n <= {BLOCK_CAP}) "
+        f"WHERE s.n <= {BLOCK_CAP}), "
+        "big AS (SELECT b.*, "
+        f"substr(b.prefix, 1, {REFINE_LEN}) AS b_pre "
+        "FROM blk b JOIN sizes s USING (b_lang, b_len) "
+        f"WHERE s.n > {BLOCK_CAP}), "
+        "sizes2 AS (SELECT b_lang, b_len, b_pre, count(*) AS n2 "
+        "FROM big GROUP BY 1, 2, 3), "
+        "small2 AS (SELECT g.* FROM big g "
+        "JOIN sizes2 s2 USING (b_lang, b_len, b_pre) "
+        f"WHERE s2.n2 <= {BLOCK_CAP}) "
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.b_lang, a.b_len, "
         "CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS lev "
         "FROM small a JOIN small b USING (b_lang, b_len) "
+        "WHERE a.doc_id < b.doc_id "
+        f"AND levenshtein(a.prefix, b.prefix) <= {LEV_MAX} "
+        "UNION ALL "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.b_lang, a.b_len, "
+        "CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS lev "
+        "FROM small2 a JOIN small2 b USING (b_lang, b_len, b_pre) "
         "WHERE a.doc_id < b.doc_id "
         f"AND levenshtein(a.prefix, b.prefix) <= {LEV_MAX}"
     ),
