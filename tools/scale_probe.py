@@ -73,9 +73,20 @@ PROBES = (
 )
 
 
-# the two steepest r9 curves — the quadratic-risk pair the extended
-# decade re-fits against the synthetic sf1 corpus
-DECADE_PROBES = ("er_fuzzy_pairs", "dedup_prefix_jaccard_join")
+# the quadratic-risk operators the extended decade re-fits against
+# the synthetic sf1 corpus (r10 widened beyond the two steepest r9
+# curves to every documents-only candidate-generation family; the
+# synthetic dir carries ONLY documents.parquet, so embedding-side
+# probes can't ride along)
+DECADE_PROBES = (
+    "er_fuzzy_pairs",
+    "dedup_prefix_jaccard_join",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "text_bm25_topk",
+    "sim_topk_lsh",
+    "dedup_embedding_pairs",
+)
 SF1_DIR = os.path.join(REPO, ".sf1_synth")
 
 
@@ -95,7 +106,8 @@ def build_sf1(spark) -> str:
     from pyspark.sql import functions as F
 
     out = os.path.join(SF1_DIR, "documents.parquet")
-    if os.path.exists(out):
+    emb_done = os.path.exists(os.path.join(SF1_DIR, "embeddings.parquet"))
+    if os.path.exists(out) and emb_done:
         return SF1_DIR
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     variants = spark.range(10).select(F.col("id").cast("int").alias("k"))
@@ -118,6 +130,35 @@ def build_sf1(spark) -> str:
         .withColumn("n_chars", F.length("text").cast("long"))
     )
     inflated.repartition(8, "doc_id").write.mode("overwrite").parquet(out)
+    # embeddings too (20k vectors): 10 variants per sf0.1 vector —
+    # k=0 is an exact duplicate, k>0 adds a deterministic per-dim
+    # perturbation of growing magnitude (sin of a vec/dim/k hash — no
+    # RNG), so families span exact-dup → near-dup → loosely-similar,
+    # the shape the LSH bucket self-joins and the SIM_HOT_BUCKET_CAP
+    # have to survive
+    emb_out = os.path.join(SF1_DIR, "embeddings.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x
+        + F.lit(0.005)
+        * F.col("k").cast("float")
+        * F.sin(F.col("vec_id") * 31 + F.col("k") * 7 + i),
+    )
+    (
+        emb.crossJoin(variants)
+        .select(
+            (F.col("vec_id") * 10 + F.col("k")).alias("vec_id"),
+            F.when(F.col("k") == 0, F.col("embedding"))
+            .otherwise(pert)
+            .cast("array<float>")
+            .alias("embedding"),
+            "label",
+        )
+        .repartition(8, "vec_id")
+        .write.mode("overwrite")
+        .parquet(emb_out)
+    )
     return SF1_DIR
 
 
@@ -169,11 +210,13 @@ def main() -> int:
         sec = [
             "## Extended decade — synthetic sf1 (r9 verdict #5)",
             "",
-            "10× inflation of sf0.1 documents (50k docs, varied",
-            "per-copy lengths + shared prefixes = real near-dup",
-            "structure; see tools/scale_probe.py build_sf1) — the",
-            "decade where candidate growth starts to dominate for the",
-            "two steepest curves.  Same min-of-2 cold protocol.",
+            "10× inflation of sf0.1 documents AND embeddings (50k docs",
+            "/ 20k vectors; varied per-copy lengths, shared prefixes,",
+            "exact-dup + perturbed embedding variants = real near-dup",
+            "clique structure; see tools/scale_probe.py build_sf1) —",
+            "the decade where candidate growth starts to dominate,",
+            "probed for EVERY quadratic-risk candidate-generation",
+            "family.  Same min-of-2 cold protocol.",
             "",
             "| operator | t(sf0.1) | t(sf1_synth) | alpha(0.1→1) |",
             "|---|---|---|---|",
