@@ -86,6 +86,11 @@ DECADE_PROBES = (
     "text_bm25_topk",
     "sim_topk_lsh",
     "dedup_embedding_pairs",
+    # the end-to-end compositions: CLIP-style pair scoring and the
+    # full keep-list capstone (quality gate ∘ exact dedup ∘ near-dup
+    # CC) — if any stage upstream goes quadratic, these inherit it
+    "mm_pair_manifest",
+    "pipe_training_corpus",
 )
 SF1_DIR = os.path.join(REPO, ".sf1_synth")
 
