@@ -187,9 +187,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #   priv/sim/er/events/nb/sql head (ROTATION_r10.json, pre-flighted by
 #   the round-opening 425/425 full sweep).  r10 additions
 #   (priv_generalization_ladder, catalog_stats_ndv_planner,
-#   events_markov_next) register through end-of-order _r10 namespaces,
-#   past the cap (window-stability re-verified) — backlog mid-r10: 89
-#   of 428.  r11 takes the er/rel + one-per-source remainder, and from
+#   events_markov_next, er_refinement_audit) register through
+#   end-of-order _r10 namespaces, past the cap (window-stability
+#   re-verified) — backlog mid-r10: 90 of 429.  r11 takes the er/rel + one-per-source remainder, and from
 #   r12 the window pads oldest-green-first — the r3-era nb/tfidf rows
 #   re-verify first (the standing rotation the r8 verdict asked for;
 #   padding keys on each name's LATEST green row per the r9 advice so
@@ -333,6 +333,11 @@ _timeseries_r10 = SimpleNamespace(
     QUERIES=timeseries.QUERIES_R10,
     ORACLES=timeseries.ORACLES_R10,
 )
+_er_r10 = SimpleNamespace(
+    __name__="er_r10",
+    QUERIES=er.QUERIES_R10,
+    ORACLES=er.ORACLES_R10,
+)
 
 
 _MODULE_ORDER = (
@@ -401,6 +406,7 @@ _MODULE_ORDER = (
     _privacy_r10,
     _catalog_r10,
     _timeseries_r10,
+    _er_r10,
 )
 
 

@@ -241,3 +241,23 @@ def test_overcap_block_refines_instead_of_dropping(spark, tmp_path):
         ).fetchall()
     }
     assert oracle == expect
+
+    # the observability twin reports the same hierarchy: the en block
+    # refined into 26 sub-blocks of 20, nothing dropped; the de block
+    # is an un-refined singleton sub-block
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.er import (
+        q_er_refinement_audit,
+    )
+
+    audit = {
+        (r["b_lang"], r["b_len"]): r
+        for r in q_er_refinement_audit(spark, sf).collect()
+    }
+    en = audit[("en", 1)]
+    assert en["refined"] == 1 and en["n_docs"] == 520
+    assert en["n_sub_blocks"] == n_groups
+    assert en["max_sub_block"] == per_group
+    assert en["dropped_docs"] == 0
+    de = audit[("de", 1)]
+    assert de["refined"] == 0 and de["n_sub_blocks"] == 1
+    assert de["max_sub_block"] == de["n_docs"] == 2

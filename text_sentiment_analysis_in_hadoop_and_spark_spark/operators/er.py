@@ -515,3 +515,81 @@ def _er_survivorship_sql() -> str:
 
 QUERIES_R7 = {"er_survivorship": q_er_survivorship}
 ORACLES_R7 = {"er_survivorship": _er_survivorship_sql()}
+
+
+# --- blocking-hierarchy audit (r10) -----------------------------------
+#
+# Observability twin of the r10 hierarchical blocking (the same role
+# sim_bucket_occupancy_audit plays for the embedding hot-bucket cap):
+# per level-1 block, its refinement posture — did it refine, into how
+# many sub-blocks, how big is the worst sub-block, and how many docs
+# would STILL drop at level 2.  The numbers that tell an operator
+# "REFINE_LEN is too coarse for this corpus" BEFORE the verify stage
+# either explodes or silently drops a block.  One pass: the level-2
+# rollup aggregates to the level-1 grain; under-cap blocks report
+# themselves as one un-refined sub-block.
+
+
+def q_er_refinement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _blocked(spark, sf_dir).withColumn(
+        "b_pre", F.substring(F.col("prefix"), 1, REFINE_LEN)
+    )
+    s2 = b.groupBy("b_lang", "b_len", "b_pre").agg(
+        F.count("*").alias("sub_n")
+    )
+    lvl1 = s2.groupBy("b_lang", "b_len").agg(
+        F.sum("sub_n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_sub_raw"),
+        F.max("sub_n").cast("long").alias("max_sub_raw"),
+        F.sum(
+            F.when(F.col("sub_n") > BLOCK_CAP, F.col("sub_n")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("dropped_raw"),
+    )
+    refined = F.col("n_docs") > BLOCK_CAP
+    return lvl1.select(
+        "b_lang",
+        "b_len",
+        "n_docs",
+        refined.cast("int").alias("refined"),
+        F.when(refined, F.col("n_sub_raw"))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("n_sub_blocks"),
+        F.when(refined, F.col("max_sub_raw"))
+        .otherwise(F.col("n_docs"))
+        .cast("long")
+        .alias("max_sub_block"),
+        F.when(refined, F.col("dropped_raw"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dropped_docs"),
+    )
+
+
+_REFINE_AUDIT_SQL = (
+    f"WITH {_BLK}, "
+    f"b2 AS (SELECT *, substr(prefix, 1, {REFINE_LEN}) AS b_pre FROM blk), "
+    "s2 AS (SELECT b_lang, b_len, b_pre, count(*) AS sub_n FROM b2 "
+    "GROUP BY 1, 2, 3), "
+    "l1 AS (SELECT b_lang, b_len, CAST(sum(sub_n) AS BIGINT) AS n_docs, "
+    "CAST(count(*) AS BIGINT) AS n_sub_raw, "
+    "CAST(max(sub_n) AS BIGINT) AS max_sub_raw, "
+    f"CAST(sum(CASE WHEN sub_n > {BLOCK_CAP} THEN sub_n ELSE 0 END) "
+    "AS BIGINT) AS dropped_raw "
+    "FROM s2 GROUP BY 1, 2) "
+    "SELECT b_lang, b_len, n_docs, "
+    f"CAST(n_docs > {BLOCK_CAP} AS INTEGER) AS refined, "
+    f"CAST(CASE WHEN n_docs > {BLOCK_CAP} THEN n_sub_raw ELSE 1 END "
+    "AS BIGINT) AS n_sub_blocks, "
+    f"CAST(CASE WHEN n_docs > {BLOCK_CAP} THEN max_sub_raw ELSE n_docs "
+    "END AS BIGINT) AS max_sub_block, "
+    f"CAST(CASE WHEN n_docs > {BLOCK_CAP} THEN dropped_raw ELSE 0 END "
+    "AS BIGINT) AS dropped_docs FROM l1"
+)
+
+QUERIES_R10 = {"er_refinement_audit": q_er_refinement_audit}
+ORACLES_R10 = {"er_refinement_audit": _REFINE_AUDIT_SQL}
