@@ -42,6 +42,20 @@ SHOWCASE: list[tuple[str, str]] = [
         "re-used hash partitioning across the word/doc joins.",
     ),
     (
+        "dedup_prefix_jaccard_join",
+        "Exact threshold join, r10 shape: ASYMMETRIC prefix postings "
+        "(probe 2t/(1+t) vs index t), length + positional filters "
+        "INSIDE the join before the candidate-distinct, verify via "
+        "array_intersect over per-doc sorted sets -- no "
+        "posting-expansion shuffle.",
+    ),
+    (
+        "er_fuzzy_pairs",
+        "Hierarchical blocking, r10: over-cap blocks refine by a "
+        "prefix sub-key (broadcast size tables), banded-threshold "
+        "levenshtein verify inside co-partitioned self-joins only.",
+    ),
+    (
         "dedup_minhash_pairs",
         "LSH banding as a single `stack()` unpivot + band-key equi-join "
         "with the hot-bucket cap applied BEFORE the join — no all-pairs "
