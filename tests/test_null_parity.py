@@ -180,3 +180,32 @@ def test_null_order_priority_counts_low(spark, tmp_path):
         assert r["high_line_count"] == 0
         assert r["low_line_count"] > 0
     _assert_parity(spark, d, ["rel_q12_priority_class"])
+
+
+def test_null_keys_drop_identically_in_markov(spark, tmp_path):
+    """events_markov_next (r10) pins NULL user_id / NULL ts handling
+    EXPLICITLY (both engines filter them before the lead() window) —
+    inject both NULL classes and require parity, so the window's
+    NULLS FIRST/LAST divergence can never be reached."""
+    import datetime as dt
+
+    rows = [
+        {
+            "event_id": 10_000_200,
+            "ts": None,
+            "user_id": 7,
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        },
+        {
+            "event_id": 10_000_201,
+            "ts": dt.datetime(2024, 1, 2, 3, 4, 5),
+            "user_id": None,
+            "event_type": "purchase",
+            "value": 2.0,
+            "props": "{}",
+        },
+    ]
+    d = _null_dir(tmp_path, "events", rows)
+    _assert_parity(spark, d, ["events_markov_next"])
