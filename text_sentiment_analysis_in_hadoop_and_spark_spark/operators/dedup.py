@@ -1500,8 +1500,30 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array_intersect per pair — no posting-expansion shuffle at all.
     # Set semantics are exact: `sh` is distinct per (doc, shingle) by
     # construction (n_sh IS the set size the Jaccard uses).
+    #
+    # INT64-DICTIONARY arrays (r10 decade2): the verify's cost is the
+    # pair-stream exchange carrying the array payloads (at the
+    # synthetic sf10, 59M candidates × ~1KB string arrays ≈ 59 GB of
+    # shuffle — the measured super-linearity; join-strategy hints
+    # don't help because EVERY equi-join ships the payload).  Hashing
+    # shingles to xxhash64 longs cuts the payload ~3.5× and makes the
+    # per-pair intersect long-typed.  Exactness is GUARDED, not
+    # assumed: one tiny aggregate proves the hash is a bijection on
+    # THIS corpus (distinct shingles == distinct hashes — the S5
+    # scalar-side-input pattern, one driver round-trip per session);
+    # on any collision (≈2^-64-scale event) the verify falls back to
+    # the string arrays, so results are unconditionally exact.
+    chk = sh.agg(
+        F.countDistinct("shingle").alias("n_str"),
+        F.countDistinct(F.xxhash64("shingle")).alias("n_hash"),
+    ).collect()[0]
+    shingle_key = (
+        F.xxhash64("shingle")
+        if chk["n_str"] == chk["n_hash"]
+        else F.col("shingle")
+    )
     arrs = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("shingle")).alias("arr")
+        F.sort_array(F.collect_set(shingle_key)).alias("arr")
     )
     inter = (
         cands.join(

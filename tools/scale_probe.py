@@ -167,9 +167,75 @@ def build_sf1(spark) -> str:
     return SF1_DIR
 
 
+# second extended decade (r10): sf10-equivalent documents for the two
+# flagship dedup chains — three measured decades, a 1000× span
+DECADE2_PROBES = ("dedup_prefix_jaccard_join", "dedup_minhash_pairs")
+SF10_DIR = os.path.join(REPO, ".sf10_synth")
+
+
+def build_sf10(spark) -> str:
+    """sf10-equivalent documents (500k docs): 10 REPLICA GROUPS × 10
+    prefix-fraction variants per sf0.1 doc.  Replica groups diverge by
+    replacing every 7th token with a group-salted token, so cross-group
+    Jaccard falls far below threshold and near-dup FAMILY SIZE stays
+    ~10 while the corpus grows 100× — the honest shape (a real corpus
+    10× bigger has ~10× more near-dup families, not 10× bigger ones;
+    constant family size keeps TRUE output linear so the fit measures
+    the algorithm, not an output-size artifact).  Deterministic."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SF10_DIR, "documents.parquet")
+    if os.path.exists(out):
+        return SF10_DIR
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    copies = spark.range(100).select(
+        (F.col("id") % 10).cast("int").alias("g"),
+        (F.col("id") / 10).cast("int").alias("k"),
+    )
+    toks = F.split(F.col("text"), " ")
+    salted = F.array_join(
+        F.transform(
+            toks,
+            lambda x, i: F.when(
+                (i + F.col("g")) % 7 == 0,
+                F.concat(
+                    F.lit("r"),
+                    F.col("g").cast("string"),
+                    F.lit("t"),
+                    (i % 13).cast("string"),
+                ),
+            ).otherwise(x),
+        ),
+        " ",
+    )
+    frac = 0.30 + 0.07 * ((F.col("doc_id") + F.col("k")) % 10)
+    cut = F.when(F.col("k") == 0, F.length(salted)).otherwise(
+        F.greatest(F.lit(40), F.round(F.length(salted) * frac).cast("int"))
+    )
+    inflated = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") * 100 + F.col("g") * 10 + F.col("k")).alias(
+                "doc_id"
+            ),
+            F.concat(
+                F.substring(salted, 1, cut),
+                F.lit(" zv"),
+                F.col("k").cast("string"),
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    inflated.repartition(32, "doc_id").write.mode("overwrite").parquet(out)
+    return SF10_DIR
+
+
 def main() -> int:
     quick = "--quick" in sys.argv[1:]
     decade = "--decade" in sys.argv[1:]
+    decade2 = "--decade2" in sys.argv[1:]
     max_alpha = None
     if "--max-alpha" in sys.argv[1:]:
         # Validate BEFORE the expensive probe path: a missing or
@@ -194,6 +260,72 @@ def main() -> int:
     # codegen to the first probe
     spark.range(1000).count()
     queries = entrymod.queries()
+
+    if decade2:
+        sf1_dir = build_sf1(spark)
+        sf10_dir = build_sf10(spark)
+        pts: dict[str, dict[str, float]] = {n: {} for n in DECADE2_PROBES}
+        for label, d in (("sf1_synth", sf1_dir), ("sf10_synth", sf10_dir)):
+            for name in DECADE2_PROBES:
+                best = math.inf
+                for _ in range(2):
+                    common.clear_caches()
+                    t0 = time.perf_counter()
+                    queries[name](spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                pts[name][label] = round(best, 3)
+                print(f"  {label} {name}: {best:.2f}s", file=sys.stderr)
+        common.clear_caches()
+        sec = [
+            "## Second extended decade — synthetic sf10 (r10)",
+            "",
+            "500k docs: 10 replica groups × 10 variants per sf0.1 doc,",
+            "groups diverged by salting every 7th token so near-dup",
+            "FAMILY SIZE stays ~10 while the corpus grows 100× (true",
+            "output scales linearly — the fit measures the algorithm,",
+            "not an output-size artifact).  With the first decade this",
+            "gives THREE measured decades (sf0.01 → sf10, a 1000×",
+            "span) for the flagship dedup chains.",
+            "",
+            "| operator | t(sf1_synth) | t(sf10_synth) | alpha(1→10) |",
+            "|---|---|---|---|",
+        ]
+        a2: dict[str, float] = {}
+        for name in DECADE2_PROBES:
+            t = pts[name]
+            a2[name] = math.log10(t["sf10_synth"] / t["sf1_synth"])
+            sec.append(
+                f"| {name} | {t['sf1_synth']} | {t['sf10_synth']} "
+                f"| {a2[name]:.2f} |"
+            )
+        sec.append("")
+        out = os.path.join(REPO, "SCALING.md")
+        body = ""
+        if os.path.exists(out):
+            with open(out) as fh:
+                body = fh.read()
+            marker = "## Second extended decade"
+            if marker in body:
+                body = body[: body.index(marker)].rstrip() + "\n"
+        with open(out, "w") as fh:
+            fh.write(body.rstrip() + "\n\n" + "\n".join(sec))
+        print(f"appended second extended decade to {out}", file=sys.stderr)
+        if max_alpha is not None:
+            over = {n: round(a, 2) for n, a in a2.items() if a > max_alpha}
+            if over:
+                print(
+                    f"FAIL: decade2 alpha exceeds {max_alpha}: {over}",
+                    file=sys.stderr,
+                )
+                return 1
+            print(
+                f"decade2 alpha gate OK: max {max(a2.values()):.2f} "
+                f"<= {max_alpha}",
+                file=sys.stderr,
+            )
+        return 0
 
     if decade:
         sf1_dir = build_sf1(spark)
