@@ -1052,7 +1052,12 @@ def q_nb_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ("tweets", "pos_tweets", "neg_tweets", "pos_words",
                       "neg_words")
         }
-        v = rows[0][f"v{k}"]
+        # rows is empty on an empty documents table (zero folds, zero
+        # vocab) — default v=0 so the degenerate input still returns a
+        # well-formed empty/zero result instead of IndexError (ADVICE
+        # r10; the pre-refactor per-fold collect()[0] path degraded
+        # gracefully and this path must too).
+        v = rows[0][f"v{k}"] if rows else 0
         test_docs = docs.filter(fold == k)
         model = (
             wf.filter(F.col("fold") != k)

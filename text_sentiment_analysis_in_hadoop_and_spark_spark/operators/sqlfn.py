@@ -247,9 +247,9 @@ steps(i, lo, hi, total) AS (
   FROM steps WHERE i < {_SCRIPT_ITERS}
 )
 SELECT hi AS median_cap_cents,
-  (SELECT coalesce(sum(n), 0) FROM hist WHERE price_cents <= s.hi)
-    AS covered_rows,
-  total AS total_rows
+  CAST((SELECT coalesce(sum(n), 0) FROM hist WHERE price_cents <= s.hi)
+    AS BIGINT) AS covered_rows,
+  CAST(total AS BIGINT) AS total_rows
 FROM steps s WHERE i = {_SCRIPT_ITERS}
 """
 

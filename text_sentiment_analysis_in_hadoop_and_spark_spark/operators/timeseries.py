@@ -435,8 +435,9 @@ ORACLES["events_changepoint"] = (
     "abs(cs * tn - cn * ts) AS d2 FROM cum, tot WHERE cn < tn), "
     "best AS (SELECT * FROM scored ORDER BY d2 DESC, day_epoch ASC "
     "LIMIT 1) "
-    "SELECT day_epoch AS change_day_epoch, cn AS n_before, "
-    "tn - cn AS n_after, "
+    "SELECT day_epoch AS change_day_epoch, "
+    "CAST(cn AS BIGINT) AS n_before, "
+    "CAST(tn - cn AS BIGINT) AS n_after, "
     "round(CAST(cs AS DOUBLE) / cn / 100.0, 6) AS mean_before, "
     "round(CAST(ts - cs AS DOUBLE) / (tn - cn) / 100.0, 6) AS mean_after "
     "FROM best"

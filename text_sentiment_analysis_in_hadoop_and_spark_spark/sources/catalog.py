@@ -243,9 +243,15 @@ def q_catalog_stats_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     j = wide.select(F.explode(joins).alias("j")).select("j.*")
+    # cast to double BEFORE multiplying: BIGINT*BIGINT overflows under
+    # ANSI mode once either side exceeds ~3e9 rows (the 100 TB regime
+    # this estimator is for), while DuckDB would silently promote to
+    # HUGEINT — a latent engine divergence at exactly the design scale
+    # (ADVICE r10).  The double product is exact enough for a planner
+    # estimate and both engines agree on it.
     est = F.floor(
-        F.col("probe_rows")
-        * F.col("build_rows")
+        F.col("probe_rows").cast("double")
+        * F.col("build_rows").cast("double")
         / F.greatest("ndv_probe", "ndv_build").cast("double")
     ).cast("long")
     return j.select(
@@ -284,7 +290,7 @@ _PLANNER_SQL = (
     "UNION ALL "
     "SELECT 'lineitem*part', li_rows, p_rows, li_ndv_pk, p_ndv_pk FROM w) "
     "SELECT join_name, probe_rows, build_rows, ndv_probe, ndv_build, "
-    "CAST(floor(probe_rows * build_rows / "
+    "CAST(floor(CAST(probe_rows AS DOUBLE) * CAST(build_rows AS DOUBLE) / "
     "CAST(greatest(ndv_probe, ndv_build) AS DOUBLE)) AS BIGINT) "
     "AS est_out_rows, "
     "CASE WHEN build_rows <= 100000 THEN 'broadcast' ELSE 'shuffle' END "

@@ -186,6 +186,23 @@ def _frontdoor_oracle() -> str:
     return output_oracle_sql(docs_cte)
 
 
+def bench_prepare_frontdoor_warm(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the synthesized-CSV → fidelity-parse → 7-regex clean
+    front-door cache so the bench bills the build as its OWN entry
+    (``csv_frontdoor_warm``) instead of whichever family query touches
+    it first.  r10's nb_cv refactor relocated exactly this cost onto
+    ``csv_nb_frontdoor`` (1.52→4.76 s committed) while the standalone
+    warm probe stayed at the r9 level (1.4–1.5 s) — a billing artifact,
+    not a plan regression (r10 verdict #4 adjudication, BENCH_NOTES
+    r11).  No-op when the cache is already warm."""
+    _frontdoor_docs_cached(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+BENCH_PREPARE = {"csv_frontdoor_warm": bench_prepare_frontdoor_warm}
+
+
 ORACLES: dict[str, str] = {
     "csv_fidelity_parse": _CSV_ORACLE,
     "csv_nb_frontdoor": _frontdoor_oracle(),

@@ -72,6 +72,85 @@ def canon(rows, cols, ndigits=6):
     return [cols[i] for i in idx], out
 
 
+# --- typed comparison (r10 verdict #2) -------------------------------
+#
+# The driver's value-hash is TYPED: an integer-equal DuckDB HUGEINT
+# (what `sum(BIGINT)` returns) hashes differently from Spark's BIGINT,
+# so a value-tolerant compare alone lets the class ship (it did, twice,
+# in r10: events_changepoint / sql_script_median_search).  Canonicalize
+# both engines' DECLARED column types to a shared token and fail on any
+# mismatch — before values are even fetched.
+
+# driver-proven-equivalent pairs (spark_token, duck_token): add only
+# with a citation to a green CORRECTNESS row that pins the pair.
+_ALLOWED_TYPE_PAIRS: set[tuple[str, str]] = {
+    # int32 vs BIGINT hash identically in the driver: proven by
+    # rel_revenue_grouping_sets + rel_yearly_growth (CORRECTNESS_r05,
+    # 'year' i32 vs i64) and text_heaps_curve (r08, 'decile') — the
+    # width canonicalizes; only the 64↔128 (HUGEINT) step diverges.
+    ("i32", "i64"),
+}
+
+
+def _canon_spark_type(s: str) -> str:
+    """Spark DataType.simpleString() → canonical token."""
+    s = s.strip().lower()
+    if s.startswith("array<") and s.endswith(">"):
+        return f"list<{_canon_spark_type(s[6:-1])}>"
+    if s.startswith("string collate"):
+        # collation is comparison metadata, not a value representation —
+        # driver-proven by sql_collated_priority (CORRECTNESS_r09)
+        return "str"
+    if s.startswith("decimal"):
+        return "dec" + s[7:].replace(" ", "")
+    return {
+        "bigint": "i64", "int": "i32", "smallint": "i16",
+        "tinyint": "i8", "double": "f64", "float": "f32",
+        "string": "str", "boolean": "bool", "date": "date",
+        "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bytes",
+    }.get(s, s)
+
+
+def _canon_duck_type(s: str) -> str:
+    """str(duckdb LogicalType) → canonical token."""
+    s = s.strip().upper()
+    if s.endswith("[]"):
+        return f"list<{_canon_duck_type(s[:-2])}>"
+    if s.startswith("DECIMAL"):
+        return "dec" + s[7:].replace(" ", "").lower()
+    return {
+        "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16",
+        "TINYINT": "i8", "HUGEINT": "i128", "UBIGINT": "u64",
+        "UINTEGER": "u32", "DOUBLE": "f64", "FLOAT": "f32",
+        "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+        "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+        "BLOB": "bytes",
+    }.get(s, s.lower())
+
+
+def type_errors(spark_df, duck_rel) -> list[str]:
+    """Compare declared column types (sorted by column name) between the
+    Spark plan and the DuckDB relation — both are available WITHOUT
+    executing either side.  Returns human-readable mismatch strings."""
+    s_map = {
+        f.name.lower(): _canon_spark_type(f.dataType.simpleString())
+        for f in spark_df.schema.fields
+    }
+    o_map = {
+        c.lower(): _canon_duck_type(str(t))
+        for c, t in zip(duck_rel.columns, duck_rel.types)
+    }
+    errs = []
+    for col in sorted(set(s_map) & set(o_map)):
+        st, ot = s_map[col], o_map[col]
+        if st != ot and (st, ot) not in _ALLOWED_TYPE_PAIRS:
+            errs.append(
+                f"type mismatch on '{col}': spark={st} oracle={ot} "
+                "(driver hash is typed — CAST the oracle side)"
+            )
+    return errs
+
+
 def _zip_errors(srows, orows) -> list[str]:
     errs = []
     bad = 0
@@ -123,8 +202,11 @@ def compare(name, spark_df, oracle_rows, oracle_cols) -> list[str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--window"]
+    args = [
+        a for a in sys.argv[1:] if a not in ("--window", "--typecheck")
+    ]
     window_only = "--window" in sys.argv[1:]
+    typecheck_only = "--typecheck" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
     import __spark_entry__ as entrymod
@@ -167,16 +249,24 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             if sql is None:
-                n = df.count()
-                print(
-                    f"  {name}: rows-only ({n} rows) — "
-                    "intentionally no oracle (rows_only() manifest)"
-                )
+                if not typecheck_only:
+                    n = df.count()
+                    print(
+                        f"  {name}: rows-only ({n} rows) — "
+                        "intentionally no oracle (rows_only() manifest)"
+                    )
                 continue
-            res = con.execute(sql)
-            o_cols = [d[0] for d in res.description]
-            o_rows = res.fetchall()
-            errs = compare(name, df, o_rows, o_cols)
+            rel = con.sql(sql)
+            errs = type_errors(df, rel)
+            if typecheck_only:
+                # declared-type sweep only: neither engine executes —
+                # this covers all ~400 oracles in seconds and catches
+                # the HUGEINT/DECIMAL exposure class pre-commit.
+                pass
+            elif not errs:
+                o_cols = list(rel.columns)
+                o_rows = rel.fetchall()
+                errs = compare(name, df, o_rows, o_cols)
         except Exception as e:  # noqa: BLE001
             errs = [f"exception: {type(e).__name__}: {e}"]
         if errs:

@@ -75,9 +75,9 @@ PROBES = (
 
 # the quadratic-risk operators the extended decade re-fits against
 # the synthetic sf1 corpus (r10 widened beyond the two steepest r9
-# curves to every documents-only candidate-generation family; the
-# synthetic dir carries ONLY documents.parquet, so embedding-side
-# probes can't ride along)
+# curves to every candidate-generation family; build_sf1 synthesizes
+# BOTH documents.parquet AND embeddings.parquet, so embedding-side
+# probes ride along — only the sf10 decade2 corpus is documents-only)
 DECADE_PROBES = (
     "er_fuzzy_pairs",
     "dedup_prefix_jaccard_join",
@@ -449,8 +449,30 @@ def main() -> int:
         )
     lines.append("")
     out = os.path.join(REPO, "SCALING.md")
+    # a base (non --decade) run rewrites the file — preserve any
+    # previously-appended extended-decade sections instead of silently
+    # erasing them until someone re-runs --decade/--decade2 (ADVICE
+    # r10): carry every line from the first '## Extended decade' /
+    # '## Second extended decade' heading onward.
+    preserved = []
+    if os.path.exists(out):
+        with open(out) as fh:
+            old = fh.readlines()
+        for i, ln in enumerate(old):
+            if ln.startswith("## Extended decade") or ln.startswith(
+                "## Second extended decade"
+            ):
+                preserved = old[i:]
+                print(
+                    "preserving existing extended-decade section(s) "
+                    f"({len(preserved)} lines)",
+                    file=sys.stderr,
+                )
+                break
     with open(out, "w") as fh:
         fh.write("\n".join(lines))
+        if preserved:
+            fh.write("".join(preserved))
     print(f"wrote {out}", file=sys.stderr)
     if max_alpha is not None:
         over = {n: round(a, 2) for n, a in alphas.items() if a > max_alpha}
