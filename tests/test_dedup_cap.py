@@ -482,3 +482,110 @@ def test_prefix_filter_lossless_on_clique_corpus(spark, tmp_path):
     finally:
         clear_caches()
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_prefix_filter_lossless_on_salted_group_corpus(spark, tmp_path):
+    """The sf10 decade-2 shape, shrunk: REPLICA GROUPS diverged by
+    salting every 7th token, so cross-group pairs share rare unsalted
+    prefix shingles while their true Jaccard sits below threshold —
+    exactly the candidate class the r11 suffix-bound filter prunes
+    (BENCH_NOTES r10: a constant ~9× candidate overhead).  The filter
+    is a theorem (an upper bound on |A∩B| from downward-closed prefix
+    arrays in one shared total order), so the joined output must equal
+    brute force EXACTLY, including every exactly-at-threshold pair."""
+    import os
+    import shutil
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.common import (
+        clear_caches,
+    )
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.dedup import (
+        PREFIX_JACCARD_T,
+        _shingles_cached,
+        q_prefix_jaccard_join,
+    )
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "salted_sf")
+    os.makedirs(d)
+    base = spark.read.parquet(os.path.join(src, "documents.parquet")).limit(
+        120
+    )
+    copies = spark.range(9).select(
+        (F.col("id") % 3).cast("int").alias("g"),
+        (F.col("id") / 3).cast("int").alias("k"),
+    )
+    toks = F.split(F.col("text"), " ")
+    salted = F.array_join(
+        F.transform(
+            toks,
+            lambda x, i: F.when(
+                (i + F.col("g")) % 7 == 0,
+                F.concat(
+                    F.lit("r"),
+                    F.col("g").cast("string"),
+                    F.lit("t"),
+                    (i % 13).cast("string"),
+                ),
+            ).otherwise(x),
+        ),
+        " ",
+    )
+    frac = 0.30 + 0.21 * ((F.col("doc_id") + F.col("k")) % 3)
+    cut = F.when(F.col("k") == 0, F.length(salted)).otherwise(
+        F.greatest(F.lit(40), F.round(F.length(salted) * frac).cast("int"))
+    )
+    (
+        base.crossJoin(copies)
+        .select(
+            (F.col("doc_id") * 9 + F.col("g") * 3 + F.col("k")).alias(
+                "doc_id"
+            ),
+            F.concat(
+                F.substring(salted, 1, cut),
+                F.lit(" zv"),
+                F.col("k").cast("string"),
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "documents.parquet"))
+    )
+    clear_caches()
+    try:
+        sets: dict[int, set] = {}
+        for r in _shingles_cached(spark, d).collect():
+            sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+        ids = sorted(sets)
+        brute = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(sets[a] & sets[b])
+                if inter:
+                    j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                    if j >= PREFIX_JACCARD_T:
+                        brute[(a, b)] = round(j, 6)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in q_prefix_jaccard_join(spark, d).collect()
+        }
+        assert got == brute
+        # non-vacuous: within-group near-dups exist AND cross-group
+        # docs exist that share shingles without being near-dups (the
+        # candidate class the suffix bound prunes)
+        assert len(brute) >= 50
+        cross_sharing = sum(
+            1
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if (a // 3) % 3 != (b // 3) % 3
+            and sets[a] & sets[b]
+            and (a, b) not in brute
+        )
+        assert cross_sharing >= 50
+    finally:
+        clear_caches()
+        shutil.rmtree(d, ignore_errors=True)

