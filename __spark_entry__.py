@@ -189,11 +189,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #   (priv_generalization_ladder, catalog_stats_ndv_planner,
 #   events_markov_next, er_refinement_audit) register through
 #   end-of-order _r10 namespaces, past the cap (window-stability
-#   re-verified) — backlog mid-r10: 90 of 429.  r11 takes the er/rel + one-per-source remainder, and from
-#   r12 the window pads oldest-green-first — the r3-era nb/tfidf rows
-#   re-verify first (the standing rotation the r8 verdict asked for;
-#   padding keys on each name's LATEST green row per the r9 advice so
-#   re-verification advances the rotation instead of freezing it).
+#   re-verified) — backlog mid-r10: 90 of 429.
+#   r11 (NOW): CORRECTNESS_r10 landed 48/50 (two oracle HUGEINT casts,
+#   fixed + re-entering) → backlog at r11 open: 42 of 429; the window
+#   is the FULL remaining backlog (sql/events/text/rel/catalog tail,
+#   incl. sim_topk_ivfpq and mm_png_pixel_stats) + the FIRST 8
+#   oldest-green pads — the r3-era nb core re-verifies now (the
+#   standing rotation the r8 verdict asked for; padding keys on each
+#   name's LATEST green row so re-verification advances instead of
+#   freezing).  NO new registrations in r11 (registration freeze per
+#   the r10 verdict #3, so nothing evicts the drain); window-stability
+#   re-verified _PROMOTED == ROTATION next_window.
 _pipeline_late = SimpleNamespace(
     __name__="pipeline_late",
     QUERIES=pipeline.QUERIES_LATE,

@@ -271,6 +271,42 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (appId, sf_dir) → is xxhash64 a bijection on the corpus shingle set?
+# Plain bools (NOT register_cache — nothing to unpersist); one driver
+# round-trip per (session, corpus), shared by every corpus-side array
+# verify that wants the int64 dictionary.
+_HASH_BIJECTIVE_CACHE: dict[tuple[str, str], bool] = {}
+
+# test hook: forces every guarded int64-dictionary path (verify
+# arrays, okey join key, suffix filter) onto its string fallback, so
+# tests can pin that the fallback produces IDENTICAL results — a real
+# collision is a ~2^-64 event we can't synthesize.
+_FORCE_STRING_FALLBACK = False
+
+
+def _corpus_hash_bijective(spark: SparkSession, sf_dir: str) -> bool:
+    """True iff xxhash64 is collision-free on THIS corpus' distinct
+    shingles — the guard that lets array verifies pack shingles into
+    int64 dictionaries (r10 pattern, generalized r11) while staying
+    unconditionally exact via the string fallback."""
+    if _FORCE_STRING_FALLBACK:
+        return False
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _HASH_BIJECTIVE_CACHE.get(key)
+    if hit is None:
+        r = (
+            _shingles_cached(spark, sf_dir)
+            .agg(
+                F.countDistinct("shingle").alias("n_str"),
+                F.countDistinct(F.xxhash64("shingle")).alias("n_hash"),
+            )
+            .collect()[0]
+        )
+        hit = bool(r["n_str"] == r["n_hash"])
+        _HASH_BIJECTIVE_CACHE[key] = hit
+    return hit
+
+
 def verify_jaccard(
     spark: SparkSession,
     sf_dir: str,
@@ -304,14 +340,32 @@ def verify_jaccard(
     # no posting-expansion shuffle.  The size joins stay INNER on
     # purpose: a pair whose doc is absent from its shingle source
     # drops, preserving the ADVICE-r4 semantics the docstring pins.
+    #
+    # INT64-dictionary arrays (r11, from the prefix join's r10 fix):
+    # on the CORPUS-only path (both sides the cached corpus shingles)
+    # the arrays pack xxhash64 longs instead of strings — ~3.5× less
+    # pair-join payload — guarded by the memoized per-corpus bijection
+    # check, string fallback on any collision.  Mixed-source calls
+    # (the incremental/streaming probes passing their own arrival
+    # shingles) keep strings: their batch side isn't covered by the
+    # corpus bijection proof, and adding a per-micro-batch check would
+    # put a blocking job in the stream path.
+    same = sh_b is sh_a
+    key_col = (
+        F.xxhash64("shingle")
+        if same
+        and shingles_a is None
+        and _corpus_hash_bijective(spark, sf_dir)
+        else F.col("shingle")
+    )
     arrs_a = sh_a.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("shingle")).alias("arr")
+        F.sort_array(F.collect_set(key_col)).alias("arr")
     )
     arrs_b = (
         arrs_a
-        if sh_b is sh_a
+        if same
         else sh_b.groupBy("doc_id").agg(
-            F.sort_array(F.collect_set("shingle")).alias("arr")
+            F.sort_array(F.collect_set(key_col)).alias("arr")
         )
     )
     ni = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
@@ -374,9 +428,16 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     # same ARRAY verify as verify_jaccard (r10) — intersections from
-    # array_intersect over per-doc sorted sets, no posting expansion
+    # array_intersect over per-doc sorted sets, no posting expansion;
+    # int64-dictionary arrays on the corpus path (r11, bijection-
+    # guarded, string fallback) like every other corpus-side verify
+    key_col = (
+        F.xxhash64("shingle")
+        if _corpus_hash_bijective(spark, sf_dir)
+        else F.col("shingle")
+    )
     arrs = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("shingle")).alias("arr")
+        F.sort_array(F.collect_set(key_col)).alias("arr")
     )
     inter = (
         pairs.join(
@@ -1416,7 +1477,13 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.xxhash64("shingle")).alias("n_hash"),
         F.countDistinct(okey_expr).alias("n_okey"),
     ).collect()[0]
-    use_okey = bool(chk["n_str"] == chk["n_okey"])
+    use_okey = (
+        bool(chk["n_str"] == chk["n_okey"]) and not _FORCE_STRING_FALLBACK
+    )
+    # seed the shared per-corpus bijection memo — other array verifies
+    # (verify_jaccard, containment) skip their own round-trip
+    if not _FORCE_STRING_FALLBACK:
+        _HASH_BIJECTIVE_CACHE[key] = bool(chk["n_str"] == chk["n_hash"])
     w = Window.partitionBy("doc_id").orderBy(
         F.asc("okey"), F.asc("shingle")
     )
@@ -1618,7 +1685,7 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-trip covers both dictionaries.)
     shingle_key = (
         F.xxhash64("shingle")
-        if chk["n_str"] == chk["n_hash"]
+        if chk["n_str"] == chk["n_hash"] and not _FORCE_STRING_FALLBACK
         else F.col("shingle")
     )
     arrs = sh.groupBy("doc_id").agg(
