@@ -68,6 +68,20 @@ def test_collated_string_is_equivalent(spark, con):
     assert type_errors(sdf, rel) == []
 
 
+def test_column_set_mismatch_is_flagged(spark, con):
+    # --typecheck has no downstream schema compare, so a misnamed /
+    # dropped / extra oracle column must fail HERE (r11 self-review)
+    sdf = spark.sql("SELECT CAST(1 AS BIGINT) AS change_day_epoch")
+    rel = _duck(con, "SELECT CAST(1 AS BIGINT) AS change_day")
+    errs = type_errors(sdf, rel)
+    assert errs and "column set mismatch" in errs[0]
+    rel2 = _duck(
+        con,
+        "SELECT CAST(1 AS BIGINT) AS change_day_epoch, 2 AS extra",
+    )
+    assert any("extra" in e for e in type_errors(sdf, rel2))
+
+
 def test_matching_types_pass(spark, con):
     sdf = spark.sql(
         "SELECT CAST(1 AS BIGINT) AS a, CAST(1.5 AS DOUBLE) AS b, "

@@ -426,6 +426,34 @@ def test_nb_lift_gains_reconciles_and_front_loads(spark):
     assert rows[0]["n_pos"] == sum(r["label"] for r in d1)
 
 
+def test_nb_cv_accuracy_empty_corpus_degrades_gracefully(spark, tmp_path):
+    """ADVICE r10 + r11 self-review: an EMPTY documents table must
+    yield a well-formed zero result — the first guard (v = 0) still
+    died on the driver-side prior division (ZeroDivisionError)."""
+    import os
+
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import nb
+    from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.common import (
+        clear_caches,
+    )
+
+    d = str(tmp_path / "empty_sf")
+    os.makedirs(d)
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(0)
+        .write.parquet(os.path.join(d, "documents.parquet"))
+    )
+    clear_caches()
+    try:
+        rows = nb.q_nb_cv_accuracy(spark, d).collect()
+        assert [r["fold"] for r in rows] == list(range(nb.CV_FOLDS))
+        assert all(r["n_test"] == 0 and r["n_correct"] == 0 for r in rows)
+        assert all(r["accuracy"] is None for r in rows)
+    finally:
+        clear_caches()
+
+
 def test_nb_cv_folds_partition_the_corpus(spark):
     from conftest import SF_DIR
     from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import nb

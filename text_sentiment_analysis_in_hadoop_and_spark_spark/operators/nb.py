@@ -1085,8 +1085,14 @@ def q_nb_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("lpw_neg").alias("s_neg"),
             )
         )
-        prior_pos = F.log(F.lit(stats["pos_tweets"] / stats["tweets"]))
-        prior_neg = F.log(F.lit(stats["neg_tweets"] / stats["tweets"]))
+        # guard the driver-side division for the empty-documents
+        # degenerate input (r11 self-review: the rows-guard above
+        # alone still died here with ZeroDivisionError); F.log(0.0)
+        # is NULL JVM-side, so an absent class degrades to NULL
+        # scores rather than raising
+        n_tw = stats["tweets"]
+        prior_pos = F.log(F.lit(stats["pos_tweets"] / n_tw if n_tw else 0.0))
+        prior_neg = F.log(F.lit(stats["neg_tweets"] / n_tw if n_tw else 0.0))
         preds = (
             test_docs.select("doc_id", "label")
             .join(scored, "doc_id", "left")
@@ -1105,7 +1111,15 @@ def q_nb_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(k).cast("int").alias("fold"),
                 F.lit(stats["tweets"]).cast("long").alias("n_train"),
                 F.count("*").cast("long").alias("n_test"),
-                F.sum((F.col("prediction") == F.col("label")).cast("long"))
+                # coalesce: SUM over an empty fold is NULL — the
+                # degenerate empty-corpus result should be 0, and the
+                # coalesce is identity for every non-empty fold
+                F.coalesce(
+                    F.sum(
+                        (F.col("prediction") == F.col("label")).cast("long")
+                    ),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias("n_correct"),
             )
@@ -1118,8 +1132,12 @@ def q_nb_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train",
         "n_test",
         "n_correct",
-        F.round(F.col("n_correct") / F.col("n_test").cast("double"), 6)
-        .alias("accuracy"),
+        # NULL (not NaN) accuracy on an empty fold — identical to the
+        # oracle's value for every non-degenerate input
+        F.when(
+            F.col("n_test") > 0,
+            F.round(F.col("n_correct") / F.col("n_test").cast("double"), 6),
+        ).alias("accuracy"),
     )
 
 

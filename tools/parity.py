@@ -141,6 +141,17 @@ def type_errors(spark_df, duck_rel) -> list[str]:
         for c, t in zip(duck_rel.columns, duck_rel.types)
     }
     errs = []
+    # column-SET divergence is an error here too (r11 self-review):
+    # in --typecheck mode nothing downstream compares schemas, so an
+    # intersection-only loop would print a green check for an oracle
+    # that misnames, drops, or adds a column
+    only_s = sorted(set(s_map) - set(o_map))
+    only_o = sorted(set(o_map) - set(s_map))
+    if only_s or only_o:
+        errs.append(
+            f"column set mismatch: spark-only={only_s} "
+            f"oracle-only={only_o}"
+        )
     for col in sorted(set(s_map) & set(o_map)):
         st, ot = s_map[col], o_map[col]
         if st != ot and (st, ot) not in _ALLOWED_TYPE_PAIRS:
@@ -259,9 +270,12 @@ def main() -> int:
             rel = con.sql(sql)
             errs = type_errors(df, rel)
             if typecheck_only:
-                # declared-type sweep only: neither engine executes —
-                # this covers all ~400 oracles in seconds and catches
-                # the HUGEINT/DECIMAL exposure class pre-commit.
+                # declared-type sweep only: no VALUES are fetched or
+                # compared (DuckDB only binds).  NOT free, though —
+                # building some Spark plans runs real jobs (bounded
+                # side-input collects: corpus stats, bijection checks,
+                # CV folds), so the full sweep takes minutes at
+                # sf0.001, still far cheaper than value parity.
                 pass
             elif not errs:
                 o_cols = list(rel.columns)

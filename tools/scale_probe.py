@@ -167,9 +167,16 @@ def build_sf1(spark) -> str:
     return SF1_DIR
 
 
-# second extended decade (r10): sf10-equivalent documents for the two
-# flagship dedup chains — three measured decades, a 1000× span
-DECADE2_PROBES = ("dedup_prefix_jaccard_join", "dedup_minhash_pairs")
+# second extended decade (r10): sf10-equivalent documents for the
+# flagship dedup chains — three measured decades, a 1000× span.
+# r11 widened to the two banded-verify consumers now riding the
+# generalized int64-dictionary arrays (jaccard/containment verify).
+DECADE2_PROBES = (
+    "dedup_prefix_jaccard_join",
+    "dedup_minhash_pairs",
+    "dedup_jaccard_pairs",
+    "dedup_containment_pairs",
+)
 SF10_DIR = os.path.join(REPO, ".sf10_synth")
 
 
@@ -369,14 +376,26 @@ def main() -> int:
         sec.append("")
         out = os.path.join(REPO, "SCALING.md")
         body = ""
+        tail = ""
         if os.path.exists(out):
             with open(out) as fh:
                 body = fh.read()
+            # a --decade rerun replaces ONLY its own section: preserve
+            # any '## Second extended decade' section that follows it
+            # (r11 self-review — the r10 code truncated at the first
+            # marker and silently erased the second section, the same
+            # class the base-writer fix closed)
+            marker2 = "## Second extended decade"
+            if marker2 in body:
+                tail = body[body.index(marker2):]
+                body = body[: body.index(marker2)]
             marker = "## Extended decade"
             if marker in body:
                 body = body[: body.index(marker)].rstrip() + "\n"
         with open(out, "w") as fh:
             fh.write(body.rstrip() + "\n\n" + "\n".join(sec))
+            if tail:
+                fh.write("\n" + tail)
         print(f"appended extended decade to {out}", file=sys.stderr)
         if max_alpha is not None:
             over = {
@@ -472,7 +491,10 @@ def main() -> int:
     with open(out, "w") as fh:
         fh.write("\n".join(lines))
         if preserved:
-            fh.write("".join(preserved))
+            # blank separator line before the first preserved heading —
+            # the decade appenders write one, so a base rewrite must
+            # not produce whitespace churn in the committed artifact
+            fh.write("\n" + "".join(preserved))
     print(f"wrote {out}", file=sys.stderr)
     if max_alpha is not None:
         over = {n: round(a, 2) for n, a in alphas.items() if a > max_alpha}
