@@ -43,10 +43,13 @@ SHOWCASE: list[tuple[str, str]] = [
     ),
     (
         "dedup_prefix_jaccard_join",
-        "Exact threshold join, r10 shape: ASYMMETRIC prefix postings "
-        "(probe 2t/(1+t) vs index t), length + positional filters "
-        "INSIDE the join before the candidate-distinct, verify via "
-        "array_intersect over per-doc sorted sets -- no "
+        "Exact threshold join, r11 shape: ASYMMETRIC prefix postings "
+        "(probe 2t/(1+t) vs index t) joined on an int64 okey, with "
+        "length + positional + SUFFIX-BOUND filters INSIDE the join "
+        "before the candidate-distinct (the suffix bound intersects "
+        "capped per-doc prefix-okey arrays carried on the posting "
+        "rows -- sf10 candidates 59.1M -> 1.78M), verify via "
+        "array_intersect over per-doc sorted int64 sets -- no "
         "posting-expansion shuffle.",
     ),
     (
