@@ -243,9 +243,35 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# bounded method pair tables, memoized like the prefix-truth table
+# (r11 — SURVEY's "all inputs memoized bounded pair tables" claim was
+# true for the truth side only; method_agreement / lsh_s_curve /
+# minhash_error re-ran the band joins and the whole tfidf-cosine
+# token pipeline on every call, ~4 s/run at sf0.1).  Keyed
+# (appId, sf_dir, tag): clear_caches matches on key[1] = sf_dir.
+_METHOD_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = register_cache(
+    {}
+)
+
+
+def _memo_pairs(tag, spark, sf_dir, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, tag)
+    hit = _METHOD_PAIRS_CACHE.get(key)
+    if hit is None:
+        hit = build().cache()
+        _METHOD_PAIRS_CACHE[key] = hit
+    return hit
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard = fraction of the 16
     signature components that agree."""
+    return _memo_pairs(
+        "minhash", spark, sf_dir, lambda: _minhash_pairs(spark, sf_dir)
+    )
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _banded_cached(spark, sf_dir)
     pairs = candidate_pairs(sigs)
     a = sigs.select(
@@ -1335,6 +1361,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     family already applies; 8-bit blocks are the 32-bit-hash
     instantiation that the DuckDB oracle can replicate bit-for-bit.
     """
+    return _memo_pairs(
+        "simhash", spark, sf_dir, lambda: _simhash_pairs(spark, sf_dir)
+    )
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = q_simhash(spark, sf_dir)
     stack_expr = "stack({}, {}) AS (band, val)".format(
         SIMHASH_BANDS,
@@ -2323,6 +2355,15 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot product as a token-keyed join RESTRICTED to the memoized
     banded candidates (never all-pairs).  Every join keys on doc or
     token; norms broadcast-join onto the bounded pair set."""
+    return _memo_pairs(
+        "tfidf_cosine",
+        spark,
+        sf_dir,
+        lambda: _tfidf_cosine_pairs(spark, sf_dir),
+    )
+
+
+def _tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
