@@ -247,7 +247,8 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (r11 — SURVEY's "all inputs memoized bounded pair tables" claim was
 # true for the truth side only; method_agreement / lsh_s_curve /
 # minhash_error re-ran the band joins and the whole tfidf-cosine
-# token pipeline on every call, ~4 s/run at sf0.1).  Keyed
+# token pipeline on every call, ~4 s/run at sf0.1).  Also holds the
+# span-scrub output (consumed by dedup_savings).  Keyed
 # (appId, sf_dir, tag): clear_caches matches on key[1] = sf_dir.
 _METHOD_PAIRS_CACHE: dict[tuple[str, str, str], DataFrame] = register_cache(
     {}
@@ -865,7 +866,15 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort of surviving tokens (bounded by doc length).  Everything
     shuffles on doc_id or the gram key — the same two partitioning
     families as q_span_stats, whose cached positional-gram table this
-    reuses."""
+    reuses.  Output memoized (r11): the scrubbed corpus feeds both
+    this query and the dedup_savings rollup — same bounded-artifact
+    convention as the pair tables."""
+    return _memo_pairs(
+        "span_scrub", spark, sf_dir, lambda: _span_scrub(spark, sf_dir)
+    )
+
+
+def _span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     gpos = _span_gpos_cached(spark, sf_dir)
     dup_g = (
