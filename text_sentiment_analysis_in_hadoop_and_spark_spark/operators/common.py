@@ -45,7 +45,16 @@ def clear_caches(sf_dir: str | None = None) -> None:
             items = val if isinstance(val, tuple) else (val,)
             for obj in items:
                 if hasattr(obj, "unpersist"):
-                    obj.unpersist()
+                    # blocking: an async unpersist can leave the old
+                    # blocks resident while the next run's persist
+                    # already fills the heap — measured OOM after 4
+                    # back-to-back sf10 probe runs in one 8 GB JVM
+                    # (r12); callers of clear_caches are exactly the
+                    # re-run loops where that race bites
+                    try:
+                        obj.unpersist(blocking=True)
+                    except TypeError:  # non-DataFrame registrants
+                        obj.unpersist()
 
 
 def rebalance_scan(spark: SparkSession, df: DataFrame) -> DataFrame:

@@ -299,10 +299,13 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # (appId, sf_dir) → is xxhash64 a bijection on the corpus shingle set?
-# Plain bools (NOT register_cache — nothing to unpersist); one driver
-# round-trip per (session, corpus), shared by every corpus-side array
-# verify that wants the int64 dictionary.
-_HASH_BIJECTIVE_CACHE: dict[tuple[str, str], bool] = {}
+# Plain bools (nothing to unpersist, and clear_caches tolerates that),
+# but registered anyway so a corpus regenerated at the same path in
+# one session can't ride a stale True verdict into the int64 fast
+# path it was never proven collision-free on (ADVICE r11).  One
+# driver round-trip per (session, corpus), shared by every
+# corpus-side array verify that wants the int64 dictionary.
+_HASH_BIJECTIVE_CACHE: dict[tuple[str, str], bool] = register_cache({})
 
 # test hook: forces every guarded int64-dictionary path (verify
 # arrays, okey join key, suffix filter) onto its string fallback, so
@@ -1450,8 +1453,42 @@ PREFIX_JACCARD_T = 0.5
 # posting, never per candidate pair.
 SUFFIX_FILTER_CAP = 32
 
+# How okarr reaches the posting rows (r12 A/B — BENCH_NOTES r12):
+# "slice_join" builds the per-doc array once from the pos <= CAP slice
+# of the window output and joins it to the prefix rows (default);
+# "window" projects it onto every pre-filter row via an unbounded
+# collect_list frame (the r11 plan — kept as the equivalence twin).
+# Both are exact and lossless; tests pin identical output.
+_OKARR_STRATEGY = "window"
+
+# Materialize the prefix posting frame once so the candidate
+# self-join's two branches don't each re-evaluate the window subtree
+# (r12 A/B — see the inline comment at the persist site).
+_PREFIX_PERSIST = True
+
+# Conjoin the scan-free bound2 pre-gate ahead of the le-scan suffix
+# bound — semantically a no-op either way (bound2 ≥ suffix_bound, so
+# the conjunction prunes identically).  The r12 interleaved A/B at
+# sf10 measured NO wall-clock win (min-of-3 44.6 s off vs 47.3 s on,
+# laps split): codegen subexpression elimination evaluates the shared
+# array_intersect eagerly and the HOF le-scan is CodegenFallback, so
+# the And never short-circuits the cost away.  Default off; kept as
+# an executable record of the attempted lever (BENCH_NOTES r12).
+_SUFFIX_PREGATE = False
+
 
 _PREFIX_TRUTH_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+# intermediate prefix posting frames persisted by q_prefix_jaccard_join
+# (released via clear_caches like the pair tables)
+_PREFIX_POSTING_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+# test hooks (r12): when _COUNT_CANDIDATES is set, the candidate-stage
+# row count of the last q_prefix_jaccard_join build lands here — the
+# strategy-equivalence test pins it across okarr strategies (a
+# weakened suffix bound is invisible in the lossless OUTPUT but not in
+# the candidate cardinality)
+_COUNT_CANDIDATES = False
+_LAST_CAND_COUNT: int | None = None
 
 
 def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1538,13 +1575,17 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "doc_id")
         .withColumn("pos", F.row_number().over(w))
     )
-    if use_okey:
+    if use_okey and _OKARR_STRATEGY == "window":
         # SUFFIX-BOUND arrays (r11, the PPJoin+ suffix-filter role):
         # each posting row carries its doc's first min(n, CAP) okeys —
         # a downward-closed PREFIX of the whole doc in the global
         # order, attached via the SAME doc_id window partition the
-        # ranking already shuffles on (no extra join, and the payload
-        # ships once per posting row, never per candidate pair).
+        # ranking already shuffles on.  COST (measured, BENCH_NOTES
+        # r11 stage breakdown): the unbounded collect_list frame
+        # projects the CAP-long array onto EVERY pre-filter posting
+        # row — ~4.6 GB transient at the sf10 synthetic — which is why
+        # "slice_join" below is the default; this path is kept as the
+        # A/B twin and equivalence pin.
         ranked = ranked.withColumn(
             "okarr",
             F.slice(
@@ -1553,16 +1594,73 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SUFFIX_FILTER_CAP,
             ),
         )
-    ranked = ranked.filter(
+    prefix_cut = (
         F.col("pos")
         <= F.col("n_sh") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n_sh")) + 1
-    ).select(
-        "doc_id",
-        (F.col("okey") if use_okey else F.col("shingle")).alias("jkey"),
-        "pos",
-        "n_sh",
-        *(["okarr"] if use_okey else []),
     )
+    if use_okey and _OKARR_STRATEGY == "slice_join":
+        # SLICE-JOIN okarr (r12, the A/B LOSER — kept live as the
+        # equivalence twin; BENCH_NOTES r12): okarr is a PER-DOC value
+        # (the doc's first min(n, CAP) okeys in the global order), so
+        # this variant builds it once per doc from the `pos <= CAP`
+        # slice of the SAME window output — BEFORE the prefix cut, so
+        # the arrays keep their full CAP length (the index prefix at
+        # t=0.5 is ~n/2+1 < CAP for median docs; a truncated array,
+        # while still lossless, loses the pruning power the CAP was
+        # sized for) — and attaches it to the prefix rows by a doc_id
+        # join.  The hypothesis was that skipping the per-row array
+        # projection (the r11 plan's ~4.6 GB transient) would win; the
+        # interleaved same-JVM A/B at the sf10 synthetic measured the
+        # OPPOSITE (min-of-3: 53.4 s vs 46.6 s for window+persist):
+        # AQE never reuses the window exchange across the two
+        # consumers, so the whole posting subtree — including a second
+        # WindowGroupLimit sort — re-evaluates for the okarr branch,
+        # costing more than the projection it avoids.
+        okarrs = (
+            ranked.filter(F.col("pos") <= SUFFIX_FILTER_CAP)
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("okey")).alias("okarr"))
+        )
+        ranked = (
+            ranked.filter(prefix_cut)
+            .select(
+                "doc_id",
+                F.col("okey").alias("jkey"),
+                "pos",
+                "n_sh",
+            )
+            .join(okarrs, "doc_id")
+        )
+    else:
+        ranked = ranked.filter(prefix_cut).select(
+            "doc_id",
+            (F.col("okey") if use_okey else F.col("shingle")).alias("jkey"),
+            "pos",
+            "n_sh",
+            *(["okarr"] if use_okey else []),
+        )
+    if _PREFIX_PERSIST:
+        # The prefix frame feeds BOTH sides of the candidate self-join
+        # (probe a + index b), and without materialization Spark
+        # evaluates the whole posting subtree — shingle⋈df join,
+        # doc_id window sort, okarr projection — TWICE (the r11 plan:
+        # 2× Window over 17.4M rows at the sf10 synthetic; AQE's
+        # ReusedExchange does not fire across the self-join branches
+        # because the broadcast/probe shapes differ).  Persisting the
+        # ~n/2-row prefix frame runs it ONCE: interleaved same-JVM A/B
+        # at sf10 (BENCH_NOTES r12), min-of-3 51.7 → 46.6 s, persist
+        # ≤ no-persist on every lap — the dual window evaluation costs
+        # ~10% end-to-end, bounded by the verify/candidate stages that
+        # dominate the chain.  Registered for clear_caches release
+        # like every other memoized frame.
+        # serialized level, not the deserialized default: the okarr
+        # arrays deserialize to 2-3× their packed size, and this frame
+        # only exists to be scanned twice — packed longs keep the
+        # ~2.6 GB sf10 footprint from crowding an 8 GB local heap
+        from pyspark import StorageLevel
+
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+        _PREFIX_POSTING_CACHE[key] = ranked
     t = float(PREFIX_JACCARD_T)
     # ASYMMETRIC prefixes (Xiao et al., PPJoin): `ranked` holds the
     # INDEX prefix (n − ⌈t·n⌉ + 1 — valid because a true pair's
@@ -1663,7 +1761,25 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         suffix_bound = F.size(
             F.array_intersect("okarr_s", "okarr_l")
         ) + F.least(F.col("n_s") - le_s, F.col("n_l") - le_l)
+        # SCAN-FREE PRE-GATE (r12): bound2 = intersect + (n_m − sz_m)
+        # where m is the smaller-max side — its ≤θ count is its full
+        # array size, so no lambda scan at all.  bound2 ≥ suffix_bound
+        # always (n_m − sz_m = n_m − le_m ≥ min(n_s − le_s, n_l −
+        # le_l)), so conjoining it changes NOTHING semantically; its
+        # value is evaluation order: And short-circuits per row in
+        # codegen, so the per-occurrence le lambda scan — the r11
+        # profile's HOF cost center — runs only on the ~20% of
+        # occurrences that survive the free gate (sf10 measured:
+        # bound2 alone leaves 10.8M distinct candidates of the 59.1M
+        # unfiltered; suffix_bound then cuts those to the same 1.78M
+        # as before — counts pinned load-free, BENCH_NOTES r12).
+        tail_m = F.when(
+            max_s <= max_l, F.col("n_s") - F.size("okarr_s")
+        ).otherwise(F.col("n_l") - F.size("okarr_l"))
+        bound2 = F.size(F.array_intersect("okarr_s", "okarr_l")) + tail_m
         suffix_keep = suffix_bound >= alpha - F.lit(1e-9)
+        if _SUFFIX_PREGATE:
+            suffix_keep = (bound2 >= alpha - F.lit(1e-9)) & suffix_keep
     else:
         suffix_keep = F.lit(True)
     cands = (
@@ -1699,6 +1815,13 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    if _COUNT_CANDIDATES:
+        # test hook (r12): candidate-stage cardinality, the metric the
+        # strategy-equivalence test compares — a weakened suffix bound
+        # (e.g. okarr truncated by building it post-prefix-cut) keeps
+        # the OUTPUT identical (lossless) but inflates this count
+        global _LAST_CAND_COUNT
+        _LAST_CAND_COUNT = cands.count()
     # ARRAY verify (r10): the old verify expanded every candidate by
     # its postings (Σ n_a rows — ~200M at the synthetic sf1 for 6.6M
     # candidates) through TWO wide shuffles and a pair groupBy.  Each

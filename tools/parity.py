@@ -107,7 +107,13 @@ def _canon_spark_type(s: str) -> str:
         "bigint": "i64", "int": "i32", "smallint": "i16",
         "tinyint": "i8", "double": "f64", "float": "f32",
         "string": "str", "boolean": "bool", "date": "date",
-        "timestamp": "ts", "timestamp_ntz": "ts", "binary": "bytes",
+        # Spark 'timestamp' is TIMESTAMP WITH LOCAL TIME ZONE (an
+        # instant); 'timestamp_ntz' is the naive wall-clock type.
+        # Distinct tokens (ADVICE r11) so a tz-aware vs naive
+        # divergence — the declared-type escape class this gate was
+        # built for — can't pass silently; proven-equivalent pairs go
+        # through _ALLOWED_TYPE_PAIRS with a CORRECTNESS citation.
+        "timestamp": "tstz", "timestamp_ntz": "ts", "binary": "bytes",
     }.get(s, s)
 
 
@@ -123,7 +129,7 @@ def _canon_duck_type(s: str) -> str:
         "TINYINT": "i8", "HUGEINT": "i128", "UBIGINT": "u64",
         "UINTEGER": "u32", "DOUBLE": "f64", "FLOAT": "f32",
         "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
-        "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+        "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "tstz",
         "BLOB": "bytes",
     }.get(s, s.lower())
 
@@ -141,6 +147,19 @@ def type_errors(spark_df, duck_rel) -> list[str]:
         for c, t in zip(duck_rel.columns, duck_rel.types)
     }
     errs = []
+    # duplicate output names (legal in a SELECT on either engine)
+    # collapse in the lowercased maps and would escape both the
+    # column-set and type checks (ADVICE r11) — report them instead
+    if len(s_map) != len(spark_df.schema.fields):
+        errs.append(
+            "duplicate column names in Spark output: "
+            f"{sorted(f.name.lower() for f in spark_df.schema.fields)}"
+        )
+    if len(o_map) != len(duck_rel.columns):
+        errs.append(
+            "duplicate column names in oracle output: "
+            f"{sorted(c.lower() for c in duck_rel.columns)}"
+        )
     # column-SET divergence is an error here too (r11 self-review):
     # in --typecheck mode nothing downstream compares schemas, so an
     # intersection-only loop would print a green check for an oracle
