@@ -123,6 +123,13 @@ def main() -> int:
             # r9: the occupancy audit reads the similarity family's
             # memoized wide bucket table
             "similarity_r9",
+            # r12: graph_degree_powerlaw consumes the same verified-
+            # pair memo as the graph family, but its end-of-order
+            # namespace ran AFTER the group's clear_caches() — its
+            # 4.7 s min-of-k was a re-bill of the cold shingle→verify
+            # chain (billing fix, not a plan change; the chain's build
+            # cost stays billed inside the dedup group)
+            "graph_r7",
         ),
         # r8: the quality OLS consumes the corpus bigram memo the
         # quality family warms (same sharing as text_lm_score); its

@@ -81,13 +81,18 @@ def test_release_gate_composes_its_audits(spark):
     assert g["referential_ok"] == 1 and g["fd_ok"] == 1
 
 
-def test_referential_audit_plans_broadcast_anti_joins(spark):
-    """Scale pin: every FK edge resolves as a LeftAnti join, and the
-    dimension-parent edges (nation/region, broadcast-sized at any SF)
-    broadcast — the orphan check must never shuffle a fact table
-    against a tiny dimension."""
+def test_referential_audit_plans_broadcast_left_probes(spark):
+    """Scale pin, r12 shape: each child table is scanned ONCE and
+    probed with LEFT OUTER joins against the parents' DISTINCT keys
+    (orphan = unmatched — the anti-join membership without the
+    second per-edge count pass), and at bench scale every probe is a
+    BroadcastHashJoin — the orphan check must never shuffle a fact
+    table against a tiny dimension.  (A parent that outgrows the
+    broadcast threshold may legitimately fall back to a shuffle at
+    production scale; the pin here is the bench-scale plan.)"""
     from tests.conftest import SF_DIR
     from text_sentiment_analysis_in_hadoop_and_spark_spark.operators.relational2 import (
+        _FK_EDGES,
         q_referential_audit,
     )
 
@@ -97,5 +102,9 @@ def test_referential_audit_plans_broadcast_anti_joins(spark):
         .executedPlan()
         .toString()
     )
-    assert "LeftAnti" in plan
-    assert "BroadcastHashJoin" in plan and "LeftAnti, BuildRight" in plan
+    assert plan.count("LeftOuter, BuildRight") == len(_FK_EDGES)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # one scan per distinct child + one per parent reference — the old
+    # per-edge anti+count shape paid two child scans per edge
+    n_children = len({e[1] for e in _FK_EDGES})
+    assert plan.count("FileScan parquet") == n_children + len(_FK_EDGES)

@@ -160,7 +160,10 @@ def decode_meta_batches(
 
 
 def q_mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = rebalance_scan(spark, load_table(spark, sf_dir, "documents"))
+    # r12 (guide §2.1): unrebalanced by design — per-row map cost
+    # measured too cheap for the round-robin exchange's per-task
+    # Python-runner overhead (A/B in OPTIMIZATION_r12.md, mm family)
+    docs = load_table(spark, sf_dir, "documents")
     return with_payload(docs).mapInPandas(
         decode_meta_batches, schema=MM_META_SCHEMA
     )
@@ -238,7 +241,10 @@ def resize_batches(
 
 
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = rebalance_scan(spark, load_table(spark, sf_dir, "documents"))
+    # r12 (guide §2.1): unrebalanced by design — per-row map cost
+    # measured too cheap for the round-robin exchange's per-task
+    # Python-runner overhead (A/B in OPTIMIZATION_r12.md, mm family)
+    docs = load_table(spark, sf_dir, "documents")
     return with_payload(docs).mapInPandas(
         resize_batches, schema=MM_RESIZE_SCHEMA
     )
@@ -273,7 +279,10 @@ def frame_sample_batches(
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = rebalance_scan(spark, load_table(spark, sf_dir, "documents"))
+    # r12 (guide §2.1): unrebalanced by design — per-row map cost
+    # measured too cheap for the round-robin exchange's per-task
+    # Python-runner overhead (A/B in OPTIMIZATION_r12.md, mm family)
+    docs = load_table(spark, sf_dir, "documents")
     return with_payload(docs).mapInPandas(
         frame_sample_batches, schema=MM_FRAMES_SCHEMA
     )
@@ -670,9 +679,10 @@ def q_mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode stage is a genuine payload→pixels operator usable on any
     24-bit BMP column; the closed-form oracle makes its padding /
     orientation / channel-order handling hash-checked."""
-    docs = rebalance_scan(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id")
-    )
+    # r12 (guide §2.1): unrebalanced by design — per-row map cost
+    # measured too cheap for the round-robin exchange's per-task
+    # Python-runner overhead (A/B in OPTIMIZATION_r12.md, mm family)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         bmp_payload_batches, schema="doc_id long, payload binary"
     )
@@ -828,9 +838,10 @@ def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     without touching bytes — any parser off-by-one in chunk walking,
     word alignment, or sample signedness diverges).  Narrow Arrow
     `mapInPandas`, no shuffle; payloads live one batch at a time."""
-    docs = rebalance_scan(
-        spark, load_table(spark, sf_dir, "documents")
-    ).select("doc_id")
+    # r12 (guide §2.1): unrebalanced by design — per-row map cost
+    # measured too cheap for the round-robin exchange's per-task
+    # Python-runner overhead (A/B in OPTIMIZATION_r12.md, mm family)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(audio_meta_batches, schema=MM_AUDIO_SCHEMA)
 
 
@@ -1221,9 +1232,10 @@ def q_mm_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes all three ARITHMETICALLY: any padding,
     orientation, channel-order or float-promotion bug in the decode
     path hash-fails.  Narrow Arrow stages, per-image state only."""
-    docs = rebalance_scan(
-        spark, load_table(spark, sf_dir, "documents").select("doc_id")
-    )
+    # r12 (guide §2.1): unrebalanced by design — per-row map cost
+    # measured too cheap for the round-robin exchange's per-task
+    # Python-runner overhead (A/B in OPTIMIZATION_r12.md, mm family)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = docs.mapInPandas(
         bmp_payload_batches, schema="doc_id long, payload binary"
     )
@@ -1294,7 +1306,10 @@ def q_mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg."""
     from pyspark.sql import Window
 
-    docs = rebalance_scan(spark, load_table(spark, sf_dir, "documents"))
+    # r12 (guide §2.1): unrebalanced by design — per-row map cost
+    # measured too cheap for the round-robin exchange's per-task
+    # Python-runner overhead (A/B in OPTIMIZATION_r12.md, mm family)
+    docs = load_table(spark, sf_dir, "documents")
     frames = with_payload(docs).mapInPandas(
         scene_lum_batches, schema="doc_id long, frame_idx int, lum int"
     )

@@ -807,26 +807,125 @@ def q_nb_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = labeled_docs(spark, sf_dir)
     frac = F.pmod(hex32(F.col("doc_id").cast("string")), 4)
-    out = None
+
+    # r12 fusion (guide §1.2/§2.4): the four per-quarter trainings
+    # (each a stats-collect job + a vocab rollup + a broadcast scoring
+    # join) collapse into ONE training rollup and ONE scoring pass.
+    # Quarters are NESTED (frac < q), so the per-quarter counts are
+    # conditional sums over the same token rows, the per-quarter vocab
+    # is "any occurrence below q", and the model table carries the four
+    # (lpw_pos, lpw_neg) pairs side by side.  Counts, denominators and
+    # priors are bit-identical to the per-arm build.
+    train = docs.filter(train_filter())
+    ttrain = doc_tokens(train)
+    wf = ttrain.groupBy("word").agg(
+        *[
+            F.sum(
+                F.when((F.col("label") == lbl) & (frac < q), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"{name}_{q}")
+            for q in CURVE_QUARTERS
+            for lbl, name in ((1, "pos"), (0, "neg"))
+        ]
+    )
+    wc = F.size(F.split(F.col("text"), WS_SPLIT))
+    stats_row = train.agg(
+        *[
+            F.sum(F.when(frac < q, contrib).otherwise(0))
+            .cast("long")
+            .alias(f"{name}_{q}")
+            for q in CURVE_QUARTERS
+            for contrib, name in (
+                (F.lit(1), "tweets"),
+                (F.when(F.col("label") == 1, 1).otherwise(0), "pos_tweets"),
+                (F.when(F.col("label") == 0, 1).otherwise(0), "neg_tweets"),
+                (F.when(F.col("label") == 1, wc).otherwise(0), "pos_words"),
+                (F.when(F.col("label") == 0, wc).otherwise(0), "neg_words"),
+            )
+        ]
+    )
+    vocab_row = wf.agg(
+        *[
+            F.sum(
+                ((F.col(f"pos_{q}") + F.col(f"neg_{q}")) > 0).cast("long")
+            )
+            .cast("long")
+            .alias(f"v_{q}")
+            for q in CURVE_QUARTERS
+        ]
+    )
+    srow = stats_row.crossJoin(vocab_row).collect()[0].asDict()
+
+    model_cols = []
     for q in CURVE_QUARTERS:
-        model, stats = model_for_docs(docs.filter(frac < q))
-        sc = scores_for_docs(docs, model, stats)
-        pred = (F.col("pos_score") > F.col("neg_score")).cast("int")
-        row = sc.agg(
-            F.round(
-                F.sum((pred == F.col("label")).cast("int"))
-                / F.count("*"),
-                6,
-            ).alias("accuracy"),
-            F.count("*").cast("long").alias("n_test"),
-        ).select(
-            F.lit(q).cast("long").alias("train_quarter"),
-            F.lit(stats["tweets"]).cast("long").alias("n_train"),
-            "accuracy",
-            "n_test",
+        pos_den = srow[f"pos_words_{q}"] + srow[f"v_{q}"]
+        neg_den = srow[f"neg_words_{q}"] + srow[f"v_{q}"]
+        model_cols.extend(
+            [
+                ((F.col(f"pos_{q}") + F.col(f"neg_{q}")) > 0).alias(
+                    f"in_{q}"
+                ),
+                F.log((F.col(f"pos_{q}") + 1) / F.lit(pos_den)).alias(
+                    f"lpw_pos_{q}"
+                ),
+                F.log((F.col(f"neg_{q}") + 1) / F.lit(neg_den)).alias(
+                    f"lpw_neg_{q}"
+                ),
+            ]
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    model = wf.select("word", *model_cols)
+
+    test_docs = docs.filter(test_filter())
+    ttok = doc_tokens(test_docs).select("doc_id", "word")
+    scored = (
+        ttok.join(F.broadcast(model), "word")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col(f"in_{q}"), F.col(f"lpw_{side}_{q}"))
+                ).alias(f"s_{side}_{q}")
+                for q in CURVE_QUARTERS
+                for side in ("pos", "neg")
+            ]
+        )
+    )
+    sc = test_docs.select("doc_id", "label").join(scored, "doc_id", "left")
+    acc_cols = []
+    for q in CURVE_QUARTERS:
+        tw = srow[f"tweets_{q}"]
+        prior_pos = F.log(
+            F.lit(srow[f"pos_tweets_{q}"] / tw if tw else 0.0)
+        )
+        prior_neg = F.log(
+            F.lit(srow[f"neg_tweets_{q}"] / tw if tw else 0.0)
+        )
+        pred = (
+            (prior_pos + F.coalesce(F.col(f"s_pos_{q}"), F.lit(0.0)))
+            > (prior_neg + F.coalesce(F.col(f"s_neg_{q}"), F.lit(0.0)))
+        ).cast("int")
+        acc_cols.append(
+            F.round(
+                F.sum((pred == F.col("label")).cast("int")) / F.count("*"),
+                6,
+            ).alias(f"acc_{q}")
+        )
+    agg1 = sc.agg(F.count("*").cast("long").alias("n_test"), *acc_cols)
+    # ONE aggregate evaluation → four output rows via explode (no
+    # re-computation per arm, no cache needed)
+    arms = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("long").alias("train_quarter"),
+                F.lit(srow[f"tweets_{q}"]).cast("long").alias("n_train"),
+                F.col(f"acc_{q}").alias("accuracy"),
+                F.col("n_test").alias("n_test"),
+            )
+            for q in CURVE_QUARTERS
+        ]
+    )
+    return agg1.select(F.explode(arms).alias("s")).select("s.*")
 
 
 def _learning_curve_sql() -> str:
@@ -1043,95 +1142,132 @@ def q_nb_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in ("tweets", "pos_tweets", "neg_tweets", "pos_words",
                   "neg_words")
     }
-    arms = []
+    # per-arm driver scalars (training stats = totals minus fold k's
+    # contribution; rows is empty on an empty documents table — default
+    # v=0 so the degenerate input still returns a well-formed zero
+    # result, ADVICE r10/r11)
+    arm = []
     for k in range(CV_FOLDS):
-        # training stats = totals minus fold k's contribution
         fr = by_fold.get(k, {})
         stats = {
             c: tot[c] - fr.get(c, 0)
             for c in ("tweets", "pos_tweets", "neg_tweets", "pos_words",
                       "neg_words")
         }
-        # rows is empty on an empty documents table (zero folds, zero
-        # vocab) — default v=0 so the degenerate input still returns a
-        # well-formed empty/zero result instead of IndexError (ADVICE
-        # r10; the pre-refactor per-fold collect()[0] path degraded
-        # gracefully and this path must too).
         v = rows[0][f"v{k}"] if rows else 0
-        test_docs = docs.filter(fold == k)
-        model = (
-            wf.filter(F.col("fold") != k)
-            .groupBy("word")
-            .agg(
-                F.sum("pos_count").alias("pos_count"),
-                F.sum("neg_count").alias("neg_count"),
-            )
-            .select(
-                "word",
-                F.log(
-                    (F.col("pos_count") + 1) / F.lit(stats["pos_words"] + v)
-                ).alias("lpw_pos"),
-                F.log(
-                    (F.col("neg_count") + 1) / F.lit(stats["neg_words"] + v)
-                ).alias("lpw_neg"),
-            )
-        )
-        ttok = doc_tokens(test_docs).select("doc_id", "word")
-        scored = (
-            ttok.join(F.broadcast(model), "word")
-            .groupBy("doc_id")
-            .agg(
-                F.sum("lpw_pos").alias("s_pos"),
-                F.sum("lpw_neg").alias("s_neg"),
-            )
-        )
-        # guard the driver-side division for the empty-documents
-        # degenerate input (r11 self-review: the rows-guard above
-        # alone still died here with ZeroDivisionError); F.log(0.0)
-        # is NULL JVM-side, so an absent class degrades to NULL
-        # scores rather than raising
         n_tw = stats["tweets"]
-        prior_pos = F.log(F.lit(stats["pos_tweets"] / n_tw if n_tw else 0.0))
-        prior_neg = F.log(F.lit(stats["neg_tweets"] / n_tw if n_tw else 0.0))
-        preds = (
-            test_docs.select("doc_id", "label")
-            .join(scored, "doc_id", "left")
-            .select(
-                "label",
-                (
-                    (prior_pos + F.coalesce(F.col("s_pos"), F.lit(0.0)))
-                    > (prior_neg + F.coalesce(F.col("s_neg"), F.lit(0.0)))
-                )
-                .cast("int")
-                .alias("prediction"),
-            )
+        arm.append(
+            {
+                "n_train": stats["tweets"],
+                # int denominators, same as the pre-fusion F.lit args
+                "pos_den": stats["pos_words"] + v,
+                "neg_den": stats["neg_words"] + v,
+                # guard the driver-side division for the empty input
+                # (F.log(0.0) is NULL JVM-side, so an absent class
+                # degrades to NULL scores rather than raising)
+                "prior_pos": stats["pos_tweets"] / n_tw if n_tw else 0.0,
+                "prior_neg": stats["neg_tweets"] / n_tw if n_tw else 0.0,
+            }
         )
-        arms.append(
-            preds.agg(
-                F.lit(k).cast("int").alias("fold"),
-                F.lit(stats["tweets"]).cast("long").alias("n_train"),
-                F.count("*").cast("long").alias("n_test"),
-                # coalesce: SUM over an empty fold is NULL — the
-                # degenerate empty-corpus result should be 0, and the
-                # coalesce is identity for every non-empty fold
-                F.coalesce(
-                    F.sum(
-                        (F.col("prediction") == F.col("label")).cast("long")
-                    ),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("n_correct"),
+
+    # r12 fusion (guide §1.2/§2.4 — remove redundant passes): each doc
+    # is TESTED in exactly its own fold, so the five per-arm broadcast
+    # joins + five wf re-evaluations collapse into ONE scoring pass.
+    # The word side carries per-fold counts; the arm-k model values
+    # (counts-outside-k, the old wf.filter(fold != k) rollup) are CASE
+    # branches selected by the doc's own fold at join time.  Counts,
+    # denominators and priors are bit-identical to the per-arm build.
+    word_tbl = wf.groupBy("word").agg(
+        F.sum("pos_count").alias("pos_tot"),
+        F.sum("neg_count").alias("neg_tot"),
+        *[
+            F.sum(F.when(F.col("fold") == k, F.col(cnt)).otherwise(0)).alias(
+                f"{cnt[:3]}_{k}"
             )
+            for k in range(CV_FOLDS)
+            for cnt in ("pos_count", "neg_count")
+        ],
+    )
+
+    f_col = (F.col("doc_id") % CV_FOLDS).cast("int")
+
+    def arm_case(builder):
+        expr = None
+        for k in range(CV_FOLDS):
+            cond = f_col == k
+            expr = (
+                F.when(cond, builder(k))
+                if expr is None
+                else expr.when(cond, builder(k))
+            )
+        return expr
+
+    def _pos_cnt(k):
+        return F.col("pos_tot") - F.col(f"pos_{k}")
+
+    def _neg_cnt(k):
+        return F.col("neg_tot") - F.col(f"neg_{k}")
+
+    # word is in arm k's model iff it occurs in some fold != k — the
+    # membership the old inner join against the arm-k rollup enforced
+    incl = arm_case(lambda k: (_pos_cnt(k) + _neg_cnt(k)) > 0)
+    lpw_pos = arm_case(
+        lambda k: F.log((_pos_cnt(k) + 1) / F.lit(arm[k]["pos_den"]))
+    )
+    lpw_neg = arm_case(
+        lambda k: F.log((_neg_cnt(k) + 1) / F.lit(arm[k]["neg_den"]))
+    )
+    ttok = doc_tokens(docs).select("doc_id", "word")
+    scored = (
+        ttok.join(F.broadcast(word_tbl), "word")
+        .groupBy("doc_id")
+        .agg(
+            # SUM of an all-NULL/empty group is NULL — same "doc has no
+            # known words" sentinel the old left join produced
+            F.sum(F.when(incl, lpw_pos)).alias("s_pos"),
+            F.sum(F.when(incl, lpw_neg)).alias("s_neg"),
         )
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
-    return out.select(
-        "fold",
-        "n_train",
-        "n_test",
-        "n_correct",
+    )
+    prior_pos = arm_case(lambda k: F.log(F.lit(arm[k]["prior_pos"])))
+    prior_neg = arm_case(lambda k: F.log(F.lit(arm[k]["prior_neg"])))
+    counts = (
+        docs.select("doc_id", "label")
+        .join(scored, "doc_id", "left")
+        .select(
+            f_col.alias("fold"),
+            "label",
+            (
+                (prior_pos + F.coalesce(F.col("s_pos"), F.lit(0.0)))
+                > (prior_neg + F.coalesce(F.col("s_neg"), F.lit(0.0)))
+            )
+            .cast("int")
+            .alias("prediction"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.coalesce(
+                F.sum((F.col("prediction") == F.col("label")).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
+    # driver-built 5-row spine: an empty fold (or the empty corpus)
+    # still yields its row with n_test = 0, n_correct = 0 — the
+    # degenerate contract the old per-arm aggregates provided
+    folds_df = spark.createDataFrame(
+        [(k, arm[k]["n_train"]) for k in range(CV_FOLDS)],
+        "fold INT, n_train BIGINT",
+    )
+    return folds_df.join(counts, "fold", "left").select(
+        F.col("fold").cast("int").alias("fold"),
+        F.col("n_train").cast("long").alias("n_train"),
+        F.coalesce(F.col("n_test"), F.lit(0)).cast("long").alias("n_test"),
+        F.coalesce(F.col("n_correct"), F.lit(0))
+        .cast("long")
+        .alias("n_correct"),
         # NULL (not NaN) accuracy on an empty fold — identical to the
         # oracle's value for every non-degenerate input
         F.when(
@@ -1424,11 +1560,17 @@ ORACLES_LATE["nb_label_issues"] = _label_issues_sql()
 
 
 def q_nb_null_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.cleaning import clean_text
     from ..functions.hashing import hex32
-    from ..sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # r12: derive from the cached cleaned-docs memo instead of
+    # re-running the 7-regex clean chain from the raw table — the
+    # cleaning is IDENTICAL (labeled_docs cleans the same column with
+    # the same chain); only the label column is swapped for the
+    # content-hash coin flip, so every downstream count and score is
+    # bit-identical.  Before: the stats job, the vocab rollup and the
+    # scoring pass each re-ran the regex chain over the raw scan
+    # (~3 full cleans per call); after: all three read the memo.
+    docs = labeled_docs(spark, sf_dir).select(
         "doc_id",
         F.pmod(
             hex32(F.concat(F.lit("null:"), F.col("doc_id").cast("string"))),
@@ -1436,7 +1578,7 @@ def q_nb_null_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("label"),
-        clean_text(F.col("text")).alias("text"),
+        "text",
     )
     model, stats = model_for_docs(docs)
     preds = scores_for_docs(docs, model, stats).select(

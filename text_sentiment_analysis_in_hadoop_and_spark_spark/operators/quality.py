@@ -42,6 +42,7 @@ from ..sources.tables import load_table
 from .common import register_cache
 
 _BIGRAM_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+_LM_SCORE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 # Gopher-style gate thresholds (engine choice, documented constants).
 ADJ_REPEAT_MAX = 0.15   # fraction of adjacent equal-token pairs
@@ -375,6 +376,16 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo Catalyst re-plans the shared bigram subtree per consumer —
     the naive self-join form scanned the corpus 4×.
     """
+    # r12: memoize the finished per-doc score table itself (same
+    # pattern as the bigram memo one level down) — the LM buckets, the
+    # threshold sweep and the quality OLS each re-derived the
+    # c12/c1 rollup + double join + doc rollup from the bigram memo
+    # per consumer (the sweep twice: once for its total, once for the
+    # kept aggregation)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _LM_SCORE_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bgc = _bigrams_cached(spark, sf_dir)
     c12 = bgc.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
@@ -391,7 +402,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cross_entropy"),
         )
     )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+    df = docs.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_bigrams"), F.lit(0))
         .cast("long")
@@ -399,7 +410,9 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("cross_entropy"), F.lit(0.0)).alias(
             "cross_entropy"
         ),
-    )
+    ).cache()
+    _LM_SCORE_CACHE[key] = df
+    return df
 
 
 # --------------------------------------------------------------------------

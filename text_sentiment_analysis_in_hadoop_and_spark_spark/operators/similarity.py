@@ -1925,8 +1925,17 @@ def q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparison engine-exact before the single rounding.  Same
     O(N·Q) broadcast-query shape as the brute baseline."""
     qv = q_embedding_quantize(spark, sf_dir).select("vec_id", "qvec")
-    qn = qv.withColumn("qnrm", norm(F.col("qvec"))).filter(
-        F.col("qnrm") > 0
+    # r12 (guide §5.3): the quantize subtree (3 interpreted HOF
+    # transforms per row) + the qnrm fold feed FOUR plan branches
+    # (qside, both cross-join sides, the pair re-score) — ~4 full
+    # re-evaluations per call, measured as ~90% of this query's 5.3 s.
+    # One localCheckpoint materializes the |N|-row quantized table per
+    # invocation (no cross-run reuse — not keyed on the logical plan)
+    # and every branch reads it.
+    qn = (
+        qv.withColumn("qnrm", norm(F.col("qvec")))
+        .filter(F.col("qnrm") > 0)
+        .localCheckpoint()
     )
     qside = qn.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),

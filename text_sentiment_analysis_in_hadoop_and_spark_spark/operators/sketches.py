@@ -210,11 +210,13 @@ ORACLES: dict[str, str] = {}
 # the identical 4×1024 table and the estimates are exactly
 # reproducible — a fully oracle-checked sketch.
 #
-# Scale shape: the cell build is ONE partial-agg groupBy whose state
-# is capped at d·w rows per task REGARDLESS of vocabulary (the whole
-# point); the probe side joins the top-K candidates against the
-# broadcast 4096-row cell table.  The d× row multiplication happens
-# map-side and collapses in the combiner.
+# Scale shape: THIS query's probe side reports exact counts, so the
+# per-token rollup is inherent to it — the cells therefore derive
+# from that rollup (Σ n per cell ≡ per-occurrence count), hashing
+# once per distinct token (r12).  A standalone CMS pass on a corpus
+# whose vocabulary outgrows the rollup would instead hash per
+# occurrence into the d·w-capped partial agg — the classic shape —
+# but paying it HERE doubled the hash work for nothing.
 
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
@@ -235,22 +237,36 @@ def q_text_cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import textstats
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(F.split(F.col("text"), " ")).alias("token")
+    # r12 (guide §1.2/§2.3): the probe side already pays the exact
+    # per-token groupBy (it reports n_exact), so build the CMS cells
+    # from the SAME token-counts rollup instead of re-exploding every
+    # occurrence 4×: cell_n = Σ n over tokens hashing into the cell ≡
+    # the old per-occurrence count, and the 4 salted md5 hashes are
+    # now computed once per DISTINCT token, not once per occurrence
+    # (~200× fewer md5 evaluations at sf0.1).  The shared subtree also
+    # lets Catalyst reuse one token-counts exchange for cells + cand.
+    tok_counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
     )
     rs = F.array([F.lit(r) for r in range(CMS_DEPTH)])
     cells = (
-        toks.select("token", F.explode(rs).alias("r"))
+        tok_counts.select("token", "n", F.explode(rs).alias("r"))
         .groupBy(
             "r",
             (_cms_salted(F.col("r"), F.col("token")) % CMS_WIDTH).alias(
                 "c"
             ),
         )
-        .agg(F.count("*").cast("long").alias("cell_n"))
+        .agg(F.sum("n").cast("long").alias("cell_n"))
     )
-    cand = textstats.q_top_tokens(spark, sf_dir).select(
-        "token", F.col("n").alias("n_exact")
+    # identical expression chain to textstats.q_top_tokens (same
+    # tokenization: _toks == split(text, ' ')), sharing tok_counts
+    cand = (
+        tok_counts.orderBy(F.desc("n"), F.asc("token"))
+        .limit(textstats.TOP_TOKENS_K)
+        .select("token", F.col("n").alias("n_exact"))
     )
     probe = cand.select(
         "token", "n_exact", F.explode(rs).alias("r")
