@@ -72,6 +72,23 @@ def q_er_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family pays the quadratic DP once per (session, sf)
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
+# r12 (guide §5 caching, the dedup _cc_labels precedent): er_entities
+# and er_survivorship each re-ran the ITERATIVE connected-components
+# loop over the same memoized fuzzy-pair table per call — the loop's
+# localCheckpoint rounds are the family's dominant warm cost.  One
+# converged (node, label) table per (session, sf_dir) serves both.
+_ER_CC_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+
+
+def _er_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import connected_components
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ER_CC_CACHE:
+        pairs = q_er_fuzzy_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        _ER_CC_CACHE[key] = connected_components(pairs)
+    return _ER_CC_CACHE[key]
+
 
 def _fuzzy_pairs_cached(
     spark: SparkSession, sf_dir: str
@@ -213,10 +230,7 @@ def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edit-distance pairs instead of Jaccard pairs; singletons label
     themselves.  Canonical election is one entity-partitioned window
     over the labeled corpus."""
-    from .dedup import connected_components
-
-    pairs = q_er_fuzzy_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs)
+    labels = _er_cc_labels(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars"
     )
@@ -412,10 +426,7 @@ def q_er_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     consolidation.  Scale shape: CC labels (matched subgraph only) +
     two grouped votes + one entity window; every stage keys on
     entity_id/attribute, partial-agg friendly, no corpus² anywhere."""
-    from .dedup import connected_components
-
-    pairs = q_er_fuzzy_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs)
+    labels = _er_cc_labels(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )

@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .common import register_cache
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -36,36 +35,21 @@ BM25_TOP_K = 10
 
 
 
-# r12 (guide §5 caching — reused AND expensive): all three rankers
-# build the IDENTICAL (doc_id, token, tf) inverted index, and each
-# consumes it in 4+ plan branches (doc lengths, df/cf vocab tables,
-# query terms, the scatter join) which Catalyst re-evaluates per
-# branch.  One memoized cache per (session, sf_dir) — the established
-# bigram-memo pattern — replaces ~7 explode+groupBy corpus passes per
-# bench lap with one build + InMemoryTableScan reads.
-_POSTINGS_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
-
-
-def _postings_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _POSTINGS_CACHE.get(key)
-    if hit is not None:
-        return hit
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: a session-memoized .cache() of this postings table was
+    # tried and REVERTED — reading the ~750k-row cache once per plan
+    # branch measured SLOWER in the bench (family sum 4.9 -> 7.1 s)
+    # than re-running the pipelined explode+partial-agg, which stays
+    # in whole-stage codegen and feeds the exchanges map-side.
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    df = (
+    postings = (
         docs.select(
             "doc_id", F.explode(F.split("text", " ")).alias("token")
         )
         .filter(F.col("token") != "")
         .groupBy("doc_id", "token")
         .agg(F.count("*").cast("double").alias("tf"))
-    ).cache()
-    _POSTINGS_CACHE[key] = df
-    return df
-
-
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    postings = _postings_cached(spark, sf_dir)
+    )
     dlen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     scalars = dlen.agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -245,7 +229,15 @@ QLM_MU = 2000.0
 
 
 def q_qlm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    postings = _postings_cached(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
     dlen = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # collection unigram model: cf_t / total_tokens
     cf = postings.groupBy("token").agg(F.sum("tf").alias("cf"))
