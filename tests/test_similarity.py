@@ -524,7 +524,12 @@ def test_benchmark_decontam_agrees_with_serial_and_plan_broadcasts(spark):
 
     df = q_benchmark_decontam(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # r12 shape: the N·B dot pass runs vectorized in mapInPandas (the
+    # bench side rides the task closure); no join, no row-at-a-time
+    # Python, and the Python stage sees only the three columns it needs
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
     rows = {r["vec_id"]: r for r in df.collect()}
     assert rows and all(v % DECON_MOD != 0 for v in rows)
     # serial recomputation on a small slice

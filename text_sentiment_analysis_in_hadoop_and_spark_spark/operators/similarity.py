@@ -2474,44 +2474,107 @@ QUERIES_LATE["sim_rp_distortion"] = q_rp_distortion
 # a real eval-set embedding table).
 #
 # Scale shape: benchmarks are orders of magnitude smaller than the
-# corpus, so the EXACT path — broadcast the benchmark side, one
-# narrow pass over the corpus, per-vector partial-agg max — is also
+# corpus, so the EXACT path — ship the benchmark side to every task
+# (the broadcast budget), one narrow pass over the corpus — is also
 # the 100 TB path (O(N·B) dots with B bounded by the eval suite; the
 # LSH-bucketed variant only pays off once B outgrows the broadcast
 # budget, and sim_topk_lsh already demonstrates that rewrite).
-# Cosines are rounded to 6 BEFORE the threshold compare and the max,
-# so the flag boundary is engine-exact.
+#
+# r12 (guide §4.2): the N·B dot products moved from the interpreted
+# zip_with/aggregate HOF pair (CodegenFallback, ~µs per pair and the
+# whole warm cost of this query) into one vectorized NumPy pass
+# inside mapInPandas — Spark keeps the scan/distribution, NumPy does
+# the flops.  Exactness is preserved, not approximated:
+#   - the dot accumulates IN DIMENSION ORDER via one vectorized
+#     multiply-add per dimension (D += E[:,i] ⊗ B[:,i]), each product
+#     and each add IEEE-rounded exactly like the JVM left fold
+#     ((0+p_0)+p_1)+… — bit-identical doubles, proven by the oracle;
+#   - rounding stays in the JVM: round6 is monotone, so
+#     max_j round6(c_j) = round6(max_j c_j) and the max travels raw;
+#   - the tau compare on rounded cosines is rewritten to the raw
+#     threshold via _ge_after_round6 (exact decimal boundary
+#     tau − 5e-7, snapped to the next double), with NaN counted ≥ tau
+#     to mirror Spark's NaN-is-largest comparison semantics.
 
 DECON_MOD = 10      # vec_id % 10 == 0 → benchmark split
 DECON_TAU = 0.35    # cosine at/above which a corpus vec is contaminated
 
 
+def _ge_after_round6(tau: float) -> float:
+    """Smallest double c with round(c, 6) >= tau, for positive tau an
+    exact multiple of 1e-6 (HALF_UP, Spark/DuckDB semantics): the
+    boundary is the exact decimal tau − 5e-7; if the nearest double
+    sits below it, snap up one ulp so the double compare `c >= θ` is
+    equivalent to `round(c, 6) >= tau` for every double c."""
+    from decimal import Decimal
+
+    bound = Decimal(str(tau)) - Decimal("5e-7")
+    c = float(bound)
+    if Decimal(c) < bound:
+        c = math.nextafter(c, math.inf)
+    return c
+
+
 def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     emb = _emb_with_norm(spark, sf_dir)
-    bench = emb.filter(F.col("vec_id") % DECON_MOD == 0).select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_vec"),
-        F.col("nrm").alias("b_nrm"),
+    # bounded side input (the eval-suite split — same budget as the
+    # broadcast it replaces); rows carry the cached nrm so the Python
+    # side never recomputes norms
+    bench_rows = (
+        emb.filter(F.col("vec_id") % DECON_MOD == 0)
+        .select("embedding", "nrm")
+        .collect()
     )
     corpus = emb.filter(F.col("vec_id") % DECON_MOD != 0)
-    cos6 = F.round(
-        dot(F.col("embedding"), F.col("b_vec"))
-        / (F.col("nrm") * F.col("b_nrm")),
-        6,
+    if not bench_rows:
+        return corpus.select(
+            "vec_id",
+            F.lit(None).cast("double").alias("max_cos"),
+            F.lit(None).cast("long").alias("n_bench_close"),
+            F.lit(None).cast("boolean").alias("contaminated"),
+        ).limit(0)
+    bmat = np.array(
+        [r["embedding"] for r in bench_rows], dtype=np.float32
+    ).astype(np.float64)
+    b_nrm = np.array([r["nrm"] for r in bench_rows], dtype=np.float64)
+    theta = _ge_after_round6(DECON_TAU)
+    n_dim = bmat.shape[1]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emat = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64
+            )
+            dots = np.zeros((emat.shape[0], bmat.shape[0]))
+            for i in range(n_dim):  # dimension-order exact fold
+                dots += np.outer(emat[:, i], bmat[:, i])
+            cos = dots / (
+                pdf["nrm"].to_numpy()[:, None] * b_nrm[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "max_raw": np.max(cos, axis=1),
+                    "n_close": ((cos >= theta) | np.isnan(cos)).sum(
+                        axis=1
+                    ),
+                }
+            )
+
+    scored = corpus.select("vec_id", "embedding", "nrm").mapInPandas(
+        score, "vec_id long, max_raw double, n_close long"
     )
-    scored = corpus.crossJoin(F.broadcast(bench)).select(
-        "vec_id", cos6.alias("cos")
-    )
-    return scored.groupBy("vec_id").agg(
-        F.max("cos").alias("max_cos"),
-        F.sum((F.col("cos") >= DECON_TAU).cast("long"))
-        .cast("long")
-        .alias("n_bench_close"),
-    ).select(
+    return scored.select(
         "vec_id",
-        "max_cos",
-        "n_bench_close",
-        (F.col("n_bench_close") > 0).alias("contaminated"),
+        F.round("max_raw", 6).alias("max_cos"),
+        F.col("n_close").alias("n_bench_close"),
+        (F.col("n_close") > 0).alias("contaminated"),
     )
 
 
