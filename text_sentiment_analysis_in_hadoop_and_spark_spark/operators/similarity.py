@@ -125,6 +125,58 @@ def bucket_of(vec: Column, t: int) -> Column:
     return acc.cast("int")
 
 
+def _pair_cos_raw(
+    df: DataFrame,
+    a_emb: str,
+    b_emb: str,
+    a_nrm: str,
+    b_nrm: str,
+    keep: list[str],
+    out: str = "cos_raw",
+) -> DataFrame:
+    """Exact pairwise cosine, vectorized (guide §4.2, the r12
+    decontam precedent): one mapInPandas stage replaces the
+    interpreted zip_with/aggregate HOF evaluated once per pair (the
+    HOF is CodegenFallback — ~µs/pair — and dominated every
+    pair-scoring query's warm cost).  Emits ``keep + [out]`` where
+    ``out`` is the UNROUNDED double cosine computed with the
+    IDENTICAL IEEE op sequence as ``dot(a,b) / (nrm_a * nrm_b)``:
+    per-dimension product then accumulate IN DIMENSION ORDER (the
+    left fold, each product and each add rounded once), the norm
+    product first, one divide — bit-identical doubles, so callers
+    round / compare / rank in the JVM exactly as before.  Only the
+    named columns cross the Python boundary (§4.1); both array
+    columns must be equal-length per row (the embeddings-table
+    schema)."""
+    import numpy as np
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    schema = ", ".join(
+        [f"{c} {fields[c]}" for c in keep] + [f"{out} double"]
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ea = np.stack(pdf[a_emb].to_numpy()).astype(np.float64)
+            eb = np.stack(pdf[b_emb].to_numpy()).astype(np.float64)
+            acc = np.zeros(len(pdf))
+            for i in range(ea.shape[1]):  # dimension-order exact fold
+                acc += ea[:, i] * eb[:, i]
+            cos = acc / (
+                pdf[a_nrm].to_numpy() * pdf[b_nrm].to_numpy()
+            )
+            out_cols = {c: pdf[c] for c in keep}
+            out_cols[out] = cos
+            yield pd.DataFrame(out_cols)
+
+    cols = list(dict.fromkeys(keep + [a_emb, b_emb, a_nrm, b_nrm]))
+    return df.select(*cols).mapInPandas(score, schema)
+
+
 # --------------------------------------------------------------------------
 # queries() entries
 # --------------------------------------------------------------------------
@@ -166,17 +218,16 @@ def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_vec"),
         F.col("nrm").alias("q_nrm"),
     )
-    scored = (
-        cand.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            (
-                dot(F.col("embedding"), F.col("q_vec"))
-                / (F.col("nrm") * F.col("q_nrm"))
-            ).alias("cos"),
-        )
+    scored = _pair_cos_raw(
+        cand.crossJoin(F.broadcast(q)).filter(
+            F.col("vec_id") != F.col("q_id")
+        ),
+        "embedding",
+        "q_vec",
+        "nrm",
+        "q_nrm",
+        keep=["q_id", "vec_id"],
+        out="cos",
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -265,6 +316,9 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_vec"),
         F.col("nrm").alias("q_nrm"),
     )
+    # r12: NOT converted to _pair_cos_raw (candidate lists are a few
+    # thousand pairs; in-bench the fused HOF plan measured equal or
+    # better — the composition lesson)
     scored = (
         cand.join(emb, "vec_id")
         .join(F.broadcast(q), "q_id")
@@ -445,13 +499,27 @@ def ivf_assignments(
         F.col("nrm") * F.col("cnrm")
     )
     if not two_level:
+        # r12: the N·k assignment dots run vectorized (guide §4.2,
+        # same exact-fold contract as _pair_cos_raw); the argmax
+        # stays a JVM max_by over the raw similarity
         asg = (
-            emb.crossJoin(F.broadcast(cents))
+            _pair_cos_raw(
+                emb.crossJoin(F.broadcast(cents)),
+                "embedding",
+                "cvec",
+                "nrm",
+                "cnrm",
+                keep=["vec_id", "cid"],
+                out="sim",
+            )
             .groupBy("vec_id")
             .agg(
                 F.max_by(
                     F.col("cid"),
-                    F.struct(sim.alias("sim"), (-F.col("cid")).alias("tie")),
+                    F.struct(
+                        F.col("sim").alias("sim"),
+                        (-F.col("cid")).alias("tie"),
+                    ),
                 ).alias("centroid_id")
             )
             .cache()
@@ -577,6 +645,8 @@ def _ivf_topk(
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id")
     )
+    # r12: NOT converted to _pair_cos_raw (in-bench +0.4 min-of-k;
+    # the nprobe/semdedup composition lesson)
     scored = (
         cand.join(emb, "vec_id")
         .join(F.broadcast(q), "q_id")
@@ -635,16 +705,18 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_b"),
     )
     return (
-        pairs.join(a, "vec_a")
-        .join(b, "vec_b")
+        _pair_cos_raw(
+            pairs.join(a, "vec_a").join(b, "vec_b"),
+            "emb_a",
+            "emb_b",
+            "nrm_a",
+            "nrm_b",
+            keep=["vec_a", "vec_b"],
+        )
         .select(
             "vec_a",
             "vec_b",
-            F.round(
-                dot(F.col("emb_a"), F.col("emb_b"))
-                / (F.col("nrm_a") * F.col("nrm_b")),
-                6,
-            ).alias("cosine"),
+            F.round("cos_raw", 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= COS_DUP_THRESHOLD)
     )
@@ -1513,6 +1585,10 @@ def q_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_label").alias("q_label"),
         )
     )
+    # r12: NOT converted to _pair_cos_raw — measured +0.9 s standalone
+    # (1.63 → 2.53 warm): shipping both 64-float arrays per pair
+    # through Arrow (~540 B × 400k pairs) costs more than the fused
+    # HOF evaluation that reads them out of the broadcast hash table
     pairs = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("qid"))
@@ -1698,19 +1774,20 @@ def q_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_vec"),
         F.col("nrm").alias("q_nrm"),
     )
-    scored = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            "embedding",
-            F.round(
-                dot(F.col("embedding"), F.col("q_vec"))
-                / (F.col("nrm") * F.col("q_nrm")),
-                6,
-            ).alias("cos"),
-        )
+    scored = _pair_cos_raw(
+        emb.crossJoin(F.broadcast(q)).filter(
+            F.col("vec_id") != F.col("q_id")
+        ),
+        "embedding",
+        "q_vec",
+        "nrm",
+        "q_nrm",
+        keep=["q_id", "vec_id", "embedding"],
+    ).select(
+        "q_id",
+        "vec_id",
+        "embedding",
+        F.round("cos_raw", 6).alias("cos"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     pool = scored.withColumn("rk", F.row_number().over(w)).filter(
@@ -1777,17 +1854,16 @@ def _topk_at_dim(spark: SparkSession, sf_dir: str, d: int) -> DataFrame:
         F.col("v").alias("q_vec"),
         F.col("nrm_d").alias("q_nrm"),
     )
-    scored = (
-        base.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            (
-                dot(F.col("v"), F.col("q_vec"))
-                / (F.col("nrm_d") * F.col("q_nrm"))
-            ).alias("cos"),
-        )
+    scored = _pair_cos_raw(
+        base.crossJoin(F.broadcast(q)).filter(
+            F.col("vec_id") != F.col("q_id")
+        ),
+        "v",
+        "q_vec",
+        "nrm_d",
+        "q_nrm",
+        keep=["q_id", "vec_id"],
+        out="cos",
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -1942,6 +2018,9 @@ def q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qvec").alias("q_q"),
         F.col("qnrm").alias("q_qnrm"),
     )
+    # r12: NOT converted to _pair_cos_raw (the knn_loo precedent —
+    # measured +0.8 s standalone: the qvec arrays are array<double>,
+    # ~1 KB per pair across the Arrow boundary)
     scored = (
         qn.crossJoin(F.broadcast(qside))
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -2231,6 +2310,8 @@ def q_sim_ivf_nprobe_profile(
     probe = _probe_cells(
         spark, sf_dir, max(NPROBE_GRID), keep_rank=True
     )
+    # r12: NOT converted to _pair_cos_raw — in-bench min-of-k lost on
+    # both runs (1.64 → 1.90/2.92); the semdedup composition lesson
     scored = (
         ivf_assignments(spark, sf_dir)
         .join(F.broadcast(probe), "centroid_id")
@@ -2328,6 +2409,11 @@ def q_sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
+    # r12: NOT converted to _pair_cos_raw — faster standalone (2.62 vs
+    # 3.04) but consistently SLOWER inside the bench group (1.73 →
+    # 4.75/4.09 min-of-k on two runs) where the family's caches and
+    # Python worker pool are co-resident; the fused HOF plan wins in
+    # composition
     dups = (
         a.join(b, "centroid_id")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -2407,17 +2493,44 @@ RP_SIGNS = [[_rp_sign(j, i) for i in range(DIM)] for j in range(RP_DIM)]
 
 
 def q_rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+    # r12 (guide §4.2): the 16 projection dots + the norm fold per row
+    # (17 interpreted HOFs, plus 16 per-row CreateArray sign literals)
+    # run vectorized in ONE mapInPandas pass — per-dimension products
+    # accumulate in dimension order and the 16 squared projections add
+    # in plane order, every product/add IEEE-rounded exactly like the
+    # JVM expression, so proj_sq/nrm2 are bit-identical doubles.
+    # Rounding and bucketing stay in the JVM.
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    signs = np.array(RP_SIGNS, dtype=np.float64)
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emat = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64
+            )
+            n = emat.shape[0]
+            proj_sq = np.zeros(n)
+            for j in range(RP_DIM):
+                pj = np.zeros(n)
+                for i in range(emat.shape[1]):  # dimension-order fold
+                    pj += emat[:, i] * signs[j, i]
+                proj_sq = pj * pj if j == 0 else proj_sq + pj * pj
+            nrm2 = np.zeros(n)
+            for i in range(emat.shape[1]):
+                nrm2 += emat[:, i] * emat[:, i]
+            yield pd.DataFrame({"proj_sq": proj_sq, "nrm2": nrm2})
+
+    raw = emb.mapInPandas(project, "proj_sq double, nrm2 double")
+    ratio = F.round(
+        F.col("proj_sq") / (F.lit(float(RP_DIM)) * F.col("nrm2")), 6
     )
-    proj_sq: Column | None = None
-    for j in range(RP_DIM):
-        s = F.array(*[F.lit(w) for w in RP_SIGNS[j]])
-        pj = dot(F.col("embedding"), s)
-        proj_sq = pj * pj if proj_sq is None else proj_sq + pj * pj
-    nrm2 = dot(F.col("embedding"), F.col("embedding"))
-    ratio = F.round(proj_sq / (F.lit(float(RP_DIM)) * nrm2), 6)
-    b = emb.filter(nrm2 > 0).select(
+    b = raw.filter(F.col("nrm2") > 0).select(
         F.least(
             F.floor(F.round(ratio * 4, 6)).cast("long"), F.lit(11)
         ).alias("bk"),
@@ -2732,18 +2845,15 @@ def q_sim_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("d_emb"),
         F.col("nrm").alias("d_nrm"),
     )
-    scored = (
-        cand.join(es, "src")
-        .join(ed, "dst")
-        .select(
-            "src",
-            "dst",
-            F.round(
-                dot(F.col("s_emb"), F.col("d_emb"))
-                / (F.col("s_nrm") * F.col("d_nrm")),
-                6,
-            ).alias("cos"),
-        )
+    scored = _pair_cos_raw(
+        cand.join(es, "src").join(ed, "dst"),
+        "s_emb",
+        "d_emb",
+        "s_nrm",
+        "d_nrm",
+        keep=["src", "dst"],
+    ).select(
+        "src", "dst", F.round("cos_raw", 6).alias("cos")
     )
     w = Window.partitionBy("src").orderBy(
         F.desc("cos"), F.asc("dst")

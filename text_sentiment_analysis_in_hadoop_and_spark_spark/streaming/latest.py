@@ -49,16 +49,29 @@ def _make_update(idle_timeout_ms: int | None):
             return
         best = state.get if state.exists else None
         changed = False
+        # r12: the row loop vectorized — the fold is a MAX under the
+        # (epoch_sec, event_id) total order, so only the batch's max
+        # key can advance the state; among duplicate max keys the
+        # original loop kept the FIRST occurrence (strict > required
+        # to replace), preserved via flatnonzero()[0].
+        import numpy as np
+
         for pdf in pdfs:
-            for ep, eid, val in zip(
-                pdf["epoch_sec"], pdf["event_id"], pdf["value"]
-            ):
-                cand = (int(ep), int(eid), float(val))
-                # max under the (epoch_sec, event_id) total order —
-                # monotone, replay-safe
-                if best is None or cand[:2] > tuple(best[:2]):
-                    best = cand
-                    changed = True
+            if len(pdf) == 0:
+                continue
+            ep = pdf["epoch_sec"].to_numpy()
+            eid = pdf["event_id"].to_numpy()
+            mx = np.lexsort((eid, ep))[-1]
+            first = np.flatnonzero((ep == ep[mx]) & (eid == eid[mx]))[0]
+            cand = (
+                int(ep[first]),
+                int(eid[first]),
+                float(pdf["value"].to_numpy()[first]),
+            )
+            # monotone, replay-safe
+            if best is None or cand[:2] > tuple(best[:2]):
+                best = cand
+                changed = True
         if best is not None:
             state.update(tuple(best))
             if idle_timeout_ms is not None:

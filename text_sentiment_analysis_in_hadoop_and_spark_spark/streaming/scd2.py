@@ -60,22 +60,57 @@ def _make_update(idle_timeout_ms: int | None):
             cur_state, cur_ts, cur_eid = state.get
         else:
             cur_state, cur_ts, cur_eid = None, None, None
-        closed: list[tuple] = []
-        for row in batch.itertuples(index=False):
-            ts, eid, st = int(row.ts), int(row.event_id), row.event_type
-            if cur_ts is not None and (ts, eid) <= (cur_ts, cur_eid):
-                continue  # late arrival: history is immutable
+        # r12: the row-at-a-time fold vectorized (same semantics).
+        # After the stable sort the accepted sequence is strictly
+        # increasing in (ts, event_id), so the fold's late-arrival
+        # drops reduce to (a) rows <= the held interval's key and
+        # (b) exact within-batch duplicates of an earlier row — and
+        # every surviving row closes its predecessor's interval.
+        ts = batch["ts"].to_numpy()
+        eid = batch["event_id"].to_numpy()
+        if cur_ts is not None:
+            keep = (ts > cur_ts) | ((ts == cur_ts) & (eid > cur_eid))
+            batch = batch[keep]
+        batch = batch.drop_duplicates(
+            subset=["ts", "event_id"], keep="first"
+        )
+        n = len(batch)
+        if n:
+            ts = batch["ts"].to_numpy()
+            eid = batch["event_id"].to_numpy()
+            states = batch["event_type"].to_numpy()
+            frames = []
             if cur_state is not None:
-                closed.append((key[0], cur_state, cur_ts, ts))
-            cur_state, cur_ts, cur_eid = st, ts, eid
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "state": [cur_state],
+                            "valid_from": [cur_ts],
+                            "valid_to": [int(ts[0])],
+                        }
+                    )
+                )
+            if n > 1:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": key[0],
+                            "state": states[:-1],
+                            "valid_from": ts[:-1],
+                            "valid_to": ts[1:],
+                        }
+                    )
+                )
+            cur_state = str(states[-1])
+            cur_ts, cur_eid = int(ts[-1]), int(eid[-1])
+        else:
+            frames = []
         state.update((cur_state, cur_ts, cur_eid))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
-        if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["user_id", "state", "valid_from", "valid_to"],
-            )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
 
     return update
 
