@@ -239,18 +239,59 @@ def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _buckets_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, bucket0..bucket3) — the 32 hyperplane dots, computed
-    once per (session, sf_dir) and cached."""
+    once per (session, sf_dir) and cached.
+
+    r12 (guide §4.2, the rp_distortion precedent): the one-off build
+    ran 32 interpreted HOF dots + 32 CreateArray plane literals per
+    row (~2.5 s of the family's cold wall at sf0.1); vectorized in
+    one mapInPandas pass with the same dimension-order exact fold, so
+    every plane dot is the bit-identical double and every sign bit —
+    and therefore every bucket id — matches ``bucket_of`` exactly
+    (pinned by the LSH recall/occupancy tests and the DuckDB bucket
+    replay oracles downstream)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _BUCKETS_CACHE.get(key)
     if df is None:
+        import numpy as np
+
+        planes = np.array(PLANES, dtype=np.float64)  # (T, R, DIM)
+
+        def assign(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                emat = np.stack(pdf["embedding"].to_numpy()).astype(
+                    np.float64
+                )
+                n = emat.shape[0]
+                out = {"vec_id": pdf["vec_id"]}
+                for t in range(N_TABLES):
+                    acc = np.zeros(n, dtype=np.int64)
+                    for r in range(PLANES_PER_TABLE):
+                        pj = np.zeros(n)
+                        for i in range(emat.shape[1]):
+                            pj += emat[:, i] * planes[t, r, i]
+                        # NaN mirrors Spark's NaN-is-largest compare
+                        acc += (
+                            (pj > 0) | np.isnan(pj)
+                        ).astype(np.int64) << r
+                    out[f"bucket{t}"] = acc.astype(np.int32)
+                yield pd.DataFrame(out)
+
         emb = load_table(spark, sf_dir, "embeddings")
-        df = emb.select(
-            "vec_id",
-            *[
-                bucket_of(F.col("embedding"), t).alias(f"bucket{t}")
-                for t in range(N_TABLES)
-            ],
-        ).cache()
+        df = (
+            emb.select("vec_id", "embedding")
+            .mapInPandas(
+                assign,
+                "vec_id long, "
+                + ", ".join(
+                    f"bucket{t} int" for t in range(N_TABLES)
+                ),
+            )
+            .cache()
+        )
         _BUCKETS_CACHE[key] = df
     return df
 
