@@ -52,6 +52,41 @@ def test_small_noise_robust():
     assert ahash_bits(_gradient()) == ahash_bits(noisy.astype(np.uint8))
 
 
+def test_sub_grid_image_shortcut_is_exact():
+    # r12: images smaller than the 8×8 grid take the O(1) shortcut.
+    # It must agree with the full block-mean path, whose empty
+    # array_split blocks yield NaN means → NaN grid mean → every
+    # `block > NaN` compare False → hash 0.  Pin both the shortcut
+    # value and the full-path equivalence on the boundary shapes.
+    import warnings
+
+    def full_path(rgb):
+        gray = rgb.astype(np.float64).mean(axis=2)
+        blocks = np.array(
+            [
+                [b.mean() for b in np.array_split(row, 8, axis=1)]
+                for row in np.array_split(gray, 8, axis=0)
+            ]
+        )
+        bits = (blocks > blocks.mean()).ravel()
+        out = 0
+        for i, b in enumerate(bits):
+            if b:
+                out |= 1 << i
+        return out
+
+    rng = np.random.default_rng(7)
+    for shape in [(3, 4), (6, 8), (7, 8), (8, 7), (7, 64), (64, 7)]:
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # NaN-mean RuntimeWarning
+            assert full_path(img) == 0
+        assert ahash_bits(img) == 0
+    # at-grid shapes must NOT shortcut: nonzero structure hashes
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    assert ahash_bits(img) == full_path(img)
+
+
 def test_roundtrip_through_real_bmp_decoder():
     # the query path: make_bmp → decode_bmp_pixels → ahash; two docs
     # with identical (base, w, h, orientation) params collide

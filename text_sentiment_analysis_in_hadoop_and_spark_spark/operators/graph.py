@@ -92,10 +92,10 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = N_ITERS) -> Data
                 + F.lit(DAMPING) * F.coalesce("recv", F.lit(0.0))
             ).alias("rank"),
         )
-        # cut lineage every third round: each eager checkpoint is a
-        # job, and a 3-round plan over the (tiny) subgraph is cheaper
-        # than a job per round
-        if rnd % 3 == 0 or rnd == len(bases):
+        # cut lineage every fifth round (r12: was every third — each
+        # eager checkpoint is a job, and a 5-round plan over the
+        # (tiny) subgraph is still cheap; 4 checkpoint jobs → 2)
+        if rnd % 5 == 0 or rnd == len(bases):
             ranks = ranks.localCheckpoint()
     singles = nodes.join(connected, "node", "left_anti").select(
         "node", F.lit(r_s).alias("rank")
@@ -366,6 +366,11 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     label joins keyed on node, two bounded aggregates — no window, no
     driver loop."""
     edges = _verified_edges(spark, sf_dir)
+    # r12 (guide §5.3): labels feeds THREE consumers (both edge-side
+    # label joins + the degree rollup), each otherwise re-running the
+    # distinct-union semi-join against the edge memo; the table is
+    # edge-node-sized (bounded), so one localCheckpoint per
+    # invocation pays that once
     labels = (
         q_dedup_clusters(spark, sf_dir)
         .select(F.col("doc_id").alias("node"), F.col("cluster_id"))
@@ -376,6 +381,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             "left_semi",
         )
+        .localCheckpoint()
     )
     la = labels.select(F.col("node").alias("a"), F.col("cluster_id").alias("ca"))
     lb = labels.select(F.col("node").alias("b"), F.col("cluster_id").alias("cb"))

@@ -1030,6 +1030,14 @@ def ahash_bits(rgb) -> int:
     hash, which is exactly what byte-level dedup (md5) cannot see."""
     import numpy as np
 
+    # Exact shortcut: an image narrower or shorter than the grid makes
+    # np.array_split yield at least one EMPTY block, whose mean is NaN;
+    # NaN propagates into blocks.mean(), and every `block > NaN`
+    # compare is False — so the hash is exactly 0 without computing the
+    # 64 block means (the corpus path spends ~0.7 ms/image there).
+    if rgb.shape[0] < AHASH_GRID or rgb.shape[1] < AHASH_GRID:
+        return 0
+
     gray = rgb.astype(np.float64).mean(axis=2)
     blocks = np.array(
         [

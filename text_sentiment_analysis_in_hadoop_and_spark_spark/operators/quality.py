@@ -43,6 +43,7 @@ from .common import register_cache
 
 _BIGRAM_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 _LM_SCORE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+_CONTAM_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 # Gopher-style gate thresholds (engine choice, documented constants).
 ADJ_REPEAT_MAX = 0.15   # fraction of adjacent equal-token pairs
@@ -242,7 +243,17 @@ def _shingles(text: Column) -> Column:
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc overlap with the benchmark gram set: n_grams, n_hits,
     contam_frac for every NON-benchmark doc (benchmark members are
-    excluded — they would trivially score 1.0)."""
+    excluded — they would trivially score 1.0).
+
+    r12: the finished per-doc table is memoized per (session, sf_dir)
+    — the LM-score/quality-rollup precedent (guide §5: reused AND
+    expensive).  Three consumers pay the two gram passes otherwise:
+    this query, and the contamination gates inside
+    pipe_training_corpus and pipe_keep_attribution."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit_df = _CONTAM_CACHE.get(key)
+    if hit_df is not None:
+        return hit_df
     grams = _gram_rows(load_table(spark, sf_dir, "documents"))
     bench_grams = (
         grams.filter(F.col("member"))
@@ -251,7 +262,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     corpus = grams.filter(~F.col("member")).select("doc_id", "gram")
-    return (
+    df = (
         corpus.join(F.broadcast(bench_grams), "gram", "left")
         .groupBy("doc_id")
         .agg(
@@ -262,7 +273,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contam_frac",
             F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6),
         )
+        .cache()
     )
+    _CONTAM_CACHE[key] = df
+    return df
 
 
 def _bigrams_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,7 +340,16 @@ def q_phrase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     and TakeOrderedAndProject for the cut (per-partition heaps, never
     a global sort)."""
     bgc = _bigrams_cached(spark, sf_dir)
-    c12 = bgc.groupBy("w1", "w2").agg(F.sum("n").cast("long").alias("c12"))
+    # r12 (guide §5.3): c12 feeds FOUR consumers (the filtered probe
+    # side, both marginals, the 1-row total) — without the cut each
+    # re-reads the bigram memo through its own (w1, w2) exchange; one
+    # localCheckpoint per invocation pays that once (no cross-run
+    # reuse — not keyed on the logical plan)
+    c12 = (
+        bgc.groupBy("w1", "w2")
+        .agg(F.sum("n").cast("long").alias("c12"))
+        .localCheckpoint()
+    )
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     c2 = c12.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
     tot = c12.agg(F.sum("c12").cast("long").alias("t"))
@@ -574,6 +597,10 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 KiB), never O(corpus).
     """
     grams = _gram_rows(load_table(spark, sf_dir, "documents"))
+    # r12: a bench_grams localCheckpoint (three consumers re-run the
+    # corpus split+explode for the ~2% member slice) was A/B'd and
+    # reverted — warm min-of-3 1.51 → 1.61: the materialize+read costs
+    # what the saved gram pass saves, and the steady state loses
     bench_grams = grams.filter(F.col("member")).select("gram").distinct()
     p1, p2 = _bloom_positions(F.col("gram"))
     word_rows = (
@@ -936,6 +963,12 @@ def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     float, same operation order both engines."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bgc = _bigrams_cached(spark, sf_dir)
+    # r12: a c12 localCheckpoint (the phrase_pmi move) was A/B'd here
+    # and LOST warm (2.07 → 2.38 min-of-3) — unlike pmi's four small
+    # aggregates, the scoring join re-reads c12 fact-sized, so the
+    # checkpoint write costs more than the duplicate (w1, w2)
+    # exchanges it saves once the bigram memo is warm; cold improved
+    # (6.5 → 2.1) but the bench state is warm (memo group-shared)
     c12 = bgc.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"),

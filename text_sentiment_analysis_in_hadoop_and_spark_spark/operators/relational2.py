@@ -706,12 +706,20 @@ def q_ship_latency_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.datediff("l_shipdate", "o_orderdate").alias("lat_days"),
     )
+    # r12 (guide §2.2): one array-percentile buffer for the four
+    # ranks — bit-identical per rank, 4 per-group value maps → 1
     return lat.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_lines"),
-        F.expr("percentile(lat_days, 0.25)").alias("p25"),
-        F.expr("percentile(lat_days, 0.5)").alias("p50"),
-        F.expr("percentile(lat_days, 0.75)").alias("p75"),
-        F.round(F.expr("percentile(lat_days, 0.95)"), 6).alias("p95"),
+        F.expr(
+            "percentile(lat_days, array(0.25, 0.5, 0.75, 0.95))"
+        ).alias("_ps"),
+    ).select(
+        "o_orderpriority",
+        "n_lines",
+        F.col("_ps")[0].alias("p25"),
+        F.col("_ps")[1].alias("p50"),
+        F.col("_ps")[2].alias("p75"),
+        F.round(F.col("_ps")[3], 6).alias("p95"),
     )
 
 
@@ -1786,6 +1794,9 @@ def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
         )
         .groupBy(F.col("c_mktsegment").alias("segment"))
+        # r12: the array-percentile merge was A/B'd here and reverted
+        # (0.625 → 0.708 warm min-of-3 twice — per-customer gaps are
+        # too few for the buffer saving to beat the extra projection)
         .agg(
             F.count("*").alias("n_gaps"),
             F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias(

@@ -1552,6 +1552,9 @@ def q_cosine_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "k")
         .select(cos.alias("c"))
+        # r12: the array-percentile merge was A/B'd here and reverted
+        # (0.354 → 0.39/0.42 warm min-of-3 — the pair set is too small
+        # for the buffer saving to beat the extra projection)
         .agg(
             F.count("*").cast("long").alias("n_pairs"),
             F.round(F.avg("c"), 6).alias("mean_cos"),

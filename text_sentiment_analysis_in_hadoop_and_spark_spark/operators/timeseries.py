@@ -300,15 +300,23 @@ def q_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = b.join(F.broadcast(pre), "bk").select(
         "event_type", late.alias("late")
     )
+    # r12 (guide §2.2): one array-percentile buffer for the three
+    # ranks — bit-identical per rank, 3 per-group value maps → 1
     return scored.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_events"),
-        F.round(F.expr("percentile(late, 0.5)"), 6).alias("p50_late"),
-        F.round(F.expr("percentile(late, 0.95)"), 6).alias("p95_late"),
-        F.round(F.expr("percentile(late, 0.99)"), 6).alias("p99_late"),
+        F.expr("percentile(late, array(0.5, 0.95, 0.99))").alias("_ps"),
         F.max("late").cast("long").alias("max_late"),
         F.round(
             F.avg((F.col("late") > LATE_FENCE).cast("double")), 6
         ).alias("frac_late_1h"),
+    ).select(
+        "event_type",
+        "n_events",
+        F.round(F.col("_ps")[0], 6).alias("p50_late"),
+        F.round(F.col("_ps")[1], 6).alias("p95_late"),
+        F.round(F.col("_ps")[2], 6).alias("p99_late"),
+        "max_late",
+        "frac_late_1h",
     )
 
 

@@ -201,14 +201,21 @@ def q_session_length_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("end_epoch") - F.col("start_epoch")).alias("dur"),
         "n_events",
     )
+    # r12 (guide §2.2): one array-percentile buffer for the two
+    # duration ranks — bit-identical per rank
     return s.agg(
         F.count("*").cast("long").alias("n_sessions"),
-        F.expr("percentile(dur, 0.5)").alias("p50_duration_sec"),
-        F.round(F.expr("percentile(dur, 0.9)"), 6).alias("p90_duration_sec"),
+        F.expr("percentile(dur, array(0.5, 0.9))").alias("_dp"),
         F.expr("percentile(n_events, 0.5)").alias("p50_events"),
         F.round(
             F.avg((F.col("n_events") == 1).cast("double")), 6
         ).alias("bounce_frac"),
+    ).select(
+        "n_sessions",
+        F.col("_dp")[0].alias("p50_duration_sec"),
+        F.round(F.col("_dp")[1], 6).alias("p90_duration_sec"),
+        "p50_events",
+        "bounce_frac",
     )
 
 

@@ -150,11 +150,20 @@ def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t-digest-style sketch, map-side combinable) when ±0.1% suffices —
     same trade the HLL df_approx query documents for distinct counts."""
     ev = load_events(spark, sf_dir)
+    # r12 (guide §2.2): ONE array-percentile buffer instead of three —
+    # each scalar percentile(value, p) is its own AggregateExpression
+    # with its own per-group value map and final sort; the array form
+    # sorts once and reads all three ranks off the same buffer,
+    # bit-identical per rank.
     return ev.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_events"),
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("_ps"),
+    ).select(
+        "event_type",
+        "n_events",
+        F.round(F.col("_ps")[0], 6).alias("p50"),
+        F.round(F.col("_ps")[1], 6).alias("p95"),
+        F.round(F.col("_ps")[2], 6).alias("p99"),
     )
 
 
@@ -639,9 +648,16 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     TYPES-sized aggregate joined back broadcast; clamping is a narrow
     map; one corpus-sized groupBy ends it."""
     ev = load_events(spark, sf_dir)
+    # r12 (guide §2.2): one array-percentile buffer for both fences —
+    # same sorted per-group buffer, bit-identical per rank
     fences = ev.groupBy("event_type").agg(
-        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
-        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+        F.expr(
+            f"percentile(value, array({WINSOR_LO}, {WINSOR_HI}))"
+        ).alias("_f"),
+    ).select(
+        "event_type",
+        F.col("_f")[0].alias("lo"),
+        F.col("_f")[1].alias("hi"),
     )
     clamped = ev.join(F.broadcast(fences), "event_type").select(
         "event_type",
@@ -1036,14 +1052,21 @@ def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("gap", F.col("epoch_sec") - F.lag("epoch_sec").over(w))
         .filter(F.col("gap").isNotNull())
     )
+    # r12 (guide §2.2): one array-percentile buffer for the three
+    # ranks — bit-identical per rank, 3 per-group value maps → 1
     return gaps.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_gaps"),
-        F.expr("percentile(gap, 0.5)").alias("p50_sec"),
-        F.expr("percentile(gap, 0.9)").alias("p90_sec"),
-        F.round(F.expr("percentile(gap, 0.99)"), 6).alias("p99_sec"),
+        F.expr("percentile(gap, array(0.5, 0.9, 0.99))").alias("_ps"),
         F.round(
             F.avg((F.col("gap") <= 1800).cast("double")), 6
         ).alias("frac_within_session_gap"),
+    ).select(
+        "event_type",
+        "n_gaps",
+        F.col("_ps")[0].alias("p50_sec"),
+        F.col("_ps")[1].alias("p90_sec"),
+        F.round(F.col("_ps")[2], 6).alias("p99_sec"),
+        "frac_within_session_gap",
     )
 
 
@@ -1088,11 +1111,15 @@ def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("t_buy") >= F.col("t_view"))
         .select((F.col("t_buy") - F.col("t_view")).alias("lag_sec"))
     )
+    # r12 (guide §2.2): one array-percentile buffer for the three ranks
     return lag.agg(
         F.count("*").cast("long").alias("n_converted"),
-        F.expr("percentile(lag_sec, 0.25)").alias("p25_sec"),
-        F.expr("percentile(lag_sec, 0.5)").alias("p50_sec"),
-        F.round(F.expr("percentile(lag_sec, 0.9)"), 6).alias("p90_sec"),
+        F.expr("percentile(lag_sec, array(0.25, 0.5, 0.9))").alias("_ps"),
+    ).select(
+        "n_converted",
+        F.col("_ps")[0].alias("p25_sec"),
+        F.col("_ps")[1].alias("p50_sec"),
+        F.round(F.col("_ps")[2], 6).alias("p90_sec"),
     )
 
 
