@@ -325,7 +325,16 @@ def main() -> int:
     from text_sentiment_analysis_in_hadoop_and_spark_spark.operators import common
     from text_sentiment_analysis_in_hadoop_and_spark_spark.session import get_spark
 
-    spark = get_spark("scale_probe")
+    # decade3 runs a 5M-doc shuffle on a ~94 GB-usable disk: zstd
+    # shuffle/spill compression (~2× smaller than lz4) is the
+    # difference between fitting and ENOSPC (first attempt filled the
+    # disk with 54 GB of lz4 blockmgr files).  Opt-in via env so the
+    # default probe session stays identical to the bench's.
+    extra = {}
+    codec = os.environ.get("SCALE_PROBE_CODEC")
+    if codec:
+        extra["spark.io.compression.codec"] = codec
+    spark = get_spark("scale_probe", extra_conf=extra)
     # same JVM warm-up rationale as bench.py: don't bill first-plan
     # codegen to the first probe
     spark.range(1000).count()
