@@ -1454,10 +1454,11 @@ PREFIX_JACCARD_T = 0.5
 SUFFIX_FILTER_CAP = 32
 
 # How okarr reaches the posting rows (r12 A/B — BENCH_NOTES r12):
-# "slice_join" builds the per-doc array once from the pos <= CAP slice
-# of the window output and joins it to the prefix rows (default);
 # "window" projects it onto every pre-filter row via an unbounded
-# collect_list frame (the r11 plan — kept as the equivalence twin).
+# collect_list frame (the r11 plan — the measured WINNER and the
+# default); "slice_join" builds the per-doc array once from the
+# pos <= CAP slice of the window output and joins it to the prefix
+# rows (the A/B loser — kept live as the equivalence twin).
 # Both are exact and lossless; tests pin identical output.
 _OKARR_STRATEGY = "window"
 
@@ -1583,9 +1584,11 @@ def q_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ranking already shuffles on.  COST (measured, BENCH_NOTES
         # r11 stage breakdown): the unbounded collect_list frame
         # projects the CAP-long array onto EVERY pre-filter posting
-        # row — ~4.6 GB transient at the sf10 synthetic — which is why
-        # "slice_join" below is the default; this path is kept as the
-        # A/B twin and equivalence pin.
+        # row — ~4.6 GB transient at the sf10 synthetic.  The
+        # "slice_join" twin below tried to avoid that projection and
+        # LOST the interleaved sf10 A/B (53.4 s vs 46.6 s — AQE never
+        # reuses the window exchange, see its comment), so THIS path
+        # is the measured winner and the default.
         ranked = ranked.withColumn(
             "okarr",
             F.slice(

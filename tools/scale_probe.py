@@ -111,8 +111,14 @@ def build_sf1(spark) -> str:
     from pyspark.sql import functions as F
 
     out = os.path.join(SF1_DIR, "documents.parquet")
-    emb_done = os.path.exists(os.path.join(SF1_DIR, "embeddings.parquet"))
-    if os.path.exists(out) and emb_done:
+    # rebuild-skip gates on the writer's _SUCCESS marker, not the bare
+    # directory (ADVICE r12: a build killed mid-write — the documented
+    # ENOSPC failure mode — leaves a partial directory that a bare
+    # exists() would silently reuse)
+    emb_done = os.path.exists(
+        os.path.join(SF1_DIR, "embeddings.parquet", "_SUCCESS")
+    )
+    if os.path.exists(os.path.join(out, "_SUCCESS")) and emb_done:
         return SF1_DIR
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     variants = spark.range(10).select(F.col("id").cast("int").alias("k"))
@@ -192,7 +198,9 @@ def build_sf10(spark) -> str:
     from pyspark.sql import functions as F
 
     out = os.path.join(SF10_DIR, "documents.parquet")
-    if os.path.exists(out):
+    # _SUCCESS-gated like build_sf1 (ADVICE r12: partial dirs from a
+    # killed write must not be reused)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
         return SF10_DIR
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     copies = spark.range(100).select(
@@ -254,7 +262,9 @@ def build_sf100(spark) -> str:
     from pyspark.sql import functions as F
 
     out = os.path.join(SF100_DIR, "documents.parquet")
-    if os.path.exists(out):
+    # _SUCCESS-gated (ADVICE r12: the prior sf100 attempt WAS killed by
+    # ENOSPC mid-write — exactly the partial directory this guards)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
         return SF100_DIR
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     copies = spark.range(1000).select(
@@ -384,6 +394,15 @@ def main() -> int:
             f"| {a3:.2f} |",
             "",
         ]
+        # ADVICE r12: evaluate the alpha gate BEFORE touching
+        # SCALING.md, and annotate the section with the gate outcome so
+        # a failing run never silently mutates the scaling record
+        gate_failed = max_alpha is not None and a3 > max_alpha
+        if gate_failed:
+            sec.append(
+                f"GATE FAILED: alpha {a3:.2f} > --max-alpha {max_alpha}"
+            )
+            sec.append("")
         out = os.path.join(REPO, "SCALING.md")
         body = ""
         if os.path.exists(out):
@@ -392,10 +411,13 @@ def main() -> int:
             marker = "## Third extended decade"
             if marker in body:
                 body = body[: body.index(marker)].rstrip() + "\n"
+        # guard against a missing/empty prior body producing leading
+        # blank lines (ADVICE r12)
+        prefix = body.rstrip() + "\n\n" if body.strip() else ""
         with open(out, "w") as fh:
-            fh.write(body.rstrip() + "\n\n" + "\n".join(sec))
+            fh.write(prefix + "\n".join(sec))
         print(f"appended third extended decade to {out}", file=sys.stderr)
-        if max_alpha is not None and a3 > max_alpha:
+        if gate_failed:
             print(
                 f"FAIL: decade3 alpha exceeds {max_alpha}: {a3:.2f}",
                 file=sys.stderr,
