@@ -94,9 +94,14 @@ def pagerank(nodes: DataFrame, edges: DataFrame, n_iters: int = N_ITERS) -> Data
         )
         # cut lineage every fifth round (r12: was every third — each
         # eager checkpoint is a job, and a 5-round plan over the
-        # (tiny) subgraph is still cheap; 4 checkpoint jobs → 2)
+        # (tiny) subgraph is still cheap; 4 checkpoint jobs → 2).
+        # r13 (ADVICE r12): eager=False — lineage/plan is cut
+        # identically but materialization defers into the consuming
+        # job, so the loop itself launches ZERO jobs; interleaved A/B
+        # warm min-of-4: cad5 lazy 3.49 vs eager 3.60 vs cad3 3.78
+        # (cad10 lazy 3.68 — the longer plan costs the win back)
         if rnd % 5 == 0 or rnd == len(bases):
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     singles = nodes.join(connected, "node", "left_anti").select(
         "node", F.lit(r_s).alias("rank")
     )

@@ -1818,20 +1818,26 @@ def q_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_vec"),
         F.col("nrm").alias("q_nrm"),
     )
-    scored = _pair_cos_raw(
-        emb.crossJoin(F.broadcast(q)).filter(
-            F.col("vec_id") != F.col("q_id")
-        ),
-        "embedding",
-        "q_vec",
-        "nrm",
-        "q_nrm",
-        keep=["q_id", "vec_id", "embedding"],
-    ).select(
-        "q_id",
-        "vec_id",
-        "embedding",
-        F.round("cos_raw", 6).alias("cos"),
+    # r13 adjudication (VERDICT r12 #1): the r12 _pair_cos_raw
+    # conversion REGRESSED here on the driver's box AND on a quiet-box
+    # interleaved A/B (warm min-of-5: HOF 0.66 s vs Arrow-keep 1.18 vs
+    # Arrow+pool-rejoin 0.84, identical results) — the mmr pool ships
+    # `embedding` (~540 B/pair) through the Arrow boundary and the
+    # window exchange, the knn_loo per-pair-bytes mechanism.  REVERTED
+    # to the fused HOF dot (the r11 plan).
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "embedding",
+            F.round(
+                dot(F.col("embedding"), F.col("q_vec"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                6,
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     pool = scored.withColumn("rk", F.row_number().over(w)).filter(
