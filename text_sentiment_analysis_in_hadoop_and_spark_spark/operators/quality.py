@@ -34,7 +34,7 @@ Three families, all oracle-checked:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hex32, hex32_sql
@@ -411,17 +411,27 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bgc = _bigrams_cached(spark, sf_dir)
+    # r13 (guide §2.4, the kneser-ney precedent): the context total is
+    # a full-partition window over the SAME c12 rollup instead of a
+    # second re-aggregation of the memo, and each occurrence row
+    # probes ONE broadcast lnP table instead of two.  Window SUM over
+    # the whole w1 partition ≡ the groupBy sum (same long), so lnP is
+    # the identical double; oracle parity pins it.
     c12 = bgc.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
-    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    lnp = F.log(F.col("c12") / F.col("c1"))
+    lnp_tbl = c12.select(
+        "w1",
+        "w2",
+        F.log(
+            F.col("c12") / F.sum("c12").over(Window.partitionBy("w1"))
+        ).alias("lnp"),
+    )
     per_doc = (
-        bgc.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+        bgc.join(lnp_tbl, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.sum("n").cast("long").alias("n_bigrams"),
             F.round(
-                -F.sum(F.col("n") * lnp) / F.sum("n"), 6
+                -F.sum(F.col("n") * F.col("lnp")) / F.sum("n"), 6
             ).alias("cross_entropy"),
         )
     )
@@ -968,15 +978,31 @@ def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates, the scoring join re-reads c12 fact-sized, so the
     # checkpoint write costs more than the duplicate (w1, w2)
     # exchanges it saves once the bigram memo is warm; cold improved
-    # (6.5 → 2.1) but the bench state is warm (memo group-shared)
+    # (6.5 → 2.1) but the bench state is warm (memo group-shared).
+    # r13 (VERDICT r12 #3, guide §2.4): assemble the smoothed P per
+    # DISTINCT bigram first, then score the fact side through ONE
+    # join.  The c1/t1 and cont2 marginals are windows over the SAME
+    # c12 rollup (the weighted-median full-frame-window precedent), so
+    # the (w1, w2) re-aggregation of the memo runs twice (c12 + the
+    # 1-row total) instead of four times, and each occurrence row
+    # probes one broadcast p-table instead of three tables plus a
+    # nested-loop total.  Every marginal is the identical integer
+    # (window SUM/COUNT over the full partition ≡ the groupBy it
+    # replaces) and p is the same double expression evaluated on the
+    # same longs — bit-identical scores; oracle parity pins it.
     c12 = bgc.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
-    c1 = c12.groupBy("w1").agg(
-        F.sum("c12").alias("c1"),
-        F.count("*").alias("t1"),  # distinct continuations of w1
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
+    typ = c12.select(
+        "w1",
+        "w2",
+        "c12",
+        F.sum("c12").over(w1w).alias("c1"),
+        F.count("*").over(w1w).alias("t1"),  # distinct continuations
+        F.count("*").over(w2w).alias("cont2"),  # distinct contexts
     )
-    c2 = c12.groupBy("w2").agg(
-        F.count("*").alias("cont2")  # distinct contexts of w2
-    )
+    # global type total stays a 1-row broadcast (a full-frame window
+    # with no partition key would single-task the type table at scale)
     tt = c12.agg(F.count("*").alias("t_total"))
     d = F.lit(KN_DISCOUNT)
     p = (
@@ -984,16 +1010,14 @@ def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (d * F.col("t1") / F.col("c1"))
         * (F.col("cont2") / F.col("t_total"))
     )
+    p_tbl = typ.join(F.broadcast(tt)).select("w1", "w2", p.alias("p"))
     per_doc = (
-        bgc.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
-        .join(c2, "w2")
-        .join(F.broadcast(tt))
+        bgc.join(p_tbl, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.sum("n").cast("long").alias("n_bigrams"),
             F.round(
-                -F.sum(F.col("n") * F.log(p)) / F.sum("n"), 6
+                -F.sum(F.col("n") * F.log("p")) / F.sum("n"), 6
             ).alias("cross_entropy_kn"),
         )
     )
@@ -1356,16 +1380,22 @@ def q_quality_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(x2 * OLS_SCALE, 0).cast("long").alias("x2_i"),
     )
     bgc = _bigrams_cached(spark, sf_dir)
+    # r13: one broadcast lnP table (the q_lm_score / kneser-ney
+    # p-table shape) — window sum ≡ the groupBy sum, bit-identical y_i
     c12 = bgc.groupBy("w1", "w2").agg(F.sum("n").alias("c12"))
-    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    lnp = F.log(F.col("c12") / F.col("c1"))
+    lnp_tbl = c12.select(
+        "w1",
+        "w2",
+        F.log(
+            F.col("c12") / F.sum("c12").over(Window.partitionBy("w1"))
+        ).alias("lnp"),
+    )
     xent = (
-        bgc.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+        bgc.join(lnp_tbl, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.round(
-                -F.sum(F.col("n") * lnp) / F.sum("n") * OLS_SCALE, 0
+                -F.sum(F.col("n") * F.col("lnp")) / F.sum("n") * OLS_SCALE, 0
             )
             .cast("long")
             .alias("y_i")
