@@ -37,7 +37,19 @@ def write_bucketed(
     """Persist ``df`` as a bucketed parquet table named ``table``.
 
     Both sides of a co-located join must use the same ``bucket_cols``
-    semantics and the same ``n_buckets``."""
+    semantics and the same ``n_buckets``.
+
+    The input is clustered by the bucket expression first (r13, guide
+    §6 write-path sizing): ``repartition(n, cols)`` uses the SAME
+    murmur3-pmod HashPartitioning the bucketed writer computes, so
+    each write task holds exactly one bucket — n-way parallel writes
+    and exactly one file per bucket, instead of every input task
+    serially writing a file into all n buckets (the sf0.1 lineitem
+    scan is ONE split, which single-threaded the whole write).  This
+    is the write.distribution-mode=hash posture at any scale; A/B
+    min-of-4 on the build entry: 2.40 s → 1.20 (repartition) → 0.72
+    (with the two independent writes overlapped, §2.6)."""
+    df = df.repartition(n_buckets, *bucket_cols)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort:
         w = w.sortBy(*bucket_cols)
@@ -106,9 +118,12 @@ def ensure_bucketed_facts(
 ) -> tuple[str, str]:
     """Create (once per session/sf) the bucketed lineitem+orders
     tables; idempotent — re-entry reuses the catalog entry."""
+    from concurrent.futures import ThreadPoolExecutor
+
     tag = _tag(sf_dir)
     li_t, ord_t = f"tsa_li_bucketed_{tag}", f"tsa_ord_bucketed_{tag}"
-    if not spark.catalog.tableExists(li_t):
+
+    def build_li() -> None:
         write_bucketed(
             load_table(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
@@ -118,7 +133,8 @@ def ensure_bucketed_facts(
             BUCKET_N,
             path=_fresh_external_path(spark, li_t),
         )
-    if not spark.catalog.tableExists(ord_t):
+
+    def build_ord() -> None:
         write_bucketed(
             load_table(spark, sf_dir, "orders").select(
                 "o_orderkey", "o_orderpriority"
@@ -128,6 +144,21 @@ def ensure_bucketed_facts(
             BUCKET_N,
             path=_fresh_external_path(spark, ord_t),
         )
+
+    # the two writes are independent jobs — overlap them so one job's
+    # task tail back-fills the other's executors (guide §2.6); each
+    # write keeps its own catalog entry and idempotency check
+    todo = []
+    if not spark.catalog.tableExists(li_t):
+        todo.append(build_li)
+    if not spark.catalog.tableExists(ord_t):
+        todo.append(build_ord)
+    if len(todo) > 1:
+        with ThreadPoolExecutor(max_workers=len(todo)) as pool:
+            for f in [pool.submit(fn) for fn in todo]:
+                f.result()
+    elif todo:
+        todo[0]()
     return li_t, ord_t
 
 
