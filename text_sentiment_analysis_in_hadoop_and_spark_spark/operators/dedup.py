@@ -264,6 +264,25 @@ def _memo_pairs(tag, spark, sf_dir, build) -> DataFrame:
     return hit
 
 
+def _candidates_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized LSH candidate pair table per (session, sf_dir).
+
+    r13 (VERDICT r12 #6 re-bill audit): four consumers re-derived the
+    banded self-join per call — q_jaccard_pairs' memo build, the
+    minhash estimator, the s-curve detector side, and
+    q_containment_pairs, which referenced `pairs` twice in one plan
+    and so evaluated the self-join TWICE per run (warm standalone
+    probe: 1.2 s per evaluation of a 3.6 s query).  One cached table
+    serves all of them; the build bills to the family's first
+    toucher inside the dedup group, same as every other memo."""
+    return _memo_pairs(
+        "lsh_candidates",
+        spark,
+        sf_dir,
+        lambda: candidate_pairs(_banded_cached(spark, sf_dir)),
+    )
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard = fraction of the 16
     signature components that agree."""
@@ -274,7 +293,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _banded_cached(spark, sf_dir)
-    pairs = candidate_pairs(sigs)
+    pairs = _candidates_cached(spark, sf_dir)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"s{k}").alias(f"a{k}") for k in range(N_PERM)],
@@ -436,7 +455,7 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _JACCARD_CACHE.get(key)
     if cached is not None:
         return cached
-    pairs = candidate_pairs(_banded_cached(spark, sf_dir))
+    pairs = _candidates_cached(spark, sf_dir)
     out = verify_jaccard(spark, sf_dir, pairs).cache()
     _JACCARD_CACHE[key] = out
     return out
@@ -454,7 +473,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the jaccard verify — candidates only
     (never all-pairs), one shingle-keyed partial-agg join for the
     intersections, two doc_id-keyed size joins."""
-    pairs = candidate_pairs(_banded_cached(spark, sf_dir))
+    pairs = _candidates_cached(spark, sf_dir)
     sh = _shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     # same ARRAY verify as verify_jaccard (r10) — intersections from
@@ -2687,7 +2706,7 @@ QUERIES["dedup_keep_best"] = q_dedup_keep_best
 def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = q_prefix_jaccard_join(spark, sf_dir)
     det = (
-        candidate_pairs(_banded_cached(spark, sf_dir))
+        _candidates_cached(spark, sf_dir)
         .select("doc_a", "doc_b")
         .withColumn("hit", F.lit(1))
     )
