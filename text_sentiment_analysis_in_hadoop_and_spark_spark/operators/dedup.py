@@ -586,7 +586,15 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     materialized partitions (the same reason MLlib's iterative
     algorithms checkpoint); on a real cluster this would be
     ``checkpoint()`` to reliable storage so a lost executor cannot
-    force recomputing round k from round 0."""
+    force recomputing round k from round 0.
+
+    r13 (ADVICE r12 / the pagerank-lazy precedent): the checkpoints
+    are LAZY — each round's convergence count materializes that
+    round's labels as a side effect, so the loop runs ONE job per
+    round instead of two (and the edges/labels seeds materialize
+    under the first round's jobs).  Lineage is cut identically.
+    Interleaved A/B via sim_semdedup (pays this loop per run), warm
+    min-of-4: eager 1.91 → lazy 1.74, every lap faster."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -594,13 +602,13 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         prop = labels.join(edges, labels.node == edges.src).select(
@@ -610,7 +618,7 @@ def connected_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.join(

@@ -386,7 +386,9 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             "left_semi",
         )
-        .localCheckpoint()
+        # r13 (ADVICE r12): lazy — the first consumer materializes it,
+        # the other two still share the blocks; no standalone job
+        .localCheckpoint(eager=False)
     )
     la = labels.select(F.col("node").alias("a"), F.col("cluster_id").alias("ca"))
     lb = labels.select(F.col("node").alias("b"), F.col("cluster_id").alias("cb"))
@@ -478,7 +480,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain recursive CTE, but peeling is idempotent after convergence,
     so the unrolled form computes the identical fixpoint).  Output:
     (node, core_degree) for surviving nodes."""
-    edges = _verified_edges(spark, sf_dir).localCheckpoint()
+    # r13: lazy checkpoints — the count right after materializes
+    # each round's edge set, one job per round instead of two (the
+    # CC-loop precedent)
+    edges = _verified_edges(spark, sf_dir).localCheckpoint(eager=False)
     n_edges = edges.count()
     for _ in range(KCORE_MAX_ROUNDS):
         deg = (
@@ -491,7 +496,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ne = edges.join(
             keep.withColumnRenamed("node", "a"), "a", "left_semi"
         ).join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
-        ne = ne.localCheckpoint()
+        ne = ne.localCheckpoint(eager=False)
         n_new = ne.count()
         if n_new == n_edges:
             break

@@ -348,6 +348,9 @@ def q_phrase_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12 = (
         bgc.groupBy("w1", "w2")
         .agg(F.sum("n").cast("long").alias("c12"))
+        # r13: lazy A/B'd (ADVICE r12) — no win (0.81 → 0.83 warm;
+        # parallel-branch consumers race under lazy, the quantized
+        # lesson) — stays eager
         .localCheckpoint()
     )
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))

@@ -2061,6 +2061,12 @@ def q_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = (
         qv.withColumn("qnrm", norm(F.col("qvec")))
         .filter(F.col("qnrm") > 0)
+        # r13: lazy was A/B'd (ADVICE r12) and LOST (2.75 → 3.23
+        # warm): the four branches run in ONE job and race to compute
+        # the same partitions before persistence lands — eager
+        # pre-materialization is the right call for parallel-branch
+        # consumers (the loop sites, where the next JOB consumes it,
+        # are where lazy wins)
         .localCheckpoint()
     )
     qside = qn.filter(F.col("vec_id") < N_QUERIES).select(
