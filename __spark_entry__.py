@@ -431,6 +431,53 @@ _MODULE_ORDER = (
 # stale against a moving Spark/DuckDB stack, so the standing
 # re-verification rotation re-proves the oldest evidence before the
 # freshest; ties (same round file) break by registration order.
+# r13 (VERDICT r12 #8): an explicit REVERIFY tier sits between the
+# never-checked head and the staleness padding — queries whose PLAN
+# was rewritten in an optimization round must get a post-change
+# driver row NOW, not whenever the staleness rotation reaches them.
+# The round's builder maintains _REVERIFY_FIRST; names already green
+# are re-promoted in registration order, consuming padding slots
+# only (never a never-checked slot).
+
+# Plans rewritten in r12 (the verdict's named list) + r13: the LM
+# p-table family, the candidates-memo consumers, the lazy-CC
+# consumers, the adjudication reverts, the bucketed write path.
+_REVERIFY_FIRST: tuple[str, ...] = (
+    # r12 rewrites the r12 window never re-checked (VERDICT r12 #8)
+    "nb_learning_curve",
+    "nb_cv_accuracy",
+    "events_bootstrap_ci",
+    "rel_weighted_median_price",
+    "rel_referential_audit",
+    # r13 rewrites
+    "text_lm_kneser_ney",
+    "text_lm_score",
+    "text_lm_buckets",
+    "text_quality_ols",
+    "text_signal_correlation",
+    "pipe_quality_threshold_sweep",
+    "rel_basket_affinity",
+    "rel_price_index",
+    "rel_unit_price_dispersion",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_pairs",
+    "dedup_containment_pairs",
+    "dedup_lsh_s_curve",
+    "dedup_clusters",
+    "dedup_gate_ablation",
+    "er_entities",
+    "er_survivorship",
+    "sim_semdedup",
+    "sim_topk_mmr",
+    "dedup_pagerank",
+    "graph_kcore",
+    "graph_modularity",
+    "rel_bucketed_join_agg",
+    "text_bpe_merges",
+    "text_bpe_tokenize",
+)
+
+
 def _derive_promoted(window: int = 50) -> tuple[str, ...]:
     import glob
     import json
@@ -469,9 +516,21 @@ def _derive_promoted(window: int = 50) -> tuple[str, ...]:
     head = never[:window]
     if len(head) < window:
         pos = {n: i for i, n in enumerate(names)}
+        taken = set(head)
         head.extend(
             sorted(
-                (n for n in names if n in green),
+                (
+                    n
+                    for n in _REVERIFY_FIRST
+                    if n in pos and n in green and n not in taken
+                ),
+                key=lambda n: pos[n],
+            )
+        )
+        taken = set(head)
+        head.extend(
+            sorted(
+                (n for n in names if n in green and n not in taken),
                 key=lambda n: (green[n], pos[n]),
             )
         )

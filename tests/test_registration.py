@@ -32,7 +32,9 @@ def test_promoted_matches_mechanical_rotation():
 
     green = rotation.driver_green(entrymod.rows_only())
     names = list(entrymod.queries())
-    expected = rotation.next_window(names, green)
+    expected = rotation.next_window(
+        names, green, reverify=entrymod._REVERIFY_FIRST
+    )
     assert list(entrymod._PROMOTED) == expected[:50]
 
 

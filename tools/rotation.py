@@ -72,17 +72,34 @@ def driver_green(rows_only: frozenset[str] = frozenset()) -> dict[str, str]:
 
 
 def next_window(names: list[str], green: dict[str, str],
-                window: int = WINDOW) -> list[str]:
-    """Never-checked head (registration order), padded oldest-green-
-    first when the backlog no longer fills the window — the module
-    docstring's padding policy, shared by status() and main()."""
+                window: int = WINDOW,
+                reverify: tuple[str, ...] = ()) -> list[str]:
+    """Never-checked head (registration order), then the round's
+    explicit REVERIFY tier (VERDICT r12 #8: queries whose plan was
+    rewritten must get a post-change driver row before the standing
+    staleness rotation hands them one by luck), padded oldest-green-
+    first when the backlog still leaves slots — shared by status()
+    and main(), pinned to ``__spark_entry__._derive_promoted`` by
+    tests/test_registration.py."""
     never = [n for n in names if n not in green]
     head = never[:window]
     if len(head) < window:
         pos = {n: i for i, n in enumerate(names)}
+        taken = set(head)
         head.extend(
             sorted(
-                (n for n in names if n in green),
+                (
+                    n
+                    for n in reverify
+                    if n in pos and n in green and n not in taken
+                ),
+                key=lambda n: pos[n],
+            )
+        )
+        taken = set(head)
+        head.extend(
+            sorted(
+                (n for n in names if n in green and n not in taken),
                 key=lambda n: (green[n], pos[n]),
             )
         )
@@ -140,7 +157,13 @@ def main() -> int:
     rounds_needed = (len(never) + WINDOW - 1) // WINDOW
     print(f"windows needed at {WINDOW}/round: {rounds_needed}")
     print()
-    show = never if "--all" in sys.argv else next_window(names, green)
+    show = (
+        never
+        if "--all" in sys.argv
+        else next_window(
+            names, green, reverify=getattr(entry, "_REVERIFY_FIRST", ())
+        )
+    )
     label = "all never-checked" if "--all" in sys.argv else f"next window ({len(show)})"
     print(f"{label}, in registration order:")
     for n in show:
