@@ -192,6 +192,9 @@ _ASG_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 # quantized (vec_id, qvec, qnrm) table — r13, the recall evaluator's
 # per-call rebuild measured 1.37 s (see q_quantized_recall)
 _QN_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+# exact brute-force top-k — r13, the ground-truth table seven
+# evaluators consume (see q_sim_topk_brute)
+_BRUTE_TOPK_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +216,19 @@ def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-10 cosine neighbors for the first 8 vectors."""
+    """Exact top-10 cosine neighbors for the first 8 vectors.
+
+    r13: the finished table memoizes per (session, sf_dir) — it is
+    the family's ground-truth side, consumed by SEVEN evaluators
+    (query-margin, ann-ndcg, matryoshka, quantized recall, lsh recall
+    report, nprobe profile, hybrid retrieval), each of which re-ran
+    the full O(N·Q) scan + window per call (~0.5-0.6 s warm apiece).
+    The _LM_SCORE_CACHE precedent: build billed to the first
+    consumer, register_cache'd for eviction, never cross-run."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BRUTE_TOPK_CACHE.get(key)
+    if hit is not None:
+        return hit
     emb = _emb_with_norm(spark, sf_dir)
     cand = emb
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -233,11 +248,14 @@ def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="cos",
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+        .cache()
     )
+    _BRUTE_TOPK_CACHE[key] = out
+    return out
 
 
 def _buckets_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
