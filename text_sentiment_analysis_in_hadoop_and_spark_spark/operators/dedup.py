@@ -755,7 +755,16 @@ def q_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned shuffle family); the quality gate is a narrow map,
     the exact gate one partial-agg groupBy, and the cluster gate
     reuses the memoized CC labels over the candidate subgraph only
-    (see :func:`q_dedup_clusters`)."""
+    (see :func:`q_dedup_clusters`).
+
+    r13: the finished keep set memoizes per (session, sf_dir) — five
+    consumers (the multimodal keep list, both pipeline capstones, the
+    profile rollup, the embedding keep join) re-ran the three-gate
+    composition per call (the _LM_SCORE_CACHE precedent)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CORPUS_KEEP_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     gate = q_repetition(spark, sf_dir).filter(F.col("keep")).select("doc_id")
     exact = q_dedup_keep_first(spark, sf_dir).select("doc_id")
@@ -764,12 +773,18 @@ def q_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id")
     )
-    return (
+    out = (
         docs.join(gate, "doc_id", "left_semi")
         .join(exact, "doc_id", "left_semi")
         .join(canon, "doc_id", "left_semi")
+        .cache()
     )
+    _CORPUS_KEEP_CACHE[key] = out
+    return out
 
+
+# finished three-gate keep set (r13 — see q_corpus_keep)
+_CORPUS_KEEP_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 SPAN_K = 8       # token-gram width for duplicated-span detection
 BATCH_MOD = 10   # incremental probe: doc_id % 10 == 0 is "today's crawl"

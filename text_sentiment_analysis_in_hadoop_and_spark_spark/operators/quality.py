@@ -43,6 +43,8 @@ from .common import register_cache
 
 _BIGRAM_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 _LM_SCORE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
+# per-doc repetition gate table (r13 — see q_repetition)
+_REPETITION_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 _CONTAM_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 # Gopher-style gate thresholds (engine choice, documented constants).
@@ -79,7 +81,17 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode-bigram count is a sorted-run-length scan (``array_sort`` +
     one ``aggregate`` pass, O(n log n)) instead of the textbook
     O(distinct·n) count-per-distinct-gram nest; max run length in the
-    sorted array IS the max multiplicity, so values are unchanged."""
+    sorted array IS the max multiplicity, so values are unchanged.
+
+    r13: the finished per-doc table memoizes per (session, sf_dir) —
+    it is the corpus quality GATE, consumed by the keep-list capstone
+    and the gate ablation besides the query itself, each of which
+    re-paid the per-row HOF scans (~0.7-1.0 s warm apiece; the
+    _LM_SCORE_CACHE precedent)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _REPETITION_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = load_table(spark, sf_dir, "documents")
     # barrier 1: materialize the token array
     tokd = docs.select(
@@ -154,11 +166,13 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj.alias("adj_repeat_frac"),
         top_bigram.alias("top_bigram_frac"),
     )
-    return out.withColumn(
+    out = out.withColumn(
         "keep",
         (F.col("adj_repeat_frac") <= ADJ_REPEAT_MAX)
         & (F.col("top_bigram_frac") <= TOP_BIGRAM_MAX),
-    )
+    ).cache()
+    _REPETITION_CACHE[key] = out
+    return out
 
 
 def _injected(doc_id: Column, text: Column) -> Column:
