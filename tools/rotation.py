@@ -127,7 +127,9 @@ def status(entry) -> dict:
         "never_checked_by_family": dict(
             sorted(fam_never.items(), key=lambda kv: -kv[1])
         ),
-        "next_window": next_window(names, green),
+        "next_window": next_window(
+            names, green, reverify=getattr(entry, "_REVERIFY_FIRST", ())
+        ),
         "never_checked_names": never,
         "green_rounds": {
             os.path.basename(f): sum(1 for r in green.values() if r == f)
